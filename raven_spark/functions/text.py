@@ -1,0 +1,277 @@
+"""Text kernels: HTML -> text extraction (byte-reproducible), language ID,
+quality scoring, token counting, fingerprinting.
+
+Extraction is the per-row invariant of BASELINE.json input_hint
+("byte-identical extracted text per url"), so it is a pinned pure-Python
+state machine with zero environment-dependent behavior (no bs4/lxml —
+different versions reflow whitespace differently). The same function
+generates the corpus golden ``text`` column and runs inside the fetch
+stage's Arrow batches.
+
+langid / quality / token counting are pure column algebra (JVM-side
+built-ins) so they stay inside whole-stage codegen — see the *_cols
+helpers. Their SQL-oracle twins live in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --- HTML -> text extraction (the pinned spec) ------------------------------
+
+# tags whose content is dropped entirely
+_DROP_CONTENT = {"script", "style", "noscript", "template", "head"}
+# tags that imply a paragraph break in the extracted text
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "blockquote", "pre", "hr", "title", "body",
+}
+
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "copy": "©", "mdash": "—", "ndash": "–",
+    "hellip": "…", "rsquo": "’", "lsquo": "‘",
+    "rdquo": "”", "ldquo": "“",
+}
+
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def _decode_entities(s: str) -> str:
+    def _sub(m: re.Match[str]) -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except ValueError:
+                return m.group(0)
+        return _ENTITIES.get(body.lower(), m.group(0))
+
+    return _ENTITY_RE.sub(_sub, s)
+
+
+def extract_text(html: str | None) -> str | None:
+    """Pinned HTML->text: drop script/style/head content, block tags become
+    newlines, inline tags become nothing, entities decoded, horizontal
+    whitespace collapsed to single spaces, blank lines collapsed, final
+    result stripped. Deterministic for any input bytes decoded to str.
+    """
+    if html is None:
+        return None
+    # comments, doctype, processing instructions vanish before tokenizing
+    html = re.sub(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", "", html, flags=re.DOTALL)
+    out: list[str] = []
+    pos = 0
+    drop_until: str | None = None
+    for m in _TAG_RE.finditer(html):
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if drop_until is None and m.start() > pos:
+            out.append(html[pos : m.start()])
+        if drop_until is not None:
+            if closing and name == drop_until:
+                drop_until = None
+            pos = m.end()
+            continue
+        if not closing and name in _DROP_CONTENT:
+            # <br>-style void tags can't open a drop region
+            drop_until = name
+        if name in _BLOCK_TAGS:
+            out.append("\n")
+        pos = m.end()
+    if drop_until is None and pos < len(html):
+        out.append(html[pos:])
+
+    text = _decode_entities("".join(out))
+    text = _WS_RE.sub(" ", text)
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text, na_action="ignore")
+
+
+# --- outlink extraction ------------------------------------------------------
+
+_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)')""", re.IGNORECASE)
+
+
+def extract_links(html: str | None) -> list[str]:
+    """All href values of <a> tags, in document order, absolute-form only
+    (relative resolution happens against the base URL in the fetch stage).
+    """
+    if not html:
+        return []
+    return [m.group(2) or m.group(3) for m in _HREF_RE.finditer(html)]
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_links, na_action="ignore")
+
+
+# --- language ID (n-gram/stopword heuristic, pure column algebra) -----------
+
+# tiny per-language marker sets — deterministic, SQL-expressible (the oracle
+# in __spark_entry__.py replays the identical arithmetic in DuckDB)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "es": [" el ", " la ", " que ", " los ", " una "],
+    "fr": [" le ", " la ", " les ", " des ", " est "],
+}
+
+
+def _marker_score(padded: Column, markers: list[str]) -> Column:
+    score = F.lit(0)
+    for mk in markers:
+        # occurrence count via length difference (codegen-friendly)
+        score = score + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit(""))))
+            / F.lit(len(mk))
+        ).cast("int")
+    return score
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language-ID over marker-word hit counts; ties broken by
+    language code order; zero hits -> 'und'. Pure built-ins (codegen'd).
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = [(code, _marker_score(padded, mks)) for code, mks in sorted(LANG_MARKERS.items())]
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier codes win ties
+    for code, score in reversed(scores):
+        take = score > best_score
+        best_code = F.when(take, F.lit(code)).otherwise(best_code)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_code
+
+
+# --- quality scoring ---------------------------------------------------------
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style quality signals as pure column algebra:
+
+    n_chars, n_words, mean_word_len, alpha_ratio, punct_ratio,
+    stopword_ratio, quality_score (a deterministic linear blend).
+    """
+    n_chars = F.length(text)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words))
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = F.lit(0)
+    for sw in STOPWORDS:
+        mk = f" {sw} "
+        stop_hits = stop_hits + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit(""))))
+            / F.lit(len(mk))
+        ).cast("int")
+    mean_word_len = (n_alpha.cast("double") / safe_words)
+    alpha_ratio = n_alpha.cast("double") / safe_chars
+    punct_ratio = n_punct.cast("double") / safe_chars
+    stopword_ratio = stop_hits.cast("double") / safe_words
+    quality = (
+        F.lit(0.35) * alpha_ratio
+        + F.lit(0.35) * F.least(stopword_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        - F.lit(0.1) * punct_ratio
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stopword_ratio, 6),
+        "quality_score": F.round(quality, 6),
+    }
+
+
+# --- token counting ----------------------------------------------------------
+
+# BPE-ish pretokenizer: word pieces, numbers, punctuation runs — a public
+# GPT-2-style regex reduced to RE2-compatible form (no lookaheads).
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+"
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
+    return {
+        "ws_tokens": ws.cast("bigint"),
+        "bpe_tokens": bpe.cast("bigint"),
+        # deterministic ~chars/4 estimator, common for budget accounting
+        "approx_llm_tokens": F.ceil(F.length(text) / F.lit(4.0)).cast("bigint"),
+    }
+
+
+# --- document fingerprinting (rolling hash, SQL-expressible) ------------------
+
+FNV_PRIME = 1099511628211
+FNV_OFFSET = 14695981039346656037
+MASK64 = (1 << 64) - 1
+
+
+def fingerprint_py(text: str) -> int:
+    """FNV-1a 64-bit over UTF-8 bytes, returned as signed 64-bit (matches
+    the Spark/DuckDB column twins which work in signed BIGINT space).
+    """
+    h = FNV_OFFSET
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME) & MASK64
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: fingerprint_py(t) if t is not None else None)
+
+
+def simhash_py(text: str, bits: int = 64) -> int:
+    """SimHash over whitespace tokens weighted by count; per-token hash is
+    FNV-1a. Signed 64-bit output.
+    """
+    from collections import Counter
+
+    counts = Counter(text.split())
+    weights = [0] * bits
+    for tok, cnt in counts.items():
+        h = fingerprint_py(tok) & MASK64
+        for i in range(bits):
+            weights[i] += cnt if (h >> i) & 1 else -cnt
+    out = 0
+    for i in range(bits):
+        if weights[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: simhash_py(t) if t is not None else None)

