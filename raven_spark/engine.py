@@ -1,0 +1,258 @@
+"""CrawlEngine — the driver loop of rounds with checkpoint/resume.
+
+Replaces the reference's run_raven_application (runner.rs:25-81): where the
+reference eagerly materializes Vec<RavenCrawlTask> and waits on a thread
+pool, the engine materializes each round's deltas through the Catalog and
+lets Spark schedule the work. State layout (ParquetCatalog fallback for
+Iceberg, sources/catalog.py):
+
+    {root}/frontier/round=N     candidates added at round N (seeds at 0,
+                                discoveries + deferrals at N>0)
+    {root}/url_seen/round=N     hashes scheduled/denied at round N
+                                (+ _bloom.bin sidecar: the round's Bloom
+                                delta, OR-merged for pruning — blooms are
+                                fixed-capacity so union is bitwise OR)
+    {root}/pages/round=N        fetch results (bodies, errors-as-data)
+    {root}/text/round=N         url_canon -> extracted text (the
+                                input_hint write-back table)
+    {root}/metrics/round=N      crawler metrics (M2), partitioned lineage
+    {root}/rounds.json          run manifest: per-round counts, timings,
+                                persist errors — resume token
+
+Resume: `CrawlEngine.resume()` re-reads rounds.json and continues from the
+first uncommitted round; all writes are idempotent per round (overwrite of
+the round's own partition), so a crash mid-round re-runs exactly that
+round and converges to the same state (determinism tests assert this).
+
+Persist fan-out parity (P1, raven_crawl_task.rs:44-84): each round's pages
+delta is written to EVERY sink; a round fails only if ALL sinks fail;
+partial failures are recorded in the manifest as persist_errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raven_spark.config import RavenConfig
+from raven_spark.operators.fetch import Fetcher
+from raven_spark.operators.seen import BloomFilter, bloom_params, build_bloom
+from raven_spark.plans.round import frontier_from_urls, discovered_frontier, plan_round
+from raven_spark.sources.catalog import ParquetCatalog
+
+
+@dataclass
+class EngineOptions:
+    expected_total_urls: int = 1 << 20  # sizes the Bloom (fixed across rounds)
+    bloom_fpp: float = 0.01
+    shuffle_partitions: int | None = None
+    max_depth: int | None = None
+    extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: RavenConfig,
+        state_root: str,
+        fetcher: Fetcher,
+        robots: DataFrame | None = None,
+        options: EngineOptions | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.state_root = state_root
+        self.fetcher = fetcher
+        self.robots = robots
+        self.opt = options or EngineOptions()
+        self.catalog = ParquetCatalog(spark, state_root)
+        os.makedirs(state_root, exist_ok=True)
+
+    # -- manifest -------------------------------------------------------------
+
+    @property
+    def _rounds_path(self) -> str:
+        return os.path.join(self.state_root, "rounds.json")
+
+    def _load_rounds(self) -> dict:
+        if not os.path.exists(self._rounds_path):
+            return {"completed": [], "stats": {}}
+        with open(self._rounds_path) as f:
+            return json.load(f)
+
+    def _commit_round(self, round_no: int, stats: dict) -> None:
+        m = self._load_rounds()
+        if round_no not in m["completed"]:
+            m["completed"].append(round_no)
+            m["completed"].sort()
+        m["stats"][str(round_no)] = stats
+        tmp = self._rounds_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._rounds_path)
+
+    def last_completed_round(self) -> int | None:
+        c = self._load_rounds()["completed"]
+        return max(c) if c else None
+
+    # -- bloom sidecars ---------------------------------------------------------
+
+    def _bloom_path(self, round_no: int) -> str:
+        return os.path.join(self.state_root, "url_seen", f"round={round_no}", "_bloom.bin")
+
+    def _merged_bloom(self, upto_round: int) -> BloomFilter | None:
+        """OR of all committed per-round Bloom deltas — O(rounds) bitmap ORs
+        on the driver, no table scan (the north_star merge choreography:
+        per-partition build happens at write time via treeAggregate)."""
+        merged: BloomFilter | None = None
+        for r in range(upto_round + 1):
+            p = self._bloom_path(r)
+            if not os.path.exists(p):
+                continue
+            with open(p, "rb") as f:
+                b = BloomFilter.from_bytes(f.read())
+            merged = b if merged is None else merged.union(b)
+        return merged
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def bootstrap(self, seed_urls: list[str]) -> None:
+        """Write frontier Δ(0) from the seed list (round -1 'compilation')."""
+        f0 = frontier_from_urls(
+            self.spark, seed_urls, round_no=0, salt_buckets=self.config.salt_buckets
+        )
+        self.catalog.append("frontier", f0, 0)
+
+    def run_round(self, round_no: int) -> dict:
+        """Execute one round; returns its stats (also committed to the
+        manifest). Idempotent: re-running a crashed round overwrites its
+        own deltas only."""
+        t0 = time.time()
+        frontier_delta = self.catalog.read("frontier", upto_round=round_no)
+        if frontier_delta is None:
+            return {"tasks": 0, "empty": True}
+        frontier_delta = frontier_delta.filter(F.col("round") == round_no).drop("round")
+
+        url_seen = None
+        bloom = None
+        if round_no > 0:
+            url_seen = self.catalog.read("url_seen", upto_round=round_no - 1)
+            if url_seen is not None:
+                url_seen = url_seen.drop("round")
+            bloom = self._merged_bloom(round_no - 1)
+
+        plan = plan_round(
+            frontier_delta,
+            url_seen,
+            self.fetcher,
+            round_no,
+            host_budget=self.config.effective_host_budget(),
+            bloom=bloom,
+            robots=self.robots,
+            shuffle_partitions=self.opt.shuffle_partitions,
+        )
+        crawl_ts = datetime.now(timezone.utc).isoformat()
+
+        # materialize results once; everything downstream projects from it
+        results = plan.results.persist()
+        n_fetched = results.count()
+
+        # persist fan-out (P1): pages delta to every sink; all-fail -> error
+        persist_errors: list[str] = []
+        t_persist = time.time()
+        sinks = [self.catalog, *self.opt.extra_sinks]
+        ok_sinks = 0
+        for sink in sinks:
+            try:
+                sink.append("pages", results.drop("links"), round_no)
+                ok_sinks += 1
+            except Exception as e:  # noqa: BLE001 — sink errors are data (P1)
+                persist_errors.append(f"pages sink {type(sink).__name__}: {e}")
+        if sinks and ok_sinks == 0:
+            raise RuntimeError(f"all sinks failed (code 1000): {persist_errors}")
+        persist_ms = int((time.time() - t_persist) * 1000)
+
+        # extracted-text write-back (input_hint): url, text
+        text_delta = (
+            results.filter(F.col("result_code") == 200)
+            .select(F.col("url_canon").alias("url"), "text", "lang_hint")
+            if "lang_hint" in results.columns
+            else results.filter(F.col("result_code") == 200).select(
+                F.col("url_canon").alias("url"), "text"
+            )
+        )
+        self.catalog.append("text", text_delta, round_no)
+
+        # metrics (M2) with per-partition lineage
+        from raven_spark.operators.metrics import crawler_metrics, run_summary
+
+        self.catalog.append(
+            "metrics",
+            crawler_metrics(results, self.config.name, round_no, crawl_ts),
+            round_no,
+        )
+
+        # url_seen delta + bloom sidecar
+        seen_delta = plan.seen_delta.persist()
+        self.catalog.append("url_seen", seen_delta, round_no)
+        bloom_delta = build_bloom(
+            seen_delta, "url_hash",
+            expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,
+        )
+        with open(self._bloom_path(round_no), "wb") as f:
+            f.write(bloom_delta.to_bytes())
+
+        # frontier Δ(k+1) = discoveries + politeness deferrals
+        discovered = discovered_frontier(
+            results, round_no, salt_buckets=self.config.salt_buckets,
+            max_depth=self.opt.max_depth,
+        )
+        next_delta = discovered.unionByName(plan.deferred)
+        self.catalog.append("frontier", next_delta, round_no + 1)
+
+        srow = run_summary(results).first()
+        stats = {
+            "tasks": n_fetched,
+            "failed": int(srow["failed"] or 0),
+            "succeeded": int(srow["succeeded"] or 0),
+            "persist_errors": persist_errors,
+            "persist_ms": persist_ms,
+            "avg_fetch_ms": float(srow["avg_fetch_ms"] or 0.0),
+            "round_wall_s": round(time.time() - t0, 3),
+            "crawl_ts": crawl_ts,
+        }
+        results.unpersist()
+        seen_delta.unpersist()
+        self._commit_round(round_no, stats)
+        return stats
+
+    def run(self, seed_urls: list[str] | None = None, max_rounds: int | None = None) -> list[dict]:
+        """Fresh run (seeds given) or continuation. Stops when the frontier
+        delta is empty or max_rounds reached."""
+        if seed_urls is not None:
+            self.bootstrap(seed_urls)
+        max_rounds = max_rounds or self.config.max_rounds
+        start = (self.last_completed_round() or -1) + 1
+        all_stats = []
+        for k in range(start, max_rounds):
+            stats = self.run_round(k)
+            all_stats.append(stats)
+            if stats.get("empty") or stats["tasks"] == 0:
+                break
+        return all_stats
+
+    def resume(self, max_rounds: int | None = None) -> list[dict]:
+        """Continue from the first uncommitted round (crash recovery)."""
+        return self.run(seed_urls=None, max_rounds=max_rounds)
+
+    # -- inspection -----------------------------------------------------------------
+
+    def table(self, name: str, upto_round: int | None = None) -> DataFrame | None:
+        return self.catalog.read(name, upto_round)

@@ -1,0 +1,142 @@
+"""One crawl round as a pure dataflow (SURVEY.md §3.3 Spark shape):
+
+    frontier Δ(k)
+      -> dedup within round (first discovery wins, canonical order)
+      -> Bloom membership prune -> exact anti-join url_seen      [seen.py]
+      -> robots gate (broadcast)                                 [politeness.py]
+      -> per-host token-bucket window cap -> (scheduled, deferred)
+      -> salt-bucket repartition (skew kill) -> fetch stage      [fetch.py]
+      -> extracted text + outlink discovery -> frontier Δ(k+1)
+
+Everything returns DataFrames; nothing here writes. Crawl order is
+DEFINED, not materialized: the total order is the lexicographic tuple
+(round, priority, host_hash, host_rank) carried on every scheduled row —
+tests sort by it at small scale; at 10^10 rows no global sort ever runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from raven_spark.functions.urls import with_url_identity
+from raven_spark.operators.fetch import Fetcher, fetch_stage
+from raven_spark.operators.politeness import robots_gate, schedule_budget
+from raven_spark.operators.seen import BloomFilter, subtract_seen
+
+FRONTIER_COLUMNS = [
+    "url", "url_canon", "url_hash", "host", "host_hash", "salt_bucket",
+    "priority", "depth", "round_added", "deferred_count",
+]
+
+
+def frontier_from_urls(
+    spark, urls, round_no: int = 0, depth: int = 0, priority: int = 100,
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Seed list (or any url iterable) -> frontier-shaped DataFrame."""
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return (
+        with_url_identity(df, salt_buckets=salt_buckets)
+        .withColumn("priority", F.lit(priority))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("round_added", F.lit(round_no))
+        .withColumn("deferred_count", F.lit(0))
+        .select(*FRONTIER_COLUMNS)
+    )
+
+
+def discovered_frontier(
+    results: DataFrame, round_no: int, salt_buckets: int = 256,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Outlinks of successful fetches -> frontier Δ(k+1). Children inherit
+    priority+1 (BFS drift: deeper pages are less urgent) and depth+1."""
+    links = (
+        results.filter(F.col("result_code") == 200)
+        .select(
+            F.explode("links").alias("url"),
+            (F.col("priority") + 1).alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+    )
+    if max_depth is not None:
+        links = links.filter(F.col("depth") <= max_depth)
+    out = (
+        with_url_identity(links, salt_buckets=salt_buckets)
+        .withColumn("round_added", F.lit(round_no + 1))
+        .withColumn("deferred_count", F.lit(0))
+        .select(*FRONTIER_COLUMNS)
+    )
+    # same url discovered from many parents in one round: keep the most
+    # urgent (canonical order) — a map-side-combinable min-aggregate, NOT
+    # a window over the full delta
+    return out.groupBy("url_hash").agg(
+        F.min(F.struct("priority", "depth", "round_added", "deferred_count",
+                       "url", "url_canon", "host", "host_hash", "salt_bucket")).alias("s")
+    ).select("url_hash", "s.*").select(*FRONTIER_COLUMNS)
+
+
+@dataclass
+class RoundPlan:
+    scheduled: DataFrame      # rows fetched this round (with host_rank lineage)
+    deferred: DataFrame       # politeness overflow -> frontier Δ(k+1)
+    denied: DataFrame         # robots-denied rows (recorded, never refetched)
+    results: DataFrame        # fetch output (errors as data)
+    seen_delta: DataFrame     # url_hash/url_canon scheduled or denied this round
+
+
+def plan_round(
+    frontier_delta: DataFrame,
+    url_seen: DataFrame | None,
+    fetcher: Fetcher,
+    round_no: int,
+    host_budget: int,
+    bloom: BloomFilter | None = None,
+    robots: DataFrame | None = None,
+    shuffle_partitions: int | None = None,
+) -> RoundPlan:
+    """The pure round dataflow. Caller materializes the pieces."""
+    # 1. within-delta dedup: one candidate per url_hash, canonical order.
+    #    groupBy-min (map-side combinable) instead of a window sort.
+    cand = frontier_delta.groupBy("url_hash").agg(
+        F.min(F.struct("priority", "depth", "round_added", "deferred_count",
+                       "url", "url_canon", "host", "host_hash", "salt_bucket")).alias("s")
+    ).select("url_hash", "s.*").select(*FRONTIER_COLUMNS)
+
+    # 2. subtract seen (Bloom prune then exact anti-join)
+    cand = subtract_seen(cand, url_seen, bloom)
+
+    # 3. robots gate (broadcast join)
+    allowed, denied = robots_gate(cand, robots)
+
+    # 4. politeness budget (window cap per host)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").asc(), F.col("depth").asc(), F.col("url_hash").asc()
+    )
+    ranked = allowed.withColumn("host_rank", F.row_number().over(w))
+    scheduled = ranked.filter(F.col("host_rank") <= host_budget)
+    deferred = (
+        ranked.filter(F.col("host_rank") > host_budget)
+        .drop("host_rank")
+        .withColumn("priority", F.greatest(F.col("priority") - F.lit(1), F.lit(0)))
+        .withColumn("deferred_count", F.col("deferred_count") + 1)
+        .withColumn("round_added", F.lit(round_no + 1))
+        .select(*FRONTIER_COLUMNS)
+    )
+
+    # 5. skew-kill repartition on salt_bucket, then fetch
+    if shuffle_partitions:
+        scheduled = scheduled.repartition(shuffle_partitions, "salt_bucket")
+    results = fetch_stage(scheduled, fetcher)
+
+    seen_delta = (
+        scheduled.select("url_hash", "url_canon")
+        .unionByName(denied.select("url_hash", "url_canon"))
+        .withColumn("round_seen", F.lit(round_no))
+    )
+    return RoundPlan(scheduled=scheduled, deferred=deferred, denied=denied,
+                     results=results, seen_delta=seen_delta)

@@ -1,0 +1,111 @@
+"""End-to-end engine: multi-round crawl over the synthetic corpus with
+dedup, politeness, metrics, checkpoint/resume, and determinism."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from raven_spark.config import RavenConfig, RavenRequest
+from raven_spark.engine import CrawlEngine, EngineOptions
+from raven_spark.operators.fetch import SyntheticFetcher
+from raven_spark.sources.corpus import generate_pages, seed_urls
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_pages(spark, N_PAGES, seed=42).persist()
+
+
+def _engine(spark, corpus, tmp, budget=50, rounds=3):
+    cfg = RavenConfig(
+        name="e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=budget,
+        max_rounds=rounds,
+    )
+    return CrawlEngine(
+        spark, cfg, tmp, SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(expected_total_urls=4096, shuffle_partitions=8),
+    )
+
+
+def test_multi_round_crawl(spark, corpus, tmp_path):
+    eng = _engine(spark, corpus, str(tmp_path / "s1"))
+    stats = eng.run(seed_urls=seed_urls(10, N_PAGES), max_rounds=3)
+    assert len(stats) >= 2
+    assert stats[0]["tasks"] == 10
+    assert stats[1]["tasks"] > 0  # outlinks discovered new frontier
+
+    # no url fetched twice across rounds
+    pages = eng.table("pages")
+    dupes = (
+        pages.groupBy("url_hash").agg(F.count("*").alias("c")).filter(F.col("c") > 1).count()
+    )
+    assert dupes == 0
+
+    # url_seen equals scheduled set
+    seen = eng.table("url_seen")
+    assert seen.select("url_hash").distinct().count() == seen.count()
+
+    # extracted text matches corpus golden bytes for every success
+    text = eng.table("text").drop("round")
+    joined = text.alias("t").join(corpus.alias("c"), F.col("t.url") == F.col("c.url"))
+    assert joined.filter(F.col("t.text") != F.col("c.text")).count() == 0
+
+    # metrics rows exist per round with lineage columns
+    metrics = eng.table("metrics")
+    assert metrics.filter(F.col("result_code") == 200).count() > 0
+    assert {"partition_id", "round", "result_code"} <= set(metrics.columns)
+
+
+def test_politeness_cap_holds_every_round(spark, corpus, tmp_path):
+    eng = _engine(spark, corpus, str(tmp_path / "s2"), budget=3, rounds=2)
+    eng.run(seed_urls=seed_urls(30, N_PAGES), max_rounds=2)
+    pages = eng.table("pages")
+    per = pages.groupBy("round", "host").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] <= 3 for r in per)
+
+
+def test_resume_is_exact(spark, corpus, tmp_path):
+    """Kill after round 0; resume; final state equals an uninterrupted run."""
+    full_dir, part_dir = str(tmp_path / "full"), str(tmp_path / "part")
+    seeds = seed_urls(10, N_PAGES)
+
+    full = _engine(spark, corpus, full_dir)
+    full.run(seed_urls=seeds, max_rounds=3)
+
+    part = _engine(spark, corpus, part_dir)
+    part.run(seed_urls=seeds, max_rounds=1)  # "crash" after round 0
+    part2 = _engine(spark, corpus, part_dir)
+    assert part2.last_completed_round() == 0
+    part2.resume(max_rounds=3)
+
+    for table in ("pages", "url_seen", "text"):
+        a = full.table(table)
+        b = part2.table(table)
+        key = "url_hash" if table != "text" else "url"
+        assert sorted(r[key] for r in a.select(key).collect()) == sorted(
+            r[key] for r in b.select(key).collect()
+        ), table
+
+
+def test_crawl_order_deterministic(spark, corpus, tmp_path):
+    """The defined canonical order (round, priority, host_hash, host_rank)
+    is identical across two independent runs."""
+    def run(d):
+        eng = _engine(spark, corpus, d)
+        eng.run(seed_urls=seed_urls(10, N_PAGES), max_rounds=2)
+        return [
+            (r["round"], r["url_canon"])
+            for r in eng.table("pages")
+            .orderBy("round", "priority", "host_hash", "host_rank", "url_canon")
+            .select("round", "url_canon")
+            .collect()
+        ]
+
+    assert run(str(tmp_path / "a")) == run(str(tmp_path / "b"))

@@ -1,0 +1,69 @@
+"""Politeness budgets + robots gating: cap never exceeded, deferral
+carry-over with boosted priority, robots precedence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raven_spark.operators.politeness import ROBOTS_SCHEMA, robots_gate, schedule_budget
+from raven_spark.plans.round import frontier_from_urls
+
+
+def _frontier(spark, n_hosts=4, per_host=10):
+    urls = [
+        f"https://h{h}.example/p/{i}" for h in range(n_hosts) for i in range(per_host)
+    ]
+    return frontier_from_urls(spark, urls)
+
+
+def test_budget_cap_never_exceeded(spark):
+    f = _frontier(spark, n_hosts=3, per_host=20)
+    scheduled, deferred = schedule_budget(f, host_budget=5)
+    per_host = scheduled.groupBy("host").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] <= 5 for r in per_host)
+    assert scheduled.count() == 15 and deferred.count() == 45
+
+
+def test_deferred_priority_boost_and_carryover(spark):
+    f = _frontier(spark, n_hosts=1, per_host=7)
+    scheduled, deferred = schedule_budget(f, host_budget=3)
+    d = deferred.collect()
+    assert len(d) == 4
+    assert all(r["priority"] == 99 for r in d)  # boosted from 100
+    assert all(r["deferred_count"] == 1 for r in d)
+    # deferred rows re-enter and win scheduling next round (priority asc)
+    s2, _ = schedule_budget(deferred, host_budget=10)
+    assert s2.count() == 4
+
+
+def test_scheduling_is_canonical_order(spark):
+    """Within a host, lower priority then lower url_hash wins — the §2.1
+    canonical crawl order, independent of input row order."""
+    f = _frontier(spark, n_hosts=1, per_host=10)
+    bump = f.withColumn(
+        "priority", F.when(F.col("url").endswith("/7"), F.lit(1)).otherwise(F.col("priority"))
+    )
+    scheduled, _ = schedule_budget(bump.orderBy(F.rand(7)), host_budget=1)
+    got = scheduled.collect()
+    assert len(got) == 1 and got[0]["url"].endswith("/7")
+
+
+def test_robots_gate(spark):
+    f = _frontier(spark, n_hosts=3, per_host=4)  # hosts h0,h1,h2; paths /p/0..3
+    robots = spark.createDataFrame(
+        [
+            ("h0.example", [], ["/"], 1),              # fully denied
+            ("h1.example", ["/p/1"], ["/p"], 1),       # denied except /p/1 (longest allow wins)
+        ],
+        schema=ROBOTS_SCHEMA,
+    )
+    allowed, denied = robots_gate(f, robots)
+    a = {(r["host"], r["url_canon"]) for r in allowed.collect()}
+    d = {(r["host"], r["url_canon"]) for r in denied.collect()}
+    assert all(h != "h0.example" for h, _ in a)
+    assert sum(1 for h, _ in d if h == "h0.example") == 4
+    # h1: only /p/1 allowed
+    h1_allowed = {u for h, u in a if h == "h1.example"}
+    assert h1_allowed == {"https://h1.example/p/1"}
+    # h2 has no rules -> fully allowed
+    assert sum(1 for h, _ in a if h == "h2.example") == 4

@@ -1,0 +1,60 @@
+"""Bloom filter + URL-seen subtraction: no-false-negatives property,
+prune ⊆ seen, treeAggregate build equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raven_spark.operators.seen import BloomFilter, bloom_params, build_bloom, subtract_seen
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives(hashes):
+    bl = BloomFilter.for_capacity(max(len(hashes), 16), fpp=0.01)
+    arr = np.array(hashes, dtype=np.int64)
+    if len(arr):
+        bl.add_many(arr)
+        assert bl.contains_many(arr).all()
+
+
+def test_bloom_fpp_reasonable():
+    rng = np.random.RandomState(42)
+    present = rng.randint(-(2**62), 2**62, size=10_000).astype(np.int64)
+    absent = rng.randint(-(2**62), 2**62, size=10_000).astype(np.int64)
+    bl = BloomFilter.for_capacity(10_000, fpp=0.01)
+    bl.add_many(present)
+    fp = bl.contains_many(absent).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_union_and_serde():
+    a = BloomFilter.for_capacity(1000)
+    b = BloomFilter(a.n_bits, a.n_hashes)
+    xa = np.arange(100, dtype=np.int64)
+    xb = np.arange(100, 200, dtype=np.int64)
+    a.add_many(xa)
+    b.add_many(xb)
+    u = BloomFilter.from_bytes(a.union(b).to_bytes())
+    assert u.contains_many(xa).all() and u.contains_many(xb).all()
+
+
+def test_build_bloom_distributed_matches_local(spark):
+    df = spark.range(0, 5000, numPartitions=8).selectExpr("xxhash64(id) as url_hash")
+    bl = build_bloom(df, "url_hash", expected_n=5000)
+    local = np.array([r[0] for r in df.collect()], dtype=np.int64)
+    assert bl.contains_many(local).all()  # no false negatives across partitions
+
+
+def test_subtract_seen_exact_and_bloom(spark):
+    cand = spark.range(0, 1000).selectExpr("id as url_hash", "cast(id as string) as url_canon")
+    seen = spark.range(0, 600).selectExpr("id as url_hash", "cast(id as string) as url_canon")
+    # exact path
+    out = subtract_seen(cand, seen)
+    assert sorted(r["url_hash"] for r in out.collect()) == list(range(600, 1000))
+    # bloom-pruned path gives the identical answer (bloom only prunes)
+    bl = build_bloom(seen, "url_hash", expected_n=600)
+    out2 = subtract_seen(cand, seen, bloom=bl)
+    assert sorted(r["url_hash"] for r in out2.collect()) == list(range(600, 1000))
