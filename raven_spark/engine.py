@@ -160,9 +160,14 @@ class CrawlEngine:
         )
         crawl_ts = datetime.now(timezone.utc).isoformat()
 
-        # materialize results once; everything downstream projects from it
+        # materialize results once; everything downstream projects from it.
+        # the summary aggregate doubles as the materializing action (one
+        # driver action instead of a separate count()).
+        from raven_spark.operators.metrics import crawler_metrics, run_summary
+
         results = plan.results.persist()
-        n_fetched = results.count()
+        srow = run_summary(results).first()
+        n_fetched = int(srow["tasks"] or 0)
 
         # persist fan-out (P1): pages delta to every sink; all-fail -> error
         persist_errors: list[str] = []
@@ -191,8 +196,6 @@ class CrawlEngine:
         self.catalog.append("text", text_delta, round_no)
 
         # metrics (M2) with per-partition lineage
-        from raven_spark.operators.metrics import crawler_metrics, run_summary
-
         self.catalog.append(
             "metrics",
             crawler_metrics(results, self.config.name, round_no, crawl_ts),
@@ -217,7 +220,6 @@ class CrawlEngine:
         next_delta = discovered.unionByName(plan.deferred)
         self.catalog.append("frontier", next_delta, round_no + 1)
 
-        srow = run_summary(results).first()
         stats = {
             "tasks": n_fetched,
             "failed": int(srow["failed"] or 0),

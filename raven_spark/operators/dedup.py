@@ -1,0 +1,303 @@
+"""Deduplication family for web-text corpora — the training-data pipeline
+ops a 100 TB crawl feeds (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine). Everything scale-relevant is pure DataFrame algebra:
+
+- exact: normalize -> hash -> groupBy (map-side combinable; the shuffle
+  carries 8-byte hashes, not documents)
+- MinHash+LSH: shingle -> k xxhash64 minima (JVM built-ins, no Python) ->
+  band keys -> self-join on band buckets -> candidate pairs -> optional
+  exact-Jaccard verify. The self-join is banded so the shuffle is
+  O(docs x bands), never O(docs^2).
+- n-gram Jaccard: exact pairwise similarity *within blocking keys* —
+  the oracle-able ground truth for the probabilistic families.
+- SimHash: 64-bit signatures (pandas UDF) + Hamming-band buckets.
+- embedding near-dup: cosine over float vectors, blocked by coarse key.
+
+The reference has no dedup at all (its task list is finite by
+construction); these operators are the BASELINE-mandated scale additions
+(north_star: "xxhash64 dedup", task brief: dedup families as first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- text normalization (shared by exact + shingle dedup) --------------------
+
+
+def norm_text_col(text):
+    """lower + trim + collapse whitespace — the dedup identity transform."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per normalized-text group; report group sizes.
+
+    Returns (keep_id, dup_count) per distinct normalized text. At scale
+    group on xxhash64(norm) (8-byte shuffle keys): collision probability
+    at 10^10 docs ~ 10^-9 per pair class — acceptable for corpus dedup;
+    use exact_dedup_strict for the string-keyed variant (what the SQL
+    oracle replays).
+    """
+    norm = norm_text_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.xxhash64(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup_strict(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """String-keyed exact dedup (oracle twin; shuffles full strings)."""
+    return (
+        df.select(F.col(id_col), norm_text_col(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+# --- shingles -------------------------------------------------------------------
+
+
+def word_shingles_col(text, n: int = 3):
+    """Distinct word n-grams as an array column (pure built-ins)."""
+    words = F.split(norm_text_col(text), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(k > 0, grams).otherwise(F.array(norm_text_col(text)))
+    )
+
+
+# --- n-gram Jaccard (exact, blocked) ----------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for all pairs sharing a blocking
+    key. Blocking bounds the join fan-out (per-block cross join instead of
+    a global O(N^2)); at corpus scale block on (lang, length-bucket) or
+    feed LSH candidates instead."""
+    base = df.select(
+        F.col(id_col).alias("id"), *block_cols, word_shingles_col(F.col(text_col), n).alias("grams")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------------------
+
+
+def minhash_signature_col(grams, k: int = 16):
+    """k-permutation MinHash via xxhash64(gram, seed_i) minima — all
+    JVM-side, one pass over the gram array per permutation."""
+    return F.array(
+        *[F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))) for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal band slice of the MinHash signature.
+
+    bands=4, rows=k/bands=4 -> P(candidate) = 1-(1-j^4)^4: ~0.97 at j=0.8,
+    ~0.04 at j=0.3 — the classic S-curve. Pair generation is a self-join
+    on (band_id, band_key); band_key is an 8-byte hash so the shuffle is
+    narrow."""
+    rows = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(word_shingles_col(F.col(text_col), n), k).alias("sig"),
+    )
+    band_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Full pipeline: LSH candidates [-> exact Jaccard verify] -> connected
+    docs collapse to min-id representative (single-link via iterative
+    min-propagation, bounded hops — near-dup clusters are shallow)."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
+    if verify_threshold is not None:
+        grams = df.select(
+            F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("grams")
+        )
+        pairs = (
+            pairs.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+            .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.greatest(F.size(F.array_union("ga", "gb")), F.lit(1)).cast("double"),
+            )
+            .filter(F.col("jaccard") >= verify_threshold)
+            .select("id_a", "id_b")
+        )
+    # min-representative propagation (3 hops covers chains of length 8).
+    # edges are materialized ONCE (persist) and each iteration's rep is
+    # localCheckpoint'ed — otherwise the plan re-evaluates the whole LSH +
+    # verify pipeline 2^hops times (iterative algorithms must cut lineage).
+    rep = df.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    for _ in range(3):
+        better = (
+            edges.join(rep.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b"), "id_b")
+            .groupBy("id_a")
+            .agg(F.min("rep_b").alias("cand"))
+        )
+        rep = (
+            rep.join(better.withColumnRenamed("id_a", "id"), "id", "left")
+            .select("id", F.least(F.col("rep"), F.coalesce(F.col("cand"), F.col("rep"))).alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return rep.select(F.col("id").alias(id_col), F.col("rep").alias("cluster_id"))
+
+
+# --- SimHash ---------------------------------------------------------------------------
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
+) -> DataFrame:
+    """64-bit SimHash (pandas UDF, Arrow-batched) + 64/band_bits band keys.
+    Pigeonhole: two signatures within Hamming distance < n_bands ALWAYS
+    share a band — the default 8 bands of 8 bits guarantees detection of
+    hamming<=7 near-dups. Returns (id, simhash, band_id, band_key)."""
+    from raven_spark.functions.text import simhash_udf
+
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_udf(norm_text_col(F.col(text_col))).alias("simhash")
+    )
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_key")
+
+
+# --- embedding cosine near-dup -----------------------------------------------------------
+
+
+def cosine_col(a, b, dim: int):
+    """Explicit index-based double-precision cosine — written so the SQL
+    oracle (DuckDB list_transform over generate_series) folds in the same
+    element order and precision."""
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    dot = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a, i.cast("int")).cast("double") * F.element_at(b, i.cast("int")).cast("double"),
+    )
+    na = F.sqrt(F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + F.pow(F.element_at(a, i.cast("int")).cast("double"), 2)))
+    nb = F.sqrt(F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + F.pow(F.element_at(b, i.cast("int")).cast("double"), 2)))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine >= threshold pairs within a blocking key (exact within
+    block). The scale path replaces the block key with LSH sign-buckets
+    (similarity.lsh_buckets); block=None means all-pairs (test scale only).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    sim = cosine_col(F.col("a.v"), F.col("b.v"), dim)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -100,21 +100,28 @@ def build_bloom(df: DataFrame, hash_col: str, expected_n: int, fpp: float = 0.01
     """
     n_bits, n_hashes = bloom_params(expected_n, fpp)
 
-    def zero() -> np.ndarray:
-        return np.zeros(n_bits // 8, dtype=np.uint8)
+    def part(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            _set_bits(bm, pdf.iloc[:, 0].to_numpy(dtype=np.int64).view(np.uint64), n_bits, n_hashes)
+        yield pd.DataFrame({"bloom": [bm.tobytes()]})
 
-    hashes_rdd = df.select(F.col(hash_col).cast("long")).rdd.mapPartitions(
-        lambda rows: [np.fromiter((r[0] for r in rows), dtype=np.int64)]
-    )
+    # per-partition bitmaps built fully vectorized (Arrow in, numpy bit ops);
+    # the rows crossing back to the driver are P bitmaps, not N hashes
+    partials = df.select(F.col(hash_col).cast("long")).mapInPandas(part, "bloom binary")
 
-    def seq(acc: np.ndarray, arr: np.ndarray) -> np.ndarray:
-        _set_bits(acc, arr.view(np.uint64), n_bits, n_hashes)
-        return acc
+    def seq(acc: np.ndarray, blob) -> np.ndarray:
+        return np.bitwise_or(acc, np.frombuffer(bytes(blob[0]), dtype=np.uint8))
 
     def comb(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.bitwise_or(a, b)
 
-    bitmap = hashes_rdd.treeAggregate(zero(), seq, comb, depth=2)
+    # treeAggregate merges ~sqrt(P) bitmaps per combiner: at 10^10 urls the
+    # bitmap is GB-scale and P is thousands — the driver must never see all
+    # P partials at once (the north_star merge choreography)
+    bitmap = partials.rdd.treeAggregate(
+        np.zeros(n_bits // 8, dtype=np.uint8), seq, comb, depth=2
+    )
     return BloomFilter(n_bits, n_hashes, bitmap)
 
 

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — one JVM-side pass, no Python;
+  the global top-k is a TakeOrdered (per-partition heap + driver merge),
+  never a full sort.
+- LSH sign-bucket ANN: random-hyperplane signatures (deterministic,
+  hash-derived planes) computed in a vectorized pandas UDF; queries probe
+  only their own bucket (+ optional multi-probe neighbors), cutting the
+  scanned fraction to ~1/2^bits per probe. This is the scale path for
+  10^9-vector stores: bucket becomes the partition key so a query touches
+  one partition.
+- IVF-style variant: coarse assignment to the nearest of C hash-seeded
+  anchor vectors (kmeans-free, deterministic), probe nprobe anchors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from raven_spark.operators.dedup import cosine_col
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix64 bits
+    (no RNG state, same planes on every executor)."""
+    idx = np.arange(n_planes * dim, dtype=np.uint64) + np.array(seed, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x = idx
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    x = x ^ (x >> np.uint64(31))
+    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u.reshape(n_planes, dim) * 2.0 - 1.0)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The query is a
+    plan literal (no join); ordering ties break on id for determinism."""
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_col(F.col(vec_col), q, dim)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_bucket_udf(n_planes: int, dim: int, seed: int = 42):
+    """Vectorized sign-LSH bucketing: bucket = bits of sign(V @ P^T)."""
+    planes = _planes(n_planes, dim, seed)
+
+    @pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim) one matmul per Arrow batch
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights, index=vecs.index).astype("int32")
+
+    return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42,
+    vec_col: str = "embedding", out_col: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(out_col, lsh_bucket_udf(n_planes, dim, seed)(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's sign-bucket (plus
+    ``multiprobe-1`` single-bit-flip neighbor buckets for recall).
+    Bucketing the store is a one-time cost; per-query cost drops to
+    ~multiprobe/2^n_planes of the data."""
+    dim = len(query_vec)
+    planes = _planes(n_planes, dim, seed)
+    qbits = ((np.asarray(query_vec, dtype=np.float64) @ planes.T) > 0)
+    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
+    probes = [qbucket] + [qbucket ^ (1 << b) for b in range(min(multiprobe - 1, n_planes))]
+    bucketed = with_lsh_buckets(df, n_planes, dim, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_assign_udf(n_anchors: int, dim: int, seed: int = 7):
+    """IVF coarse quantizer with hash-seeded anchors (deterministic,
+    training-free). Real deployments would k-means the anchors; the
+    dataflow (assign -> partition-by-cell -> probe nprobe cells) is
+    identical."""
+    anchors = _planes(n_anchors, dim, seed)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ anchors.T
+        return pd.Series(np.argmax(sims, axis=1), index=vecs.index).astype("int32")
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_anchors: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    dim = len(query_vec)
+    anchors = _planes(n_anchors, dim, seed)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = np.argsort(-(anchors @ qn))[:nprobe].tolist()
+    assigned = df.withColumn("cell", ivf_assign_udf(n_anchors, dim, seed)(F.col(vec_col)))
+    cand = assigned.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,108 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash+LSH recall, SimHash,
+embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    # near-identical cluster (whitespace/case variants -> exact dupes)
+    (0, "The quick brown fox jumps over the lazy dog", "en"),
+    (1, "the  quick Brown fox jumps   over the lazy dog", "en"),
+    (2, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "en"),
+    # near-dup (one word changed) -> high jaccard, not exact
+    (3, "the quick brown fox jumps over the sleepy dog", "en"),
+    # unrelated
+    (4, "completely different content about spark engines and shuffles", "en"),
+    (5, "another unrelated document mentioning bloom filters and queues", "en"),
+    # cross-lang twin of 0 (blocked apart by lang)
+    (6, "the quick brown fox jumps over the lazy dog", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"]).persist()
+
+
+def test_exact_dedup(docs, spark):
+    from raven_spark.operators.dedup import exact_dedup, exact_dedup_strict
+
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup_strict(docs).collect()}
+    assert out[0] == 4  # 0,1,2,6 collapse (text identity ignores lang); min id kept
+    assert out[3] == 1 and out[4] == 1
+    # hash-keyed variant agrees
+    out2 = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out == out2
+
+
+def test_ngram_jaccard_pairs(docs):
+    from raven_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, block_cols=("lang",), threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0  # exact dupes
+    assert 0.3 <= pairs[(0, 3)] < 1.0  # near-dup
+    assert (0, 4) not in pairs
+    assert (0, 6) not in pairs  # lang block separates
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates must include every truly-similar pair (jaccard>=0.5
+    here) — the S-curve guarantees it overwhelmingly at k=16,b=4."""
+    from raven_spark.operators.dedup import minhash_lsh_candidates
+
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= cand
+    assert (0, 3) in cand  # j~0.6 pair found
+
+
+def test_minhash_dedup_clusters(docs):
+    from raven_spark.operators.dedup import minhash_dedup
+
+    rep = {r["doc_id"]: r["cluster_id"] for r in minhash_dedup(docs, verify_threshold=0.9).collect()}
+    assert rep[0] == rep[1] == rep[2] == 0  # exact cluster -> min id
+    assert rep[4] == 4 and rep[5] == 5  # singletons survive
+    # doc 6 is identical text but different lang — text-based: clusters with 0
+    assert rep[6] == 0
+    # near-dup 3 excluded at 0.9 verify threshold
+    assert rep[3] == 3
+
+
+def test_simhash_near_dup_buckets(docs):
+    from raven_spark.operators.dedup import simhash_buckets
+
+    rows = simhash_buckets(docs).collect()
+    sig = {}
+    buckets = {}
+    for r in rows:
+        sig[r["id"]] = r["simhash"]
+        buckets.setdefault(r["id"], set()).add((r["band_id"], r["band_key"]))
+    assert sig[0] == sig[1] == sig[2]  # normalization-insensitive? no — case differs
+    # near-dup 3 shares at least one band with 0
+    assert buckets[0] & buckets[3]
+    # hamming distance between near-dups is small
+    ham = bin((sig[0] ^ sig[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 12
+
+
+def test_embedding_neardup(spark):
+    from raven_spark.operators.dedup import embedding_neardup_pairs
+
+    base = [0.1] * 8
+    near = [0.1] * 7 + [0.12]
+    far = [(-1.0) ** i * 0.3 for i in range(8)]
+    df = spark.createDataFrame(
+        [(0, base, 1), (1, near, 1), (2, far, 1), (3, base, 2)],
+        ["vec_id", "embedding", "label"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_neardup_pairs(df, dim=8, threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs  # label block separates
