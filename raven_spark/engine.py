@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -135,6 +136,13 @@ class CrawlEngine:
         manifest). Idempotent: re-running a crashed round overwrites its
         own deltas only."""
         t0 = time.time()
+        phase_ms: dict[str, int] = {}
+
+        def _mark(name: str, since: float) -> float:
+            now = time.time()
+            phase_ms[name] = int((now - since) * 1000)
+            return now
+
         frontier_delta = self.catalog.read("frontier", upto_round=round_no)
         if frontier_delta is None:
             return {"tasks": 0, "empty": True}
@@ -159,66 +167,105 @@ class CrawlEngine:
             shuffle_partitions=self.opt.shuffle_partitions,
         )
         crawl_ts = datetime.now(timezone.utc).isoformat()
+        tp = time.time()
 
-        # materialize results once; everything downstream projects from it.
-        # the summary aggregate doubles as the materializing action (one
-        # driver action instead of a separate count()).
         from raven_spark.operators.metrics import crawler_metrics, run_summary
 
-        results = plan.results.persist()
-        srow = run_summary(results).first()
-        n_fetched = int(srow["tasks"] or 0)
-
-        # persist fan-out (P1): pages delta to every sink; all-fail -> error
+        # -- materialize: the pages write IS the materializing action ---------
+        # At 100 TB you never cache fetch bodies in executor memory: the
+        # round's full fetch output (incl. discovered links) is written to
+        # the primary sink once, then every derived table projects from the
+        # COLUMN-PRUNED re-read of that delta (text reads only the text
+        # column, metrics only the small columns, discovery only links).
+        # Only the small `staged` frontier set stays cached (plan.cached).
+        results = plan.results
         persist_errors: list[str] = []
-        t_persist = time.time()
         sinks = [self.catalog, *self.opt.extra_sinks]
-        ok_sinks = 0
-        for sink in sinks:
+        t_persist = time.time()
+        pages_delta = None
+        try:
+            self.catalog.append("pages", results, round_no)
+            pages_delta = self.catalog.read("pages", upto_round=round_no).filter(
+                F.col("round") == round_no
+            ).drop("round")
+        except Exception as e:  # noqa: BLE001 — sink errors are data (P1)
+            persist_errors.append(f"pages sink {type(self.catalog).__name__}: {e}")
+        for sink in self.opt.extra_sinks:
             try:
-                sink.append("pages", results.drop("links"), round_no)
-                ok_sinks += 1
-            except Exception as e:  # noqa: BLE001 — sink errors are data (P1)
+                # extra sinks copy the materialized delta (cheap re-read),
+                # falling back to the live plan if the primary write failed
+                sink.append("pages", pages_delta if pages_delta is not None else results, round_no)
+            except Exception as e:  # noqa: BLE001
                 persist_errors.append(f"pages sink {type(sink).__name__}: {e}")
-        if sinks and ok_sinks == 0:
+        if len(persist_errors) == len(sinks):
             raise RuntimeError(f"all sinks failed (code 1000): {persist_errors}")
+        if pages_delta is None:
+            pages_delta = results  # degraded path: primary sink down
         persist_ms = int((time.time() - t_persist) * 1000)
+        tp = _mark("pages_write", tp)
 
-        # extracted-text write-back (input_hint): url, text
+        # -- derived writes: independent projections, one Spark job each, -----
+        # submitted CONCURRENTLY from driver threads so their fixed
+        # per-job scheduling cost overlaps (FAIR scheduler in session.py).
         text_delta = (
-            results.filter(F.col("result_code") == 200)
-            .select(F.col("url_canon").alias("url"), "text", "lang_hint")
-            if "lang_hint" in results.columns
-            else results.filter(F.col("result_code") == 200).select(
-                F.col("url_canon").alias("url"), "text"
+            pages_delta.filter(F.col("result_code") == 200)
+            .select(F.col("url_canon").alias("url"), "text")
+        )
+        seen_delta = plan.seen_delta
+
+        def _w_text():
+            self.catalog.append("text", text_delta, round_no)
+
+        def _w_metrics():
+            self.catalog.append(
+                "metrics",
+                crawler_metrics(pages_delta, self.config.name, round_no, crawl_ts),
+                round_no,
             )
-        )
-        self.catalog.append("text", text_delta, round_no)
 
-        # metrics (M2) with per-partition lineage
-        self.catalog.append(
-            "metrics",
-            crawler_metrics(results, self.config.name, round_no, crawl_ts),
-            round_no,
-        )
+        def _w_seen():
+            self.catalog.append("url_seen", seen_delta, round_no)
 
-        # url_seen delta + bloom sidecar
-        seen_delta = plan.seen_delta.persist()
-        self.catalog.append("url_seen", seen_delta, round_no)
-        bloom_delta = build_bloom(
-            seen_delta, "url_hash",
-            expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,
-        )
-        with open(self._bloom_path(round_no), "wb") as f:
-            f.write(bloom_delta.to_bytes())
+        def _w_bloom():
+            bloom_delta = build_bloom(
+                seen_delta, "url_hash",
+                expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,
+            )
+            with open(self._bloom_path(round_no), "wb") as f:
+                f.write(bloom_delta.to_bytes())
 
-        # frontier Δ(k+1) = discoveries + politeness deferrals
-        discovered = discovered_frontier(
-            results, round_no, salt_buckets=self.config.salt_buckets,
-            max_depth=self.opt.max_depth,
-        )
-        next_delta = discovered.unionByName(plan.deferred)
-        self.catalog.append("frontier", next_delta, round_no + 1)
+        def _w_frontier():
+            discovered = discovered_frontier(
+                pages_delta, round_no, salt_buckets=self.config.salt_buckets,
+                max_depth=self.opt.max_depth,
+            )
+            self.catalog.append("frontier", discovered.unionByName(plan.deferred), round_no + 1)
+
+        def _summary():
+            return run_summary(pages_delta).first()
+
+        jobs = {
+            "text_write": _w_text,
+            "metrics_write": _w_metrics,
+            "seen_write": _w_seen,
+            "bloom_build": _w_bloom,
+            "frontier_write": _w_frontier,
+            "summary": _summary,
+        }
+        outs: dict = {}
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {name: pool.submit(fn) for name, fn in jobs.items()}
+            errs = []
+            for name, fut in futs.items():
+                try:
+                    outs[name] = fut.result()
+                except Exception as e:  # noqa: BLE001
+                    errs.append(f"{name}: {e}")
+            if errs:
+                raise RuntimeError(f"round {round_no} derived writes failed: {errs}")
+        srow = outs["summary"]
+        n_fetched = int(srow["tasks"] or 0)
+        tp = _mark("derived_writes", tp)
 
         stats = {
             "tasks": n_fetched,
@@ -228,10 +275,11 @@ class CrawlEngine:
             "persist_ms": persist_ms,
             "avg_fetch_ms": float(srow["avg_fetch_ms"] or 0.0),
             "round_wall_s": round(time.time() - t0, 3),
+            "phase_ms": phase_ms,
             "crawl_ts": crawl_ts,
         }
-        results.unpersist()
-        seen_delta.unpersist()
+        for df in plan.cached or []:
+            df.unpersist()
         self._commit_round(round_no, stats)
         return stats
 

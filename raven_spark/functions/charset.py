@@ -118,6 +118,25 @@ def convert_bytes(
     return out, out_label
 
 
+def convert_and_decode(
+    body: bytes, input_charset: str | None, output_charset: str = "utf-8"
+) -> tuple[str, bytes, str]:
+    """Single-decode variant of ``convert_bytes`` for the fetch hot path:
+    returns (decoded_text, converted_bytes, actual_output_charset) so the
+    caller gets the str for extraction AND the re-encoded body from ONE
+    decode instead of two (charset.rs:100-103 semantics preserved)."""
+    in_label = normalize_charset(input_charset) or "utf-8"
+    out_label = normalize_charset(output_charset) or "utf-8"
+    text = body.decode(WHATWG_TO_PYTHON[in_label], errors="replace")
+    try:
+        out = text.encode(WHATWG_TO_PYTHON[out_label], errors="strict")
+    except (UnicodeEncodeError, LookupError) as e:
+        raise CharsetConversionError(
+            f"cannot encode body to {out_label}: {e}"
+        ) from e
+    return text, out, out_label
+
+
 def decode_to_str(body: bytes, input_charset: str | None) -> str:
     """Decode to a Python str (our engine's UTF-8-native text path)."""
     in_label = normalize_charset(input_charset) or "utf-8"

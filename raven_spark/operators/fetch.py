@@ -38,8 +38,7 @@ from pyspark.sql import functions as F
 
 from raven_spark.functions.charset import (
     CharsetConversionError,
-    convert_bytes,
-    decode_to_str,
+    convert_and_decode,
     normalize_charset,
 )
 from raven_spark.functions.mime import is_text_mime, parse_content_type
@@ -119,9 +118,47 @@ class SyntheticFetcher:
                 F.lit("text/html; charset="), F.coalesce(F.col("charset"), F.lit("utf-8"))
             ).alias("_content_type"),
         )
+        self._prepared = False
+
+    def prepare(self, num_partitions: int) -> "SyntheticFetcher":
+        """Hash-partition + sort + cache the corpus ON THE JOIN KEY once,
+        so every round's sort-merge join exchanges/sorts only the small
+        scheduled side — the Spark analogue of a page store bucketed by
+        url (an Iceberg table bucket-partitioned on url_canon), where the
+        bucketing cost is paid at ingest, not per crawl round."""
+        self._corpus = (
+            self._corpus.repartition(num_partitions, "url_canon")
+            .sortWithinPartitions("url_canon")
+            .persist()
+        )
+        self._corpus.count()  # materialize the bucketed store
+        self._prepared = True
+        return self
 
     def resolve(self, scheduled: DataFrame) -> DataFrame:
-        return scheduled.join(self._corpus, on="url_canon", how="left")
+        """Left-join semantics with ZERO shuffle of the page store.
+
+        A plain ``scheduled LEFT JOIN corpus`` plans as a sort-merge join
+        that shuffles the multi-GB body column every round. Instead:
+
+        - inner part: broadcast the (small) scheduled side and STREAM the
+          corpus scan through a BroadcastHashJoin — bodies flow straight
+          from the parquet scan into the fetch UDF, never through a
+          shuffle;
+        - unmatched part: broadcast anti-join on the column-pruned
+          url_canon scan (no bodies read at all) -> null body rows (404s).
+
+        At 10^10-URL scale where one round's scheduled set outgrows a
+        broadcast, the fallback is the bucketed-store join (``prepare``);
+        the engine picks per round by size.
+        """
+        inner = self._corpus.join(F.broadcast(scheduled), on="url_canon", how="inner")
+        missing = (
+            scheduled.join(self._corpus.select("url_canon"), on="url_canon", how="left_anti")
+            .withColumn("_body", F.lit(None).cast("binary"))
+            .withColumn("_content_type", F.lit(None).cast("string"))
+        )
+        return inner.unionByName(missing.select(inner.columns))
 
     def make_behavior(self):
         seed, pct = self.seed, self.failure_pct
@@ -145,6 +182,10 @@ class PassthroughFetcher:
 
     def __init__(self, corpus: DataFrame):
         self._inner = SyntheticFetcher(corpus, failure_pct=(0, 0, 0, 0, 0))
+
+    def prepare(self, num_partitions: int) -> "PassthroughFetcher":
+        self._inner.prepare(num_partitions)
+        return self
 
     def resolve(self, scheduled: DataFrame) -> DataFrame:
         return self._inner.resolve(scheduled)
@@ -253,7 +294,9 @@ def fetch_stage(
                 raw = bytes(bodies[i])
                 if is_text_mime(mime):
                     try:
-                        converted, actual = convert_bytes(raw, cs, out_label)
+                        # one decode serves both the re-encoded body (C2)
+                        # and the extraction pipeline
+                        html_str, converted, actual = convert_and_decode(raw, cs, out_label)
                         if actual != out_label:  # C3 conflict check
                             raise CharsetConversionError(f"{actual} != {out_label}")
                     except CharsetConversionError as e:
@@ -262,7 +305,6 @@ def fetch_stage(
                         continue
                     body_out[i] = converted
                     charset_out[i] = out_label
-                    html_str = decode_to_str(raw, cs)
                     text_out[i] = extract_text(html_str)
                     links_out[i] = extract_links(html_str)
                 else:

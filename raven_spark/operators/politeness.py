@@ -61,8 +61,10 @@ ROBOTS_SCHEMA = (
 )
 
 
-def robots_gate(candidates: DataFrame, robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
-    """(allowed, denied) after robots rules.
+def robots_flag(candidates: DataFrame, robots: DataFrame | None, flag_col: str = "robots_ok") -> DataFrame:
+    """Adds boolean ``robots_ok`` after robots rules — a FLAG, not a split,
+    so the round plan can materialize one DataFrame and branch with cheap
+    cache-local filters (no upstream recompute per branch).
 
     The rules table is tiny relative to the frontier -> broadcast hash
     join, zero shuffle on the candidate side. Path precedence: the longest
@@ -70,7 +72,7 @@ def robots_gate(candidates: DataFrame, robots: DataFrame | None) -> tuple[DataFr
     no rule rows for a host -> allowed.
     """
     if robots is None:
-        return candidates, candidates.limit(0)
+        return candidates.withColumn(flag_col, F.lit(True))
     # full path after authority
     path = F.regexp_extract(F.col("url_canon"), r"^[a-z]+://[^/]+(/.*)$", 1)
     joined = candidates.join(F.broadcast(robots), on="host", how="left")
@@ -86,9 +88,16 @@ def robots_gate(candidates: DataFrame, robots: DataFrame | None) -> tuple[DataFr
     deny_len = longest(F.col("deny"))
     allow_len = longest(F.col("allow"))
     is_allowed = F.col("deny").isNull() | (deny_len <= allow_len) | (deny_len == -1)
-    allowed = joined.filter(is_allowed).drop("allow", "deny", "crawl_delay_s")
-    denied = joined.filter(~is_allowed).drop("allow", "deny", "crawl_delay_s")
-    return allowed, denied
+    return joined.withColumn(flag_col, is_allowed).drop("allow", "deny", "crawl_delay_s")
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+    """(allowed, denied) after robots rules — split view over robots_flag."""
+    flagged = robots_flag(candidates, robots)
+    return (
+        flagged.filter(F.col("robots_ok")).drop("robots_ok"),
+        flagged.filter(~F.col("robots_ok")).drop("robots_ok"),
+    )
 
 
 def effective_budget_col(robots: DataFrame | None, default_budget: int):

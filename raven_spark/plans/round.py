@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from raven_spark.functions.urls import with_url_identity
 from raven_spark.operators.fetch import Fetcher, fetch_stage
-from raven_spark.operators.politeness import robots_gate, schedule_budget
+from raven_spark.operators.politeness import robots_flag
 from raven_spark.operators.seen import BloomFilter, subtract_seen
 
 FRONTIER_COLUMNS = [
@@ -37,8 +37,16 @@ def frontier_from_urls(
     spark, urls, round_no: int = 0, depth: int = 0, priority: int = 100,
     salt_buckets: int = 256,
 ) -> DataFrame:
-    """Seed list (or any url iterable) -> frontier-shaped DataFrame."""
-    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    """Seed list (or any url iterable) -> frontier-shaped DataFrame.
+
+    Seeds ship to the JVM as ONE Arrow batch (pandas), not a py4j list —
+    a 100k-seed bootstrap is ~0.2s instead of seconds."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
+    # Arrow-created frames land in few partitions; spread before the
+    # canonicalize UDF so bootstrap parallelizes
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     return (
         with_url_identity(df, salt_buckets=salt_buckets)
         .withColumn("priority", F.lit(priority))
@@ -87,6 +95,7 @@ class RoundPlan:
     denied: DataFrame         # robots-denied rows (recorded, never refetched)
     results: DataFrame        # fetch output (errors as data)
     seen_delta: DataFrame     # url_hash/url_canon scheduled or denied this round
+    cached: list = None       # DataFrames persisted by plan_round; caller unpersists
 
 
 def plan_round(
@@ -99,7 +108,12 @@ def plan_round(
     robots: DataFrame | None = None,
     shuffle_partitions: int | None = None,
 ) -> RoundPlan:
-    """The pure round dataflow. Caller materializes the pieces."""
+    """The round dataflow, materialization-aware: every branch the engine
+    consumes (scheduled/deferred/denied/seen_delta) filters from ONE
+    persisted `staged` DataFrame, so the expensive upstream (delta dedup ->
+    Bloom prune -> anti-join -> robots join -> politeness window) executes
+    exactly once per round regardless of how many outputs are written.
+    """
     # 1. within-delta dedup: one candidate per url_hash, canonical order.
     #    groupBy-min (map-side combinable) instead of a window sort.
     cand = frontier_delta.groupBy("url_hash").agg(
@@ -110,18 +124,25 @@ def plan_round(
     # 2. subtract seen (Bloom prune then exact anti-join)
     cand = subtract_seen(cand, url_seen, bloom)
 
-    # 3. robots gate (broadcast join)
-    allowed, denied = robots_gate(cand, robots)
+    # 3. robots verdict as a column (broadcast join), not a split
+    flagged = robots_flag(cand, robots)
 
-    # 4. politeness budget (window cap per host)
+    # 4. politeness budget: ONE window ranks allowed rows first within each
+    #    host (robots_ok DESC leads the order), so denied rows never consume
+    #    budget slots and allowed ranks are unaffected by their presence.
     w = Window.partitionBy("host").orderBy(
+        F.col("robots_ok").desc(),
         F.col("priority").asc(), F.col("depth").asc(), F.col("url_hash").asc()
     )
-    ranked = allowed.withColumn("host_rank", F.row_number().over(w))
-    scheduled = ranked.filter(F.col("host_rank") <= host_budget)
+    staged = flagged.withColumn("host_rank", F.row_number().over(w)).persist()
+
+    ok = F.col("robots_ok")
+    in_budget = F.col("host_rank") <= host_budget
+    scheduled = staged.filter(ok & in_budget).drop("robots_ok")
+    denied = staged.filter(~ok).drop("robots_ok", "host_rank")
     deferred = (
-        ranked.filter(F.col("host_rank") > host_budget)
-        .drop("host_rank")
+        staged.filter(ok & ~in_budget)
+        .drop("robots_ok", "host_rank")
         .withColumn("priority", F.greatest(F.col("priority") - F.lit(1), F.lit(0)))
         .withColumn("deferred_count", F.col("deferred_count") + 1)
         .withColumn("round_added", F.lit(round_no + 1))
@@ -134,9 +155,9 @@ def plan_round(
     results = fetch_stage(scheduled, fetcher)
 
     seen_delta = (
-        scheduled.select("url_hash", "url_canon")
-        .unionByName(denied.select("url_hash", "url_canon"))
+        staged.filter((ok & in_budget) | ~ok)
+        .select("url_hash", "url_canon")
         .withColumn("round_seen", F.lit(round_no))
     )
     return RoundPlan(scheduled=scheduled, deferred=deferred, denied=denied,
-                     results=results, seen_delta=seen_delta)
+                     results=results, seen_delta=seen_delta, cached=[staged])

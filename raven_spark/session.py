@@ -40,11 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 32 MB scan splits: enough input partitions that a python-kernel
+        # stage over a multi-GB scan runs several task waves per core (wave
+        # quantization at the default 128 MB starves half the cores on the
+        # last wave at high parallelism)
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("RAVEN_MAX_PART_BYTES", str(32 * 1024 * 1024)))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

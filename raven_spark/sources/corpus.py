@@ -96,12 +96,13 @@ def messy_url(i: int, host: int, trap: int) -> str:
     return _TRAPS[trap % len(_TRAPS)](canon_url(i, host))
 
 
-def _gen_batch(ids: np.ndarray, n_pages: int, n_hosts: int, seed: int) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, n_pages: int, n_hosts: int, seed: int,
+               size_factor: int = 1) -> pd.DataFrame:
     cdf = zipf_host_cdf(n_hosts)
     hosts = np.searchsorted(cdf, _unit(ids, 1, seed), side="right")
     langs_ix = (_hash_stream(ids, 2, seed) % np.uint64(len(_LANGS))).astype(np.int64)
     n_links = (_hash_stream(ids, 3, seed) % np.uint64(6)).astype(np.int64)
-    n_sents = 3 + (_hash_stream(ids, 4, seed) % np.uint64(8)).astype(np.int64)
+    n_sents = (3 + (_hash_stream(ids, 4, seed) % np.uint64(8)).astype(np.int64)) * size_factor
 
     rows = []
     for k in range(len(ids)):
@@ -162,16 +163,18 @@ PAGES_SCHEMA = (
 )
 
 
-def generate_pages(spark, n_pages: int, n_hosts: int | None = None, seed: int = 42):
+def generate_pages(spark, n_pages: int, n_hosts: int | None = None, seed: int = 42,
+                   size_factor: int = 1):
     """Distributed deterministic corpus. ``host``/``charset`` are extra
     convenience columns beyond the input_hint five; select them away for
-    strict-schema consumers."""
+    strict-schema consumers. ``size_factor`` scales page body length
+    (factor 1 ~ 0.4 KB html; factor 50 ~ 20 KB — Common-Crawl-realistic)."""
     n_hosts = n_hosts or max(8, n_pages // 200)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
-            yield _gen_batch(ids, n_pages, n_hosts, seed)
+            yield _gen_batch(ids, n_pages, n_hosts, seed, size_factor)
 
     # one range partition per ~8k pages keeps generation parallel & bounded
     parts = max(1, min(256, n_pages // 8192 + 1))
