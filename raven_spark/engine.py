@@ -73,6 +73,12 @@ class CrawlEngine:
         self.fetcher = fetcher
         self.robots = robots
         self.opt = options or EngineOptions()
+        # robots crawl-delay -> per-host budget override (broadcast side)
+        from raven_spark.operators.politeness import effective_budget_col
+
+        self._host_budgets = effective_budget_col(
+            robots, (config.effective_host_budget())
+        )
         self.catalog = ParquetCatalog(spark, state_root)
         os.makedirs(state_root, exist_ok=True)
 
@@ -165,6 +171,7 @@ class CrawlEngine:
             bloom=bloom,
             robots=self.robots,
             shuffle_partitions=self.opt.shuffle_partitions,
+            host_budgets=self._host_budgets,
         )
         crawl_ts = datetime.now(timezone.utc).isoformat()
         tp = time.time()

@@ -1,0 +1,227 @@
+"""Production HTTP fetch stage — the real-network twin of fetch.py's
+synthetic path, sharing the reference's retry matrix and charset pipeline
+exactly (crawler.rs:25-148):
+
+- attempts = max_retry + 1 (crawler.rs:113-138)
+- 5xx -> retry until budget exhausted -> ServerError 500
+- timeout -> retry until budget exhausted -> TimeoutError 600
+- 4xx -> fail IMMEDIATELY, no retry (crawler.rs:110-112) -> 400
+- other I/O error -> fail immediately (crawler.rs:140-144) -> 800
+- per-attempt sleep honored BEFORE every attempt incl. retries
+  (crawler.rs:42-45) — safe here because the scheduled frontier is
+  partitioned by salt_bucket (host-local partitions), so a sleep only
+  delays that host's own partition, never a whole executor's unrelated
+  work; the window-budget cap in politeness.py bounds total rows per host
+  per round independently
+- charset conversion + conflict check (C1-C4) -> codes 700, via the same
+  convert_and_decode used by the synthetic stage
+
+The HTTP client is an injected ``opener`` callable so the stage is fully
+unit-testable without a network:
+
+    opener(url, method, headers, body, timeout_s) ->
+        (status:int, headers:dict, body:bytes, content_type:str|None)
+    raising TimeoutError for timeouts, OSError for transport errors.
+
+``default_opener`` implements it over urllib (stdlib; no extra deps).
+This module performs NO network I/O at import or plan time; I/O happens
+only inside executor tasks when a real opener is passed.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from raven_spark.functions.charset import (
+    CharsetConversionError,
+    convert_and_decode,
+    normalize_charset,
+)
+from raven_spark.functions.mime import is_text_mime, parse_content_type
+from raven_spark.functions.text import extract_links, extract_text
+from raven_spark.operators.fetch import (
+    CODE_CHARSET,
+    CODE_CLIENT_ERROR,
+    CODE_OTHER,
+    CODE_SERVER_ERROR,
+    CODE_SUCCESS,
+    CODE_TIMEOUT,
+    FETCH_OUTPUT_COLUMNS,
+    RESULT_LABELS,
+)
+
+Opener = Callable[..., tuple]
+
+
+def default_opener(url, method="GET", headers=None, body=None, timeout_s=1):
+    """stdlib urllib opener implementing the Opener contract."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, method=method, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            data = resp.read()
+            hdrs = dict(resp.headers.items())
+            return resp.status, hdrs, data, hdrs.get("Content-Type")
+    except urllib.error.HTTPError as e:  # 4xx/5xx come back as a response
+        data = e.read() if e.fp else b""
+        hdrs = dict(e.headers.items()) if e.headers else {}
+        return e.code, hdrs, data, hdrs.get("Content-Type")
+    except TimeoutError:
+        raise
+    except urllib.error.URLError as e:
+        if isinstance(getattr(e, "reason", None), TimeoutError):
+            raise TimeoutError(str(e)) from e
+        raise OSError(str(e)) from e
+
+
+def _fetch_one(opener: Opener, url, method, headers, body, timeout_s, max_retry, sleep_s):
+    """One row's fetch-with-retry; returns
+    (status, code, detail, attempts, raw_body, content_type, fetch_ms)."""
+    attempts = 0
+    t0 = time.monotonic()
+    while True:
+        attempts += 1
+        if sleep_s:
+            time.sleep(sleep_s)  # before EVERY attempt (crawler.rs:42-45)
+        try:
+            status, _hdrs, raw, ctype = opener(
+                url, method=method, headers=headers, body=body, timeout_s=timeout_s
+            )
+        except TimeoutError:
+            if attempts <= max_retry:
+                continue
+            ms = int((time.monotonic() - t0) * 1000)
+            return 0, CODE_TIMEOUT, f"timeout after {attempts} attempts", attempts, None, None, ms
+        except OSError as e:
+            ms = int((time.monotonic() - t0) * 1000)
+            return 0, CODE_OTHER, f"connection error: {e}"[:200], attempts, None, None, ms
+        ms = int((time.monotonic() - t0) * 1000)
+        if 400 <= status < 500:  # fail fast, no retry (crawler.rs:110-112)
+            return status, CODE_CLIENT_ERROR, f"client error: {status}", attempts, raw, ctype, ms
+        if status >= 500:
+            if attempts <= max_retry:
+                continue
+            return status, CODE_SERVER_ERROR, f"server error: {status} after retries", attempts, raw, ctype, ms
+        return status, CODE_SUCCESS, "", attempts, raw, ctype, ms
+
+
+def http_fetch_stage(
+    scheduled: DataFrame,
+    opener: Opener = default_opener,
+    output_charset: str = "utf-8",
+    timeout_s: int = 1,
+    max_retry: int = 0,
+    sleep_s: float = 0.0,
+    method: str = "GET",
+    headers: dict | None = None,
+) -> DataFrame:
+    """scheduled frontier rows -> fetch results via real HTTP.
+
+    Same output schema as fetch.fetch_stage; per-row frontier columns
+    ``timeout_s``/``max_retry``/``sleep_s``/``method`` override the stage
+    defaults when present.
+    """
+    in_fields = [f for f in scheduled.schema.fields if not f.name.startswith("_")]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_fields)
+    out_schema += ", " + FETCH_OUTPUT_COLUMNS
+    keep_cols = [f.name for f in in_fields]
+    out_label = normalize_charset(output_charset) or "utf-8"
+    hdrs = dict(headers or {})
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            urls = pdf["url_canon"].to_numpy(dtype=object)
+            row_timeout = pdf["timeout_s"] if "timeout_s" in pdf else None
+            row_retry = pdf["max_retry"] if "max_retry" in pdf else None
+            row_sleep = pdf["sleep_s"] if "sleep_s" in pdf else None
+            row_method = pdf["method"] if "method" in pdf else None
+
+            cols: dict[str, list] = {k: [] for k in (
+                "status", "result_code", "detail", "attempts", "fetch_ms",
+                "content_type", "charset", "body", "text", "links")}
+            for i in range(n):
+                status, code, detail, attempts, raw, ctype, ms = _fetch_one(
+                    opener,
+                    urls[i],
+                    method=(row_method.iloc[i] if row_method is not None else method),
+                    headers=hdrs,
+                    body=None,
+                    timeout_s=int(row_timeout.iloc[i]) if row_timeout is not None else timeout_s,
+                    max_retry=int(row_retry.iloc[i]) if row_retry is not None else max_retry,
+                    sleep_s=float(row_sleep.iloc[i]) if row_sleep is not None else sleep_s,
+                )
+                mime = charset = body = text = None
+                links = None
+                if code == CODE_SUCCESS and raw is not None:
+                    mime, cs = parse_content_type(ctype)
+                    if is_text_mime(mime):
+                        try:
+                            html_str, converted, actual = convert_and_decode(raw, cs, out_label)
+                            if actual != out_label:  # C3
+                                raise CharsetConversionError(f"{actual} != {out_label}")
+                            body, charset = converted, out_label
+                            text = extract_text(html_str)
+                            links = extract_links(html_str)
+                        except CharsetConversionError as e:
+                            code, detail = CODE_CHARSET, str(e)[:200]
+                    else:
+                        body = raw
+                elif raw is not None:
+                    # 4xx/5xx bodies force-converted to UTF-8 (crawler.rs:111,114)
+                    mime, cs = parse_content_type(ctype)
+                    try:
+                        _s, body, charset = convert_and_decode(raw, cs, "utf-8")
+                    except CharsetConversionError:
+                        body = raw
+                cols["status"].append(status)
+                cols["result_code"].append(code)
+                cols["detail"].append(detail)
+                cols["attempts"].append(attempts)
+                cols["fetch_ms"].append(ms)
+                cols["content_type"].append(mime)
+                cols["charset"].append(charset)
+                cols["body"].append(body)
+                cols["text"].append(text)
+                cols["links"].append(links)
+
+            out = pdf[keep_cols].copy()
+            out["status"] = cols["status"]
+            out["result_code"] = cols["result_code"]
+            out["result_label"] = [RESULT_LABELS[int(c)] for c in cols["result_code"]]
+            out["error_detail"] = cols["detail"]
+            out["fetch_ms"] = cols["fetch_ms"]
+            out["attempts"] = cols["attempts"]
+            out["content_type"] = cols["content_type"]
+            out["charset"] = cols["charset"]
+            out["body"] = cols["body"]
+            out["text"] = cols["text"]
+            out["links"] = cols["links"]
+            yield out
+
+    return scheduled.mapInPandas(run, out_schema)
+
+
+class HttpFetcher:
+    """Fetcher-protocol adapter for the HTTP stage, so CrawlEngine can be
+    constructed with real-network fetching by swapping one argument —
+    the same seam the reference swaps in tests (crawler.rs:228-230)."""
+
+    def __init__(self, opener: Opener = default_opener, **stage_kwargs):
+        self.opener = opener
+        self.stage_kwargs = stage_kwargs
+
+    def resolve(self, scheduled: DataFrame) -> DataFrame:
+        return scheduled  # identity: no corpus join, I/O happens in-stage
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        return http_fetch_stage(scheduled, self.opener, **self.stage_kwargs)

@@ -61,6 +61,90 @@ ROBOTS_SCHEMA = (
 )
 
 
+def parse_robots_txt(text: str | None, agent: str = "*") -> tuple[list[str], list[str], int | None]:
+    """One robots.txt body -> (allow_prefixes, deny_prefixes, crawl_delay_s)
+    for the given user-agent, standard google-style grouping semantics:
+
+    - groups start at one-or-more User-agent lines; rules attach to the
+      preceding agent block
+    - the most specific matching agent group wins (longest agent token
+      match; '*' is the least specific); we match case-insensitively
+    - Allow/Disallow values are path prefixes; empty Disallow means
+      allow-all (ignored); Crawl-delay parsed as int seconds
+    """
+    if not text:
+        return [], [], None
+    best: tuple[int, list[str], list[str], int | None] | None = None
+    cur_agents: list[str] = []
+    cur_allow: list[str] = []
+    cur_deny: list[str] = []
+    cur_delay: int | None = None
+    in_rules = False
+
+    def _commit():
+        nonlocal best
+        if not cur_agents:
+            return
+        score = -1
+        for a in cur_agents:
+            if a == "*":
+                score = max(score, 0)
+            elif a in agent.lower() or agent.lower() in a:
+                score = max(score, len(a))
+        if score >= 0 and (best is None or score > best[0]):
+            best = (score, list(cur_allow), list(cur_deny), cur_delay)
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_rules:  # new group begins
+                _commit()
+                cur_agents, cur_allow, cur_deny, cur_delay = [], [], [], None
+                in_rules = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if field == "allow" and value:
+                cur_allow.append(value)
+            elif field == "disallow" and value:
+                cur_deny.append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = int(float(value))
+                except ValueError:
+                    pass
+    _commit()
+    if best is None:
+        return [], [], None
+    return best[1], best[2], best[3]
+
+
+def robots_rules_df(robots_texts: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) rows -> ROBOTS_SCHEMA rules table.
+
+    Arrow-batched mapInPandas (robots bodies are small; one pass). The
+    output is the broadcast side of robots_flag — at any scale the rules
+    table is O(hosts), not O(urls)."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = [parse_robots_txt(t, agent) for t in pdf["robots_txt"]]
+            yield pd.DataFrame({
+                "host": pdf["host"],
+                "allow": [r[0] for r in rows],
+                "deny": [r[1] for r in rows],
+                "crawl_delay_s": pd.array([r[2] for r in rows], dtype="Int32"),
+            })
+
+    return robots_texts.select("host", "robots_txt").mapInPandas(parse, ROBOTS_SCHEMA)
+
+
 def robots_flag(candidates: DataFrame, robots: DataFrame | None, flag_col: str = "robots_ok") -> DataFrame:
     """Adds boolean ``robots_ok`` after robots rules — a FLAG, not a split,
     so the round plan can materialize one DataFrame and branch with cheap

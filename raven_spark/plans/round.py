@@ -107,6 +107,7 @@ def plan_round(
     bloom: BloomFilter | None = None,
     robots: DataFrame | None = None,
     shuffle_partitions: int | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> RoundPlan:
     """The round dataflow, materialization-aware: every branch the engine
     consumes (scheduled/deferred/denied/seen_delta) filters from ONE
@@ -127,6 +128,13 @@ def plan_round(
     # 3. robots verdict as a column (broadcast join), not a split
     flagged = robots_flag(cand, robots)
 
+    # 3b. per-host budget override (robots crawl-delay -> smaller budget);
+    #     broadcast join, O(hosts) side
+    if host_budgets is not None:
+        flagged = flagged.join(F.broadcast(host_budgets), on="host", how="left")
+    else:
+        flagged = flagged.withColumn("host_budget", F.lit(None).cast("int"))
+
     # 4. politeness budget: ONE window ranks allowed rows first within each
     #    host (robots_ok DESC leads the order), so denied rows never consume
     #    budget slots and allowed ranks are unaffected by their presence.
@@ -137,22 +145,28 @@ def plan_round(
     staged = flagged.withColumn("host_rank", F.row_number().over(w)).persist()
 
     ok = F.col("robots_ok")
-    in_budget = F.col("host_rank") <= host_budget
-    scheduled = staged.filter(ok & in_budget).drop("robots_ok")
-    denied = staged.filter(~ok).drop("robots_ok", "host_rank")
+    in_budget = F.col("host_rank") <= F.coalesce(F.col("host_budget"), F.lit(host_budget))
+    scheduled = staged.filter(ok & in_budget).drop("robots_ok", "host_budget")
+    denied = staged.filter(~ok).drop("robots_ok", "host_rank", "host_budget")
     deferred = (
         staged.filter(ok & ~in_budget)
-        .drop("robots_ok", "host_rank")
+        .drop("robots_ok", "host_rank", "host_budget")
         .withColumn("priority", F.greatest(F.col("priority") - F.lit(1), F.lit(0)))
         .withColumn("deferred_count", F.col("deferred_count") + 1)
         .withColumn("round_added", F.lit(round_no + 1))
         .select(*FRONTIER_COLUMNS)
     )
 
-    # 5. skew-kill repartition on salt_bucket, then fetch
+    # 5. skew-kill repartition on salt_bucket, then fetch. A fetcher with
+    #    its own `fetch` stage (HttpFetcher: per-row I/O, host-local
+    #    partitions make in-stage sleeps safe) runs that; otherwise the
+    #    synthetic resolve-join + vectorized stage.
     if shuffle_partitions:
         scheduled = scheduled.repartition(shuffle_partitions, "salt_bucket")
-    results = fetch_stage(scheduled, fetcher)
+    if hasattr(fetcher, "fetch"):
+        results = fetcher.fetch(scheduled)
+    else:
+        results = fetch_stage(scheduled, fetcher)
 
     seen_delta = (
         staged.filter((ok & in_budget) | ~ok)

@@ -1,0 +1,80 @@
+"""Engine-level robots gating + crawl-delay budget override: rules parsed
+from raw robots.txt flow through robots_rules_df -> CrawlEngine ->
+denied-url recording and per-host budget caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raven_spark.config import RavenConfig, RavenRequest
+from raven_spark.engine import CrawlEngine, EngineOptions
+from raven_spark.operators.fetch import SyntheticFetcher
+from raven_spark.operators.politeness import robots_rules_df
+from raven_spark.sources.corpus import generate_pages, seed_urls
+
+N = 300
+
+
+def test_robots_deny_and_crawl_delay(spark, tmp_path):
+    corpus = generate_pages(spark, N, seed=42).persist()
+    hosts = [r["host"] for r in corpus.select("host").distinct().collect()]
+    hot = sorted(hosts)[0]
+    robots_texts = spark.createDataFrame(
+        [(hot, "User-agent: *\nDisallow: /p/\nCrawl-delay: 30")]
+        + [(h, "User-agent: *\nDisallow:") for h in hosts if h != hot],
+        "host string, robots_txt string",
+    )
+    robots = robots_rules_df(robots_texts)
+
+    cfg = RavenConfig(
+        name="robots-e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=2,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "s"), SyntheticFetcher(corpus, seed=42),
+        robots=robots,
+        options=EngineOptions(expected_total_urls=4096, shuffle_partitions=8),
+    )
+    eng.run(seed_urls=seed_urls(40, N), max_rounds=2)
+
+    pages = eng.table("pages")
+    # the denied host is never fetched (its /p/ paths are disallowed)
+    assert pages.filter(F.col("host") == hot).count() == 0
+    # but its urls ARE recorded as seen (never re-candidates)
+    seen = eng.table("url_seen")
+    frontier = eng.table("frontier")
+    hot_candidates = frontier.filter(F.col("host") == hot).select("url_hash").distinct()
+    hot_seen = seen.join(hot_candidates, "url_hash").count()
+    assert hot_seen > 0
+
+    # crawl_delay 30s -> effective budget floor: min(50, 60/30)=2 would cap
+    # at 2/round had any url been allowed; verify via the budget table
+    from raven_spark.operators.politeness import effective_budget_col
+
+    budgets = {r["host"]: r["host_budget"]
+               for r in effective_budget_col(robots, 50).collect()}
+    assert budgets[hot] == 2
+    assert all(b == 50 for h, b in budgets.items() if h != hot)
+    corpus.unpersist()
+
+
+def test_budget_cap_enforced_per_round(spark, tmp_path):
+    corpus = generate_pages(spark, N, seed=42).persist()
+    cfg = RavenConfig(
+        name="budget-e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=3,
+        max_rounds=2,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "s2"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(expected_total_urls=4096, shuffle_partitions=8),
+    )
+    eng.run(seed_urls=seed_urls(60, N), max_rounds=2)
+    per = (
+        eng.table("pages").groupBy("round", "host").agg(F.count("*").alias("c")).collect()
+    )
+    assert per and max(r["c"] for r in per) <= 3
+    corpus.unpersist()
