@@ -172,6 +172,7 @@ class CrawlEngine:
             robots=self.robots,
             shuffle_partitions=self.opt.shuffle_partitions,
             host_budgets=self._host_budgets,
+            max_retry=self.config.request.max_retry,
         )
         crawl_ts = datetime.now(timezone.utc).isoformat()
         tp = time.time()
@@ -246,6 +247,18 @@ class CrawlEngine:
                 pages_delta, round_no, salt_buckets=self.config.salt_buckets,
                 max_depth=self.opt.max_depth,
             )
+            # discovery-time dedup: subtract everything seen up to AND
+            # including this round before the delta is ever written — the
+            # dedup runs here, concurrent with the other derived writes,
+            # instead of on the next round's critical path, and Δ(k+1)
+            # shrinks to genuinely-new urls (at 10^10 scale this exact
+            # anti-join is itself Bloom-pruned first, same as in-round).
+            # The in-round subtract still runs (deferred rows + races),
+            # but over an already-thin delta.
+            all_seen = seen_delta.select("url_hash")
+            if url_seen is not None:
+                all_seen = all_seen.unionByName(url_seen.select("url_hash"))
+            discovered = discovered.join(all_seen.distinct(), on="url_hash", how="left_anti")
             self.catalog.append("frontier", discovered.unionByName(plan.deferred), round_no + 1)
 
         def _summary():

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from raven_spark.functions.charset import (
     CharsetConversionError,
@@ -63,10 +64,18 @@ RESULT_LABELS = {  # result.rs:42-50, task_error labels
     CODE_PERSIST_FAILED: "persist_failed",
 }
 
+# Unified fetch-output columns (both the synthetic and HTTP stages).
+# `html` is the RAW fetched bytes (input_hint schema: html:binary), `text`
+# the utf-8 extraction. The reference persists the charset-CONVERTED body
+# (result.rs:120-131); we run the identical conversion/validation in the
+# kernel (codes 700 on failure, C1-C4) but persist WARC-style raw bytes +
+# converted text — at 10^10 pages, echoing a converted body through Arrow
+# and storing it doubles the largest byte stream in the whole engine for
+# information that is a deterministic function of (html, charset).
 FETCH_OUTPUT_COLUMNS = (
     "status int, result_code int, result_label string, error_detail string, "
     "fetch_ms bigint, attempts int, content_type string, charset string, "
-    "body binary, text string, links array<string>"
+    "html binary, text string, links array<string>"
 )
 
 
@@ -204,125 +213,159 @@ def _simulated_ms(url_hash: np.ndarray, attempts: np.ndarray, seed: int) -> np.n
     return base * attempts
 
 
+FETCH_STRUCT = T.StructType([
+    T.StructField("status", T.IntegerType()),
+    T.StructField("result_code", T.IntegerType()),
+    T.StructField("result_label", T.StringType()),
+    T.StructField("error_detail", T.StringType()),
+    T.StructField("fetch_ms", T.LongType()),
+    T.StructField("attempts", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("charset", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
 def fetch_stage(
     scheduled: DataFrame,
     fetcher: Fetcher,
     output_charset: str = "utf-8",
     seed: int = 42,
+    default_max_retry: int = 0,
 ) -> DataFrame:
     """scheduled frontier rows -> fetch results (errors as data).
 
-    Plan: fetcher.resolve (join) -> mapInPandas batch loop. Everything
-    after the join crosses Python exactly once, Arrow-batched.
+    Plan: fetcher.resolve (join) -> STRUCT-RETURNING pandas UDF. The body
+    bytes cross Arrow exactly ONCE (JVM -> Python as UDF input); the
+    output struct carries only the small result columns + text + links,
+    and the raw body is re-attached JVM-side as `html` by a plain
+    projection — at 18 KB/page this halves the engine's Arrow traffic
+    versus echoing bodies back through the Python worker.
     """
     resolved = fetcher.resolve(scheduled)
-    in_fields = [f for f in resolved.schema.fields if not f.name.startswith("_")]
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_fields)
-    out_schema += ", " + FETCH_OUTPUT_COLUMNS
-    keep_cols = [f.name for f in in_fields]
+    keep_cols = [c for c in resolved.columns if not c.startswith("_")]
     behavior_fn = fetcher.make_behavior()
+    out_label = normalize_charset(output_charset) or "utf-8"
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            url_hash = pdf["url_hash"].to_numpy(dtype=np.int64)
-            max_retry = pdf["max_retry"].to_numpy(dtype=np.int64) if "max_retry" in pdf else np.zeros(n, dtype=np.int64)
-            beh = behavior_fn(url_hash)
-            missing = pdf["_body"].isna().to_numpy()
+    def kernel(bodies_s: pd.Series, ctypes_s: pd.Series, url_hash_s: pd.Series,
+               max_retry_s: pd.Series) -> pd.DataFrame:
+        n = len(bodies_s)
+        url_hash = url_hash_s.to_numpy(dtype=np.int64)
+        max_retry = max_retry_s.to_numpy(dtype=np.int64)
+        beh = behavior_fn(url_hash)
+        missing = bodies_s.isna().to_numpy()
 
-            # --- vectorized retry matrix (crawler.rs:110-146) -------------
-            status = np.full(n, 200, dtype=np.int64)
-            code = np.full(n, CODE_SUCCESS, dtype=np.int64)
-            attempts = np.ones(n, dtype=np.int64)
-            detail = np.full(n, "", dtype=object)
+        # --- vectorized retry matrix (crawler.rs:110-146) -------------
+        status = np.full(n, 200, dtype=np.int64)
+        code = np.full(n, CODE_SUCCESS, dtype=np.int64)
+        attempts = np.ones(n, dtype=np.int64)
+        detail = np.full(n, "", dtype=object)
 
-            # 404 for corpus-missing urls and behavior-3 rows: fail fast
-            is_404 = missing | (beh == 3)
-            status[is_404] = 404
-            code[is_404] = CODE_CLIENT_ERROR
-            detail[is_404] = "client error: 404"
+        # 404 for corpus-missing urls and behavior-3 rows: fail fast
+        is_404 = missing | (beh == 3)
+        status[is_404] = 404
+        code[is_404] = CODE_CLIENT_ERROR
+        detail[is_404] = "client error: 404"
 
-            # 500-then-ok@1: succeeds iff a retry budget exists
-            then_ok = (beh == 1) & ~is_404
-            recovered = then_ok & (max_retry >= 1)
-            attempts[recovered] = 2
-            exhausted = then_ok & (max_retry < 1)
-            status[exhausted] = 500
-            code[exhausted] = CODE_SERVER_ERROR
-            attempts[exhausted] = max_retry[exhausted] + 1
-            detail[exhausted] = "server error: 500 after retries"
+        # 500-then-ok@1: succeeds iff a retry budget exists
+        then_ok = (beh == 1) & ~is_404
+        recovered = then_ok & (max_retry >= 1)
+        attempts[recovered] = 2
+        exhausted = then_ok & (max_retry < 1)
+        status[exhausted] = 500
+        code[exhausted] = CODE_SERVER_ERROR
+        attempts[exhausted] = max_retry[exhausted] + 1
+        detail[exhausted] = "server error: 500 after retries"
 
-            # timeout-then-ok@1
-            t_ok = (beh == 2) & ~is_404
-            t_rec = t_ok & (max_retry >= 1)
-            attempts[t_rec] = 2
-            t_exh = t_ok & (max_retry < 1)
-            status[t_exh] = 0
-            code[t_exh] = CODE_TIMEOUT
-            attempts[t_exh] = max_retry[t_exh] + 1
-            detail[t_exh] = "timeout after retries"
+        # timeout-then-ok@1
+        t_ok = (beh == 2) & ~is_404
+        t_rec = t_ok & (max_retry >= 1)
+        attempts[t_rec] = 2
+        t_exh = t_ok & (max_retry < 1)
+        status[t_exh] = 0
+        code[t_exh] = CODE_TIMEOUT
+        attempts[t_exh] = max_retry[t_exh] + 1
+        detail[t_exh] = "timeout after retries"
 
-            # 500-always: exhaust the whole budget
-            s_always = (beh == 4) & ~is_404
-            status[s_always] = 500
-            code[s_always] = CODE_SERVER_ERROR
-            attempts[s_always] = max_retry[s_always] + 1
-            detail[s_always] = "server error: 500 after retries"
+        # 500-always: exhaust the whole budget
+        s_always = (beh == 4) & ~is_404
+        status[s_always] = 500
+        code[s_always] = CODE_SERVER_ERROR
+        attempts[s_always] = max_retry[s_always] + 1
+        detail[s_always] = "server error: 500 after retries"
 
-            # other I/O error: immediate (crawler.rs:140-144)
-            other = (beh == 5) & ~is_404
-            status[other] = 0
-            code[other] = CODE_OTHER
-            detail[other] = "connection error"
+        # other I/O error: immediate (crawler.rs:140-144)
+        other = (beh == 5) & ~is_404
+        status[other] = 0
+        code[other] = CODE_OTHER
+        detail[other] = "connection error"
 
-            ok = code == CODE_SUCCESS
+        ok = code == CODE_SUCCESS
 
-            # --- charset + extraction pipeline (C1-C4) --------------------
-            body_out: list = [None] * n
-            text_out: list = [None] * n
-            links_out: list = [None] * n
-            ctype_out: list = [None] * n
-            charset_out: list = [None] * n
-            bodies = pdf["_body"].to_numpy(dtype=object)
-            ctypes = pdf["_content_type"].to_numpy(dtype=object)
-            out_label = normalize_charset(output_charset) or "utf-8"
-            for i in np.flatnonzero(ok):
-                mime, cs = parse_content_type(ctypes[i])
-                ctype_out[i] = mime
-                raw = bytes(bodies[i])
-                if is_text_mime(mime):
-                    try:
-                        # one decode serves both the re-encoded body (C2)
-                        # and the extraction pipeline
-                        html_str, converted, actual = convert_and_decode(raw, cs, out_label)
-                        if actual != out_label:  # C3 conflict check
-                            raise CharsetConversionError(f"{actual} != {out_label}")
-                    except CharsetConversionError as e:
-                        code[i] = CODE_CHARSET
-                        detail[i] = str(e)[:200]
-                        continue
-                    body_out[i] = converted
-                    charset_out[i] = out_label
-                    text_out[i] = extract_text(html_str)
-                    links_out[i] = extract_links(html_str)
-                else:
-                    body_out[i] = raw
-            ok = code == CODE_SUCCESS  # charset failures just dropped out
+        # --- charset + extraction pipeline (C1-C4) --------------------
+        text_out: list = [None] * n
+        links_out: list = [None] * n
+        ctype_out: list = [None] * n
+        charset_out: list = [None] * n
+        bodies = bodies_s.to_numpy(dtype=object)
+        ctypes = ctypes_s.to_numpy(dtype=object)
+        for i in np.flatnonzero(ok):
+            mime, cs = parse_content_type(ctypes[i])
+            ctype_out[i] = mime
+            if is_text_mime(mime):
+                try:
+                    # one decode: conversion VALIDATION (C2/C3, code 700)
+                    # + the utf-8 text product
+                    html_str, _converted, actual = convert_and_decode(
+                        bytes(bodies[i]), cs, out_label
+                    )
+                    if actual != out_label:  # C3 conflict check
+                        raise CharsetConversionError(f"{actual} != {out_label}")
+                except CharsetConversionError as e:
+                    code[i] = CODE_CHARSET
+                    detail[i] = str(e)[:200]
+                    continue
+                charset_out[i] = out_label
+                text_out[i] = extract_text(html_str)
+                links_out[i] = extract_links(html_str)
 
-            out = pdf[keep_cols].copy()
-            out["status"] = status
-            out["result_code"] = code
-            out["result_label"] = [RESULT_LABELS[int(c)] for c in code]
-            out["error_detail"] = detail
-            out["fetch_ms"] = _simulated_ms(url_hash, attempts, seed)
-            out["attempts"] = attempts
-            out["content_type"] = ctype_out
-            out["charset"] = charset_out
-            out["body"] = body_out
-            out["text"] = text_out
-            out["links"] = links_out
-            yield out
+        return pd.DataFrame({
+            "status": status,
+            "result_code": code,
+            "result_label": [RESULT_LABELS[int(c)] for c in code],
+            "error_detail": detail,
+            "fetch_ms": _simulated_ms(url_hash, attempts, seed),
+            "attempts": attempts,
+            "content_type": ctype_out,
+            "charset": charset_out,
+            "text": text_out,
+            "links": links_out,
+        })
 
-    return resolved.mapInPandas(run, out_schema)
+    from pyspark.sql.functions import pandas_udf
+
+    fetch_udf = pandas_udf(kernel, FETCH_STRUCT)
+    retry_col = (
+        F.coalesce(F.col("max_retry"), F.lit(default_max_retry))
+        if "max_retry" in resolved.columns
+        else F.lit(default_max_retry)
+    )
+    return resolved.withColumn(
+        "__f", fetch_udf(F.col("_body"), F.col("_content_type"), F.col("url_hash"), retry_col)
+    ).select(
+        *keep_cols,
+        F.col("__f.status").alias("status"),
+        F.col("__f.result_code").alias("result_code"),
+        F.col("__f.result_label").alias("result_label"),
+        F.col("__f.error_detail").alias("error_detail"),
+        F.col("__f.fetch_ms").alias("fetch_ms"),
+        F.col("__f.attempts").alias("attempts"),
+        F.col("__f.content_type").alias("content_type"),
+        F.col("__f.charset").alias("charset"),
+        # raw bytes re-attached JVM-side: never crossed back through Arrow.
+        # status 0 = no HTTP response happened (timeout / transport error)
+        F.when(F.col("__f.status") != 0, F.col("_body")).alias("html"),
+        F.col("__f.text").alias("text"),
+        F.col("__f.links").alias("links"),
+    )

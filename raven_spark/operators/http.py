@@ -148,7 +148,7 @@ def http_fetch_stage(
 
             cols: dict[str, list] = {k: [] for k in (
                 "status", "result_code", "detail", "attempts", "fetch_ms",
-                "content_type", "charset", "body", "text", "links")}
+                "content_type", "charset", "html", "text", "links")}
             for i in range(n):
                 status, code, detail, attempts, raw, ctype, ms = _fetch_one(
                     opener,
@@ -160,29 +160,22 @@ def http_fetch_stage(
                     max_retry=int(row_retry.iloc[i]) if row_retry is not None else max_retry,
                     sleep_s=float(row_sleep.iloc[i]) if row_sleep is not None else sleep_s,
                 )
-                mime = charset = body = text = None
+                mime = charset = text = None
                 links = None
                 if code == CODE_SUCCESS and raw is not None:
                     mime, cs = parse_content_type(ctype)
                     if is_text_mime(mime):
                         try:
-                            html_str, converted, actual = convert_and_decode(raw, cs, out_label)
+                            html_str, _converted, actual = convert_and_decode(raw, cs, out_label)
                             if actual != out_label:  # C3
                                 raise CharsetConversionError(f"{actual} != {out_label}")
-                            body, charset = converted, out_label
+                            charset = out_label
                             text = extract_text(html_str)
                             links = extract_links(html_str)
                         except CharsetConversionError as e:
                             code, detail = CODE_CHARSET, str(e)[:200]
-                    else:
-                        body = raw
                 elif raw is not None:
-                    # 4xx/5xx bodies force-converted to UTF-8 (crawler.rs:111,114)
-                    mime, cs = parse_content_type(ctype)
-                    try:
-                        _s, body, charset = convert_and_decode(raw, cs, "utf-8")
-                    except CharsetConversionError:
-                        body = raw
+                    mime, _cs = parse_content_type(ctype)
                 cols["status"].append(status)
                 cols["result_code"].append(code)
                 cols["detail"].append(detail)
@@ -190,7 +183,7 @@ def http_fetch_stage(
                 cols["fetch_ms"].append(ms)
                 cols["content_type"].append(mime)
                 cols["charset"].append(charset)
-                cols["body"].append(body)
+                cols["html"].append(raw)
                 cols["text"].append(text)
                 cols["links"].append(links)
 
@@ -203,7 +196,7 @@ def http_fetch_stage(
             out["attempts"] = cols["attempts"]
             out["content_type"] = cols["content_type"]
             out["charset"] = cols["charset"]
-            out["body"] = cols["body"]
+            out["html"] = cols["html"]
             out["text"] = cols["text"]
             out["links"] = cols["links"]
             yield out

@@ -108,6 +108,7 @@ def plan_round(
     robots: DataFrame | None = None,
     shuffle_partitions: int | None = None,
     host_budgets: DataFrame | None = None,
+    max_retry: int = 0,
 ) -> RoundPlan:
     """The round dataflow, materialization-aware: every branch the engine
     consumes (scheduled/deferred/denied/seen_delta) filters from ONE
@@ -166,7 +167,7 @@ def plan_round(
     if hasattr(fetcher, "fetch"):
         results = fetcher.fetch(scheduled)
     else:
-        results = fetch_stage(scheduled, fetcher)
+        results = fetch_stage(scheduled, fetcher, default_max_retry=max_retry)
 
     seen_delta = (
         staged.filter((ok & in_budget) | ~ok)

@@ -80,6 +80,10 @@ class ParquetCatalog:
 
     def append(self, name: str, df: DataFrame, round_no: int) -> None:
         path = os.path.join(self.root, name, f"round={round_no}")
+        if "round" in df.columns:
+            # the partition directory IS the round column; a duplicate data
+            # column would shadow it on read (COLUMN_ALREADY_EXISTS)
+            df = df.drop("round")
         df.write.mode("overwrite").parquet(path)  # idempotent per round
         manifest = self._load_manifest(name)
         if round_no not in manifest["rounds"]:

@@ -98,13 +98,13 @@ def test_http_stage_end_to_end(spark):
 
     sjis = out["https://a/sjis"]
     assert sjis["result_code"] == 200
-    assert bytes(sjis["body"]).decode("utf-8") == "<p>テスト</p>"  # body re-encoded utf-8
-    assert sjis["charset"] == "utf-8" and sjis["text"] == "テスト"
+    assert bytes(sjis["html"]) == SJIS_BODY  # raw bytes preserved (input_hint html)
+    assert sjis["charset"] == "utf-8" and sjis["text"] == "テスト"  # converted product
 
     err = out["https://a/err"]
     assert err["result_code"] == 500 and err["status"] == 503
-    # error body force-converted to utf-8 (crawler.rs:111,114)
-    assert bytes(err["body"]).decode("utf-8") == "érror"
+    # raw error body kept (detail carries the taxonomy; text stays null)
+    assert bytes(err["html"]).decode("latin-1") == "érror" and err["text"] is None
 
 
 def test_http_fetcher_protocol(spark):
