@@ -449,6 +449,43 @@ def q27_sessionize(spark, sf_dir):
     )
 
 
+def q28_robots_gate(spark, sf_dir):
+    """Robots gating via the REAL operator (politeness.robots_flag):
+    longest-matching-prefix wins, tie -> allow, no rules row -> allowed.
+    Candidates synthesized from documents; rules cover deny-all, deny-with-
+    allow-carveout, and rule-less hosts. Oracle replays the same longest-
+    prefix arithmetic with DuckDB list lambdas."""
+    from raven_spark.operators.politeness import robots_flag
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"), F.lit(".example"))
+    path = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.concat(F.lit("/private/a"), F.col("doc_id").cast("string")))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+              F.concat(F.lit("/private/pub/b"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    )
+    cand = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_canon"),
+    )
+    rules = spark.createDataFrame(
+        [("h0.example", ["/private/pub/"], ["/private/"], 2),
+         ("h1.example", [], ["/"], None)],
+        "host string, allow array<string>, deny array<string>, crawl_delay_s int",
+    )
+    flagged = robots_flag(cand, rules)
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("robots_ok"), 1).otherwise(0)).alias("n_allowed"),
+            F.sum(F.when(~F.col("robots_ok"), 1).otherwise(0)).alias("n_denied"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -478,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_media_features": q25_media_features,
         "q26_task_expansion": q26_task_expansion,
         "q27_sessionize": q27_sessionize,
+        "q28_robots_gate": q28_robots_gate,
     }
 
 
@@ -505,6 +543,32 @@ def _stopword_hits_sql() -> str:
         f"CAST((length(p) - length(replace(p, ' {sw} ', '')))/{len(sw) + 2} AS INT)"
         for sw in STOPWORDS
     )
+
+
+Q28_ORACLE = """
+WITH cand AS (
+  SELECT 'h' || (doc_id % 7) || '.example' AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/private/a' || doc_id
+           WHEN 1 THEN '/private/pub/b' || doc_id
+           ELSE '/p/' || doc_id END AS path
+  FROM documents
+), rules AS (
+  SELECT * FROM (VALUES
+    ('h0.example', ['/private/pub/'], ['/private/']),
+    ('h1.example', []::VARCHAR[], ['/'])
+  ) AS t(host, allow, deny)
+), scored AS (
+  SELECT c.host, r.deny,
+    coalesce(list_max(list_transform(list_filter(r.deny,  p -> starts_with(c.path, p)), p -> length(p))), -1) AS dlen,
+    coalesce(list_max(list_transform(list_filter(r.allow, p -> starts_with(c.path, p)), p -> length(p))), -1) AS alen
+  FROM cand c LEFT JOIN rules r USING (host)
+)
+SELECT host,
+  SUM(CASE WHEN deny IS NULL OR dlen <= alen OR dlen = -1 THEN 1 ELSE 0 END) AS n_allowed,
+  SUM(CASE WHEN NOT (deny IS NULL OR dlen <= alen OR dlen = -1) THEN 1 ELSE 0 END) AS n_denied
+FROM scored GROUP BY host ORDER BY host
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -713,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
               )
             ) GROUP BY user_id
         """,
+        "q28_robots_gate": Q28_ORACLE,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
                  shards   AS (SELECT unnest(generate_series(1, 3)) AS shard),

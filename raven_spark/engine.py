@@ -55,6 +55,7 @@ class EngineOptions:
     shuffle_partitions: int | None = None
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
+    notify: object = None  # callable(message: str, summary: dict) — S1 seam
 
 
 class CrawlEngine:
@@ -316,7 +317,37 @@ class CrawlEngine:
             all_stats.append(stats)
             if stats.get("empty") or stats["tasks"] == 0:
                 break
+        self._notify_run(all_stats)
         return all_stats
+
+    def _notify_run(self, all_stats: list[dict]) -> None:
+        """Run-summary side channel (S1/M4, runner.rs:113-155): counts +
+        failures + persist errors formatted once per run; delivered to the
+        engine log always, and to the injected notify callback (the Slack
+        seam, notify_method.rs:17-66) when configured."""
+        import logging
+
+        summary = {
+            "name": self.config.name,
+            "rounds": len(all_stats),
+            "tasks": sum(s.get("tasks", 0) for s in all_stats),
+            "failed": sum(s.get("failed", 0) for s in all_stats),
+            "persist_errors": [e for s in all_stats for e in s.get("persist_errors", [])],
+            "wall_s": round(sum(s.get("round_wall_s", 0.0) for s in all_stats), 3),
+        }
+        message = (
+            f"[{summary['name']}] finished crawling: "
+            f"{summary['tasks']} tasks in {summary['rounds']} rounds, "
+            f"{summary['failed']} failed, "
+            f"{len(summary['persist_errors'])} persist errors, "
+            f"{summary['wall_s']}s"
+        )
+        logging.getLogger("raven_spark").info(message)
+        if self.opt.notify is not None:
+            try:
+                self.opt.notify(message, summary)
+            except Exception as e:  # noqa: BLE001 — notify failures never kill a run
+                logging.getLogger("raven_spark").warning("notify failed: %s", e)
 
     def resume(self, max_rounds: int | None = None) -> list[dict]:
         """Continue from the first uncommitted round (crash recovery)."""

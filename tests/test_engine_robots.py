@@ -78,3 +78,26 @@ def test_budget_cap_enforced_per_round(spark, tmp_path):
     )
     assert per and max(r["c"] for r in per) <= 3
     corpus.unpersist()
+
+
+def test_notify_summary(spark, tmp_path):
+    corpus = generate_pages(spark, 100, seed=42).persist()
+    got = {}
+
+    def notify(message, summary):
+        got["message"], got["summary"] = message, summary
+
+    cfg = RavenConfig(
+        name="notify-e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=1,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "s3"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(expected_total_urls=1024, shuffle_partitions=4, notify=notify),
+    )
+    stats = eng.run(seed_urls=seed_urls(15, 100), max_rounds=1)
+    assert got["summary"]["tasks"] == sum(s["tasks"] for s in stats)
+    assert "[notify-e2e] finished crawling" in got["message"]
+    corpus.unpersist()
