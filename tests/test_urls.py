@@ -108,3 +108,22 @@ def test_with_url_identity(spark):
     assert len({r["url_hash"] for r in out}) == 1
     assert all(r["host"] == "a.com" for r in out)
     assert all(0 <= r["salt_bucket"] < 256 for r in out)
+
+
+def test_pure_python_xxh64_matches_spark(spark):
+    """hashing.spark_xxhash64_str == Spark's xxhash64 (the engine's dedup
+    identity) across length classes and non-ASCII."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.hashing import spark_xxhash64_str
+
+    vals = ["", "a", "ab", "abc", "abcd", "hello world",
+            "https://host1.example/p/42?x=1&y=2", "x" * 31, "y" * 32,
+            "z" * 33, "w" * 100, "日本語テキストのページ", "§±€ müller"]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], ["s"])
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert spark_xxhash64_str(r["s"]) == r["h"], r["s"]
