@@ -23,7 +23,14 @@ BUDGET = 20
 ROUNDS = 3
 
 
-def test_engine_matches_reference_crawler(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("partitions", [3, 8])
+def test_engine_matches_reference_crawler(spark, tmp_path, partitions):
+    """Parametrized over partition counts: the crawl order must be
+    IDENTICAL regardless of parallelism (determinism under partitioning —
+    the north_rule's 'identical crawl order' at any cluster size)."""
     corpus = generate_pages(spark, N, seed=42).persist()
     fetcher = SyntheticFetcher(corpus, seed=42)
     seeds = seed_urls(25, N, seed=42)
@@ -45,7 +52,7 @@ def test_engine_matches_reference_crawler(spark, tmp_path):
     )
     eng = CrawlEngine(
         spark, cfg, str(tmp_path / "s"), fetcher,
-        options=EngineOptions(expected_total_urls=8192, shuffle_partitions=8),
+        options=EngineOptions(expected_total_urls=8192, shuffle_partitions=partitions),
     )
     eng.run(seed_urls=seeds, max_rounds=ROUNDS)
     pages = eng.table("pages")
