@@ -35,6 +35,10 @@ WHATWG_TO_PYTHON: dict[str, str] = {
     "iso-8859-6": "iso8859-6",
     "iso-8859-7": "iso8859-7",
     "iso-8859-8": "iso8859-8",
+    # iso-8859-8-i = logical-order hebrew; byte mapping identical to
+    # iso-8859-8 (visual) — python has no separate codec, WHATWG maps both
+    "iso-8859-8-i": "iso8859-8",
+    "x-mac-cyrillic": "mac_cyrillic",
     "iso-8859-10": "iso8859-10",
     "iso-8859-13": "iso8859-13",
     "iso-8859-14": "iso8859-14",
