@@ -46,12 +46,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # dictionary encoding is pure waste on ~20 KB unique binary bodies
+        # (the dominant write volume); string dims lose a little, bodies
+        # win a lot
+        .config("spark.sql.parquet.enableDictionary", "false")
         # 32 MB scan splits: enough input partitions that a python-kernel
         # stage over a multi-GB scan runs several task waves per core (wave
         # quantization at the default 128 MB starves half the cores on the
         # last wave at high parallelism)
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("RAVEN_MAX_PART_BYTES", str(32 * 1024 * 1024)))
     )
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_extra.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
