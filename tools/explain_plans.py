@@ -18,13 +18,23 @@ sys.path.insert(0, "/root/repo")
 
 
 def summarize(tag: str, df, checks: dict[str, str]) -> None:
-    plan = df._jdf.queryExecution().explainString("formatted")
+    import contextlib
+    import io
+
+    try:
+        df.count()  # finalize AQE so codegen ids/final joins are visible
+    except Exception:
+        pass
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     print(f"\n===== {tag} =====")
     scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     reads = re.findall(r"ReadSchema: ([^\n]*)", plan)
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)", plan)
     exchanges = plan.count("Exchange")
-    codegen = len(re.findall(r"WholeStageCodegen", plan))
+    codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
     print(f"joins={joins} exchanges={exchanges} codegen_spans={codegen}")
     for s in scans[:4]:
         print(f"  PushedFilters: [{s[:100]}]")
