@@ -339,23 +339,31 @@ def q20_multimodal_roundtrip(spark, sf_dir):
 
 
 def q21_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH dedup clusters (iterative min-propagation -> rows-only;
-    recall/precision vs exact Jaccard asserted in tests/test_dedup.py)."""
+    """MinHash+LSH dedup clusters. Oracle: because the exact-Jaccard
+    verify step prunes candidates to true >=0.5 pairs and LSH recall is
+    1.0 on this corpus (asserted in tests/test_dedup.py), the clusters
+    equal the connected components of the exact Jaccard>=0.5 pair graph —
+    which DuckDB replays with list lambdas + a recursive CTE."""
     from raven_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_t(spark, sf_dir, "documents"), verify_threshold=0.5)
 
 
 def q22_simhash_buckets(spark, sf_dir):
-    """SimHash signatures + Hamming band buckets (pandas-UDF signature ->
-    rows-only)."""
+    """SimHash signatures + Hamming band buckets. Oracle: the vectorized
+    kernel's arithmetic (FNV-1a per token, 64 weighted bit-planes, 8x8-bit
+    bands) replayed in DuckDB with HUGEINT modular arithmetic."""
     from raven_spark.operators.dedup import simhash_buckets
 
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
 def q23_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (recall vs exact asserted in tests)."""
+    """LSH-bucketed approximate top-k. NO ORACLE by design: the operator is
+    APPROXIMATE (sign-LSH buckets probe a subset of vectors), so no SQL
+    can reproduce its exact row set; its contract (recall vs brute force
+    on clusterable data) is asserted in tests/test_similarity.py. q18 is
+    the exact twin the driver does hash-check."""
     from raven_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -365,8 +373,12 @@ def q23_lsh_topk(spark, sf_dir):
 
 def q24_crawl_round(spark, sf_dir):
     """One full crawl round over the synthetic web (mapInPandas fetch,
-    Bloom, politeness — the whole engine; iterative + stateful ->
-    rows-only). Scale follows the sf tier."""
+    Bloom, politeness — the whole engine). NO ORACLE by design: the round
+    is an iterative, stateful, multi-write pipeline (catalog state on
+    disk, Bloom sidecars) that no single SQL statement can express; its
+    correctness gate is tests/test_reference_oracle.py, where the
+    distributed engine reproduces a sequential reference crawler exactly
+    (crawl order, URL-seen set, result codes, byte-identical text)."""
     import os
     import shutil
     import tempfile
@@ -401,8 +413,10 @@ def q24_crawl_round(spark, sf_dir):
 
 
 def q25_media_features(spark, sf_dir):
-    """Multimodal feature extraction over binary assets via mapInPandas
-    (deterministic fake decode -> rows-only)."""
+    """Multimodal feature extraction over binary assets via mapInPandas.
+    Oracle: the payload is self-describing (RVSB header + float32 count),
+    so n_bytes/width/height are byte arithmetic over the header that
+    DuckDB replays from len(embedding) alone."""
     from raven_spark.functions.multimodal import embeddings_as_assets, extract_media_features
 
     assets = embeddings_as_assets(_t(spark, sf_dir, "embeddings"))
@@ -545,6 +559,93 @@ def _stopword_hits_sql() -> str:
     )
 
 
+# q21: clusters == connected components of the exact Jaccard>=0.5 pair
+# graph (see q21_minhash_dedup docstring). Word 3-gram shingles replayed
+# with list lambdas; components via a recursive min-label CTE.
+Q21_ORACLE = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(n, ' ')) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(string_split(n,' '))-2),
+                     i -> string_split(n,' ')[i] || ' ' || string_split(n,' ')[i+1] || ' ' || string_split(n,' ')[i+2]))
+              ELSE [n] END AS grams
+  FROM norm
+), e0 AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) >= 0.5
+), edges AS (
+  SELECT ia, ib FROM e0 UNION ALL SELECT ib AS ia, ia AS ib FROM e0
+), walk(id, rep) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.ia, w.rep FROM edges e JOIN walk w ON w.id = e.ib
+)
+SELECT id AS doc_id, min(rep) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+# q22: the SimHash kernel replayed byte-for-byte — FNV-1a 64 per token
+# (HUGEINT modular fold over UTF-8 bytes extracted via hex()), weighted
+# 64 bit-planes, sign -> signature, 8x8-bit band keys.
+_Q22_BYTES = """list_transform(generate_series(1, octet_length(encode(t))), i ->
+   (strpos('123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1))*16 +
+    strpos('123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)))::HUGEINT)"""
+_Q22_FNV = f"""list_reduce(list_prepend(14695981039346656037::HUGEINT, {_Q22_BYTES}), (acc, b) ->
+     ((acc - (acc % 256::HUGEINT) + xor((acc % 256::HUGEINT)::BIGINT, b::BIGINT)::HUGEINT)
+       * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+Q22_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {_Q22_FNV} AS h FROM toks WHERE t <> ''
+), bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h // (1::HUGEINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS w
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, bit
+), sigs AS (
+  SELECT d.doc_id,
+         COALESCE((SELECT SUM(1::HUGEINT << bit) FROM bits b
+                   WHERE b.doc_id = d.doc_id AND b.w > 0), 0::HUGEINT) AS sig
+  FROM documents d
+)
+SELECT doc_id AS id,
+       CAST(CASE WHEN sig >= (1::HUGEINT << 63) THEN sig - (1::HUGEINT << 64) ELSE sig END AS BIGINT) AS simhash,
+       CAST(band_id AS INT) AS band_id,
+       CAST((sig // (1::HUGEINT << (8*CAST(band_id AS INT)))) % 256 AS BIGINT) AS band_key
+FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_id)
+"""
+
+
+# q25: payload = 'RVSB' + byte(dtype=1) + uint32le(n) + n float32s; the
+# fake decode reads the first 8 bytes little-endian -> width/height are
+# pure header arithmetic over n = len(embedding):
+#   h = 0x52 | 0x56<<8 | 0x53<<16 | 0x42<<24 | 1<<32 | (n&255)<<40 | ...
+Q25_ORACLE = """
+WITH base AS (SELECT vec_id, len(embedding) AS n FROM embeddings),
+h AS (
+  SELECT vec_id, n,
+         (82::BIGINT + (86::BIGINT << 8) + (83::BIGINT << 16) + (66::BIGINT << 24)
+          + (1::BIGINT << 32)
+          + ((n % 256)::BIGINT << 40)
+          + (((n // 256) % 256)::BIGINT << 48)
+          + (((n // 65536) % 256)::BIGINT << 56)) AS hv
+  FROM base
+)
+SELECT vec_id AS asset_id,
+       'image' AS kind,
+       CAST(9 + 4*n AS INT) AS n_bytes,
+       CAST(64 + hv % 1024 AS INT) AS width,
+       CAST(64 + (hv // 1024) % 1024 AS INT) AS height
+FROM h
+"""
+
+
 Q28_ORACLE = """
 WITH cand AS (
   SELECT 'h' || (doc_id % 7) || '.example' AS host,
@@ -565,8 +666,8 @@ WITH cand AS (
   FROM cand c LEFT JOIN rules r USING (host)
 )
 SELECT host,
-  SUM(CASE WHEN deny IS NULL OR dlen <= alen OR dlen = -1 THEN 1 ELSE 0 END) AS n_allowed,
-  SUM(CASE WHEN NOT (deny IS NULL OR dlen <= alen OR dlen = -1) THEN 1 ELSE 0 END) AS n_denied
+  CAST(SUM(CASE WHEN deny IS NULL OR dlen <= alen OR dlen = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+  CAST(SUM(CASE WHEN NOT (deny IS NULL OR dlen <= alen OR dlen = -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
 FROM scored GROUP BY host ORDER BY host
 """
 
@@ -777,6 +878,9 @@ def oracle_sql() -> dict[str, str]:
               )
             ) GROUP BY user_id
         """,
+        "q21_minhash_dedup": Q21_ORACLE,
+        "q22_simhash_buckets": Q22_ORACLE,
+        "q25_media_features": Q25_ORACLE,
         "q28_robots_gate": Q28_ORACLE,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

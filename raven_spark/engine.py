@@ -174,6 +174,8 @@ class CrawlEngine:
             shuffle_partitions=self.opt.shuffle_partitions,
             host_budgets=self._host_budgets,
             max_retry=self.config.request.max_retry,
+            input_charset=self.config.request.encoding_in,
+            output_charset=self.config.request.encoding_out,
         )
         crawl_ts = datetime.now(timezone.utc).isoformat()
         tp = time.time()
@@ -192,6 +194,16 @@ class CrawlEngine:
         sinks = [self.catalog, *self.opt.extra_sinks]
         t_persist = time.time()
         pages_delta = None
+        # caches to release when the round ends, HOWEVER it ends — released
+        # on the happy path AND before each deliberate raise below, so
+        # neither the all-sinks-failed error nor a derived-write error
+        # leaks plan.cached / the degraded-path persist into a retried round
+        round_caches: list = list(plan.cached or [])
+
+        def _release_caches() -> None:
+            while round_caches:
+                round_caches.pop().unpersist()
+
         try:
             self.catalog.append("pages", results, round_no)
             pages_delta = self.catalog.read("pages", upto_round=round_no).filter(
@@ -199,17 +211,26 @@ class CrawlEngine:
             ).drop("round")
         except Exception as e:  # noqa: BLE001 — sink errors are data (P1)
             persist_errors.append(f"pages sink {type(self.catalog).__name__}: {e}")
+        if pages_delta is None:
+            # Degraded path (primary sink down): persist() the fetch output
+            # ONCE so the extra sinks + six derived jobs all share a single
+            # execution. Fanning out over the live plan would re-execute
+            # the whole fetch stage per job — with HttpFetcher that
+            # refetches every URL over the network several times (breaking
+            # per-URL-once politeness) and lets text/metrics/frontier be
+            # computed from DIFFERENT executions than the persisted pages.
+            pages_delta = results.persist()
+            round_caches.append(pages_delta)
         for sink in self.opt.extra_sinks:
             try:
-                # extra sinks copy the materialized delta (cheap re-read),
-                # falling back to the live plan if the primary write failed
-                sink.append("pages", pages_delta if pages_delta is not None else results, round_no)
+                # extra sinks copy the materialized delta (cheap re-read of
+                # the primary write, or the degraded-path cache)
+                sink.append("pages", pages_delta, round_no)
             except Exception as e:  # noqa: BLE001
                 persist_errors.append(f"pages sink {type(sink).__name__}: {e}")
         if len(persist_errors) == len(sinks):
+            _release_caches()
             raise RuntimeError(f"all sinks failed (code 1000): {persist_errors}")
-        if pages_delta is None:
-            pages_delta = results  # degraded path: primary sink down
         persist_ms = int((time.time() - t_persist) * 1000)
         tp = _mark("pages_write", tp)
 
@@ -252,14 +273,23 @@ class CrawlEngine:
             # including this round before the delta is ever written — the
             # dedup runs here, concurrent with the other derived writes,
             # instead of on the next round's critical path, and Δ(k+1)
-            # shrinks to genuinely-new urls (at 10^10 scale this exact
-            # anti-join is itself Bloom-pruned first, same as in-round).
+            # shrinks to genuinely-new urls. Two-part subtract:
+            #   (a) prior rounds: Bloom-pruned exact anti-join via
+            #       subtract_seen — the merged round Bloom (already on the
+            #       driver) eliminates ~(1-fpp) of re-discovered URLs
+            #       map-side, so the shuffle against the 10^10-row seen
+            #       table is proportional to NEW urls, same as in-round;
+            #   (b) this round's own delta: exact anti-join (the round
+            #       Bloom sidecar is still being built concurrently by
+            #       _w_bloom, and both sides are O(round), not O(corpus)).
             # The in-round subtract still runs (deferred rows + races),
             # but over an already-thin delta.
-            all_seen = seen_delta.select("url_hash")
-            if url_seen is not None:
-                all_seen = all_seen.unionByName(url_seen.select("url_hash"))
-            discovered = discovered.join(all_seen.distinct(), on="url_hash", how="left_anti")
+            from raven_spark.operators.seen import subtract_seen
+
+            discovered = subtract_seen(discovered, url_seen, bloom)
+            discovered = discovered.join(
+                seen_delta.select("url_hash").distinct(), on="url_hash", how="left_anti"
+            )
             self.catalog.append("frontier", discovered.unionByName(plan.deferred), round_no + 1)
 
         def _summary():
@@ -283,6 +313,7 @@ class CrawlEngine:
                 except Exception as e:  # noqa: BLE001
                     errs.append(f"{name}: {e}")
             if errs:
+                _release_caches()
                 raise RuntimeError(f"round {round_no} derived writes failed: {errs}")
         srow = outs["summary"]
         n_fetched = int(srow["tasks"] or 0)
@@ -299,8 +330,7 @@ class CrawlEngine:
             "phase_ms": phase_ms,
             "crawl_ts": crawl_ts,
         }
-        for df in plan.cached or []:
-            df.unpersist()
+        _release_caches()
         self._commit_round(round_no, stats)
         return stats
 

@@ -330,6 +330,54 @@ def simhash_py(text: str, bits: int = 64) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def simhash_batch(text: pd.Series) -> pd.Series:
+    """Vectorized SimHash over an Arrow batch — same signatures as
+    ``simhash_py`` (differential-tested), ~10-100x its throughput.
+
+    Per-row Python is collapsed to:
+    1. tokenize all rows (C-level str.split), flatten to one token array;
+    2. ``pd.factorize`` the tokens — only the UNIQUE vocabulary is hashed
+       with fingerprint_py (vocab << token stream under Zipf);
+    3. the 64 bit-planes of the vocab hashes become a (V, 64) 0/1 matrix;
+       each doc's per-bit ONES count is one C-level gather+sum
+       ``planes[doc_codes].sum(0)`` (exact in float64);
+    4. signature bit i = 2*ones_i > n_tokens (since weight = 2*ones - n),
+       packed with a vectorized power-of-two shift.
+    """
+    import numpy as np
+
+    n = len(text)
+    out = np.zeros(n, dtype=np.int64)
+    valid = text.notna().to_numpy()
+    token_lists = [t.split() for t in text[valid]]
+    lengths = np.array([len(ts) for ts in token_lists], dtype=np.int64)
+    flat = [tok for ts in token_lists for tok in ts]
+    if flat:
+        codes, vocab = pd.factorize(np.array(flat, dtype=object))
+        vocab_hash = np.array(
+            [fingerprint_py(t) for t in vocab], dtype=np.int64
+        ).view(np.uint64)
+        planes = (
+            (vocab_hash[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.float64)  # (V, 64); float64 keeps integer counts exact
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        ones = np.zeros((len(token_lists), 64), dtype=np.float64)
+        for d in range(len(token_lists)):
+            cd = codes[starts[d] : ends[d]]
+            if len(cd):
+                ones[d] = planes[cd].sum(axis=0)  # one C-level gather+sum
+        bits = (2 * ones > lengths[:, None]).astype(np.uint64)
+        sigs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[valid] = sigs.view(np.int64)
+    result = pd.Series(out, index=text.index, dtype="object")
+    result[~valid] = None
+    return result
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: simhash_py(t) if t is not None else None)
+    return simhash_batch(text)

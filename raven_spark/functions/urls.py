@@ -50,24 +50,31 @@ _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 
 
 def _renorm_pct(component: str, safe: set[str]) -> str:
-    """Uppercase %XX escapes, decode unreserved, re-encode unsafe raw bytes."""
+    """Uppercase %XX escapes, decode unreserved, re-encode unsafe raw bytes.
 
-    def _fix_escape(m: re.Match[str]) -> str:
-        byte = int(m.group(1), 16)
-        ch = chr(byte)
-        if ch in _UNRESERVED:
-            return ch
-        return "%%%02X" % byte
-
-    component = _PCT_RE.sub(_fix_escape, component)
+    Single tokenizing pass (idempotence-critical): each input position is
+    consumed exactly once — a valid ``%XX`` escape is decoded (if unreserved)
+    or re-emitted uppercased; a bare/invalid ``%`` becomes the literal
+    ``%25``; raw chars are kept (safe) or percent-encoded (UTF-8 bytes).
+    Decoded characters are emitted directly to the output and never
+    re-scanned, so no pass can fabricate a new apparent escape out of a
+    dangling ``%`` plus a later-decoded digit (the round-1 idempotence bug).
+    """
     out: list[str] = []
     i = 0
     n = len(component)
     while i < n:
         ch = component[i]
-        if ch == "%" and i + 2 < n + 1 and _PCT_RE.match(component, i):
-            out.append(component[i : i + 3])
-            i += 3
+        if ch == "%":
+            m = _PCT_RE.match(component, i)
+            if m:
+                byte = int(m.group(1), 16)
+                dec = chr(byte)
+                out.append(dec if dec in _UNRESERVED else "%%%02X" % byte)
+                i += 3
+            else:
+                out.append("%25")  # invalid escape: '%' means literal percent
+                i += 1
             continue
         if ch in safe:
             out.append(ch)

@@ -75,6 +75,7 @@ RESULT_LABELS = {  # result.rs:42-50, task_error labels
 FETCH_OUTPUT_COLUMNS = (
     "status int, result_code int, result_label string, error_detail string, "
     "fetch_ms bigint, attempts int, content_type string, charset string, "
+    "response_headers map<string,string>, "
     "html binary, text string, links array<string>"
 )
 
@@ -117,9 +118,16 @@ class SyntheticFetcher:
     0.5% other-error; 'then-ok' behaviors succeed on attempt 2.
     """
 
-    def __init__(self, corpus: DataFrame, seed: int = 42, failure_pct: tuple[float, ...] = (2, 1, 2, 1, 0.5)):
+    def __init__(
+        self,
+        corpus: DataFrame,
+        seed: int = 42,
+        failure_pct: tuple[float, ...] = (2, 1, 2, 1, 0.5),
+        prefer_broadcast: bool | None = None,
+    ):
         self.seed = seed
         self.failure_pct = failure_pct
+        self.prefer_broadcast = prefer_broadcast
         self._corpus = corpus.select(
             F.col("url").alias("url_canon"),
             F.col("html").alias("_body"),
@@ -145,22 +153,33 @@ class SyntheticFetcher:
         return self
 
     def resolve(self, scheduled: DataFrame) -> DataFrame:
-        """Left-join semantics with ZERO shuffle of the page store.
+        """Left-join semantics with ZERO shuffle of the page store, with a
+        per-round join-strategy chooser:
 
-        A plain ``scheduled LEFT JOIN corpus`` plans as a sort-merge join
-        that shuffles the multi-GB body column every round. Instead:
+        - **bucketed path** (after ``prepare()``): the corpus is already
+          hash-partitioned + sorted + cached on url_canon, so a plain
+          ``scheduled LEFT JOIN corpus`` plans as a sort-merge join that
+          exchanges/sorts ONLY the scheduled side — bodies never shuffle,
+          and no broadcast of the scheduled set ever happens. This is the
+          scale-safe default: at 10^10 URLs a round's scheduled set
+          (millions of rows × frontier columns) would blow a broadcast and
+          the driver.
+        - **broadcast path** (un-prepared corpus): broadcast the scheduled
+          side and STREAM the corpus scan through a BroadcastHashJoin
+          (inner part), plus a broadcast anti-join on the column-pruned
+          url_canon scan for the unmatched 404 rows. Correct only while
+          the scheduled side is broadcast-small; used for one-shot runs
+          where paying the prepare() materialization isn't worth it.
 
-        - inner part: broadcast the (small) scheduled side and STREAM the
-          corpus scan through a BroadcastHashJoin — bodies flow straight
-          from the parquet scan into the fetch UDF, never through a
-          shuffle;
-        - unmatched part: broadcast anti-join on the column-pruned
-          url_canon scan (no bodies read at all) -> null body rows (404s).
-
-        At 10^10-URL scale where one round's scheduled set outgrows a
-        broadcast, the fallback is the bucketed-store join (``prepare``);
-        the engine picks per round by size.
+        ``prefer_broadcast`` at construction forces one path for tests.
         """
+        use_broadcast = (
+            self.prefer_broadcast
+            if self.prefer_broadcast is not None
+            else not self._prepared
+        )
+        if not use_broadcast:
+            return scheduled.join(self._corpus, on="url_canon", how="left")
         inner = self._corpus.join(F.broadcast(scheduled), on="url_canon", how="inner")
         missing = (
             scheduled.join(self._corpus.select("url_canon"), on="url_canon", how="left_anti")
@@ -233,6 +252,7 @@ def fetch_stage(
     output_charset: str = "utf-8",
     seed: int = 42,
     default_max_retry: int = 0,
+    input_charset: str | None = None,
 ) -> DataFrame:
     """scheduled frontier rows -> fetch results (errors as data).
 
@@ -247,6 +267,10 @@ def fetch_stage(
     keep_cols = [c for c in resolved.columns if not c.startswith("_")]
     behavior_fn = fetcher.make_behavior()
     out_label = normalize_charset(output_charset) or "utf-8"
+    # configured input charset (Encoding{input}, encoding.rs:5-8): overrides
+    # the header charset AND supplies the text/plain fallback when the
+    # Content-Type header is missing/unparseable (crawler.rs:150-176)
+    in_label = normalize_charset(input_charset) if input_charset else None
 
     def kernel(bodies_s: pd.Series, ctypes_s: pd.Series, url_hash_s: pd.Series,
                max_retry_s: pd.Series) -> pd.DataFrame:
@@ -311,17 +335,19 @@ def fetch_stage(
         bodies = bodies_s.to_numpy(dtype=object)
         ctypes = ctypes_s.to_numpy(dtype=object)
         for i in np.flatnonzero(ok):
-            mime, cs = parse_content_type(ctypes[i])
+            mime, cs = parse_content_type(ctypes[i], fallback_charset=in_label)
             ctype_out[i] = mime
             if is_text_mime(mime):
                 try:
-                    # one decode: conversion VALIDATION (C2/C3, code 700)
-                    # + the utf-8 text product
-                    html_str, _converted, actual = convert_and_decode(
+                    # one decode: conversion VALIDATION (C2/C3) + the utf-8
+                    # text product. C3's code-700 path IS convert_and_decode
+                    # raising — it returns the requested out_label or raises
+                    # (no separate post-check needed; a conversion that can't
+                    # produce the configured output charset is the conflict,
+                    # crawler.rs:91-108)
+                    html_str, _converted, _actual = convert_and_decode(
                         bytes(bodies[i]), cs, out_label
                     )
-                    if actual != out_label:  # C3 conflict check
-                        raise CharsetConversionError(f"{actual} != {out_label}")
                 except CharsetConversionError as e:
                     code[i] = CODE_CHARSET
                     detail[i] = str(e)[:200]
@@ -363,6 +389,17 @@ def fetch_stage(
         F.col("__f.attempts").alias("attempts"),
         F.col("__f.content_type").alias("content_type"),
         F.col("__f.charset").alias("charset"),
+        # response headers (CrawlerResult.response_header, result.rs:96):
+        # the synthetic "network" serves exactly one header, Content-Type —
+        # built JVM-side from the resolved column, no Arrow round-trip.
+        # status 0 = no HTTP response happened -> NULL map.
+        F.when(
+            F.col("__f.status") != 0,
+            F.map_filter(
+                F.create_map(F.lit("content-type"), F.col("_content_type")),
+                lambda _, v: v.isNotNull(),
+            ),
+        ).alias("response_headers"),
         # raw bytes re-attached JVM-side: never crossed back through Arrow.
         # status 0 = no HTTP response happened (timeout / transport error)
         F.when(F.col("__f.status") != 0, F.col("_body")).alias("html"),

@@ -81,9 +81,24 @@ def default_opener(url, method="GET", headers=None, body=None, timeout_s=1):
         raise OSError(str(e)) from e
 
 
+def form_body(params: dict | None) -> bytes | None:
+    """POST form body: url-encoded ``body_params`` with SORTED keys — the
+    same canonical order as F1's query strings (§2.1 determinism; the
+    reference sends HashMap-ordered forms via client.post(url).form(...),
+    crawler.rs:49, which is unreproducible)."""
+    if not params:
+        return None
+    from urllib.parse import urlencode
+
+    return urlencode(sorted(params.items())).encode("ascii")
+
+
+_FORM_CONTENT_TYPE = "application/x-www-form-urlencoded"
+
+
 def _fetch_one(opener: Opener, url, method, headers, body, timeout_s, max_retry, sleep_s):
     """One row's fetch-with-retry; returns
-    (status, code, detail, attempts, raw_body, content_type, fetch_ms)."""
+    (status, code, detail, attempts, raw_body, resp_headers, content_type, fetch_ms)."""
     attempts = 0
     t0 = time.monotonic()
     while True:
@@ -91,49 +106,65 @@ def _fetch_one(opener: Opener, url, method, headers, body, timeout_s, max_retry,
         if sleep_s:
             time.sleep(sleep_s)  # before EVERY attempt (crawler.rs:42-45)
         try:
-            status, _hdrs, raw, ctype = opener(
+            status, hdrs, raw, ctype = opener(
                 url, method=method, headers=headers, body=body, timeout_s=timeout_s
             )
         except TimeoutError:
             if attempts <= max_retry:
                 continue
             ms = int((time.monotonic() - t0) * 1000)
-            return 0, CODE_TIMEOUT, f"timeout after {attempts} attempts", attempts, None, None, ms
+            return 0, CODE_TIMEOUT, f"timeout after {attempts} attempts", attempts, None, None, None, ms
         except OSError as e:
             ms = int((time.monotonic() - t0) * 1000)
-            return 0, CODE_OTHER, f"connection error: {e}"[:200], attempts, None, None, ms
+            return 0, CODE_OTHER, f"connection error: {e}"[:200], attempts, None, None, None, ms
         ms = int((time.monotonic() - t0) * 1000)
         if 400 <= status < 500:  # fail fast, no retry (crawler.rs:110-112)
-            return status, CODE_CLIENT_ERROR, f"client error: {status}", attempts, raw, ctype, ms
+            return status, CODE_CLIENT_ERROR, f"client error: {status}", attempts, raw, hdrs, ctype, ms
         if status >= 500:
             if attempts <= max_retry:
                 continue
-            return status, CODE_SERVER_ERROR, f"server error: {status} after retries", attempts, raw, ctype, ms
-        return status, CODE_SUCCESS, "", attempts, raw, ctype, ms
+            return status, CODE_SERVER_ERROR, f"server error: {status} after retries", attempts, raw, hdrs, ctype, ms
+        return status, CODE_SUCCESS, "", attempts, raw, hdrs, ctype, ms
 
 
 def http_fetch_stage(
     scheduled: DataFrame,
     opener: Opener = default_opener,
     output_charset: str = "utf-8",
+    input_charset: str | None = None,
     timeout_s: int = 1,
     max_retry: int = 0,
     sleep_s: float = 0.0,
     method: str = "GET",
     headers: dict | None = None,
+    body_params: dict | None = None,
 ) -> DataFrame:
     """scheduled frontier rows -> fetch results via real HTTP.
 
     Same output schema as fetch.fetch_stage; per-row frontier columns
-    ``timeout_s``/``max_retry``/``sleep_s``/``method`` override the stage
-    defaults when present.
+    ``timeout_s``/``max_retry``/``sleep_s``/``method``/``body_params``
+    override the stage defaults when present.
+
+    POST parity (T8 end-to-end, crawler.rs:49): a POST row's
+    ``body_params`` map is sent as a url-encoded form body (sorted keys,
+    F1 canonical order) with ``Content-Type: application/x-www-form-
+    urlencoded`` — unless the config already sets an explicit Content-Type
+    header, which wins.
+
+    Encoding parity (C1/C2, crawler.rs:150-176): ``input_charset``
+    overrides the response header's charset and supplies the text/plain
+    fallback when Content-Type is missing; ``output_charset`` is the
+    conversion target (conflict -> code 700).
     """
     in_fields = [f for f in scheduled.schema.fields if not f.name.startswith("_")]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_fields)
     out_schema += ", " + FETCH_OUTPUT_COLUMNS
     keep_cols = [f.name for f in in_fields]
     out_label = normalize_charset(output_charset) or "utf-8"
-    hdrs = dict(headers or {})
+    in_label = normalize_charset(input_charset) if input_charset else None
+    base_hdrs = dict(headers or {})
+    has_ctype_hdr = any(k.lower() == "content-type" for k in base_hdrs)
+    default_body = form_body(body_params)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,17 +176,23 @@ def http_fetch_stage(
             row_retry = pdf["max_retry"] if "max_retry" in pdf else None
             row_sleep = pdf["sleep_s"] if "sleep_s" in pdf else None
             row_method = pdf["method"] if "method" in pdf else None
+            row_body = pdf["body_params"] if "body_params" in pdf else None
 
             cols: dict[str, list] = {k: [] for k in (
                 "status", "result_code", "detail", "attempts", "fetch_ms",
-                "content_type", "charset", "html", "text", "links")}
+                "content_type", "charset", "resp_headers", "html", "text", "links")}
             for i in range(n):
-                status, code, detail, attempts, raw, ctype, ms = _fetch_one(
+                meth = row_method.iloc[i] if row_method is not None else method
+                body = form_body(row_body.iloc[i]) if row_body is not None else default_body
+                hdrs = base_hdrs
+                if body is not None and not has_ctype_hdr:
+                    hdrs = {**base_hdrs, "Content-Type": _FORM_CONTENT_TYPE}
+                status, code, detail, attempts, raw, rhdrs, ctype, ms = _fetch_one(
                     opener,
                     urls[i],
-                    method=(row_method.iloc[i] if row_method is not None else method),
+                    method=meth,
                     headers=hdrs,
-                    body=None,
+                    body=body if meth == "POST" else None,
                     timeout_s=int(row_timeout.iloc[i]) if row_timeout is not None else timeout_s,
                     max_retry=int(row_retry.iloc[i]) if row_retry is not None else max_retry,
                     sleep_s=float(row_sleep.iloc[i]) if row_sleep is not None else sleep_s,
@@ -163,19 +200,20 @@ def http_fetch_stage(
                 mime = charset = text = None
                 links = None
                 if code == CODE_SUCCESS and raw is not None:
-                    mime, cs = parse_content_type(ctype)
+                    mime, cs = parse_content_type(ctype, fallback_charset=in_label)
                     if is_text_mime(mime):
                         try:
-                            html_str, _converted, actual = convert_and_decode(raw, cs, out_label)
-                            if actual != out_label:  # C3
-                                raise CharsetConversionError(f"{actual} != {out_label}")
+                            # convert_and_decode returns the requested
+                            # out_label or raises — the raise IS C3's
+                            # code-700 conflict (crawler.rs:91-108)
+                            html_str, _converted, _actual = convert_and_decode(raw, cs, out_label)
                             charset = out_label
                             text = extract_text(html_str)
                             links = extract_links(html_str)
                         except CharsetConversionError as e:
                             code, detail = CODE_CHARSET, str(e)[:200]
                 elif raw is not None:
-                    mime, _cs = parse_content_type(ctype)
+                    mime, _cs = parse_content_type(ctype, fallback_charset=in_label)
                 cols["status"].append(status)
                 cols["result_code"].append(code)
                 cols["detail"].append(detail)
@@ -183,6 +221,11 @@ def http_fetch_stage(
                 cols["fetch_ms"].append(ms)
                 cols["content_type"].append(mime)
                 cols["charset"].append(charset)
+                # lowercase keys: header names are case-insensitive on the
+                # wire; a canonical spelling keeps map lookups deterministic
+                cols["resp_headers"].append(
+                    {str(k).lower(): str(v) for k, v in rhdrs.items()} if rhdrs else None
+                )
                 cols["html"].append(raw)
                 cols["text"].append(text)
                 cols["links"].append(links)
@@ -196,6 +239,7 @@ def http_fetch_stage(
             out["attempts"] = cols["attempts"]
             out["content_type"] = cols["content_type"]
             out["charset"] = cols["charset"]
+            out["response_headers"] = cols["resp_headers"]
             out["html"] = cols["html"]
             out["text"] = cols["text"]
             out["links"] = cols["links"]

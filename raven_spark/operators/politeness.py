@@ -191,10 +191,20 @@ def effective_budget_col(robots: DataFrame | None, default_budget: int):
     if robots is None:
         return None
     round_seconds = 60  # nominal round wall-clock for budget math
+    # the crawl-delay cap applies ONLY when the host actually declares one:
+    # greatest() skips NULLs, so without the isNotNull gate a host that
+    # merely HAS a robots.txt (crawl_delay_s NULL) would silently be capped
+    # at min(default, round_seconds/1)
+    capped = F.least(
+        F.lit(default_budget),
+        F.greatest(
+            (F.lit(round_seconds) / F.greatest(F.col("crawl_delay_s"), F.lit(1))).cast("int"),
+            F.lit(1),
+        ),
+    )
     return robots.select(
         "host",
-        F.least(
-            F.lit(default_budget),
-            F.greatest((F.lit(round_seconds) / F.greatest(F.col("crawl_delay_s"), F.lit(1))).cast("int"), F.lit(1)),
-        ).alias("host_budget"),
+        F.when(F.col("crawl_delay_s").isNotNull(), capped)
+        .otherwise(F.lit(default_budget))
+        .alias("host_budget"),
     )

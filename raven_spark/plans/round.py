@@ -109,6 +109,8 @@ def plan_round(
     shuffle_partitions: int | None = None,
     host_budgets: DataFrame | None = None,
     max_retry: int = 0,
+    input_charset: str | None = None,
+    output_charset: str = "utf-8",
 ) -> RoundPlan:
     """The round dataflow, materialization-aware: every branch the engine
     consumes (scheduled/deferred/denied/seen_delta) filters from ONE
@@ -164,10 +166,20 @@ def plan_round(
     #    synthetic resolve-join + vectorized stage.
     if shuffle_partitions:
         scheduled = scheduled.repartition(shuffle_partitions, "salt_bucket")
+    # A fetcher with its own `fetch` stage (HttpFetcher) carries its
+    # encoding settings in its stage kwargs (constructed by the engine);
+    # the synthetic stage takes them here (Encoding directive end-to-end,
+    # encoding.rs:5-8 -> crawler.rs:150-176).
     if hasattr(fetcher, "fetch"):
         results = fetcher.fetch(scheduled)
     else:
-        results = fetch_stage(scheduled, fetcher, default_max_retry=max_retry)
+        results = fetch_stage(
+            scheduled,
+            fetcher,
+            default_max_retry=max_retry,
+            input_charset=input_charset,
+            output_charset=output_charset,
+        )
 
     seen_delta = (
         staged.filter((ok & in_budget) | ~ok)

@@ -140,3 +140,97 @@ def test_seed_urls_canonicalize_to_corpus(spark, corpus):
     canon = {canonicalize_url(u) for u in seeds}
     present = {r["url"] for r in corpus.select("url").collect()}
     assert canon <= present
+
+
+def test_resolve_chooser_prepared_no_broadcast_of_scheduled(spark, corpus):
+    """VERDICT r1 #5: once prepare() has run, resolve() must use the
+    bucketed sort-merge path (no broadcast of the scheduled side) and
+    produce results identical to the broadcast path."""
+    frontier = _frontier_for(spark, corpus, 150)
+
+    bc = SyntheticFetcher(corpus, seed=42, prefer_broadcast=True)
+    expected = sorted(
+        (r["url_canon"], r["result_code"], r["status"], r["text"])
+        for r in fetch_stage(frontier, bc).collect()
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj = SyntheticFetcher(corpus, seed=42).prepare(num_partitions=8)
+        resolved = smj.resolve(frontier)
+        plan = resolved._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        got = sorted(
+            (r["url_canon"], r["result_code"], r["status"], r["text"])
+            for r in fetch_stage(frontier, smj).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == expected
+
+
+def test_fetch_output_charset_directive(spark, corpus):
+    """Encoding{output} on the synthetic path (crawler.rs:86-108): ja pages
+    (kana/kanji) cannot ENCODE to windows-1252 -> code 700 (C3 conflict);
+    shift_jis pages round-trip shift_jis -> euc-jp fine (both cover JIS
+    X 0208). Decode never errors (WHATWG replacement semantics); only the
+    encode-to-output can conflict."""
+    langs = {r["url"]: r["lang"] for r in corpus.select("url", "lang").collect()}
+    urls = [u for u, l in langs.items() if l in ("ja", "en")][:120]
+    frontier = frontier_from_urls(spark, urls)
+    res = fetch_stage(frontier, PassthroughFetcher(corpus), output_charset="windows-1252").collect()
+    ja = [r for r in res if langs[r["url_canon"]] == "ja"]
+    en = [r for r in res if langs[r["url_canon"]] == "en"]
+    assert ja and en
+    from raven_spark.operators.fetch import CODE_CHARSET
+
+    assert all(r["result_code"] == CODE_CHARSET for r in ja)
+    assert all(r["result_code"] == CODE_SUCCESS and r["charset"] == "windows-1252" for r in en)
+
+    # euc-jp target: ja pages convert cleanly, charset column records it
+    ja_urls = [u for u, l in langs.items() if l == "ja"][:40]
+    res2 = fetch_stage(
+        frontier_from_urls(spark, ja_urls), PassthroughFetcher(corpus), output_charset="euc-jp"
+    ).collect()
+    assert res2 and all(
+        r["result_code"] == CODE_SUCCESS and r["charset"] == "euc-jp" for r in res2
+    )
+
+
+def test_fetch_input_charset_override(spark, corpus):
+    """Encoding{input} (crawler.rs:150-161): the configured input charset
+    OVERRIDES the response header's. Forcing utf-8 on shift_jis bodies
+    decodes with WHATWG replacement chars — the extracted text diverges
+    from the golden corpus text, proving the override fired."""
+    sjis = corpus.filter(F.col("charset") == "shift_jis").select("url", "text").limit(40).collect()
+    assert sjis
+    golden = {r["url"]: r["text"] for r in sjis}
+    frontier = frontier_from_urls(spark, list(golden))
+    res = fetch_stage(
+        frontier, PassthroughFetcher(corpus), input_charset="utf-8"
+    ).collect()
+    assert res
+    for r in res:
+        assert r["result_code"] == CODE_SUCCESS
+        assert r["text"] != golden[r["url_canon"]]
+        assert "�" in r["text"]  # replacement chars: mojibake happened
+    # control: without the override the header charset decodes cleanly
+    res2 = fetch_stage(frontier, PassthroughFetcher(corpus)).collect()
+    assert all(r["text"] == golden[r["url_canon"]] for r in res2)
+
+
+def test_fetch_response_headers_column(spark, corpus):
+    """response_headers (result.rs:96) present on the synthetic path:
+    content-type round-trips; no-response rows (timeouts) carry NULL."""
+    fetcher = SyntheticFetcher(corpus, seed=42, failure_pct=(0, 30, 0, 0, 0))
+    frontier = _frontier_for(spark, corpus, 150, max_retry=0)
+    res = fetch_stage(frontier, fetcher).collect()
+    ok = [r for r in res if r["result_code"] == CODE_SUCCESS]
+    t_out = [r for r in res if r["result_code"] == CODE_TIMEOUT]
+    assert ok and t_out
+    assert all(
+        r["response_headers"]["content-type"].startswith("text/html")
+        for r in ok
+    )
+    assert all(r["response_headers"] is None for r in t_out)

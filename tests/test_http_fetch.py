@@ -51,7 +51,7 @@ def test_fetch_one_retry_matrix():
         "https://a/conn": [OSError("refused")],
     })
     # success, 1 attempt
-    s, c, _, att, raw, ct, _ = _fetch_one(op, "https://a/ok", "GET", {}, None, 1, 1, 0)
+    s, c, _, att, raw, hdrs, ct, _ = _fetch_one(op, "https://a/ok", "GET", {}, None, 1, 1, 0)
     assert (s, c, att) == (200, 200, 1)
     # 4xx: immediate failure, exactly ONE call even with retry budget
     s, c, d, att, *_ = _fetch_one(op, "https://a/404", "GET", {}, None, 1, 3, 0)
@@ -105,6 +105,90 @@ def test_http_stage_end_to_end(spark):
     assert err["result_code"] == 500 and err["status"] == 503
     # raw error body kept (detail carries the taxonomy; text stays null)
     assert bytes(err["html"]).decode("latin-1") == "érror" and err["text"] is None
+
+
+def test_http_stage_response_headers(spark):
+    """response_headers round-trip (CrawlerResult.response_header,
+    result.rs:96): a known header survives into the pages schema with
+    lowercased keys."""
+    op = _scripted_opener({
+        "https://a/ok": (200, {"Content-Type": "text/html; charset=utf-8",
+                               "X-Cache": "HIT", "ETag": '"abc"'},
+                         b"<p>hi</p>", "text/html; charset=utf-8"),
+    })
+    df = _sched(spark, ["https://a/ok"])
+    row = http_fetch_stage(df, op).collect()[0]
+    assert row["response_headers"]["x-cache"] == "HIT"
+    assert row["response_headers"]["etag"] == '"abc"'
+
+
+def test_form_body_exact_bytes():
+    """form_body: url-encoded, SORTED keys (F1 canonical order)."""
+    from raven_spark.operators.http import form_body
+
+    assert form_body({"zkey": "z v", "akey": "a&b"}) == b"akey=a%26b&zkey=z+v"
+    assert form_body({}) is None and form_body(None) is None
+
+
+def test_http_stage_post_form_body(spark):
+    """T8 end-to-end (crawler.rs:49): POST rows send url-encoded
+    body_params (sorted keys) with the form Content-Type; GET rows send no
+    body. The opener runs in a Python WORKER process, so the assertion is
+    encoded in its response: it echoes what it received and 500s on any
+    contract violation — the driver asserts on the collected rows."""
+    expected = b"akey=a%26b&zkey=z+v"
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1):
+        ok_html = b"<p>ok</p>"
+        if url.endswith("/post"):
+            good = (
+                method == "POST"
+                and body == expected
+                and (headers or {}).get("Content-Type") == "application/x-www-form-urlencoded"
+            )
+        else:
+            good = method == "GET" and body is None and "Content-Type" not in (headers or {})
+        status = 200 if good else 500
+        return status, {}, ok_html, "text/html; charset=utf-8"
+
+    base = _sched(spark, ["https://a/post", "https://a/get"])
+    df = base.withColumn(
+        "method", F.when(F.col("url_canon").contains("post"), F.lit("POST")).otherwise(F.lit("GET"))
+    ).withColumn(
+        "body_params",
+        F.when(
+            F.col("url_canon").contains("post"),
+            F.create_map(F.lit("zkey"), F.lit("z v"), F.lit("akey"), F.lit("a&b")),
+        ),
+    )
+    out = {r["url_canon"]: r for r in http_fetch_stage(df, opener).collect()}
+    assert out["https://a/post"]["result_code"] == 200, out["https://a/post"]["error_detail"]
+    assert out["https://a/get"]["result_code"] == 200
+
+
+def test_http_stage_encoding_directive(spark):
+    """Encoding{input, output} wired end-to-end (crawler.rs:150-176):
+    - input_charset overrides the header charset and supplies the
+      text/plain fallback when Content-Type is missing;
+    - output_charset is the conversion target."""
+    body_sjis = "テスト one".encode("shift_jis")
+    op = _scripted_opener({
+        # no Content-Type at all -> text/plain + configured input charset
+        "https://a/noct": (200, {}, body_sjis, None),
+        # header lies (says utf-8) -> configured input charset wins
+        "https://a/liar": (200, {}, body_sjis, "text/html; charset=utf-8"),
+    })
+    df = _sched(spark, ["https://a/noct", "https://a/liar"])
+    out = {r["url_canon"]: r for r in http_fetch_stage(
+        df, op, input_charset="shift_jis", output_charset="utf-8"
+    ).collect()}
+    assert out["https://a/noct"]["content_type"] == "text/plain"
+    assert out["https://a/noct"]["result_code"] == 200
+    assert "テスト" in (out["https://a/noct"]["text"] or "")
+    assert "テスト" in (out["https://a/liar"]["text"] or "")
+    # without the directive the lying header makes decoding fail or mangle
+    out2 = {r["url_canon"]: r for r in http_fetch_stage(df, op).collect()}
+    assert out2["https://a/liar"]["text"] != out["https://a/liar"]["text"]
 
 
 def test_http_fetcher_protocol(spark):

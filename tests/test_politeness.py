@@ -67,3 +67,19 @@ def test_robots_gate(spark):
     assert h1_allowed == {"https://h1.example/p/1"}
     # h2 has no rules -> fully allowed
     assert sum(1 for h, _ in a if h == "h2.example") == 4
+
+
+def test_effective_budget_null_crawl_delay_keeps_default(spark):
+    """ADVICE r1: a host with a robots row but NULL crawl_delay_s must keep
+    the configured default budget — not be silently capped at
+    min(default, round_seconds) by greatest() skipping NULLs. Uses a
+    default (500) ABOVE the 60s round constant to expose the cap."""
+    from raven_spark.operators.politeness import effective_budget_col
+
+    robots = spark.createDataFrame(
+        [("h1", ["/a/"], ["/b/"], None), ("h2", [], [], 30)],
+        "host string, allow array<string>, deny array<string>, crawl_delay_s int",
+    )
+    budgets = {r["host"]: r["host_budget"] for r in effective_budget_col(robots, 500).collect()}
+    assert budgets["h1"] == 500  # no declared delay -> untouched default
+    assert budgets["h2"] == 2    # 60s round / 30s delay
