@@ -81,19 +81,18 @@ class CrawlEngine:
             robots, (config.effective_host_budget())
         )
         self.catalog = ParquetCatalog(spark, state_root)
-        os.makedirs(state_root, exist_ok=True)
+        if "://" not in state_root and not state_root.startswith("file:/"):
+            os.makedirs(state_root, exist_ok=True)
 
     # -- manifest -------------------------------------------------------------
-
-    @property
-    def _rounds_path(self) -> str:
-        return os.path.join(self.state_root, "rounds.json")
+    # run manifest + Bloom sidecars go through the catalog blob API so URI
+    # state roots (file:/, s3a://) behave exactly like local paths
 
     def _load_rounds(self) -> dict:
-        if not os.path.exists(self._rounds_path):
+        raw = self.catalog.read_blob("rounds.json")
+        if raw is None:
             return {"completed": [], "stats": {}}
-        with open(self._rounds_path) as f:
-            return json.load(f)
+        return json.loads(raw.decode("utf-8"))
 
     def _commit_round(self, round_no: int, stats: dict) -> None:
         m = self._load_rounds()
@@ -101,19 +100,20 @@ class CrawlEngine:
             m["completed"].append(round_no)
             m["completed"].sort()
         m["stats"][str(round_no)] = stats
-        tmp = self._rounds_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._rounds_path)
+        self.catalog.write_blob(
+            "rounds.json", json.dumps(m, indent=1, sort_keys=True).encode("utf-8")
+        )
 
     def last_completed_round(self) -> int | None:
         c = self._load_rounds()["completed"]
         return max(c) if c else None
 
     # -- bloom sidecars ---------------------------------------------------------
+    # stored via the catalog's blob API so URI state roots (file:/, s3a://)
+    # work the same as local paths
 
-    def _bloom_path(self, round_no: int) -> str:
-        return os.path.join(self.state_root, "url_seen", f"round={round_no}", "_bloom.bin")
+    def _bloom_relpath(self, round_no: int) -> str:
+        return f"url_seen/round={round_no}/_bloom.bin"
 
     def _merged_bloom(self, upto_round: int) -> BloomFilter | None:
         """OR of all committed per-round Bloom deltas — O(rounds) bitmap ORs
@@ -121,11 +121,10 @@ class CrawlEngine:
         per-partition build happens at write time via treeAggregate)."""
         merged: BloomFilter | None = None
         for r in range(upto_round + 1):
-            p = self._bloom_path(r)
-            if not os.path.exists(p):
+            raw = self.catalog.read_blob(self._bloom_relpath(r))
+            if raw is None:
                 continue
-            with open(p, "rb") as f:
-                b = BloomFilter.from_bytes(f.read())
+            b = BloomFilter.from_bytes(raw)
             merged = b if merged is None else merged.union(b)
         return merged
 
@@ -261,8 +260,7 @@ class CrawlEngine:
                 seen_delta, "url_hash",
                 expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,
             )
-            with open(self._bloom_path(round_no), "wb") as f:
-                f.write(bloom_delta.to_bytes())
+            self.catalog.write_blob(self._bloom_relpath(round_no), bloom_delta.to_bytes())
 
         def _w_frontier():
             discovered = discovered_frontier(
@@ -304,8 +302,19 @@ class CrawlEngine:
             "summary": _summary,
         }
         outs: dict = {}
+        job_ms: dict[str, int] = {}
+
+        def _timed(name, fn):
+            def run():
+                t = time.time()
+                try:
+                    return fn()
+                finally:
+                    job_ms[name] = int((time.time() - t) * 1000)
+            return run
+
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futs = {name: pool.submit(fn) for name, fn in jobs.items()}
+            futs = {name: pool.submit(_timed(name, fn)) for name, fn in jobs.items()}
             errs = []
             for name, fut in futs.items():
                 try:
@@ -315,6 +324,7 @@ class CrawlEngine:
             if errs:
                 _release_caches()
                 raise RuntimeError(f"round {round_no} derived writes failed: {errs}")
+        phase_ms.update(job_ms)
         srow = outs["summary"]
         n_fetched = int(srow["tasks"] or 0)
         tp = _mark("derived_writes", tp)

@@ -46,10 +46,17 @@ _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 # hot-path equivalents: only touch what actually changes (a single literal
 # space is its own collapse, so exclude it from the match -> ~30x fewer
-# replacement sites on normal prose)
+# replacement sites on normal prose). Two passes, both with LITERAL
+# replacements (no per-match Python):
+#   1. any maximal whitespace run CONTAINING a newline -> "\n", done as
+#      split('\n') -> strip ASCII-horizontal ws per segment -> drop empty
+#      segments -> join('\n') — all C string ops (an sre scan of the same
+#      semantics costs ~25ns/char even with zero matches)
+#   2. remaining horizontal runs/oddballs -> " ", guarded by plain `in`
+#      scans so prose with only single spaces (the common case after
+#      pass 1) never pays the regex
+_HWS = " \t\r\f\v"
 _WS_FAST_RE = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
-_NL_TRIM_RE = re.compile(r" *\n *")
-_NL_RUN_RE = re.compile(r"\n{2,}")
 
 
 def _decode_entities(s: str) -> str:
@@ -152,10 +159,16 @@ def extract_text(html: str | None) -> str | None:
 
     text = _decode_entities(joined)
     # equivalent of: collapse horizontal ws -> strip each line -> drop
-    # empty lines -> join; expressed as C-level passes
-    text = _WS_FAST_RE.sub(" ", text)
-    text = _NL_TRIM_RE.sub("\n", text)
-    text = _NL_RUN_RE.sub("\n", text)
+    # empty lines -> join; expressed as C-level string ops (see note at
+    # _WS_FAST_RE). Leading/trailing runs collapse to nothing because the
+    # final strip removes the joined edges the same way the old
+    # regex-then-strip pipeline did.
+    if "\n" in text:
+        text = "\n".join(
+            s for s in (seg.strip(_HWS) for seg in text.split("\n")) if s
+        )
+    if "\t" in text or "\r" in text or "  " in text or "\f" in text or "\v" in text:
+        text = _WS_FAST_RE.sub(" ", text)
     return text.strip(" \n")
 
 

@@ -50,20 +50,59 @@ class ParquetCatalog:
     write finished AND was recorded — the crash-consistency token that
     makes resume exact; a torn write without a manifest entry is invisible
     to readers, like an uncommitted Iceberg snapshot).
+
+    The root may be a plain local path OR any Hadoop-filesystem URI
+    (``file:/...``, ``s3a://bucket/prefix`` — persist_method.rs:7-17's
+    AmazonS3 sink maps to an s3a root via ``catalog_for_sink``). URI
+    roots route manifest I/O through the JVM Hadoop FileSystem API — the
+    exact code path an S3A deployment uses; the parquet data writes
+    already go through Spark, which speaks any registered scheme.
+    In-sandbox the URI path is exercised with ``file:/`` (no S3 endpoint
+    or hadoop-aws jar here); S3A retry/committer behavior is Hadoop
+    configuration, not engine code (s3.rs:18-42's retry x5 ->
+    fs.s3a.retry.limit).
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._is_uri = "://" in root or root.startswith("file:/")
+        if not self._is_uri:
+            os.makedirs(root, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
 
+    def _join(self, *parts: str) -> str:
+        if self._is_uri:
+            return "/".join([self.root.rstrip("/"), *parts])
+        return os.path.join(self.root, *parts)
+
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self.root, name, "_manifest.json")
+        return self._join(name, "_manifest.json")
+
+    def _hfs(self, path_str: str):
+        """(FileSystem, Path) for a URI via the JVM Hadoop API."""
+        jvm = self.spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        return jpath.getFileSystem(conf), jpath
 
     def _load_manifest(self, name: str) -> dict:
         p = self._manifest_path(name)
+        if self._is_uri:
+            fs, jp = self._hfs(p)
+            if not fs.exists(jp):
+                return {"rounds": [], "counts": {}}
+            stream = fs.open(jp)
+            try:
+                # commons-io ships on Spark's classpath; returning byte[]
+                # crosses py4j as Python bytes (mutated byte[] args do NOT
+                # cross back, so no read-into-buffer loop here)
+                jvm = self.spark.sparkContext._jvm
+                data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            finally:
+                stream.close()
+            return json.loads(data.decode("utf-8"))
         if not os.path.exists(p):
             return {"rounds": [], "counts": {}}
         with open(p) as f:
@@ -71,15 +110,63 @@ class ParquetCatalog:
 
     def _save_manifest(self, name: str, manifest: dict) -> None:
         p = self._manifest_path(name)
+        if self._is_uri:
+            # create(overwrite=True): a single-object PUT — atomic on
+            # object stores, equivalent-enough on file:/ for tests
+            fs, jp = self._hfs(p)
+            out = fs.create(jp, True)
+            try:
+                out.write(json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8"))
+            finally:
+                out.close()
+            return
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, p)  # atomic commit
 
+    # -- sidecar blobs (Bloom filters etc.) ---------------------------------
+
+    def write_blob(self, relpath: str, data: bytes) -> None:
+        """Write an opaque sidecar object under the root (e.g. a round's
+        Bloom bitmap) — through Hadoop FS for URI roots, plain files
+        locally. Parent directories are created as needed."""
+        p = self._join(*relpath.split("/"))
+        if self._is_uri:
+            fs, jp = self._hfs(p)
+            out = fs.create(jp, True)
+            try:
+                out.write(data)
+            finally:
+                out.close()
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+
+    def read_blob(self, relpath: str) -> bytes | None:
+        p = self._join(*relpath.split("/"))
+        if self._is_uri:
+            fs, jp = self._hfs(p)
+            if not fs.exists(jp):
+                return None
+            stream = fs.open(jp)
+            try:
+                jvm = self.spark.sparkContext._jvm
+                return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            finally:
+                stream.close()
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
     # -- contract -----------------------------------------------------------
 
     def append(self, name: str, df: DataFrame, round_no: int) -> None:
-        path = os.path.join(self.root, name, f"round={round_no}")
+        path = self._join(name, f"round={round_no}")
         if "round" in df.columns:
             # the partition directory IS the round column; a duplicate data
             # column would shadow it on read (COLUMN_ALREADY_EXISTS)
@@ -99,8 +186,8 @@ class ParquetCatalog:
         ]
         if not rounds:
             return None
-        paths = [os.path.join(self.root, name, f"round={r}") for r in rounds]
-        df = self.spark.read.option("basePath", os.path.join(self.root, name)).parquet(*paths)
+        paths = [self._join(name, f"round={r}") for r in rounds]
+        df = self.spark.read.option("basePath", self._join(name)).parquet(*paths)
         if "round" not in df.columns:
             return df
         return df
@@ -150,3 +237,25 @@ class IcebergCatalog:
             return None
         row = self.spark.table(self._t(name)).agg(F.max("round")).first()
         return row[0]
+
+
+def catalog_for_sink(spark: SparkSession, method) -> Catalog:
+    """PersistMethod -> Catalog (the P1 fan-out builds one per sink).
+
+    - local_file / parquet: ParquetCatalog rooted at the local path
+    - s3: ParquetCatalog rooted at ``s3a://{bucket}/{object_key}`` — the
+      Spark-native S3 sink (persist_method.rs:7-17, s3.rs:12-43). Requires
+      hadoop-aws + credentials on a real cluster; fs.s3a.* conf carries
+      region/retry (s3.rs:18-42), not engine code.
+    - iceberg: IcebergCatalog in the named namespace.
+    """
+    if method.kind in ("local_file", "parquet"):
+        return ParquetCatalog(spark, method.path)
+    if method.kind == "s3":
+        if not method.bucket:
+            raise ValueError("s3 sink requires bucket_name")
+        root = f"s3a://{method.bucket}/{method.path.lstrip('/')}"
+        return ParquetCatalog(spark, root)
+    if method.kind == "iceberg":
+        return IcebergCatalog(spark, method.path)
+    raise ValueError(f"unknown sink kind: {method.kind}")

@@ -54,3 +54,18 @@ def test_alias_normalization():
     assert normalize_charset("Shift-JIS") == "shift_jis" or normalize_charset("shift_jis") == "shift_jis"
     assert normalize_charset("UTF8") == "utf-8" or normalize_charset("utf-8") == "utf-8"
     assert normalize_charset("definitely-not-a-charset") is None
+
+
+def test_x_mac_cyrillic_is_whatwg_ukrainian_variant():
+    """ADVICE r1 flagged x-mac-cyrillic -> Python mac_cyrillic as possibly
+    the non-Ukrainian table. Pin the WHATWG positions that differ between
+    the variants: Python's mac_cyrillic IS the Mac-Ukrainian table WHATWG
+    uses (0xA2/0xB6 -> GHE-with-upturn, 0xFF -> euro)."""
+    from raven_spark.functions.charset import WHATWG_TO_PYTHON
+
+    codec = WHATWG_TO_PYTHON["x-mac-cyrillic"]
+    d = bytes(range(0x80, 0x100)).decode(codec)
+    expect = {0xA2: 0x0490, 0xB6: 0x0491, 0xFF: 0x20AC,
+              0x80: 0x0410, 0x9F: 0x042F, 0xDF: 0x044F}
+    for byte, cp in expect.items():
+        assert ord(d[byte - 0x80]) == cp, hex(byte)
