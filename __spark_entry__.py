@@ -500,6 +500,51 @@ def q28_robots_gate(spark, sf_dir):
     )
 
 
+def q29_post_round(spark, sf_dir):
+    """Config-driven POST crawl through the REAL engine (T1-T8 + F4 + P1
+    in one lifecycle, main.rs:15-38): vars x params expand to tasks whose
+    form bodies ride the frontier into the HTTP stage; a deterministic
+    echo opener turns each request into page text the oracle reconstructs
+    with plain SQL. Distinct bodies on the SAME url stay distinct tasks
+    (task-identity hash folds the canonical body string)."""
+    import shutil
+    import tempfile
+
+    from raven_spark.config import parse_config
+    from raven_spark.engine import CrawlEngine, EngineOptions
+    from raven_spark.operators.http import HttpFetcher
+
+    cfg = parse_config({
+        "name": "q29",
+        "request": {
+            "url": "https://api.example/{{entity}}/submit",
+            "method": "POST",
+            "vars": [{"entity": ["a", "b"]}],
+            "params": [{"mode": ["[0..2]"]}],
+        },
+        "max_rounds": 1,
+    })
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1):
+        echo = f"<p>{method} {(body or b'').decode('ascii')}</p>"
+        return 200, {}, echo.encode(), "text/html; charset=utf-8"
+
+    state = tempfile.mkdtemp(prefix="raven_q29_")
+    try:
+        eng = CrawlEngine(
+            spark, cfg, state, HttpFetcher(opener=opener),
+            options=EngineOptions(expected_total_urls=1024, shuffle_partitions=4),
+        )
+        eng.bootstrap_from_config()
+        eng.run(max_rounds=1)
+        rows = eng.table("pages").select(
+            "url_canon", "method", "result_code", "text"
+        ).collect()
+        return spark.createDataFrame(rows)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -530,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_task_expansion": q26_task_expansion,
         "q27_sessionize": q27_sessionize,
         "q28_robots_gate": q28_robots_gate,
+        "q29_post_round": q29_post_round,
     }
 
 
@@ -877,6 +923,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) GROUP BY user_id
+        """,
+        "q29_post_round": """
+            WITH entities AS (SELECT unnest(['a','b']) AS e),
+                 modes    AS (SELECT unnest(generate_series(0, 2)) AS m)
+            SELECT 'https://api.example/' || e || '/submit' AS url_canon,
+                   'POST' AS method,
+                   CAST(200 AS INT) AS result_code,
+                   'POST mode=' || CAST(m AS VARCHAR) AS text
+            FROM entities CROSS JOIN modes
         """,
         "q21_minhash_dedup": Q21_ORACLE,
         "q22_simhash_buckets": Q22_ORACLE,

@@ -1,0 +1,86 @@
+"""``python -m raven_spark run config.yaml`` — the config-driven CLI, the
+direct analogue of the reference binary (``raven config.yaml``,
+main.rs:15-38 -> runner.rs:25-81):
+
+    python -m raven_spark run config.yaml --state /path/state \
+        [--corpus pages.parquet]   # deterministic synthetic "network"
+        [--http]                   # real HTTP via urllib
+        [--cpus N] [--max-rounds K]
+
+Lifecycle parity: strict config parse (T1) -> task expansion on the
+cluster (T2-T8, tasks carried per-row) -> engine rounds (fetch/retry/
+charset/persist, F*/C*/P*) -> run summary printed as one JSON line and
+logged (S1/M4, runner.rs:113-155). Config output sinks fan out through
+catalog_for_sink (P1: local_file/parquet/s3 -> extra pages sinks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="raven_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run a crawl from a YAML config")
+    run.add_argument("config", help="YAML config path (reference schema)")
+    run.add_argument("--state", required=True, help="state root (path or file:/ / s3a:// URI)")
+    run.add_argument("--corpus", help="synthetic corpus parquet (deterministic fetcher)")
+    run.add_argument("--http", action="store_true", help="fetch over real HTTP (urllib)")
+    run.add_argument("--cpus", type=int, default=None)
+    run.add_argument("--max-rounds", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from raven_spark.config import parse_config
+    from raven_spark.engine import CrawlEngine, EngineOptions
+    from raven_spark.session import get_spark
+    from raven_spark.sources.catalog import catalog_for_sink
+
+    with open(args.config) as f:
+        config = parse_config(f.read())
+
+    # only stop a session this CLI itself created (tests and notebooks
+    # pass through with their own active session)
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(f"raven_spark:{config.name}", cpus=args.cpus)
+    try:
+        if args.http:
+            from raven_spark.operators.http import http_fetcher_for
+
+            fetcher = http_fetcher_for(config)
+        elif args.corpus:
+            from raven_spark.operators.fetch import SyntheticFetcher
+
+            fetcher = SyntheticFetcher(spark.read.parquet(args.corpus), seed=42)
+        else:
+            p.error("one of --corpus or --http is required")
+        extra_sinks = [catalog_for_sink(spark, m) for m in config.sinks]
+        eng = CrawlEngine(
+            spark, config, args.state, fetcher,
+            options=EngineOptions(extra_sinks=extra_sinks),
+        )
+        eng.bootstrap_from_config()
+        stats = eng.run(max_rounds=args.max_rounds)
+        summary = {
+            "name": config.name,
+            "rounds": len(stats),
+            "tasks": sum(s.get("tasks", 0) for s in stats),
+            "failed": sum(s.get("failed", 0) for s in stats),
+            "persist_errors": [e for s in stats for e in s.get("persist_errors", [])],
+            "wall_s": round(sum(s.get("round_wall_s", 0.0) for s in stats), 3),
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    sys.exit(main())

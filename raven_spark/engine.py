@@ -137,6 +137,23 @@ class CrawlEngine:
         )
         self.catalog.append("frontier", f0, 0)
 
+    def bootstrap_from_config(self, run_ts=None) -> None:
+        """Write frontier Δ(0) from the config's OWN expanded task list —
+        the full reference lifecycle (config.create_crawler_tasks ->
+        crawl, config.rs:46-100): vars x params expansion, template bind,
+        canonical query strings, GET/POST routing; every task row keeps
+        its method/body_params/timeouts through the round into the fetch
+        stage."""
+        from datetime import datetime as _dt
+
+        from raven_spark.expansion import tasks_df
+        from raven_spark.plans.round import frontier_from_tasks
+
+        run_ts = run_ts or _dt.now(timezone.utc)
+        tasks = tasks_df(self.spark, self.config, run_ts)
+        f0 = frontier_from_tasks(tasks, round_no=0, salt_buckets=self.config.salt_buckets)
+        self.catalog.append("frontier", f0, 0)
+
     def run_round(self, round_no: int) -> dict:
         """Execute one round; returns its stats (also committed to the
         manifest). Idempotent: re-running a crashed round overwrites its
@@ -288,7 +305,13 @@ class CrawlEngine:
             discovered = discovered.join(
                 seen_delta.select("url_hash").distinct(), on="url_hash", how="left_anti"
             )
-            self.catalog.append("frontier", discovered.unionByName(plan.deferred), round_no + 1)
+            # deferred rows may carry per-row request fields (config-seeded
+            # runs); discovered rows get nulls for them -> stage defaults
+            self.catalog.append(
+                "frontier",
+                discovered.unionByName(plan.deferred, allowMissingColumns=True),
+                round_no + 1,
+            )
 
         def _summary():
             return run_summary(pages_delta).first()

@@ -181,9 +181,18 @@ def http_fetch_stage(
             cols: dict[str, list] = {k: [] for k in (
                 "status", "result_code", "detail", "attempts", "fetch_ms",
                 "content_type", "charset", "resp_headers", "html", "text", "links")}
+            def _cell(series, i, default):
+                # per-row override columns may hold nulls (discovery rows
+                # carry no request fields) -> fall back to stage defaults
+                if series is None:
+                    return default
+                v = series.iloc[i]
+                return default if v is None or v != v else v
+
             for i in range(n):
-                meth = row_method.iloc[i] if row_method is not None else method
-                body = form_body(row_body.iloc[i]) if row_body is not None else default_body
+                meth = _cell(row_method, i, method)
+                row_bp = _cell(row_body, i, None)
+                body = form_body(row_bp) if row_bp is not None else default_body
                 hdrs = base_hdrs
                 if body is not None and not has_ctype_hdr:
                     hdrs = {**base_hdrs, "Content-Type": _FORM_CONTENT_TYPE}
@@ -193,9 +202,9 @@ def http_fetch_stage(
                     method=meth,
                     headers=hdrs,
                     body=body if meth == "POST" else None,
-                    timeout_s=int(row_timeout.iloc[i]) if row_timeout is not None else timeout_s,
-                    max_retry=int(row_retry.iloc[i]) if row_retry is not None else max_retry,
-                    sleep_s=float(row_sleep.iloc[i]) if row_sleep is not None else sleep_s,
+                    timeout_s=int(_cell(row_timeout, i, timeout_s)),
+                    max_retry=int(_cell(row_retry, i, max_retry)),
+                    sleep_s=float(_cell(row_sleep, i, sleep_s)),
                 )
                 mime = charset = text = None
                 links = None
@@ -262,3 +271,21 @@ class HttpFetcher:
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         return http_fetch_stage(scheduled, self.opener, **self.stage_kwargs)
+
+
+def http_fetcher_for(config, opener: Opener = default_opener) -> "HttpFetcher":
+    """HttpFetcher wired from a RavenConfig — every request knob the
+    reference's crawler takes from the config (crawler.rs:25-50,150-176)
+    becomes a stage default here; per-row frontier columns (config-seeded
+    runs, plans/round.REQUEST_COLUMNS) still override per task."""
+    req = config.request
+    return HttpFetcher(
+        opener=opener,
+        method=req.method,
+        headers=dict(req.headers),
+        timeout_s=req.timeout_s,
+        max_retry=req.max_retry,
+        sleep_s=float(config.sleep_s or 0),
+        input_charset=req.encoding_in,
+        output_charset=req.encoding_out,
+    )

@@ -32,6 +32,17 @@ FRONTIER_COLUMNS = [
     "priority", "depth", "round_added", "deferred_count",
 ]
 
+# Optional per-row request fields (CrawlerRequest, request.rs:6-16) carried
+# through the round when present — config-driven runs seed the frontier
+# from the expanded task list (tasks_df) and each row keeps its own
+# method/params/timeouts all the way into the fetch stage, which reads
+# them per row. Discovery rows lack them (-> nulls -> stage defaults).
+REQUEST_COLUMNS = ["method", "query_params", "body_params", "timeout_s", "max_retry", "sleep_s"]
+
+
+def _carried_columns(df: DataFrame) -> list[str]:
+    return FRONTIER_COLUMNS + [c for c in REQUEST_COLUMNS if c in df.columns]
+
 
 def frontier_from_urls(
     spark, urls, round_no: int = 0, depth: int = 0, priority: int = 100,
@@ -55,6 +66,45 @@ def frontier_from_urls(
         .withColumn("deferred_count", F.lit(0))
         .select(*FRONTIER_COLUMNS)
     )
+
+
+def frontier_from_tasks(
+    tasks: DataFrame, round_no: int = 0, priority: int = 100, salt_buckets: int = 256,
+) -> DataFrame:
+    """Expanded task list (expansion.tasks_df output: url already carries
+    the canonical query string) -> frontier Δ(0) that KEEPS each task's
+    request fields (method/body_params/timeouts) as per-row columns — the
+    Spark shape of Vec<RavenCrawlTask> (config.rs:46-100): one row per
+    fully-bound fetch unit."""
+    out = (
+        with_url_identity(tasks, salt_buckets=salt_buckets)
+        .withColumn("priority", F.lit(priority))
+        .withColumn("depth", F.lit(0))
+        .withColumn("round_added", F.lit(round_no))
+        .withColumn("deferred_count", F.lit(0))
+    )
+    if "body_params" in out.columns:
+        # task identity includes the POST body: the reference treats two
+        # tasks with the same URL but different form params as distinct
+        # work units (config.rs:91-96); folding the canonical body string
+        # into url_hash keeps dedup/url_seen from collapsing them, while
+        # body-less rows keep the plain xxhash64(url_canon) identity that
+        # discovery rows share.
+        body_qs = F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("body_params"))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "&",
+        )
+        out = out.withColumn(
+            "url_hash",
+            F.when(
+                F.size(F.map_entries(F.col("body_params"))) > 0,
+                F.xxhash64(F.col("url_canon"), body_qs),
+            ).otherwise(F.col("url_hash")),
+        )
+    return out.select(*_carried_columns(out))
 
 
 def discovered_frontier(
@@ -119,11 +169,28 @@ def plan_round(
     exactly once per round regardless of how many outputs are written.
     """
     # 1. within-delta dedup: one candidate per url_hash, canonical order.
-    #    groupBy-min (map-side combinable) instead of a window sort.
-    cand = frontier_delta.groupBy("url_hash").agg(
-        F.min(F.struct("priority", "depth", "round_added", "deferred_count",
-                       "url", "url_canon", "host", "host_hash", "salt_bucket")).alias("s")
-    ).select("url_hash", "s.*").select(*FRONTIER_COLUMNS)
+    #    Fast path: groupBy-min over a struct (map-side combinable). When
+    #    the delta carries per-row request fields, the map-typed param
+    #    columns cannot live in an orderable struct, so those (small,
+    #    config-expanded) deltas dedup via a window that keeps whole rows.
+    extra_cols = [c for c in REQUEST_COLUMNS if c in frontier_delta.columns]
+    if extra_cols:
+        wd = Window.partitionBy("url_hash").orderBy(
+            F.col("priority").asc(), F.col("depth").asc(),
+            F.col("round_added").asc(), F.col("deferred_count").asc(),
+            F.col("url_canon").asc(), F.col("url").asc(),
+        )
+        cand = (
+            frontier_delta.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .select(*FRONTIER_COLUMNS, *extra_cols)
+        )
+    else:
+        cand = frontier_delta.groupBy("url_hash").agg(
+            F.min(F.struct("priority", "depth", "round_added", "deferred_count",
+                           "url", "url_canon", "host", "host_hash", "salt_bucket")).alias("s")
+        ).select("url_hash", "s.*").select(*FRONTIER_COLUMNS)
 
     # 2. subtract seen (Bloom prune then exact anti-join)
     cand = subtract_seen(cand, url_seen, bloom)
@@ -157,7 +224,7 @@ def plan_round(
         .withColumn("priority", F.greatest(F.col("priority") - F.lit(1), F.lit(0)))
         .withColumn("deferred_count", F.col("deferred_count") + 1)
         .withColumn("round_added", F.lit(round_no + 1))
-        .select(*FRONTIER_COLUMNS)
+        .select(*FRONTIER_COLUMNS, *extra_cols)  # deferral keeps request fields
     )
 
     # 5. skew-kill repartition on salt_bucket, then fetch. A fetcher with
