@@ -545,6 +545,43 @@ def q29_post_round(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q30_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by Knuth multiplicative id hash
+    (operators/pipeline.py) — reproducible across runs/partitionings; the
+    oracle replays the identical BIGINT arithmetic."""
+    from raven_spark.operators.pipeline import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        val_permille=100, test_permille=50,
+    )
+
+
+def q31_dup_ngram_frac(spark, sf_dir):
+    """Gopher-style duplicate word-2-gram fraction per document (intra-doc
+    repetition signal; pure column algebra)."""
+    from raven_spark.operators.pipeline import _word_ngrams_all, dup_ngram_frac_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_word_ngrams_all(F.col("text"), 2)).alias("n_grams"),
+        dup_ngram_frac_col(F.col("text"), 2).alias("dup_frac"),
+    )
+
+
+def q32_clean_corpus(spark, sf_dir):
+    """Composed corpus-clean verdict: language allowlist x quality
+    threshold x repetition cap x exact-dup canonical id, every reason as
+    a column (operators/pipeline.clean_corpus)."""
+    from raven_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        allowed_langs=("en",), min_quality=0.3, max_dup_frac=0.3, ngram_n=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -576,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_sessionize": q27_sessionize,
         "q28_robots_gate": q28_robots_gate,
         "q29_post_round": q29_post_round,
+        "q30_hash_split": q30_hash_split,
+        "q31_dup_ngram_frac": q31_dup_ngram_frac,
+        "q32_clean_corpus": q32_clean_corpus,
     }
 
 
@@ -924,6 +964,86 @@ def oracle_sql() -> dict[str, str]:
               )
             ) GROUP BY user_id
         """,
+        "q30_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 1000 < 50 THEN 'test'
+                        WHEN (doc_id * 2654435761) % 1000 < 150 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "q31_dup_ngram_frac": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+                          ELSE []::VARCHAR[] END AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_grams,
+                   round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                         / greatest(len(grams), 1), 6) AS dup_frac
+            FROM g
+        """,
+        "q32_clean_corpus": rf"""
+            WITH base AS (
+              SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM (SELECT doc_id, {_lang_scores_sql()} FROM base)
+            ), qual AS (
+              SELECT doc_id,
+                     round(0.35 * (n_alpha / greatest(n_chars, 1))
+                         + 0.35 * least(4.0 * stop_hits / greatest(n_words, 1), 1.0)
+                         + 0.2  * least(n_words / 100.0, 1.0)
+                         - 0.1  * (n_punct / greatest(n_chars, 1)), 6) AS quality_score
+              FROM (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                       CAST({{STOP_HITS}} AS DOUBLE) AS stop_hits
+                FROM base
+              )
+            ), dup AS (
+              SELECT doc_id,
+                     round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / greatest(len(grams), 1), 6) AS dup_frac
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 2
+                            THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+                            ELSE []::VARCHAR[] END AS grams
+                FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM base)
+              )
+            ), canon AS (
+              SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY norm) AS is_canonical
+              FROM base
+            )
+            SELECT b.doc_id AS id, lang_pred, quality_score, dup_frac,
+                   lang_pred IN ('en') AS lang_ok,
+                   quality_score >= 0.3 AS quality_ok,
+                   dup_frac <= 0.3 AS rep_ok,
+                   is_canonical,
+                   (lang_pred IN ('en') AND quality_score >= 0.3
+                    AND dup_frac <= 0.3 AND is_canonical) AS keep
+            FROM base b
+            JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+            JOIN dup USING (doc_id) JOIN canon USING (doc_id)
+        """.replace("{STOP_HITS}", _stopword_hits_sql()),
         "q29_post_round": """
             WITH entities AS (SELECT unnest(['a','b']) AS e),
                  modes    AS (SELECT unnest(generate_series(0, 2)) AS m)
