@@ -545,6 +545,34 @@ def q29_post_round(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q33_brand_revenue_by_nation(spark, sf_dir):
+    """Top-3 part brands by revenue per supplier nation: fact scan joins
+    three BROADCAST dims (part, supplier, nation), partial-aggregated
+    map-side, ranked by a per-nation window — the remaining relational
+    shapes (multi-dim star join + windowed top-k) over the two tables no
+    other query touched (part, supplier)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    g = j.groupBy("n_name", "p_brand").agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("p_brand").asc())
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "p_brand", "revenue", "n_items", "rnk")
+    )
+
+
 def q30_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by Knuth multiplicative id hash
     (operators/pipeline.py) — reproducible across runs/partitionings; the
@@ -616,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_hash_split": q30_hash_split,
         "q31_dup_ngram_frac": q31_dup_ngram_frac,
         "q32_clean_corpus": q32_clean_corpus,
+        "q33_brand_revenue_by_nation": q33_brand_revenue_by_nation,
     }
 
 
@@ -963,6 +992,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) GROUP BY user_id
+        """,
+        "q33_brand_revenue_by_nation": """
+            SELECT n_name, p_brand, revenue, n_items, rnk FROM (
+              SELECT n_name, p_brand, revenue, n_items,
+                     CAST(row_number() OVER (PARTITION BY n_name
+                          ORDER BY revenue DESC, p_brand ASC) AS INT) AS rnk
+              FROM (
+                SELECT n_name, p_brand,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                       count(*) AS n_items
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name, p_brand
+              )
+            ) WHERE rnk <= 3
         """,
         "q30_hash_split": """
             SELECT doc_id,

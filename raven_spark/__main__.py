@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--http", action="store_true", help="fetch over real HTTP (urllib)")
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--max-rounds", type=int, default=None)
+    run.add_argument("--robots", action="store_true",
+                     help="fetch + honor robots.txt per host (HTTP mode)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,11 +62,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             p.error("one of --corpus or --http is required")
         extra_sinks = [catalog_for_sink(spark, m) for m in config.sinks]
+        from datetime import datetime, timezone
+
+        run_ts = datetime.now(timezone.utc)
+        robots = None
+        if args.robots:
+            if not args.http:
+                p.error("--robots requires --http (robots.txt is fetched over the network)")
+            from raven_spark.expansion import tasks_df
+            from raven_spark.functions.urls import with_url_identity
+            from raven_spark.operators.politeness import fetch_robots
+
+            hosts = with_url_identity(tasks_df(spark, config, run_ts)).select("host")
+            robots = fetch_robots(hosts, timeout_s=config.request.timeout_s)
         eng = CrawlEngine(
-            spark, config, args.state, fetcher,
+            spark, config, args.state, fetcher, robots=robots,
             options=EngineOptions(extra_sinks=extra_sinks),
         )
-        eng.bootstrap_from_config()
+        eng.bootstrap_from_config(run_ts=run_ts)
         stats = eng.run(max_rounds=args.max_rounds)
         summary = {
             "name": config.name,

@@ -145,6 +145,55 @@ def robots_rules_df(robots_texts: DataFrame, agent: str = "*") -> DataFrame:
     return robots_texts.select("host", "robots_txt").mapInPandas(parse, ROBOTS_SCHEMA)
 
 
+def fetch_robots(
+    hosts: DataFrame,
+    opener=None,
+    agent: str = "*",
+    timeout_s: int = 2,
+    scheme: str = "https",
+) -> DataFrame:
+    """(host) rows -> ROBOTS_SCHEMA rules table by fetching
+    ``{scheme}://{host}/robots.txt`` through the injected opener (the same
+    seam as the HTTP fetch stage) and parsing with parse_robots_txt.
+
+    One request per DISTINCT host inside mapInPandas — the robots table is
+    O(hosts), never O(urls), so this runs once per crawl (or per TTL) and
+    broadcasts. Missing/unfetchable robots.txt (404s, transport errors,
+    timeouts) yield an all-allow row, matching crawler convention.
+    """
+    import pandas as pd
+
+    if opener is None:
+        from raven_spark.operators.http import default_opener
+
+        opener = default_opener
+
+    def run(batches):
+        for pdf in batches:
+            out_rows = []
+            for host in pdf["host"]:
+                text = None
+                try:
+                    status, _hdrs, raw, _ct = opener(
+                        f"{scheme}://{host}/robots.txt", method="GET",
+                        headers={}, body=None, timeout_s=timeout_s,
+                    )
+                    if status == 200 and raw:
+                        text = raw.decode("utf-8", errors="replace")
+                except (TimeoutError, OSError):
+                    pass  # unreachable -> allow-all
+                allow, deny, delay = parse_robots_txt(text, agent)
+                out_rows.append((host, allow, deny, delay))
+            yield pd.DataFrame({
+                "host": [r[0] for r in out_rows],
+                "allow": [r[1] for r in out_rows],
+                "deny": [r[2] for r in out_rows],
+                "crawl_delay_s": pd.array([r[3] for r in out_rows], dtype="Int32"),
+            })
+
+    return hosts.select("host").distinct().mapInPandas(run, ROBOTS_SCHEMA)
+
+
 def robots_flag(candidates: DataFrame, robots: DataFrame | None, flag_col: str = "robots_ok") -> DataFrame:
     """Adds boolean ``robots_ok`` after robots rules — a FLAG, not a split,
     so the round plan can materialize one DataFrame and branch with cheap

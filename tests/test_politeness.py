@@ -83,3 +83,41 @@ def test_effective_budget_null_crawl_delay_keeps_default(spark):
     budgets = {r["host"]: r["host_budget"] for r in effective_budget_col(robots, 500).collect()}
     assert budgets["h1"] == 500  # no declared delay -> untouched default
     assert budgets["h2"] == 2    # 60s round / 30s delay
+
+
+def test_fetch_robots_over_http_seam(spark):
+    """fetch_robots: one request per distinct host through the injected
+    opener; 200 parses rules, 404/timeouts/transport errors -> allow-all;
+    crawl_delay round-trips as a nullable int."""
+    from raven_spark.operators.politeness import fetch_robots, robots_flag
+
+    ROBOTS = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 7\n"
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1):
+        if url == "https://h1.example/robots.txt":
+            return 200, {}, ROBOTS, "text/plain"
+        if url == "https://h2.example/robots.txt":
+            return 404, {}, b"nope", "text/plain"
+        raise TimeoutError("no route")
+
+    hosts = spark.createDataFrame(
+        [("h1.example",), ("h2.example",), ("h3.example",), ("h1.example",)],
+        "host string",
+    )
+    rules = {r["host"]: r for r in fetch_robots(hosts, opener=opener).collect()}
+    assert len(rules) == 3  # distinct hosts only
+    assert rules["h1.example"]["deny"] == ["/private/"]
+    assert rules["h1.example"]["crawl_delay_s"] == 7
+    assert rules["h2.example"]["deny"] == [] and rules["h2.example"]["crawl_delay_s"] is None
+    assert rules["h3.example"]["deny"] == []
+
+    # the fetched rules drive the robots gate end-to-end
+    cand = spark.createDataFrame(
+        [("h1.example", "https://h1.example/private/x", 1),
+         ("h1.example", "https://h1.example/p/ok", 2),
+         ("h3.example", "https://h3.example/private/x", 3)],
+        "host string, url_canon string, url_hash long",
+    )
+    flagged = {r["url_hash"]: r["robots_ok"]
+               for r in robots_flag(cand, fetch_robots(hosts, opener=opener)).collect()}
+    assert flagged == {1: False, 2: True, 3: True}
