@@ -48,6 +48,11 @@ HEADLINE = [
     "q17_url_seen_subtract",
     "q18_ann_topk",
     "q20_multimodal_roundtrip",
+    "q22_simhash_buckets",
+    "q30_hash_split",
+    "q31_dup_ngram_frac",
+    "q32_clean_corpus",
+    "q33_brand_revenue_by_nation",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -81,6 +81,34 @@ def main():
         {"partial agg": r"HashAggregate", "scan 2 cols only": r"ReadSchema: struct<doc_id:bigint,text:string"},
     )
 
+    summarize(
+        "q33 star join + windowed top-k",
+        em.q33_brand_revenue_by_nation(spark, sf_dir),
+        {
+            "three broadcast dims": r"BroadcastHashJoin[\s\S]*BroadcastHashJoin[\s\S]*BroadcastHashJoin",
+            "partial agg before shuffle": r"HashAggregate",
+            "window rank": r"Window",
+            "fact scan pruned": r"ReadSchema:.*l_extendedprice",
+        },
+    )
+    summarize(
+        "q32 clean_corpus (composed verdict)",
+        em.q32_clean_corpus(spark, sf_dir),
+        {
+            "single scan": r"Scan parquet",
+            "one window (canonical id)": r"Window",
+            "no python in plan": r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        },
+    )
+    summarize(
+        "q30 hash split (pure codegen)",
+        em.q30_hash_split(spark, sf_dir),
+        {
+            "id-only scan": r"ReadSchema: struct<doc_id:bigint>",
+            "no exchange at all": r"^(?![\s\S]*Exchange)",
+        },
+    )
+
     # frontier round plan (the engine hot path)
     from raven_spark.config import RavenConfig, RavenRequest
     from raven_spark.operators.fetch import SyntheticFetcher
