@@ -64,7 +64,10 @@ CRAWL_PAGES = int(os.environ.get("RAVEN_BENCH_PAGES", "440000"))
 CRAWL_SEEDS = int(os.environ.get("RAVEN_BENCH_SEEDS", "200000"))
 CRAWL_SIZE_FACTOR = int(os.environ.get("RAVEN_BENCH_SIZE_FACTOR", "50"))  # ~18 KB html/page
 CRAWL_ROUNDS = 2
-CRAWL_REPS = int(os.environ.get("RAVEN_BENCH_REPS", "3"))  # best-of (noisy sandbox)
+# best-of-N: rep 0 is always JIT/page-cache cold, and this VM shows
+# hypervisor CPU-steal windows that can double a whole rep (BASELINE.md);
+# 4 reps = 3 warm samples against the steal lottery
+CRAWL_REPS = int(os.environ.get("RAVEN_BENCH_REPS", "4"))
 # N vs 4N cores. 4/16 (not 8/32) because local[K] co-schedules K JVM task
 # threads AND up to K Python workers on the same box: at local[32] on 32
 # cores the two sides oversubscribe 2x and the measurement reads as false
