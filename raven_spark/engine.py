@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from raven_spark.config import RavenConfig
 from raven_spark.operators.fetch import Fetcher
-from raven_spark.operators.seen import BloomFilter, bloom_params, build_bloom
+from raven_spark.operators.seen import BloomFilter, build_bloom
 from raven_spark.plans.round import frontier_from_urls, discovered_frontier, plan_round
 from raven_spark.sources.catalog import ParquetCatalog
 

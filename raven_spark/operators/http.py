@@ -33,7 +33,6 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
