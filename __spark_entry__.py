@@ -1011,9 +1011,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "q30_hash_split": """
+            -- ((id % 1000) * K) % 1000 == (id * K) % 1000, overflow-free:
+            -- the same narrowed form the Spark side computes (split_col)
             SELECT doc_id,
-                   CASE WHEN (doc_id * 2654435761) % 1000 < 50 THEN 'test'
-                        WHEN (doc_id * 2654435761) % 1000 < 150 THEN 'val'
+                   CASE WHEN ((doc_id % 1000) * 2654435761) % 1000 < 50 THEN 'test'
+                        WHEN ((doc_id % 1000) * 2654435761) % 1000 < 150 THEN 'val'
                         ELSE 'train' END AS split
             FROM documents
         """,

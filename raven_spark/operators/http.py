@@ -190,8 +190,13 @@ def http_fetch_stage(
 
             for i in range(n):
                 meth = _cell(row_method, i, method)
-                row_bp = _cell(row_body, i, None)
-                body = form_body(row_bp) if row_bp is not None else default_body
+                # body AND its Content-Type exist only for POST rows: a GET
+                # row in a config that declares body_params must not carry a
+                # form Content-Type header for a body that is never sent
+                body = None
+                if meth == "POST":
+                    row_bp = _cell(row_body, i, None)
+                    body = form_body(row_bp) if row_bp is not None else default_body
                 hdrs = base_hdrs
                 if body is not None and not has_ctype_hdr:
                     hdrs = {**base_hdrs, "Content-Type": _FORM_CONTENT_TYPE}
@@ -200,7 +205,7 @@ def http_fetch_stage(
                     urls[i],
                     method=meth,
                     headers=hdrs,
-                    body=body if meth == "POST" else None,
+                    body=body,
                     timeout_s=int(_cell(row_timeout, i, timeout_s)),
                     max_retry=int(_cell(row_retry, i, max_retry)),
                     sleep_s=float(_cell(row_sleep, i, sleep_s)),

@@ -4,8 +4,8 @@ pipeline runs AFTER the crawl, composed from the engine's kernels:
 - ``hash_split``: deterministic train/val/test assignment by a
   multiplicative id hash — reproducible across runs/engines (the split
   must never depend on row order or partitioning), SQL-replayable
-  (Knuth multiplicative hashing; plain BIGINT arithmetic, no overflow
-  for ids < 2^31).
+  (Knuth multiplicative hashing; plain BIGINT arithmetic, overflow-free
+  for the full bigint id domain — see split_col).
 - ``dup_ngram_frac``: Gopher-style duplicate n-gram fraction per doc
   (fraction of word n-grams that are repeats within the document) — a
   repetition-quality signal; pure column algebra.
@@ -37,8 +37,13 @@ KNUTH_32 = 2654435761
 def split_col(id_col: Column, val_permille: int = 100, test_permille: int = 0) -> Column:
     """Deterministic split label from an integer id: bucket = (id *
     2654435761) mod 1000; [0, test) -> 'test', [test, test+val) -> 'val',
-    rest -> 'train'. Stable under repartitioning and engine changes."""
-    bucket = F.pmod(id_col.cast("bigint") * F.lit(KNUTH_32), F.lit(1000))
+    rest -> 'train'. Stable under repartitioning and engine changes.
+
+    Computed as ((id mod 1000) * K) mod 1000 — identical by modular
+    arithmetic for ALL ids, but the multiplicand stays < 1000 so the
+    product (< 2.66e12) never overflows signed 64-bit (id * K would
+    overflow for ids >= ~3.47e9: ANSI-mode failure / silent wrap)."""
+    bucket = F.pmod(F.pmod(id_col.cast("bigint"), F.lit(1000)) * F.lit(KNUTH_32), F.lit(1000))
     return (
         F.when(bucket < test_permille, F.lit("test"))
         .when(bucket < test_permille + val_permille, F.lit("val"))
@@ -113,9 +118,13 @@ def clean_corpus(
         lang_id_col(F.col(text_col)).alias("lang_pred"),
         q["quality_score"].alias("quality_score"),
         dup_ngram_frac_col(F.col(text_col), ngram_n).alias("dup_frac"),
-        norm_text_col(F.col(text_col)).alias("__norm"),
+        # the canonical-id window shuffles on the 8-byte hash of the
+        # normalized text, never the text itself (same collision class as
+        # exact_dedup's hash variant: ~1e-9 per pair at 1e10 docs) — at
+        # corpus scale the shuffle key must not be a full document
+        F.xxhash64(norm_text_col(F.col(text_col))).alias("__norm_hash"),
     )
-    w = Window.partitionBy("__norm")
+    w = Window.partitionBy("__norm_hash")
     scored = base.withColumn("__min_id", F.min("id").over(w)).withColumn(
         "is_canonical", F.col("id") == F.col("__min_id")
     )

@@ -108,21 +108,45 @@ class ParquetCatalog:
         with open(p) as f:
             return json.load(f)
 
-    def _save_manifest(self, name: str, manifest: dict) -> None:
-        p = self._manifest_path(name)
-        if self._is_uri:
-            # create(overwrite=True): a single-object PUT — atomic on
-            # object stores, equivalent-enough on file:/ for tests
-            fs, jp = self._hfs(p)
+    def _is_object_store(self) -> bool:
+        return self.root.split("://", 1)[0] in ("s3a", "s3n", "s3", "gs", "oss", "wasb", "abfs", "abfss")
+
+    def _put_uri(self, path_str: str, data: bytes) -> None:
+        """Crash-consistent small-object write through the Hadoop FS API.
+
+        Object stores (s3a & co.): a direct create(overwrite) IS a single
+        atomic PUT. Filesystem schemes (file:/, hdfs:/): direct create is
+        NOT atomic — a crash mid-write leaves a torn manifest that breaks
+        resume — so write a sibling .tmp and rename() onto the target
+        (atomic on file:/ and HDFS), mirroring the local os.replace path."""
+        fs, jp = self._hfs(path_str)
+        if self._is_object_store():
             out = fs.create(jp, True)
             try:
-                out.write(json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8"))
+                out.write(data)
             finally:
                 out.close()
             return
+        _fs, jtmp = self._hfs(path_str + ".tmp")
+        out = fs.create(jtmp, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        if not fs.rename(jtmp, jp):  # dest exists on FS w/o overwrite-rename
+            fs.delete(jp, False)
+            if not fs.rename(jtmp, jp):
+                raise IOError(f"atomic rename failed: {path_str}")
+
+    def _save_manifest(self, name: str, manifest: dict) -> None:
+        p = self._manifest_path(name)
+        data = json.dumps(manifest, indent=1, sort_keys=True).encode("utf-8")
+        if self._is_uri:
+            self._put_uri(p, data)
+            return
         tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        with open(tmp, "wb") as f:
+            f.write(data)
         os.replace(tmp, p)  # atomic commit
 
     # -- sidecar blobs (Bloom filters etc.) ---------------------------------
@@ -133,12 +157,7 @@ class ParquetCatalog:
         locally. Parent directories are created as needed."""
         p = self._join(*relpath.split("/"))
         if self._is_uri:
-            fs, jp = self._hfs(p)
-            out = fs.create(jp, True)
-            try:
-                out.write(data)
-            finally:
-                out.close()
+            self._put_uri(p, data)
             return
         os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + ".tmp"
