@@ -177,10 +177,14 @@ def minhash_dedup(
     bands: int = 4,
     n: int = 3,
     verify_threshold: float | None = 0.7,
+    max_iters: int = 20,
 ) -> DataFrame:
     """Full pipeline: LSH candidates [-> exact Jaccard verify] -> connected
-    docs collapse to min-id representative (single-link via iterative
-    min-propagation, bounded hops — near-dup clusters are shallow)."""
+    docs collapse to min-id representative (single-link connected
+    components, iterated to FIXPOINT: each round takes the min over
+    neighbors' reps then pointer-jumps rep -> rep(rep), so convergence is
+    O(log chain-length); the loop exits when no rep changed, with
+    ``max_iters`` as a runaway valve, not a correctness bound)."""
     pairs = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
     if verify_threshold is not None:
         grams = df.select(
@@ -197,25 +201,47 @@ def minhash_dedup(
             .filter(F.col("jaccard") >= verify_threshold)
             .select("id_a", "id_b")
         )
-    # min-representative propagation (3 hops covers chains of length 8).
-    # edges are materialized ONCE (persist) and each iteration's rep is
-    # localCheckpoint'ed — otherwise the plan re-evaluates the whole LSH +
-    # verify pipeline 2^hops times (iterative algorithms must cut lineage).
+    # min-representative propagation to fixpoint. Edges are materialized
+    # ONCE (persist) and each iteration's rep is localCheckpoint'ed —
+    # otherwise the plan re-evaluates the whole LSH + verify pipeline
+    # 2^iters times (iterative algorithms must cut lineage). Each
+    # iteration is (a) neighbor-min: rep <- min(rep, min of neighbors'
+    # reps), then (b) pointer-jump: rep <- rep(rep) — (b) halves the
+    # remaining chain depth each round, so long near-dup chains converge
+    # in O(log n) rounds instead of O(n) hops. The convergence test is a
+    # count over the just-checkpointed step (no recompute).
     rep = df.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
-    for _ in range(3):
+    for _ in range(max_iters):
         better = (
             edges.join(rep.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b"), "id_b")
             .groupBy("id_a")
             .agg(F.min("rep_b").alias("cand"))
         )
-        rep = (
+        stepped = (
             rep.join(better.withColumnRenamed("id_a", "id"), "id", "left")
-            .select("id", F.least(F.col("rep"), F.coalesce(F.col("cand"), F.col("rep"))).alias("rep"))
+            .select("id", F.col("rep").alias("__old"),
+                    F.least(F.col("rep"), F.coalesce(F.col("cand"), F.col("rep"))).alias("rep"))
+        )
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(F.col("id").alias("rep"), F.col("rep").alias("__rep2")).alias("j"),
+                "rep", "left",
+            )
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("__rep2"), F.col("rep"))).alias("rep"),
+                (F.least(F.col("rep"), F.coalesce(F.col("__rep2"), F.col("rep")))
+                 < F.col("__old")).alias("__changed"),
+            )
             .localCheckpoint(eager=True)
         )
+        rep = jumped.drop("__changed")
+        if jumped.filter(F.col("__changed")).limit(1).count() == 0:
+            break
     edges.unpersist()
     return rep.select(F.col("id").alias(id_col), F.col("rep").alias("cluster_id"))
 

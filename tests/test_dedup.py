@@ -72,6 +72,26 @@ def test_minhash_dedup_clusters(docs):
     assert rep[3] == 3
 
 
+def test_minhash_dedup_long_chain_fixpoint(spark):
+    """A chain of 14 near-dup docs (each adjacent pair jaccard-similar,
+    distant pairs dissimilar) must collapse into ONE cluster — the r2
+    fixed-3-hop propagation silently split chains longer than 8; the
+    fixpoint loop (neighbor-min + pointer-jump until no rep changes)
+    must not."""
+    from raven_spark.operators.dedup import minhash_dedup
+
+    words = [f"w{i:02d}" for i in range(40)]
+    docs = [
+        (i, " ".join(words[i : i + 24]), "en") for i in range(14)
+    ]  # adjacent overlap 23/24 words -> shingle jaccard ~0.9; d0 vs d13 share none
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    rep = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_dedup(df, bands=8, verify_threshold=0.5).collect()
+    }
+    assert set(rep.values()) == {0}, rep  # single-link closure -> one cluster
+
+
 def test_simhash_near_dup_buckets(docs):
     from raven_spark.operators.dedup import simhash_buckets
 
