@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from raven_spark.config import RavenConfig
 from raven_spark.operators.fetch import Fetcher
-from raven_spark.operators.seen import BloomFilter, build_bloom
+from raven_spark.operators.seen import (
+    BloomFilter,
+    ShardedBloom,
+    build_bloom,
+    build_bloom_shards,
+)
 from raven_spark.plans.round import frontier_from_urls, discovered_frontier, plan_round
 from raven_spark.sources.catalog import ParquetCatalog
 
@@ -52,6 +57,11 @@ from raven_spark.sources.catalog import ParquetCatalog
 class EngineOptions:
     expected_total_urls: int = 1 << 20  # sizes the Bloom (fixed across rounds)
     bloom_fpp: float = 0.01
+    # 0 -> monolithic bitmap (broadcast prune; fine to ~10^8 urls).
+    # >0 -> THE 10^10 posture: per-shard filters keyed by pmod(url_hash,
+    # n), stored as a catalog TABLE (never driver-held), probed via
+    # cogroup so each task holds 1/n of the bitmap and nothing broadcasts.
+    bloom_shards: int = 0
     shuffle_partitions: int | None = None
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
@@ -177,7 +187,14 @@ class CrawlEngine:
             url_seen = self.catalog.read("url_seen", upto_round=round_no - 1)
             if url_seen is not None:
                 url_seen = url_seen.drop("round")
-            bloom = self._merged_bloom(round_no - 1)
+            if self.opt.bloom_shards:
+                shards_df = self.catalog.read("bloom", upto_round=round_no - 1)
+                if shards_df is not None:
+                    if "round" in shards_df.columns:
+                        shards_df = shards_df.drop("round")
+                    bloom = ShardedBloom(shards_df, self.opt.bloom_shards)
+            else:
+                bloom = self._merged_bloom(round_no - 1)
 
         plan = plan_round(
             frontier_delta,
@@ -273,6 +290,16 @@ class CrawlEngine:
             self.catalog.append("url_seen", seen_delta, round_no)
 
         def _w_bloom():
+            if self.opt.bloom_shards:
+                # the round's shard-bloom delta is a TABLE append: built
+                # distributed, merged distributed at read time — no bitmap
+                # ever transits or resides on the driver
+                shards = build_bloom_shards(
+                    seen_delta, "url_hash", self.opt.bloom_shards,
+                    expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,
+                )
+                self.catalog.append("bloom", shards, round_no)
+                return
             bloom_delta = build_bloom(
                 seen_delta, "url_hash",
                 expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,

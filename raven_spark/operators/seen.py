@@ -21,6 +21,8 @@ filters at once — the choreography north_star names.
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -146,24 +148,138 @@ def bloom_prune(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash",
     return df.mapInPandas(check, schema)
 
 
+# --- sharded Bloom: the 10^10-URL posture ------------------------------------
+#
+# The monolithic filter above is correct at any scale but its BITMAP is
+# not: at 10^10 seen URLs / fpp=0.01 the merged bitmap is ~12 GB — too big
+# to broadcast per round and to hold on the driver. The sharded variant
+# splits the seen-set by pmod(url_hash, n_shards) (uniform by
+# construction — salt_bucket is host-derived and Zipf-skewed, url_hash is
+# not) into n_shards independent filters:
+#
+# - BUILD is fully distributed: per-partition partial bitmaps per shard
+#   (mapInPandas), OR-merged per shard via groupBy(shard).applyInPandas;
+#   the result is a (shard, bloom) TABLE written through the catalog —
+#   the driver never holds any bitmap.
+# - PROBE is a cogroup: candidates repartition by their shard key and
+#   each task unpacks only its own shard's bitmap (1/n_shards of the
+#   total). Total bloom bytes cross the wire exactly once per round as a
+#   narrow shuffle, never as a whole-cluster broadcast.
+
+
+@_dataclass
+class ShardedBloom:
+    """Handle for the sharded seen-filter: (shard int, bloom binary) rows
+    — possibly several per shard (one per committed round; union is
+    bitwise OR because every shard filter has identical fixed params)."""
+
+    shards: DataFrame
+    n_shards: int
+
+
+def bloom_shard_col(hash_col: str, n_shards: int):
+    """Shard key: pmod(url_hash, n_shards) — matches numpy's floored mod
+    used on the build/probe side (both non-negative for negative hashes)."""
+    return F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+
+
+def build_bloom_shards(
+    df: DataFrame, hash_col: str, n_shards: int, expected_n: int, fpp: float = 0.01
+) -> DataFrame:
+    """df -> one (shard, bloom) row per non-empty shard, fully distributed.
+
+    Each shard filter is sized for expected_n / n_shards keys, so total
+    bits match the monolithic filter; per-partition partials OR-merge per
+    shard (the treeAggregate choreography becomes a plain shuffle-by-shard
+    — each merge task touches 1/n_shards of the bytes)."""
+    n_bits, n_hashes = bloom_params(max(16, expected_n // max(1, n_shards)), fpp)
+
+    def part(batches):
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            h = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            s = h % n_shards  # numpy floored mod == Spark pmod
+            for shard in np.unique(s):
+                bm = acc.setdefault(int(shard), np.zeros(n_bits // 8, dtype=np.uint8))
+                _set_bits(bm, h[s == shard].view(np.uint64), n_bits, n_hashes)
+        if acc:
+            yield pd.DataFrame({
+                "shard": np.array(list(acc), dtype=np.int32),
+                "bloom": [BloomFilter(n_bits, n_hashes, b).to_bytes() for b in acc.values()],
+            })
+
+    partials = df.select(F.col(hash_col).cast("long")).mapInPandas(part, "shard int, bloom binary")
+    return merge_bloom_shards(partials)
+
+
+def merge_bloom_shards(shards: DataFrame) -> DataFrame:
+    """OR-merge (shard, bloom) rows down to one row per shard."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bl = BloomFilter.from_bytes(bytes(pdf["bloom"].iloc[0]))
+        for blob in pdf["bloom"].iloc[1:]:
+            bl = bl.union(BloomFilter.from_bytes(bytes(blob)))
+        return pd.DataFrame({"shard": pdf["shard"].iloc[:1], "bloom": [bl.to_bytes()]})
+
+    return shards.select("shard", "bloom").groupBy("shard").applyInPandas(
+        merge, "shard int, bloom binary"
+    )
+
+
+def bloom_prune_sharded(
+    candidates: DataFrame,
+    bloom: ShardedBloom,
+    hash_col: str = "url_hash",
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """Sharded twin of bloom_prune: candidates cogroup with their own
+    shard's filter; a task never sees any other shard's bytes. A shard
+    with no filter row holds no seen URLs -> maybe_seen=false (exact)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_cols = candidates.columns
+    schema = StructType(list(candidates.schema.fields) + [StructField(flag_col, BooleanType())])
+    cand = candidates.withColumn("__shard", bloom_shard_col(hash_col, bloom.n_shards))
+    merged = merge_bloom_shards(bloom.shards)
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left[out_cols].copy()
+        if len(right) == 0 or len(left) == 0:
+            out[flag_col] = np.zeros(len(left), dtype=bool)
+            return out
+        bl = BloomFilter.from_bytes(bytes(right["bloom"].iloc[0]))
+        out[flag_col] = bl.contains_many(left[hash_col].to_numpy(dtype=np.int64))
+        return out
+
+    return (
+        cand.groupBy("__shard")
+        .cogroup(merged.groupBy("shard"))
+        .applyInPandas(probe, schema)
+    )
+
+
 def subtract_seen(
     candidates: DataFrame,
     url_seen: DataFrame | None,
-    bloom: BloomFilter | None = None,
+    bloom: "BloomFilter | ShardedBloom | None" = None,
     hash_col: str = "url_hash",
 ) -> DataFrame:
     """candidates minus seen — the EXCEPT of the engine (§2.2 set ops).
 
-    Plan shape: [bloom prune (broadcast, no shuffle)] -> left_anti join on
-    url_hash for the maybe-seen remainder -> union with the definitely-new
-    rows. With no url_seen yet, candidates pass through.
+    Plan shape: [bloom prune (broadcast bitmap, or sharded cogroup at
+    10^10 scale) -> ] left_anti join on url_hash for the maybe-seen
+    remainder -> union with the definitely-new rows. With no url_seen yet,
+    candidates pass through.
     """
     if url_seen is None:
         return candidates
     seen_keys = url_seen.select(F.col(hash_col)).distinct()
     if bloom is None:
         return candidates.join(seen_keys, on=hash_col, how="left_anti")
-    pruned = bloom_prune(candidates, bloom, hash_col)
+    if isinstance(bloom, ShardedBloom):
+        pruned = bloom_prune_sharded(candidates, bloom, hash_col)
+    else:
+        pruned = bloom_prune(candidates, bloom, hash_col)
     definitely_new = pruned.filter(~F.col("maybe_seen")).drop("maybe_seen")
     survivors = pruned.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = survivors.join(seen_keys, on=hash_col, how="left_anti")

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from raven_spark.functions.urls import with_url_identity
 from raven_spark.operators.fetch import Fetcher, fetch_stage
 from raven_spark.operators.politeness import robots_flag
-from raven_spark.operators.seen import BloomFilter, subtract_seen
+from raven_spark.operators.seen import BloomFilter, ShardedBloom, subtract_seen
 
 FRONTIER_COLUMNS = [
     "url", "url_canon", "url_hash", "host", "host_hash", "salt_bucket",
@@ -154,7 +154,7 @@ def plan_round(
     fetcher: Fetcher,
     round_no: int,
     host_budget: int,
-    bloom: BloomFilter | None = None,
+    bloom: BloomFilter | ShardedBloom | None = None,
     robots: DataFrame | None = None,
     shuffle_partitions: int | None = None,
     host_budgets: DataFrame | None = None,

@@ -63,6 +63,39 @@ def test_multi_round_crawl(spark, corpus, tmp_path):
     assert {"partition_id", "round", "result_code"} <= set(metrics.columns)
 
 
+def test_sharded_bloom_run_equals_monolithic(spark, corpus, tmp_path):
+    """A full multi-round crawl with the sharded seen-filter (catalog
+    table + cogroup probe) must produce byte-identical crawl state to the
+    monolithic broadcast filter — sharding changes WHERE bitmap bytes
+    live, never which URLs are fetched."""
+    seeds = seed_urls(10, N_PAGES)
+    mono = _engine(spark, corpus, str(tmp_path / "mono"))
+    mono.run(seed_urls=seeds, max_rounds=3)
+
+    cfg = RavenConfig(
+        name="e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=3,
+    )
+    sharded = CrawlEngine(
+        spark, cfg, str(tmp_path / "shard"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8, bloom_shards=8
+        ),
+    )
+    sharded.run(seed_urls=seeds, max_rounds=3)
+
+    for table in ("url_seen", "pages", "text"):
+        a, b = mono.table(table), sharded.table(table)
+        key = "url" if table == "text" else "url_hash"
+        assert a.count() == b.count(), table
+        assert a.select(key).exceptAll(b.select(key)).count() == 0, table
+    # the sharded run wrote a bloom TABLE, not driver-side sidecars
+    assert sharded.table("bloom") is not None
+    assert sharded.catalog.read_blob("url_seen/round=0/_bloom.bin") is None
+
+
 def test_politeness_cap_holds_every_round(spark, corpus, tmp_path):
     eng = _engine(spark, corpus, str(tmp_path / "s2"), budget=3, rounds=2)
     eng.run(seed_urls=seed_urls(30, N_PAGES), max_rounds=2)
