@@ -80,6 +80,120 @@ def default_opener(url, method="GET", headers=None, body=None, timeout_s=1):
         raise OSError(str(e)) from e
 
 
+class PooledOpener:
+    """Opener with per-host keep-alive connection reuse (stdlib
+    http.client) — the F3 scale target: at real-crawl scale a fresh
+    TCP+TLS handshake per request dominates small fetches, so connections
+    are pooled per (scheme, host, port) and reused across every row a
+    Python worker processes (workers are long-lived across batches).
+
+    Contract-identical to ``default_opener`` (status, headers, body,
+    content_type; TimeoutError on timeouts, OSError on transport errors),
+    including GET-redirect following. Pickles clean: the pool is
+    per-process state, dropped on serialization and rebuilt lazily on the
+    executor, so the object can be shipped into mapInPandas freely.
+
+    A stale keep-alive socket (server closed between reuses) surfaces as
+    RemoteDisconnected/ECONNRESET — retried ONCE on a fresh connection,
+    which is the standard idempotent-replay rule; a fresh-connection
+    failure propagates as OSError (code 800 upstream). The pool is a
+    small LRU (default 32 hosts) because scheduled partitions are
+    host-local (salt_bucket): a task touches few distinct hosts.
+    """
+
+    MAX_REDIRECTS = 5
+
+    def __init__(self, max_hosts: int = 32):
+        self.max_hosts = max_hosts
+        self._conns: "OrderedDict" = None  # type: ignore[assignment]
+        self.connections_opened = 0  # test/metrics visibility
+
+    def __getstate__(self):
+        return {"max_hosts": self.max_hosts}
+
+    def __setstate__(self, state):
+        self.max_hosts = state["max_hosts"]
+        self._conns = None
+        self.connections_opened = 0
+
+    def _pool(self):
+        if self._conns is None:
+            from collections import OrderedDict
+
+            self._conns = OrderedDict()
+        return self._conns
+
+    def _connect(self, scheme: str, host: str, port: int | None, timeout_s: float):
+        import http.client
+
+        pool = self._pool()
+        key = (scheme, host, port)
+        conn = pool.pop(key, None)
+        if conn is None:
+            cls = http.client.HTTPSConnection if scheme == "https" else http.client.HTTPConnection
+            conn = cls(host, port, timeout=timeout_s)
+            self.connections_opened += 1
+        pool[key] = conn  # move-to-end: LRU order
+        while len(pool) > self.max_hosts:
+            _, old = pool.popitem(last=False)
+            old.close()
+        conn.timeout = timeout_s
+        if getattr(conn, "sock", None) is not None:
+            conn.sock.settimeout(timeout_s)
+        return key, conn
+
+    def _drop(self, key) -> None:
+        conn = self._pool().pop(key, None)
+        if conn is not None:
+            conn.close()
+
+    def close(self) -> None:
+        for conn in self._pool().values():
+            conn.close()
+        self._pool().clear()
+
+    def __call__(self, url, method="GET", headers=None, body=None, timeout_s=1):
+        import http.client
+        from urllib.parse import urljoin, urlsplit
+
+        for _hop in range(self.MAX_REDIRECTS + 1):
+            parts = urlsplit(url)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+            reused_first = True
+            while True:
+                key, conn = self._connect(
+                    parts.scheme, parts.hostname, parts.port, timeout_s
+                )
+                was_fresh = conn.sock is None
+                try:
+                    conn.request(method, path, body=body, headers=headers or {})
+                    resp = conn.getresponse()
+                    data = resp.read()
+                    hdrs = dict(resp.getheaders())
+                    if resp.will_close:
+                        self._drop(key)
+                    break
+                except TimeoutError:
+                    self._drop(key)
+                    raise
+                except (http.client.HTTPException, OSError) as e:
+                    self._drop(key)
+                    if was_fresh or not reused_first:
+                        raise OSError(str(e)) from e
+                    reused_first = False  # stale keep-alive: one fresh retry
+            status = resp.status
+            loc = hdrs.get("Location")
+            if status in (301, 302, 303, 307, 308) and loc and _hop < self.MAX_REDIRECTS:
+                url = urljoin(url, loc)
+                if status == 303 or (status in (301, 302) and method == "POST"):
+                    method, body = "GET", None  # urllib redirect semantics
+                continue
+            return status, hdrs, data, hdrs.get("Content-Type")
+        return status, hdrs, data, hdrs.get("Content-Type")
+
+
 def form_body(params: dict | None) -> bytes | None:
     """POST form body: url-encoded ``body_params`` with SORTED keys — the
     same canonical order as F1's query strings (§2.1 determinism; the
@@ -277,14 +391,17 @@ class HttpFetcher:
         return http_fetch_stage(scheduled, self.opener, **self.stage_kwargs)
 
 
-def http_fetcher_for(config, opener: Opener = default_opener) -> "HttpFetcher":
+def http_fetcher_for(config, opener: Opener | None = None) -> "HttpFetcher":
     """HttpFetcher wired from a RavenConfig — every request knob the
     reference's crawler takes from the config (crawler.rs:25-50,150-176)
     becomes a stage default here; per-row frontier columns (config-seeded
-    runs, plans/round.REQUEST_COLUMNS) still override per task."""
+    runs, plans/round.REQUEST_COLUMNS) still override per task.
+
+    Defaults to the pooled keep-alive opener: connections amortize across
+    every row a worker fetches (F3's 'one session per batch' target)."""
     req = config.request
     return HttpFetcher(
-        opener=opener,
+        opener=opener if opener is not None else PooledOpener(),
         method=req.method,
         headers=dict(req.headers),
         timeout_s=req.timeout_s,
