@@ -33,7 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--cpus", type=int, default=None)
     run.add_argument("--max-rounds", type=int, default=None)
     run.add_argument("--robots", action="store_true",
-                     help="fetch + honor robots.txt per host (HTTP mode)")
+                     help="fetch + honor robots.txt per host (HTTP mode); "
+                          "rules are fetched for seed hosts before round 0 "
+                          "and refreshed each round for newly discovered hosts")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,19 +67,21 @@ def main(argv: list[str] | None = None) -> int:
         from datetime import datetime, timezone
 
         run_ts = datetime.now(timezone.utc)
-        robots = None
+        robots_fetcher = None
         if args.robots:
             if not args.http:
                 p.error("--robots requires --http (robots.txt is fetched over the network)")
-            from raven_spark.expansion import tasks_df
-            from raven_spark.functions.urls import with_url_identity
             from raven_spark.operators.politeness import fetch_robots
 
-            hosts = with_url_identity(tasks_df(spark, config, run_ts)).select("host")
-            robots = fetch_robots(hosts, timeout_s=config.request.timeout_s)
+            # handed to the engine as a FETCHER, not a pre-built table: the
+            # engine materializes rules once per host (never re-fetched per
+            # round-plan lineage) and extends coverage to link-discovered
+            # hosts before they are ever scheduled
+            def robots_fetcher(hosts_df):
+                return fetch_robots(hosts_df, timeout_s=config.request.timeout_s)
         eng = CrawlEngine(
-            spark, config, args.state, fetcher, robots=robots,
-            options=EngineOptions(extra_sinks=extra_sinks),
+            spark, config, args.state, fetcher,
+            options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
         )
         eng.bootstrap_from_config(run_ts=run_ts)
         stats = eng.run(max_rounds=args.max_rounds)

@@ -66,6 +66,13 @@ class EngineOptions:
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
     notify: object = None  # callable(message: str, summary: dict) — S1 seam
+    # callable(hosts_df: DataFrame[host]) -> ROBOTS_SCHEMA DataFrame.
+    # When set, the engine fetches rules for every host the crawl reaches
+    # BEFORE scheduling it: round 0 covers the seed hosts, and each later
+    # round covers hosts newly discovered via links (which a static
+    # pre-fetched table would default-allow without ever consulting
+    # their robots.txt).
+    robots_fetcher: object = None
 
 
 class CrawlEngine:
@@ -82,17 +89,55 @@ class CrawlEngine:
         self.config = config
         self.state_root = state_root
         self.fetcher = fetcher
-        self.robots = robots
         self.opt = options or EngineOptions()
+        # Materialize robots rules ONCE, driver-side. fetch_robots returns
+        # a lazy mapInPandas pipeline — if it were joined as-is, every
+        # round's plan would re-fetch each host's robots.txt over the
+        # network at least twice (the flag join and the budget join have
+        # separate lineages and could even see DIFFERENT content
+        # mid-crawl). Rules are O(hosts), so collect + rebuild local.
+        self._robots_rows: list = []
+        if robots is not None:
+            self._robots_rows = list(robots.collect())
+            robots = self._robots_df()
+        self.robots = robots
+        self._rebuild_host_budgets()
+        self.catalog = ParquetCatalog(spark, state_root)
+        if "://" not in state_root and not state_root.startswith("file:/"):
+            os.makedirs(state_root, exist_ok=True)
+
+    def _robots_df(self) -> DataFrame:
+        from raven_spark.operators.politeness import ROBOTS_SCHEMA
+
+        return self.spark.createDataFrame(self._robots_rows, ROBOTS_SCHEMA)
+
+    def _rebuild_host_budgets(self) -> None:
         # robots crawl-delay -> per-host budget override (broadcast side)
         from raven_spark.operators.politeness import effective_budget_col
 
         self._host_budgets = effective_budget_col(
-            robots, (config.effective_host_budget())
+            self.robots, self.config.effective_host_budget()
         )
-        self.catalog = ParquetCatalog(spark, state_root)
-        if "://" not in state_root and not state_root.startswith("file:/"):
-            os.makedirs(state_root, exist_ok=True)
+
+    def _refresh_robots(self, frontier_delta: DataFrame) -> None:
+        """Fetch rules for hosts in this round's delta that have none yet
+        (O(new hosts) work; known hosts are never re-requested)."""
+        if self.opt.robots_fetcher is None:
+            return
+        import pandas as pd
+
+        known = {r["host"] for r in self._robots_rows}
+        hosts = sorted(
+            r["host"]
+            for r in frontier_delta.select("host").distinct().collect()
+            if r["host"] not in known
+        )
+        if not hosts:
+            return
+        hosts_df = self.spark.createDataFrame(pd.DataFrame({"host": hosts}))
+        self._robots_rows.extend(self.opt.robots_fetcher(hosts_df).collect())
+        self.robots = self._robots_df()
+        self._rebuild_host_budgets()
 
     # -- manifest -------------------------------------------------------------
     # run manifest + Bloom sidecars go through the catalog blob API so URI
@@ -180,6 +225,11 @@ class CrawlEngine:
         if frontier_delta is None:
             return {"tasks": 0, "empty": True}
         frontier_delta = frontier_delta.filter(F.col("round") == round_no).drop("round")
+
+        tr = time.time()
+        self._refresh_robots(frontier_delta)
+        if self.opt.robots_fetcher is not None:
+            _mark("robots_refresh", tr)
 
         url_seen = None
         bloom = None

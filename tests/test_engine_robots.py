@@ -80,6 +80,61 @@ def test_budget_cap_enforced_per_round(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_robots_refreshed_for_discovered_hosts(spark, tmp_path):
+    """Hosts reached via link discovery (absent from the seed list) must
+    get their robots.txt consulted BEFORE being scheduled — the r2 CLI
+    only fetched rules for round-0 hosts and default-allowed the rest.
+    Fetcher policy here: allow seed hosts, deny everything discovered;
+    therefore no non-seed host may ever be fetched."""
+    from urllib.parse import urlsplit
+
+    corpus = generate_pages(spark, N, seed=42).persist()
+    seeds = seed_urls(10, N)
+    seed_hosts = {urlsplit(u).hostname for u in seeds}
+    calls: list[list[str]] = []
+
+    def robots_fetcher(hosts_df):
+        hosts = sorted(r["host"] for r in hosts_df.collect())
+        calls.append(hosts)
+        texts = spark.createDataFrame(
+            [(h, "User-agent: *\nDisallow:" if h in seed_hosts
+              else "User-agent: *\nDisallow: /") for h in hosts],
+            "host string, robots_txt string",
+        )
+        return robots_rules_df(texts)
+
+    cfg = RavenConfig(
+        name="robots-refresh",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=3,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "rr"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8,
+            robots_fetcher=robots_fetcher,
+        ),
+    )
+    eng.run(seed_urls=seeds, max_rounds=3)
+
+    # round 0 fetched exactly the seed hosts' rules
+    assert calls[0] == sorted(seed_hosts)
+    # later rounds fetched rules for newly discovered hosts only
+    discovered_calls = [h for c in calls[1:] for h in c]
+    assert discovered_calls and not (set(discovered_calls) & seed_hosts)
+    # a host's rules are fetched at most once across the whole crawl
+    flat = [h for c in calls for h in c]
+    assert len(flat) == len(set(flat))
+    # deny-all rules on discovered hosts were honored: nothing non-seed
+    # was ever fetched, though discovery DID reach non-seed hosts
+    fetched_hosts = {r["host"] for r in eng.table("pages").select("host").distinct().collect()}
+    assert fetched_hosts <= seed_hosts
+    frontier_hosts = {r["host"] for r in eng.table("frontier").select("host").distinct().collect()}
+    assert frontier_hosts - seed_hosts
+    corpus.unpersist()
+
+
 def test_notify_summary(spark, tmp_path):
     corpus = generate_pages(spark, 100, seed=42).persist()
     got = {}
