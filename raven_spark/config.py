@@ -72,6 +72,27 @@ class PersistMethod:
     bucket: str | None = None
 
 
+NOTIFY_LEVELS = ("trace", "debug", "info", "warn", "error")  # logger.rs LogLevel
+
+
+@dataclass(frozen=True)
+class NotifyMethod:
+    """Notify sink spec (notify_method.rs:8-15): where run events go.
+    ``level`` is an EXACT-match filter — a method fires only for events
+    of its own level (instances.rs:93-100), so level=error means
+    'failures only' and level=info means 'completions only'."""
+
+    kind: str  # 'slack'
+    url: str
+    channel: str
+    mention: str | None = None
+    level: str = "info"
+
+    def __post_init__(self) -> None:
+        if self.level not in NOTIFY_LEVELS:
+            raise ConfigError(f"notify level must be one of {NOTIFY_LEVELS}, got {self.level!r}")
+
+
 @dataclass(frozen=True)
 class RavenRequest:
     """raven_request.rs:8-30."""
@@ -100,6 +121,7 @@ class RavenConfig:
     name: str
     request: RavenRequest
     sinks: tuple[PersistMethod, ...] = ()
+    notify_methods: tuple[NotifyMethod, ...] = ()  # config.rs:18-35 `notify`
     parallelism: int = 1  # config.rs:37-39 default 1
     sleep_s: int | None = None  # politeness (config.rs:32)
     # Spark-scale additions (BASELINE.json north_rule):
@@ -162,10 +184,26 @@ def parse_config(doc: dict[str, Any] | str) -> RavenConfig:
             sinks.append(PersistMethod(kind=str(o["table"].get("format", "parquet")), path=str(o["table"]["path"])))
         else:
             raise ConfigError(f"unknown output sink: {sorted(o)}")
+    notify_methods: list[NotifyMethod] = []
+    for nm in doc.get("notify", []) or []:
+        if not isinstance(nm, dict) or "slack" not in nm:
+            raise ConfigError(f"unknown notify method: {sorted(nm) if isinstance(nm, dict) else nm}")
+        sl = nm["slack"]
+        try:
+            notify_methods.append(
+                NotifyMethod(
+                    kind="slack", url=str(sl["url"]), channel=str(sl["channel"]),
+                    mention=(str(sl["mention"]) if sl.get("mention") is not None else None),
+                    level=str(sl.get("level", "info")).lower(),
+                )
+            )
+        except KeyError as e:
+            raise ConfigError(f"notify slack: missing required field {e.args[0]!r}") from e
     return RavenConfig(
         name=str(name),
         request=request,
         sinks=tuple(sinks),
+        notify_methods=tuple(notify_methods),
         parallelism=int(doc.get("max_threads", 1)),
         sleep_s=doc.get("sleep"),
         host_budget_per_round=doc.get("host_budget_per_round"),

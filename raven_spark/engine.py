@@ -66,6 +66,13 @@ class EngineOptions:
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
     notify: object = None  # callable(message: str, summary: dict) — S1 seam
+    # callable(method: NotifyMethod, level, label, message) — the delivery
+    # seam for config-declared notify methods (the Slack POST in
+    # notify_method.rs:17-66; injected here because outbound webhooks are
+    # deployment config, not engine code). A method fires only when its
+    # configured level EQUALS the event level (instances.rs:93-100):
+    # level=error -> failures only, level=info -> completions only.
+    notify_poster: object = None
     # callable(hosts_df: DataFrame[host]) -> ROBOTS_SCHEMA DataFrame.
     # When set, the engine fetches rules for every host the crawl reaches
     # BEFORE scheduling it: round 0 covers the seed hosts, and each later
@@ -452,13 +459,40 @@ class CrawlEngine:
         max_rounds = max_rounds or self.config.max_rounds
         start = (self.last_completed_round() or -1) + 1
         all_stats = []
-        for k in range(start, max_rounds):
-            stats = self.run_round(k)
-            all_stats.append(stats)
-            if stats.get("empty") or stats["tasks"] == 0:
-                break
+        try:
+            for k in range(start, max_rounds):
+                stats = self.run_round(k)
+                all_stats.append(stats)
+                if stats.get("empty") or stats["tasks"] == 0:
+                    break
+        except Exception as e:  # noqa: BLE001 — abort is an error-level event
+            # (runner.rs:78 notifies Error on failure; state is committed
+            # per-round, so resume() continues from the crash point)
+            self.notify("error", f"[{self.config.name}] crawl aborted", str(e)[:500])
+            raise
         self._notify_run(all_stats)
         return all_stats
+
+    def notify(self, level: str, label: str, message: str) -> None:
+        """Leveled notify fan-out (S1): always logged; delivered through
+        ``opt.notify_poster`` for every config notify method whose level
+        matches the event's level exactly (instances.rs:93-100)."""
+        import logging
+
+        log = logging.getLogger("raven_spark")
+        log.log(
+            {"error": logging.ERROR, "warn": logging.WARNING}.get(level, logging.INFO),
+            "%s %s", label, message,
+        )
+        if self.opt.notify_poster is None:
+            return
+        for m in self.config.notify_methods:
+            if m.level != level:
+                continue
+            try:
+                self.opt.notify_poster(m, level, label, message)
+            except Exception as e:  # noqa: BLE001 — notify failures never kill a run
+                log.warning("notify method %s failed: %s", m.kind, e)
 
     def _notify_run(self, all_stats: list[dict]) -> None:
         """Run-summary side channel (S1/M4, runner.rs:113-155): counts +
@@ -482,7 +516,9 @@ class CrawlEngine:
             f"{len(summary['persist_errors'])} persist errors, "
             f"{summary['wall_s']}s"
         )
-        logging.getLogger("raven_spark").info(message)
+        # completion is an info-level event (runner.rs:154 notify_info) —
+        # an error-level Slack method stays silent on clean completions
+        self.notify("info", "raven command is completed.", message)
         if self.opt.notify is not None:
             try:
                 self.opt.notify(message, summary)

@@ -4,6 +4,7 @@ denied-url recording and per-host budget caps."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from raven_spark.config import RavenConfig, RavenRequest
@@ -156,3 +157,79 @@ def test_notify_summary(spark, tmp_path):
     assert got["summary"]["tasks"] == sum(s["tasks"] for s in stats)
     assert "[notify-e2e] finished crawling" in got["message"]
     corpus.unpersist()
+
+
+def test_notify_level_filtering(spark, tmp_path):
+    """Config-declared notify methods fire only for events of their OWN
+    level (exact match, instances.rs:93-100): an info method sees the
+    completion, an error method sees only aborts."""
+    from raven_spark.config import parse_config
+
+    cfg = parse_config("""
+name: levels-e2e
+request:
+  url: "https://ignored/"
+notify:
+  - slack:
+      url: "https://hooks.invalid/a"
+      channel: "#ok"
+      level: info
+  - slack:
+      url: "https://hooks.invalid/b"
+      channel: "#alerts"
+      mention: "@here"
+      level: error
+host_budget_per_round: 50
+max_rounds: 1
+""")
+    assert [m.level for m in cfg.notify_methods] == ["info", "error"]
+    assert cfg.notify_methods[1].mention == "@here"
+
+    corpus = generate_pages(spark, 100, seed=42).persist()
+    posted = []
+
+    def poster(method, level, label, message):
+        posted.append((method.channel, level, label))
+
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "lv"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=1024, shuffle_partitions=4, notify_poster=poster
+        ),
+    )
+    eng.run(seed_urls=seed_urls(10, 100), max_rounds=1)
+    # clean completion: only the info-level method fired
+    assert posted == [("#ok", "info", "raven command is completed.")]
+
+    # abort path: all sinks failing raises -> only the error method fires
+    posted.clear()
+    eng2 = CrawlEngine(
+        spark, cfg, str(tmp_path / "lv2"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=1024, shuffle_partitions=4, notify_poster=poster
+        ),
+    )
+    eng2.bootstrap(seed_urls(10, 100))
+
+    def boom(*a, **k):
+        raise RuntimeError("sink down")
+
+    eng2.catalog.append = boom
+    with pytest.raises(RuntimeError):
+        eng2.run(max_rounds=1)
+    assert len(posted) == 1
+    chan, level, label = posted[0]
+    assert (chan, level) == ("#alerts", "error") and "aborted" in label
+    corpus.unpersist()
+
+
+def test_notify_bad_level_rejected():
+    from raven_spark.config import ConfigError, parse_config
+
+    with pytest.raises(ConfigError):
+        parse_config("""
+name: bad
+request: {url: "https://x/"}
+notify:
+  - slack: {url: "https://h/", channel: "#c", level: loud}
+""")
