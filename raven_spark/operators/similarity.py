@@ -80,6 +80,26 @@ def with_lsh_buckets(
     return df.withColumn(out_col, lsh_bucket_udf(n_planes, dim, seed)(F.col(vec_col)))
 
 
+def probe_buckets(qproj: np.ndarray, n_planes: int, multiprobe: int) -> list[int]:
+    """Margin-ordered multiprobe (Lv et al., 'Multi-Probe LSH', VLDB'07):
+    the buckets most likely to hold the query's near neighbors are those
+    reached by flipping the bits whose hyperplane projections were most
+    MARGINAL for the query. Candidate flips (subsets of <=3 bits) are
+    ranked by total flipped margin; the first ``multiprobe`` buckets
+    (including the exact bucket at cost 0) are probed. Strictly dominates
+    fixed bit-order flipping at equal probe count."""
+    import itertools
+
+    margins = np.abs(qproj)
+    qbucket = int(((qproj > 0) * (1 << np.arange(n_planes))).sum())
+    cands: list[tuple[float, int]] = [(0.0, 0)]
+    for r in (1, 2, 3):
+        for comb in itertools.combinations(range(n_planes), r):
+            cands.append((float(margins[list(comb)].sum()), sum(1 << b for b in comb)))
+    cands.sort()
+    return [qbucket ^ flip for _, flip in cands[:multiprobe]]
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -90,15 +110,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's sign-bucket (plus
-    ``multiprobe-1`` single-bit-flip neighbor buckets for recall).
+    """Approximate top-k: scan only the query's sign-bucket plus the
+    ``multiprobe-1`` margin-ordered neighbor buckets (probe_buckets).
     Bucketing the store is a one-time cost; per-query cost drops to
-    ~multiprobe/2^n_planes of the data."""
+    ~multiprobe/2^n_planes of the data. Size n_planes to the store
+    (target ~2^n_planes ≈ N/bucket_size) — over-partitioning a small
+    store leaves true neighbors outside any probed bucket."""
     dim = len(query_vec)
     planes = _planes(n_planes, dim, seed)
-    qbits = ((np.asarray(query_vec, dtype=np.float64) @ planes.T) > 0)
-    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    probes = [qbucket] + [qbucket ^ (1 << b) for b in range(min(multiprobe - 1, n_planes))]
+    qproj = np.asarray(query_vec, dtype=np.float64) @ planes.T
+    probes = probe_buckets(qproj, n_planes, multiprobe)
     bucketed = with_lsh_buckets(df, n_planes, dim, seed, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -62,6 +62,23 @@ def test_lsh_topk_recall_planted(spark):
     assert len(exact & approx) >= 8
 
 
+def test_probe_buckets_margin_order():
+    """Multiprobe flips the most MARGINAL bits first: with projections
+    (+5, -0.1, +3, -0.2), probe #2 must flip bit 1 (margin .1), #3 bit 3
+    (.2), #4 bits 1+3 (.3), before any bucket touching bits 0/2."""
+    from raven_spark.operators.similarity import probe_buckets
+
+    qproj = np.array([5.0, -0.1, 3.0, -0.2])
+    qb = 0b0101  # sign bits
+    probes = probe_buckets(qproj, 4, 5)
+    assert probes[0] == qb
+    assert probes[1] == qb ^ 0b0010
+    assert probes[2] == qb ^ 0b1000
+    assert probes[3] == qb ^ 0b1010
+    assert probes[4] in (qb ^ 0b0100, qb ^ 0b0001)  # next-cheapest single bit (3.0)
+    assert len(set(probes)) == 5
+
+
 def test_lsh_bucket_determinism(embeddings):
     from raven_spark.operators.similarity import with_lsh_buckets
 
