@@ -286,6 +286,28 @@ def main() -> None:
     scaling = {} if skip_scaling else run_scaling()
     hi = SCALE_LEVELS[-1]
     thr = scaling.get(f"local[{hi}]", {}).get("urls_per_sec", 0.0)
+    # The final stdout line must stay SHORT: the driver captures a bounded
+    # tail of stdout, and r2's full scaling payload (per-round phase
+    # timings x reps x levels) pushed the JSON line past it, leaving
+    # BENCH_r02 parsed=null. Compact per-level summary on stdout; the full
+    # detail (walls, round_stats, ceiling) goes to BENCH_LOCAL.json.
+    compact_scaling = {}
+    if scaling:
+        for lvl in SCALE_LEVELS:
+            d = scaling.get(f"local[{lvl}]", {})
+            compact_scaling[f"local[{lvl}]"] = {
+                "urls_per_sec": d.get("urls_per_sec"),
+                "wall_s": d.get("wall_s"),
+                "urls": d.get("urls"),
+            }
+        compact_scaling["levels"] = scaling.get("levels")
+        compact_scaling["scaling_efficiency"] = scaling.get("scaling_efficiency")
+        compact_scaling["ceiling_efficiency"] = scaling.get("ceiling", {}).get(
+            "ceiling_efficiency"
+        )
+        compact_scaling["scaling_efficiency_vs_ceiling"] = scaling.get(
+            "scaling_efficiency_vs_ceiling"
+        )
     result = {
         "metric": "urls_fetched_deduped_per_sec",
         "value": thr,
@@ -293,10 +315,14 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_value(SF_DIR),
         "suite_seconds": round(sum(timings.values()), 3),
-        "scaling": scaling,
+        "scaling": compact_scaling,
         "cpus": CPUS,
     }
-    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump({**result, "scaling_full": scaling,
+                   "bench_wall_s": round(time.time() - t0, 3)}, f, indent=1)
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -151,15 +151,26 @@ def fetch_robots(
     agent: str = "*",
     timeout_s: int = 2,
     scheme: str = "https",
+    concurrency: int = 16,
 ) -> DataFrame:
     """(host) rows -> ROBOTS_SCHEMA rules table by fetching
     ``{scheme}://{host}/robots.txt`` through the injected opener (the same
     seam as the HTTP fetch stage) and parsing with parse_robots_txt.
 
-    One request per DISTINCT host inside mapInPandas — the robots table is
-    O(hosts), never O(urls), so this runs once per crawl (or per TTL) and
-    broadcasts. Missing/unfetchable robots.txt (404s, transport errors,
-    timeouts) yield an all-allow row, matching crawler convention.
+    One request per DISTINCT host — the robots table is O(hosts), never
+    O(urls), so this runs once per crawl (or per TTL) and broadcasts.
+    Within each mapInPandas partition the requests run on a small thread
+    pool: robots endpoints are DISTINCT hosts (politeness is per-host, so
+    concurrent requests never hit the same server), and the work is pure
+    network wait — at millions of hosts a serial loop would make this
+    stage latency-bound at ~1/(RTT) hosts/sec/worker instead of
+    ~concurrency/(RTT). Missing/unfetchable robots.txt (404s, transport
+    errors, timeouts) yield an all-allow row, matching crawler convention.
+
+    The opener must be thread-safe under ``concurrency > 1`` (the default
+    urllib opener is stateless and is; a connection-pooling opener is not
+    — pass concurrency=1 to serialize, pooling buys nothing across
+    distinct hosts anyway).
     """
     import pandas as pd
 
@@ -168,22 +179,32 @@ def fetch_robots(
 
         opener = default_opener
 
+    def fetch_one(host):
+        text = None
+        try:
+            status, _hdrs, raw, _ct = opener(
+                f"{scheme}://{host}/robots.txt", method="GET",
+                headers={}, body=None, timeout_s=timeout_s,
+            )
+            if status == 200 and raw:
+                text = raw.decode("utf-8", errors="replace")
+        except (TimeoutError, OSError):
+            pass  # unreachable -> allow-all
+        allow, deny, delay = parse_robots_txt(text, agent)
+        return (host, allow, deny, delay)
+
     def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
         for pdf in batches:
-            out_rows = []
-            for host in pdf["host"]:
-                text = None
-                try:
-                    status, _hdrs, raw, _ct = opener(
-                        f"{scheme}://{host}/robots.txt", method="GET",
-                        headers={}, body=None, timeout_s=timeout_s,
-                    )
-                    if status == 200 and raw:
-                        text = raw.decode("utf-8", errors="replace")
-                except (TimeoutError, OSError):
-                    pass  # unreachable -> allow-all
-                allow, deny, delay = parse_robots_txt(text, agent)
-                out_rows.append((host, allow, deny, delay))
+            host_list = list(pdf["host"])
+            if not host_list:
+                continue
+            if len(host_list) == 1:
+                out_rows = [fetch_one(host_list[0])]
+            else:
+                with ThreadPoolExecutor(min(concurrency, len(host_list))) as pool:
+                    out_rows = list(pool.map(fetch_one, host_list))
             yield pd.DataFrame({
                 "host": [r[0] for r in out_rows],
                 "allow": [r[1] for r in out_rows],

@@ -31,6 +31,10 @@ CRAWL_PAGES = 220000
 CRAWL_SEEDS = 100000
 
 VARIANTS = ["count_only", "snappy", "lz4", "zstd", "uncompressed"]
+# round-3 A/B: html/text/links values are unique per row — parquet's
+# dictionary encoding builds + abandons a dictionary per column chunk
+# before falling back to plain; measure the encode tax of that.
+VARIANTS += ["zstd_nodict"]
 
 
 def child(variant: str, cpus: int) -> None:
@@ -48,6 +52,9 @@ def child(variant: str, cpus: int) -> None:
         extra["spark.sql.parquet.compression.codec"] = variant
     elif variant == "uncompressed":
         extra["spark.sql.parquet.compression.codec"] = "uncompressed"
+    elif variant == "zstd_nodict":
+        extra["spark.sql.parquet.compression.codec"] = "zstd"
+        extra["spark.hadoop.parquet.enable.dictionary"] = "false"
 
     spark = get_spark(f"wp_{variant}", cpus=cpus, shuffle_partitions=cpus, extra_conf=extra)
     corpus = spark.read.parquet(CORPUS_CACHE)
