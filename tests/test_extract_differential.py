@@ -42,6 +42,24 @@ def test_corpus_pages_match_reference():
         assert extract_text(s) == _extract_text_reference(s)
 
 
+def test_malformed_long_tags_linear_and_equal():
+    # possessive attr grammar: unterminated tags must (a) still match the
+    # spec byte-for-byte and (b) fail in linear time — char-wise
+    # backtracking here cost ~4ms per 20k-char junk tag before
+    import time
+
+    cases = [
+        "<a " + "x" * 20000,                    # unterminated tag, no quotes
+        '<a href="' + "y" * 20000,              # unterminated quote
+        "<a " + 'b="c" ' * 3000,                # many quoted attrs, no close
+        "pre<div " + "z" * 10000 + ">post",     # eventually closes
+    ]
+    t0 = time.perf_counter()
+    for c in cases:
+        assert extract_text(c) == _extract_text_reference(c), c[:40]
+    assert time.perf_counter() - t0 < 2.0  # generous; was O(n^2)-ish before
+
+
 def test_fuzz_match_reference():
     rng = np.random.default_rng(7)
     alphabet = list("<>/ab cp&#;\"'=!-x\n\theadscriptstyle")
