@@ -82,7 +82,7 @@ _COMMENT_RE = re.compile(r"<!--.*?-->|<![^>]*>|<\?[^>]*>", re.DOTALL)
 # extract_text walk never reads attrs, and not materializing that third
 # capture per tag cuts the split output from stride-4 to stride-3 —
 # ~25% fewer string allocations on the hottest line of the crawl kernel
-# (extract_links keeps _TAG_RE; it does read attrs).
+# (_TAG_RE stays as-written: it IS the executable spec's grammar).
 # The attr grammar is POSSESSIVE (3.11+): alternatives are disjoint char
 # classes, so atomic matching is provably equivalent to the backtracking
 # spec grammar (differential + adversarial tested) while consuming attr
