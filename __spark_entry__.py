@@ -626,6 +626,32 @@ def q32_clean_corpus(spark, sf_dir):
     )
 
 
+def q34_host_boilerplate(spark, sf_dir):
+    """CCNet-style per-host boilerplate: 7-word windows repeated in >=3
+    distinct docs of the same source are chrome; per-doc boilerplate
+    fraction (operators/pipeline.host_boilerplate). Counting shuffles on
+    (source, xxhash64(unit)); the oracle replays with unit strings."""
+    from raven_spark.operators.pipeline import host_boilerplate
+
+    return host_boilerplate(
+        _t(spark, sf_dir, "documents"), window_words=7, min_docs=3
+    )
+
+
+def q35_contamination(spark, sf_dir):
+    """Benchmark n-gram decontamination: the held-out set is doc_id % 13
+    == 0 (deterministic in-repo stand-in for an eval suite); flag corpus
+    docs sharing any distinct word 5-gram with it
+    (operators/pipeline.benchmark_contamination; benchmark grams
+    broadcast)."""
+    from raven_spark.operators.pipeline import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    corpus = d.filter(F.col("doc_id") % 13 != 0)
+    return benchmark_contamination(corpus, bench, ngram_n=5, min_overlap=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -661,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_dup_ngram_frac": q31_dup_ngram_frac,
         "q32_clean_corpus": q32_clean_corpus,
         "q33_brand_revenue_by_nation": q33_brand_revenue_by_nation,
+        "q34_host_boilerplate": q34_host_boilerplate,
+        "q35_contamination": q35_contamination,
     }
 
 
@@ -1131,6 +1159,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q25_media_features": Q25_ORACLE,
         "q28_robots_gate": Q28_ORACLE,
+        "q34_host_boilerplate": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), g AS (
+              -- non-overlapping 7-word windows, last window partial;
+              -- every doc yields >= 1 window (len(ws) >= 1 even for '')
+              SELECT doc_id, source,
+                     list_transform(
+                       generate_series(1, CAST(ceil(len(ws) / 7.0) AS INT)),
+                       i -> array_to_string(ws[(i-1)*7+1 : least(i*7, len(ws))], ' ')
+                     ) AS wins
+              FROM w
+            ), u AS (
+              SELECT doc_id, source, unnest(wins) AS unit FROM g
+            ), c AS (
+              SELECT source, unit, count(DISTINCT doc_id) AS ndocs
+              FROM u GROUP BY source, unit
+            )
+            SELECT u.doc_id AS id, u.source AS group_key,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   round(CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / greatest(count(*), 1), 6) AS boiler_frac
+            FROM u JOIN c ON u.source = c.source AND u.unit = c.unit
+            GROUP BY u.doc_id, u.source
+        """,
+        "q35_contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ws) >= 5
+                       THEN list_transform(generate_series(1, len(ws) - 4),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                              || ws[i+3] || ' ' || ws[i+4])
+                       ELSE []::VARCHAR[] END) AS grams
+              FROM w
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gk FROM g WHERE doc_id % 13 = 0
+            ), corpus AS (
+              SELECT doc_id, grams FROM g WHERE doc_id % 13 <> 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM (SELECT doc_id, unnest(grams) AS gk FROM corpus) cg
+              JOIN bench USING (gk)
+              GROUP BY doc_id
+            )
+            SELECT c.doc_id AS id,
+                   CAST(len(grams) AS INT) AS n_grams,
+                   CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(n_overlap, 0) >= 1 AS contaminated
+            FROM corpus c LEFT JOIN hits USING (doc_id)
+        """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
                  shards   AS (SELECT unnest(generate_series(1, 3)) AS shard),

@@ -13,6 +13,19 @@ pipeline runs AFTER the crawl, composed from the engine's kernels:
   quality threshold x repetition cap x exact-dup canonical-id — each
   reason kept as its own column so downstream audits see WHY a doc
   dropped (at 100 TB you never re-run a filter to find out).
+- ``host_boilerplate``: CCNet-style per-host boilerplate detection —
+  text units repeated across many documents of the same host/source
+  (nav bars, footers, cookie banners) are chrome, not content. CCNet
+  segments by line; crawl-extracted text has real newlines but the
+  documents table is flat word soup, so the segmenter is generic:
+  non-overlapping fixed word windows stand in for lines (the unit
+  choice is a parameter, the counting algebra is identical).
+- ``benchmark_contamination``: flag corpus documents sharing word
+  n-grams with a held-out benchmark/eval set (the standard n-gram
+  decontamination pass before training). The benchmark side of the
+  join is eval-set sized — tiny against a 100 TB corpus — so it is an
+  explicit broadcast; at extreme bench sizes the same set would ship
+  as a Bloom sidecar instead (same posture as operators/seen.py).
 
 All three are whole-stage-codegen column algebra (no Python, no UDFs),
 so they run at scan speed and their DuckDB oracles replay the identical
@@ -88,6 +101,133 @@ def dup_ngram_frac(
     df: DataFrame, text_col: str = "text", n: int = 10, out_col: str = "dup_ngram_frac"
 ) -> DataFrame:
     return df.withColumn(out_col, dup_ngram_frac_col(F.col(text_col), n))
+
+
+def _word_windows_col(text: Column, w: int) -> Column:
+    """Non-overlapping w-word windows over the normalized text (the
+    flat-text stand-in for CCNet's line segmentation; the last window may
+    be shorter). Every doc yields >= 1 window: empty/whitespace text
+    normalizes to "" -> split yields [""] -> one empty-string unit, the
+    same edge the DuckDB oracle produces."""
+    words = F.split(norm_text_col(text), " ")
+    nwin = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(nwin, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
+    )
+
+
+def host_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    window_words: int = 7,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-host boilerplate measurement (CCNet §2.1 "paragraph-level
+    dedup per shard" adapted to host grouping): a unit is boilerplate
+    when it occurs in >= min_docs DISTINCT documents of the same group.
+
+    Returns one row per doc: (id, group_key, n_units, n_boiler, boiler_frac)
+    where n_boiler counts window positions (with multiplicity) whose unit
+    is group-boilerplate.
+
+    Scale shape: the exploded units shuffle on (group, xxhash64(unit)) —
+    8-byte unit keys, never the unit text; the distinct-doc count is a
+    map-side-combinable groupBy; the count join reuses the same
+    partitioning (same keys both sides). No Python, no window over text.
+    """
+    units = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(_word_windows_col(F.col(text_col), window_words)).alias("unit"),
+    ).withColumn("unit_h", F.xxhash64("unit")).drop("unit")
+    counts = (
+        units.select("grp", "unit_h", "id")
+        .distinct()
+        .groupBy("grp", "unit_h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    flagged = units.join(counts, ["grp", "unit_h"])
+    return (
+        flagged.groupBy("id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum((F.col("ndocs") >= min_docs).cast("bigint")).alias("n_boiler"),
+        )
+        .select(
+            "id",
+            F.col("grp").alias("group_key"),
+            "n_units",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.greatest(F.col("n_units"), F.lit(1)).cast("double"),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def _word_ngrams_distinct(text: Column, n: int) -> Column:
+    """Distinct overlapping word n-grams (set semantics — contamination
+    is membership, not multiplicity)."""
+    return F.array_distinct(_word_ngrams_all(text, n))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """N-gram decontamination check: for each corpus doc, how many of its
+    distinct word n-grams appear anywhere in the benchmark set.
+
+    Returns (id, n_grams, n_overlap, contaminated). Docs shorter than n
+    words have n_grams = 0 and are trivially clean.
+
+    Scale shape: the benchmark n-gram set (distinct, hashed to 8 bytes)
+    is built once and broadcast — eval sets are MBs against a 100 TB
+    corpus, so the corpus side never shuffles; the per-doc overlap count
+    is a partial aggregate over the exploded grams. The left anti-ish
+    zero-fill goes through a left join on the original ids, also
+    shuffle-free on the corpus side (aggregate output is small only per
+    doc — it re-joins on id; at corpus scale both sides of that join are
+    id-partitioned by the same aggregate exchange).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams_distinct(F.col(text_col), ngram_n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("g_h"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngrams_distinct(F.col(text_col), ngram_n)).alias("g"),
+    ).select("id", F.xxhash64("g").alias("g_h"))
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "g_h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(_word_ngrams_distinct(F.col(text_col), ngram_n)).alias("n_grams"),
+    )
+    return (
+        base.join(overlap, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
 
 
 def clean_corpus(

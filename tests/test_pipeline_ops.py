@@ -68,3 +68,82 @@ def test_clean_corpus_reasons(spark):
     assert out[4]["keep"] is False and out[4]["rep_ok"] is False
     assert out[5]["keep"] is False
     assert out[5]["lang_pred"] == "und"
+
+
+# --- host_boilerplate ----------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_host_boilerplate_flags_repeated_windows_within_host(spark):
+    from raven_spark.operators.pipeline import host_boilerplate
+
+    chrome = "home about contact privacy terms sitemap login"  # exactly 7 words
+    rows = [
+        (1, chrome + " alpha beta gamma delta epsilon zeta eta", "hostA"),
+        (2, chrome + " one two three four five six seven", "hostA"),
+        (3, chrome + " red green blue cyan magenta yellow black", "hostA"),
+        # same chrome on a DIFFERENT host: must not count toward hostA,
+        # and 1 occurrence on hostB is below min_docs there
+        (4, chrome + " solo page body text words here now", "hostB"),
+    ]
+    out = {r["id"]: r for r in host_boilerplate(
+        _docs(spark, rows), window_words=7, min_docs=3).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_units"] == 2
+        assert out[i]["n_boiler"] == 1  # only the chrome window
+        assert abs(out[i]["boiler_frac"] - 0.5) < 1e-9
+    assert out[4]["n_boiler"] == 0
+
+
+def test_host_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    from raven_spark.operators.pipeline import host_boilerplate
+
+    u = "aa bb cc dd ee ff gg"  # 7 words
+    # one doc repeating the unit 3x is NOT host-boilerplate (1 distinct doc)
+    rows = [(1, " ".join([u] * 3), "h")]
+    out = host_boilerplate(_docs(spark, rows), window_words=7, min_docs=3).collect()
+    assert out[0]["n_units"] == 3 and out[0]["n_boiler"] == 0
+
+
+def test_host_boilerplate_partial_last_window_and_empty(spark):
+    from raven_spark.operators.pipeline import host_boilerplate
+
+    rows = [(1, "only three words", "h"), (2, "   ", "h")]
+    out = {r["id"]: r for r in host_boilerplate(
+        _docs(spark, rows), window_words=7, min_docs=3).collect()}
+    assert out[1]["n_units"] == 1  # partial window kept
+    assert out[2]["n_units"] == 1  # whitespace-only -> one empty unit
+
+
+# --- benchmark_contamination ---------------------------------------------------
+
+
+def test_contamination_flags_shared_ngrams(spark):
+    from raven_spark.operators.pipeline import benchmark_contamination
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog", "b")])
+    corpus = _docs(spark, [
+        (1, "intro words then the quick brown fox jumps over a fence", "c"),
+        (2, "completely unrelated text about spark shuffles and joins ok", "c"),
+        (3, "tiny doc", "c"),  # < n words -> 0 grams, clean
+    ])
+    out = {r["id"]: r for r in benchmark_contamination(
+        corpus, bench, ngram_n=5, min_overlap=1).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_contamination_set_semantics(spark):
+    from raven_spark.operators.pipeline import benchmark_contamination
+
+    g = "one two three four five"
+    bench = _docs(spark, [(100, g, "b")])
+    # corpus doc repeats the contaminated gram: distinct-gram counting
+    # reports 1 overlap, not 3
+    corpus = _docs(spark, [(1, " ".join([g] * 3), "c")])
+    out = benchmark_contamination(corpus, bench, ngram_n=5, min_overlap=1).collect()
+    assert out[0]["n_overlap"] == 1 and out[0]["contaminated"]
