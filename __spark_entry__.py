@@ -652,6 +652,41 @@ def q35_contamination(spark, sf_dir):
     return benchmark_contamination(corpus, bench, ngram_n=5, min_overlap=1)
 
 
+def q36_link_pagerank(spark, sf_dir):
+    """Link-graph frontier prioritization (operators/graph.py): damped
+    PageRank (3 synchronous steps, per-iteration 12-dp rounding for
+    replayability) + degrees over a deterministic synthetic link graph —
+    doc i links to (i*37 + j*1009) mod N for j in 1..3, self-loops
+    dropped — the in-repo stand-in for crawl-discovered edges (no
+    external data per the task brief). The oracle unrolls the identical
+    three steps in SQL."""
+    from raven_spark.operators.graph import degrees, pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 37 + F.col("j") * 1009, F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    pr = pagerank(
+        edges, nodes=d.select(F.col("doc_id").alias("node")), iterations=3
+    )
+    deg = degrees(edges)
+    return pr.join(deg, "node", "left").select(
+        "node",
+        "pagerank",
+        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.coalesce("indeg", F.lit(0)).alias("indeg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -689,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_brand_revenue_by_nation": q33_brand_revenue_by_nation,
         "q34_host_boilerplate": q34_host_boilerplate,
         "q35_contamination": q35_contamination,
+        "q36_link_pagerank": q36_link_pagerank,
     }
 
 
@@ -1215,6 +1251,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
                    coalesce(n_overlap, 0) >= 1 AS contaminated
             FROM corpus c LEFT JOIN hits USING (doc_id)
+        """,
+        "q36_link_pagerank": """
+            -- unrolls pagerank()'s three synchronous steps; every rank is
+            -- rounded to 12 dp per iteration exactly as the Spark side does,
+            -- so the replay is byte-identical despite float-sum order
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            nodes AS (SELECT doc_id AS v FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*37 + j*1009) % nn.n AS dst
+              FROM documents, nn, (SELECT unnest([1,2,3]) AS j)
+              WHERE (doc_id*37 + j*1009) % nn.n <> doc_id
+            ),
+            outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            ind  AS (SELECT dst, count(*) AS indeg  FROM e GROUP BY dst),
+            p0 AS (SELECT v, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM nodes),
+            c1 AS (SELECT dst, sum(pr / outdeg) AS s
+                   FROM e JOIN outd USING (src) JOIN p0 ON p0.v = e.src GROUP BY dst),
+            p1 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN c1 ON v = dst),
+            c2 AS (SELECT dst, sum(pr / outdeg) AS s
+                   FROM e JOIN outd USING (src) JOIN p1 ON p1.v = e.src GROUP BY dst),
+            p2 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN c2 ON v = dst),
+            c3 AS (SELECT dst, sum(pr / outdeg) AS s
+                   FROM e JOIN outd USING (src) JOIN p2 ON p2.v = e.src GROUP BY dst),
+            p3 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN c3 ON v = dst)
+            SELECT v AS node, round(pr, 6) AS pagerank,
+                   CAST(coalesce(outdeg, 0) AS BIGINT) AS outdeg,
+                   CAST(coalesce(indeg, 0) AS BIGINT) AS indeg
+            FROM p3 LEFT JOIN outd ON v = outd.src LEFT JOIN ind ON v = ind.dst
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -1,0 +1,54 @@
+"""Link-graph analytics (operators/graph.py): degrees + replayable
+iterative PageRank."""
+
+from __future__ import annotations
+
+import pytest
+
+from raven_spark.operators.graph import degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_degrees_full_outer_union_of_endpoints(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    d = {r["node"]: (r["outdeg"], r["indeg"]) for r in degrees(e).collect()}
+    assert d == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_pagerank_cycle_is_uniform_fixed_point(spark):
+    # a directed 4-cycle: the uniform vector is exactly stationary, so
+    # every iteration count must return 1/4 per node
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    for iters in (1, 5):
+        pr = {r["node"]: r["pagerank"] for r in pagerank(e, iterations=iters).collect()}
+        assert pr == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # 0->2, 1->2, 2->0: node 2 has the only in-degree 2; its rank must
+    # exceed the uniform 1/3 after one step and keep growing relative
+    e = _edges(spark, [(0, 2), (1, 2), (2, 0)])
+    pr = {r["node"]: r["pagerank"] for r in pagerank(e, iterations=3).collect()}
+    assert pr[2] > pr[0] > pr[1]
+    # hand-replay of the documented recurrence, one step:
+    # p0 = 1/3; p1(2) = round(0.05 + 0.85*(1/3 + 1/3), 12)
+    one = {r["node"]: r["pagerank"] for r in pagerank(e, iterations=1).collect()}
+    assert one[2] == pytest.approx(round(0.15 / 3 + 0.85 * (2 / 3), 6), abs=1e-9)
+
+
+def test_pagerank_dangling_mass_leaks_documented(spark):
+    # 0->1 with node 1 dangling: the module docstring documents NO
+    # dangling redistribution, so total mass drops below 1
+    e = _edges(spark, [(0, 1)])
+    pr = pagerank(e, iterations=2).collect()
+    assert sum(r["pagerank"] for r in pr) < 1.0
+
+
+def test_pagerank_partition_invariant(spark):
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(50) if (i * 7 + 3) % 50 != i]
+    a = pagerank(_edges(spark, pairs), iterations=4, checkpoint_every=2)
+    b = pagerank(_edges(spark, pairs).repartition(13), iterations=4, checkpoint_every=3)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
