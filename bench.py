@@ -53,6 +53,9 @@ HEADLINE = [
     "q31_dup_ngram_frac",
     "q32_clean_corpus",
     "q33_brand_revenue_by_nation",
+    "q34_host_boilerplate",
+    "q35_contamination",
+    "q36_link_pagerank",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
