@@ -1,0 +1,128 @@
+"""Structured-Streaming surface over the crawl's page store.
+
+A long-running crawl is naturally a stream: the fetch engine appends
+page files to the catalog continuously, and downstream consumers —
+frontier builders, politeness monitors, corpus curators — want to react
+per micro-batch instead of rescanning the table. The reference is a
+strictly batch/round binary (runner.rs drives rounds to completion);
+this module is the Spark-first extension of the same semantics:
+
+- ``read_pages_stream``: file-source stream over the pages table
+  (input_hint schema: url, warc_ts, html, text, lang). File sources
+  scale to catalog-backed tables by swapping in the Iceberg streaming
+  source behind the same schema; the sandbox has no Iceberg runtime, so
+  the file source is the tested path (same quarantine as
+  sources/catalog.py).
+- ``streaming_link_frontier``: the incremental version of
+  plans/round.discovered_frontier — outlink extraction + RFC-3986
+  canonicalization + xxhash64 identity per micro-batch, with
+  within-watermark streaming dedup. State stays bounded: the watermark
+  bounds the dedup store to the late-data horizon; cross-horizon
+  dedup authority remains the Bloom URL-seen set (operators/seen.py),
+  exactly like the batch engine where round-local dedup is a
+  min-aggregate and history lives in the Bloom.
+- ``host_rate_metrics``: watermarked tumbling-window fetch counts/bytes
+  per host — the live politeness dashboard (is any host exceeding its
+  budget?). Append-mode capable, so windows finalize exactly once.
+
+All transformations are the SAME column expressions the batch plans
+use (functions/urls.with_url_identity, functions/text.extract_links),
+so batch/streaming parity is structural, not re-implemented — the
+parity test asserts the streaming output row-set equals the batch
+operator on identical input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from raven_spark.functions.text import extract_links
+from raven_spark.functions.urls import with_url_identity
+# input_hint five columns only — the streaming source reads the strict
+# page schema, not the generator's convenience extras
+PAGE_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _links_from_html_bytes(html: pd.Series) -> pd.Series:
+    """Outlinks straight from raw page bytes: decode with errors=replace
+    (href values are URL syntax — ASCII-safe across the corpus charsets;
+    full charset resolution is the batch fetch stage's job,
+    operators/fetch.py) then reuse the pinned extractor."""
+    return html.map(
+        lambda b: extract_links(b.decode("utf-8", errors="replace")),
+        na_action="ignore",
+    )
+
+
+def read_pages_stream(
+    spark: SparkSession, root: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of pages parquet files
+    (input_hint schema). ``max_files_per_trigger`` bounds micro-batch
+    size for backpressure."""
+    reader = spark.readStream.schema(PAGE_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(root)
+
+
+def streaming_link_frontier(
+    pages: DataFrame,
+    watermark: str = "30 minutes",
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Incremental frontier delta: per micro-batch, explode outlinks,
+    canonicalize, attach identity/salt columns, and drop duplicate
+    url_hash within the watermark horizon.
+
+    Output: (url, url_canon, url_hash, host, host_hash, salt_bucket,
+    discovered_ts). Downstream the engine subtracts the Bloom seen-set
+    as usual; the streaming dedup only collapses the (high-multiplicity)
+    within-horizon re-discoveries so the state store holds
+    O(new URLs per horizon), not O(all URLs ever).
+    """
+    links = (
+        pages.withWatermark("warc_ts", watermark)
+        .select(
+            F.col("warc_ts").alias("discovered_ts"),
+            F.explode(_links_from_html_bytes(F.col("html"))).alias("url"),
+        )
+    )
+    out = with_url_identity(links, salt_buckets=salt_buckets)
+    return out.select(
+        "url", "url_canon", "url_hash", "host", "host_hash", "salt_bucket",
+        "discovered_ts",
+    ).dropDuplicatesWithinWatermark(["url_hash"])
+
+
+def host_rate_metrics(
+    pages: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Tumbling-window per-host page counts and byte volume — the
+    politeness/budget monitor. Watermarked so append-mode sinks emit
+    each (window, host) row exactly once when the window closes."""
+    with_host = with_url_identity(
+        pages.withWatermark("warc_ts", watermark), salt_buckets=salt_buckets
+    )
+    return (
+        with_host.groupBy(F.window("warc_ts", window).alias("w"), F.col("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_pages",
+            "bytes",
+        )
+    )
