@@ -687,6 +687,39 @@ def q36_link_pagerank(spark, sf_dir):
     )
 
 
+def q37_snapshot_dedup(spark, sf_dir):
+    """Multi-snapshot URL versioning (operators/snapshots.py): the same
+    canonical URL captured in many crawl snapshots reduces to its latest
+    version plus churn stats. Pages are synthesized deterministically from
+    documents (url = doc_id mod 137 page on doc_id mod 7 host; warc_ts
+    strictly increasing in doc_id, so 'latest' = max doc_id per url and
+    the oracle replays with a window). latest_snapshot is a single
+    map-side-partial max_by aggregate — hot URLs reduce before the
+    shuffle; stats is a second hash aggregate on the same key."""
+    from raven_spark.operators.snapshots import latest_snapshot, snapshot_stats
+
+    d = _t(spark, sf_dir, "documents")
+    epoch = 1767225600  # 2026-01-01T00:00:00Z
+    pages = d.select(
+        F.concat(
+            F.lit("https://host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"), F.pmod(F.col("doc_id"), F.lit(137)).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(epoch) + F.col("doc_id")).alias("warc_ts"),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    latest = latest_snapshot(pages).select(
+        "url",
+        F.col("doc_id").alias("latest_doc_id"),
+        F.unix_timestamp("warc_ts").cast("bigint").alias("last_ts"),
+        "n_versions",
+        "text",
+    )
+    stats = snapshot_stats(pages).select("url", "n_content_versions", "change_rate")
+    return latest.join(stats, "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -725,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_host_boilerplate": q34_host_boilerplate,
         "q35_contamination": q35_contamination,
         "q36_link_pagerank": q36_link_pagerank,
+        "q37_snapshot_dedup": q37_snapshot_dedup,
     }
 
 
@@ -1285,6 +1319,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(outdeg, 0) AS BIGINT) AS outdeg,
                    CAST(coalesce(indeg, 0) AS BIGINT) AS indeg
             FROM p3 LEFT JOIN outd ON v = outd.src LEFT JOIN ind ON v = ind.dst
+        """,
+        "q37_snapshot_dedup": """
+            -- warc_ts is strictly increasing in doc_id, so latest = max
+            -- doc_id per url; the oracle replays with a window (test
+            -- scale), while the Spark side is the partial max_by
+            -- aggregate (scale shape)
+            WITH pages AS (
+              SELECT doc_id, text,
+                     'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id % 137 AS VARCHAR) AS url,
+                     1767225600 + doc_id AS ts
+              FROM documents
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn,
+                     count(*) OVER (PARTITION BY url) AS nv
+              FROM pages
+            ), stats AS (
+              SELECT url,
+                     count(DISTINCT text) AS n_content_versions,
+                     count(*) AS nv2,
+                     CASE WHEN count(*) > 1
+                          THEN round((count(DISTINCT text) - 1.0) / (count(*) - 1.0), 6)
+                          ELSE 0.0 END AS change_rate
+              FROM pages GROUP BY url
+            )
+            SELECT r.url,
+                   CAST(r.doc_id AS BIGINT) AS latest_doc_id,
+                   CAST(r.ts AS BIGINT) AS last_ts,
+                   CAST(r.nv AS BIGINT) AS n_versions,
+                   r.text,
+                   CAST(s.n_content_versions AS BIGINT) AS n_content_versions,
+                   s.change_rate
+            FROM r JOIN stats s ON r.url = s.url
+            WHERE r.rn = 1
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -1,0 +1,120 @@
+"""Multi-snapshot URL versioning — the pass a Common-Crawl-style corpus
+runs BEFORE any text-level dedup: the same canonical URL appears once per
+crawl snapshot (the input_hint table carries ``warc_ts`` exactly for
+this), and training corpora keep one version per URL (usually the
+newest) plus churn statistics for recrawl scheduling.
+
+Two operators:
+
+- ``latest_snapshot``: one row per canonical URL — the full payload row
+  of the LATEST capture (max ``warc_ts``; deterministic tie-break).
+- ``snapshot_stats``: per-URL churn profile — capture count, first/last
+  seen, number of DISTINCT content versions (how often the page actually
+  changed vs was merely recrawled).
+
+Scale shape (the whole point at 10^10 captures):
+
+- Both are single-shuffle hash aggregates keyed on the canonical URL.
+  ``latest_snapshot`` uses ``max_by(payload, (ts, tiebreak))`` — an
+  ordinary declarative aggregate, so Spark runs a PARTIAL max_by in the
+  map stage: each map task emits at most one row per distinct URL, which
+  means a hot URL with millions of captures (the snapshot analogue of
+  host skew) reduces map-side and never concentrates on one reducer.
+  A window (`row_number over (partition by url order by ts desc)`) would
+  instead sort every capture of a URL on a single partition — the skew
+  trap this operator exists to avoid; the DuckDB oracle replays the
+  window form because the oracle runs at test scale.
+- ``snapshot_stats`` counts distinct content versions via
+  ``xxhash64(text)`` (8-byte map-side key, never the document text);
+  same collision class as exact_dedup's accepted hash variant.
+
+The reference crawler persists one record per fetch and never reconciles
+across rounds (runner.rs drives rounds independently); snapshot
+reconciliation is a task-brief pipeline addition, same tier as
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the latest capture per URL; one output row per distinct URL
+    with the original schema plus ``n_versions`` (capture count).
+
+    Ties on ``ts_col`` are broken by ``tiebreak_col`` (default: the
+    xxhash64 of every non-key column, so the winner is a deterministic
+    function of row CONTENT, independent of partitioning/row order —
+    the invariant every dedup op in this engine guarantees).
+    """
+    payload_cols = [c for c in df.columns if c != url_col]
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.xxhash64(*[F.col(c) for c in payload_cols])
+    )
+    ordkey = F.struct(F.col(ts_col).alias("ts"), tb.alias("tb"))
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    agg = df.groupBy(url_col).agg(
+        F.max_by(payload, ordkey).alias("__latest"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return agg.select(
+        url_col,
+        *[F.col(f"__latest.{c}").alias(c) for c in payload_cols],
+        "n_versions",
+    )
+
+
+def snapshot_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-URL churn profile over all captures:
+
+    (url, n_versions, first_seen, last_seen, n_content_versions,
+    change_rate) where change_rate = (n_content_versions - 1) /
+    (n_versions - 1) — the fraction of recrawls that found new content
+    (0.0 for single-capture URLs; the recrawl-scheduling signal).
+
+    Single hash aggregate on url; content identity is the 8-byte
+    xxhash64, computed map-side before the shuffle.
+    """
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.xxhash64(F.col(content_col)).alias("content_h"),
+    )
+    recrawls = F.col("n_versions") - F.lit(1)
+    return (
+        base.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.countDistinct("content_h").alias("n_content_versions"),
+        )
+        .select(
+            "url",
+            "n_versions",
+            "first_seen",
+            "last_seen",
+            "n_content_versions",
+            F.round(
+                F.when(recrawls > 0,
+                       (F.col("n_content_versions") - F.lit(1)).cast("double")
+                       / recrawls.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("change_rate"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Multi-snapshot URL versioning (operators/snapshots.py): latest-capture
+selection with deterministic tie-breaks, churn stats, partition invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from raven_spark.operators.snapshots import latest_snapshot, snapshot_stats
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+TS = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+
+
+def test_latest_snapshot_keeps_max_ts_row(spark):
+    rows = [
+        ("https://a.example/p", TS(10), b"v1", "one", "en"),
+        ("https://a.example/p", TS(30), b"v3", "three", "en"),
+        ("https://a.example/p", TS(20), b"v2", "two", "en"),
+        ("https://b.example/q", TS(5), b"only", "solo", "de"),
+    ]
+    out = {r["url"]: r for r in latest_snapshot(_pages(spark, rows)).collect()}
+    assert out["https://a.example/p"]["text"] == "three"
+    assert out["https://a.example/p"]["n_versions"] == 3
+    assert out["https://b.example/q"]["text"] == "solo"
+    assert out["https://b.example/q"]["n_versions"] == 1
+    # original payload columns all survive
+    assert out["https://a.example/p"]["html"] == b"v3"
+    assert out["https://a.example/p"]["lang"] == "en"
+
+
+def test_latest_snapshot_tie_break_is_content_deterministic(spark):
+    # same url, SAME timestamp, different content: winner must be a pure
+    # function of content, not of partitioning or input order
+    rows = [
+        ("https://t.example/", TS(1), b"x", "alpha", "en"),
+        ("https://t.example/", TS(1), b"y", "beta", "en"),
+    ]
+    df_fwd = _pages(spark, rows)
+    df_rev = _pages(spark, rows[::-1]).repartition(7)
+    a = latest_snapshot(df_fwd).collect()[0]["text"]
+    b = latest_snapshot(df_rev).collect()[0]["text"]
+    assert a == b
+
+
+def test_latest_snapshot_partition_invariant(spark):
+    rows = [
+        (f"https://h{i % 5}.example/p{i % 23}", TS(i * 7 % 101), b"", f"body {i} {i % 23}", "en")
+        for i in range(300)
+    ]
+    df = _pages(spark, rows)
+    one = {(r["url"], r["text"], r["n_versions"]) for r in latest_snapshot(df.coalesce(1)).collect()}
+    many = {(r["url"], r["text"], r["n_versions"]) for r in latest_snapshot(df.repartition(13)).collect()}
+    assert one == many
+    assert len(one) == len({r[0] for r in [(f"https://h{i % 5}.example/p{i % 23}",) for i in range(300)]})
+
+
+def test_snapshot_stats_churn(spark):
+    rows = [
+        # url A: 3 captures, 2 distinct contents -> change_rate 0.5
+        ("https://a.example/", TS(1), b"", "same", "en"),
+        ("https://a.example/", TS(2), b"", "same", "en"),
+        ("https://a.example/", TS(3), b"", "changed", "en"),
+        # url B: single capture -> change_rate 0.0
+        ("https://b.example/", TS(9), b"", "solo", "en"),
+    ]
+    out = {r["url"]: r for r in snapshot_stats(_pages(spark, rows)).collect()}
+    a = out["https://a.example/"]
+    assert a["n_versions"] == 3
+    assert a["n_content_versions"] == 2
+    assert a["change_rate"] == 0.5
+    assert a["first_seen"] == TS(1) and a["last_seen"] == TS(3)
+    b = out["https://b.example/"]
+    assert b["n_versions"] == 1 and b["change_rate"] == 0.0
+
+
+def test_latest_snapshot_plan_is_partial_aggregate(spark):
+    """The scale contract: latest_snapshot must be a hash aggregate with a
+    map-side partial (skewed hot URLs reduce before the shuffle), not a
+    window sort."""
+    rows = [("https://a.example/", TS(1), b"", "t", "en")]
+    plan = latest_snapshot(_pages(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    # struct-typed buffer => SortAggregate, but the map-side PARTIAL
+    # max_by is what kills hot-URL skew (one row per url per map task
+    # crosses the exchange)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
