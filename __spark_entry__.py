@@ -720,6 +720,34 @@ def q37_snapshot_dedup(spark, sf_dir):
     return latest.join(stats, "url")
 
 
+def q38_pii_scrub(spark, sf_dir):
+    """PII scrub (functions/pii.py): plant one deterministic PII category
+    per doc (doc_id mod 3 selects email / ipv4 / phone), then count +
+    redact with the shared Java/RE2-safe patterns. Output carries
+    md5(redacted) so the oracle verifies the redacted TEXT, not just the
+    counts. Single projection over one scan — no shuffle, no Python."""
+    from raven_spark.functions.pii import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = (
+        F.when(F.pmod(i, 3) == 0,
+               F.concat(F.col("text"), F.lit(" contact user"), i.cast("string"),
+                        F.lit("@mail.example now")))
+        .when(F.pmod(i, 3) == 1,
+              F.concat(F.col("text"), F.lit(" host 10."),
+                       F.pmod(i, 256).cast("string"), F.lit(".0.7 up")))
+        .otherwise(F.concat(F.col("text"), F.lit(" call +1 555-"),
+                            F.lpad(F.pmod(i, 10000).cast("string"), 4, "0")))
+    )
+    src = d.select(i.alias("doc_id"), planted.alias("text"))
+    return scrub_pii(src).select(
+        "id", "n_emails", "n_ips", "n_phones", "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -759,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_contamination": q35_contamination,
         "q36_link_pagerank": q36_link_pagerank,
         "q37_snapshot_dedup": q37_snapshot_dedup,
+        "q38_pii_scrub": q38_pii_scrub,
     }
 
 
@@ -1354,6 +1383,37 @@ def oracle_sql() -> dict[str, str]:
                    s.change_rate
             FROM r JOIN stats s ON r.url = s.url
             WHERE r.rn = 1
+        """,
+        "q38_pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE doc_id % 3
+                       WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                       WHEN 1 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7 up'
+                       ELSE text || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     END AS text
+              FROM documents
+            ), pat AS (
+              SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}' AS email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ip,
+                     '\+\d{1,3}[ -]\d{3}[ -]\d{4}' AS phone
+            ), scrubbed AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, email)) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(text, ip)) AS BIGINT) AS n_ips,
+                     CAST(len(regexp_extract_all(text, phone)) AS BIGINT) AS n_phones,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, email, '<EMAIL>', 'g'),
+                         ip, '<IP>', 'g'),
+                       phone, '<PHONE>', 'g') AS redacted
+              FROM planted, pat
+            )
+            SELECT doc_id AS id, n_emails, n_ips, n_phones,
+                   (n_emails + n_ips + n_phones) > 0 AS has_pii,
+                   md5(redacted) AS redacted_md5,
+                   CAST(length(redacted) AS BIGINT) AS redacted_len
+            FROM scrubbed
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
