@@ -748,6 +748,36 @@ def q38_pii_scrub(spark, sf_dir):
     )
 
 
+def q39_url_seen_cuckoo(spark, sf_dir):
+    """URL-seen subtraction through the SHARDED CUCKOO filter with a TTL
+    invalidation in the middle — the delete path a Bloom cannot express
+    (north_star "Bloom/cuckoo"). seen = ids≡0 (mod 3); ids≡0 (mod 15)
+    then expire (delete from the filter AND the exact table), so the
+    refetchable set is exactly {id % 3 != 0} ∪ {id % 15 == 0}. Exact
+    despite the probabilistic filter: the cuckoo only PRUNES; survivors
+    hit the anti-join against the post-expiry seen table."""
+    from raven_spark.operators.seen import (
+        ShardedCuckoo,
+        build_cuckoo_shards,
+        delete_from_cuckoo_shards,
+        subtract_seen,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cand = e.select(
+        F.col("event_id").alias("url_hash"),
+        F.col("event_id").cast("string").alias("url_canon"),
+    )
+    seen = cand.filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
+    shards = build_cuckoo_shards(
+        seen, "url_hash", n_shards=8, expected_n=max(seen.count(), 16)
+    )
+    expired = seen.filter(F.pmod(F.col("url_hash"), F.lit(15)) == 0)
+    updated = ShardedCuckoo(delete_from_cuckoo_shards(shards, expired, 8), 8)
+    remaining = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
+    return subtract_seen(cand, remaining, bloom=updated).select("url_hash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -788,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_link_pagerank": q36_link_pagerank,
         "q37_snapshot_dedup": q37_snapshot_dedup,
         "q38_pii_scrub": q38_pii_scrub,
+        "q39_url_seen_cuckoo": q39_url_seen_cuckoo,
     }
 
 
@@ -1414,6 +1445,10 @@ def oracle_sql() -> dict[str, str]:
                    md5(redacted) AS redacted_md5,
                    CAST(length(redacted) AS BIGINT) AS redacted_len
             FROM scrubbed
+        """,
+        "q39_url_seen_cuckoo": """
+            SELECT event_id AS url_hash FROM events
+            WHERE event_id % 3 <> 0 OR event_id % 15 = 0
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -56,6 +56,9 @@ HEADLINE = [
     "q34_host_boilerplate",
     "q35_contamination",
     "q36_link_pagerank",
+    "q37_snapshot_dedup",
+    "q38_pii_scrub",
+    "q39_url_seen_cuckoo",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

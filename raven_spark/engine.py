@@ -46,8 +46,10 @@ from raven_spark.operators.fetch import Fetcher
 from raven_spark.operators.seen import (
     BloomFilter,
     ShardedBloom,
+    ShardedCuckoo,
     build_bloom,
     build_bloom_shards,
+    build_cuckoo_shards,
 )
 from raven_spark.plans.round import frontier_from_urls, discovered_frontier, plan_round
 from raven_spark.sources.catalog import ParquetCatalog
@@ -62,6 +64,11 @@ class EngineOptions:
     # n), stored as a catalog TABLE (never driver-held), probed via
     # cogroup so each task holds 1/n of the bitmap and nothing broadcasts.
     bloom_shards: int = 0
+    # probabilistic seen-filter family when bloom_shards > 0: "bloom"
+    # (OR-mergeable bitmap, smallest bytes/key) or "cuckoo" (deletable —
+    # recrawl/TTL invalidation via delete_from_cuckoo_shards without a
+    # full rebuild; north_star's "Bloom/cuckoo" alternative)
+    seen_filter: str = "bloom"
     shuffle_partitions: int | None = None
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
@@ -245,11 +252,13 @@ class CrawlEngine:
             if url_seen is not None:
                 url_seen = url_seen.drop("round")
             if self.opt.bloom_shards:
-                shards_df = self.catalog.read("bloom", upto_round=round_no - 1)
+                table = "cuckoo" if self.opt.seen_filter == "cuckoo" else "bloom"
+                shards_df = self.catalog.read(table, upto_round=round_no - 1)
                 if shards_df is not None:
                     if "round" in shards_df.columns:
                         shards_df = shards_df.drop("round")
-                    bloom = ShardedBloom(shards_df, self.opt.bloom_shards)
+                    cls = ShardedCuckoo if table == "cuckoo" else ShardedBloom
+                    bloom = cls(shards_df, self.opt.bloom_shards)
             else:
                 bloom = self._merged_bloom(round_no - 1)
 
@@ -348,9 +357,16 @@ class CrawlEngine:
 
         def _w_bloom():
             if self.opt.bloom_shards:
-                # the round's shard-bloom delta is a TABLE append: built
+                # the round's shard-filter delta is a TABLE append: built
                 # distributed, merged distributed at read time — no bitmap
                 # ever transits or resides on the driver
+                if self.opt.seen_filter == "cuckoo":
+                    shards = build_cuckoo_shards(
+                        seen_delta, "url_hash", self.opt.bloom_shards,
+                        expected_n=self.opt.expected_total_urls,
+                    )
+                    self.catalog.append("cuckoo", shards, round_no)
+                    return
                 shards = build_bloom_shards(
                     seen_delta, "url_hash", self.opt.bloom_shards,
                     expected_n=self.opt.expected_total_urls, fpp=self.opt.bloom_fpp,

@@ -127,19 +127,22 @@ def build_bloom(df: DataFrame, hash_col: str, expected_n: int, fpp: float = 0.01
     return BloomFilter(n_bits, n_hashes, bitmap)
 
 
-def bloom_prune(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash",
+def bloom_prune(df: DataFrame, bloom, hash_col: str = "url_hash",
                 flag_col: str = "maybe_seen") -> DataFrame:
-    """Adds ``maybe_seen`` (bloom membership) via a broadcast bitmap inside
+    """Adds ``maybe_seen`` (filter membership) via a broadcast filter inside
     an Arrow-batched iterator — rows with maybe_seen=false are DEFINITELY
-    new (no false negatives) and skip the exact anti-join entirely."""
+    new (no false negatives) and skip the exact anti-join entirely.
+    Accepts any filter with to_bytes/from_bytes/contains_many (BloomFilter
+    or CuckooFilter)."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     spark = df.sparkSession
+    cls = type(bloom)
     bc = spark.sparkContext.broadcast(bloom.to_bytes())
     schema = StructType(list(df.schema.fields) + [StructField(flag_col, BooleanType())])
 
     def check(batches):
-        bl = BloomFilter.from_bytes(bc.value)
+        bl = cls.from_bytes(bc.value)
         for pdf in batches:
             out = pdf.copy()
             out[flag_col] = bl.contains_many(pdf[hash_col].to_numpy(dtype=np.int64))
@@ -258,10 +261,335 @@ def bloom_prune_sharded(
     )
 
 
+# --- Cuckoo filter: the deletable twin ---------------------------------------
+#
+# north_star names "per-partition Bloom/cuckoo filters" — the cuckoo
+# variant exists for the one thing a Bloom cannot do: DELETION. A crawl
+# frontier needs it for recrawl/TTL invalidation: expiring a captured URL
+# means removing it from the seen-set so the next round reschedules it,
+# without rebuilding a 10^10-key filter from scratch.
+#
+# Layout: n_buckets (power of two) x 4 slots of 16-bit fingerprints
+# (0 = empty). fp(h) = high 16 bits of the hash folded to 1..65535 (the
+# bucket index uses the LOW bits, so fp and bucket are independent);
+# alt(i, fp) = i XOR (fp * 0x5bd1e995) & mask — involutive, so either
+# resident bucket recovers its partner (Fan et al., CoNLL'14 layout;
+# public-algorithm implementation, no reference-code lineage).
+#
+# Same scale story as the Bloom: ~18 bits/key at fpp≈2e-4 for 4 slots /
+# 16-bit fp, so shard the table by pmod(url_hash, n_shards) and probe via
+# cogroup — no whole-filter broadcast. Insert/contains/delete are all
+# numpy-vectorized (greedy rank-within-bucket placement; the eviction
+# loop only ever sees the <1% overflow of a 0.84-load batch).
+
+CUCKOO_SLOTS = 4
+_FP_MUL = np.uint64(0x5BD1E995)
+_MAX_KICKS = 500
+
+
+def cuckoo_params(expected_n: int, load: float = 0.84) -> int:
+    """Bucket count (power of two) for a target load factor."""
+    expected_n = max(16, expected_n)
+    n_buckets = int(np.ceil(expected_n / (CUCKOO_SLOTS * load)))
+    return max(16, 1 << int(np.ceil(np.log2(n_buckets))))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer (public constant set): the filter
+    must not assume its int64 keys are already uniform — q17/q39-style
+    callers feed raw ids whose high bits are all zero, which would
+    otherwise collapse every fingerprint to 1."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        return h ^ (h >> np.uint64(33))
+
+
+def _cuckoo_index(hashes: np.ndarray, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, fingerprint) per hash: bucket from the low bits,
+    fingerprint from the high 16 bits folded onto 1..65535 (never 0),
+    both over the mixed key so structured inputs stay uniform."""
+    h = _mix64(hashes.astype(np.int64).view(np.uint64))
+    i1 = (h & np.uint64(n_buckets - 1)).astype(np.int64)
+    fp = ((h >> np.uint64(48)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+    return i1, fp
+
+
+def _cuckoo_alt(buckets: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    mixed = (fp.astype(np.uint64) * _FP_MUL) & np.uint64(n_buckets - 1)
+    return (buckets.astype(np.uint64) ^ mixed).astype(np.int64)
+
+
+def _rank_within(keys: np.ndarray) -> np.ndarray:
+    """Occurrence rank of each element among equal keys (vectorized)."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    first = np.searchsorted(sk, sk, side="left")
+    rank = np.empty(len(keys), dtype=np.int64)
+    rank[order] = np.arange(len(keys)) - first
+    return rank
+
+
+class CuckooFilter:
+    """Serializable cuckoo filter over int64 hashes (url_hash values).
+
+    Contract mirrors BloomFilter (no false negatives for inserted keys,
+    tunable false positives ≈ 2*CUCKOO_SLOTS/2^16 per bucket pair) and
+    adds ``delete_many``. Deleting a key that fingerprint-collides with a
+    different inserted key can remove the survivor's only copy — the
+    standard cuckoo caveat — so delete only keys previously inserted, and
+    insert each distinct key once (``add_many`` dedupes its batch)."""
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = n_buckets
+        self.table = (
+            table if table is not None
+            else np.zeros((n_buckets, CUCKOO_SLOTS), dtype=np.uint16)
+        )
+
+    @classmethod
+    def for_capacity(cls, expected_n: int, load: float = 0.84) -> "CuckooFilter":
+        return cls(cuckoo_params(expected_n, load))
+
+    # -- placement kernels -----------------------------------------------------
+
+    def _greedy_place(self, buckets: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Place (bucket, fp) pairs into free slots without eviction.
+        Returns the boolean mask of PLACED pairs. Fully vectorized: slot =
+        current occupancy + rank among same-bucket pairs in this batch."""
+        if len(buckets) == 0:
+            return np.zeros(0, dtype=bool)
+        occ = (self.table[buckets] != 0).sum(axis=1)
+        slot = occ + _rank_within(buckets)
+        placed = slot < CUCKOO_SLOTS
+        self.table[buckets[placed], slot[placed]] = fp[placed]
+        return placed
+
+    def _evict_place(self, bucket: int, fp: int) -> bool:
+        """Single-pair insert with the classic eviction chain (bounded).
+        Deterministic kick choice (LCG over the fingerprint) so replays
+        rebuild byte-identical tables."""
+        mask64 = 0xFFFFFFFFFFFFFFFF
+        state = (int(fp) * 6364136223846793005 + 1) & mask64
+        cur_b, cur_fp = int(bucket), np.uint16(fp)
+        for _ in range(_MAX_KICKS):
+            row = self.table[cur_b]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                self.table[cur_b, free[0]] = cur_fp
+                return True
+            state = (state * 6364136223846793005 + 1) & mask64
+            victim = (state >> 61) % CUCKOO_SLOTS
+            cur_fp, self.table[cur_b, victim] = row[victim], cur_fp
+            cur_b = int(_cuckoo_alt(np.array([cur_b]), np.array([cur_fp], dtype=np.uint16),
+                                    self.n_buckets)[0])
+        return False
+
+    def _place_pairs(self, buckets: np.ndarray, fp: np.ndarray) -> None:
+        """Greedy pass on the home bucket, greedy pass on the alt bucket,
+        eviction loop for the tail. Raises if the filter is over capacity
+        (size with ``for_capacity`` to keep load ≤ 0.84)."""
+        placed = self._greedy_place(buckets, fp)
+        rem = ~placed
+        if rem.any():
+            alt = _cuckoo_alt(buckets[rem], fp[rem], self.n_buckets)
+            placed2 = self._greedy_place(alt, fp[rem])
+            if not placed2.all():
+                left_b = buckets[rem][~placed2]
+                left_fp = fp[rem][~placed2]
+                for b, f in zip(left_b.tolist(), left_fp.tolist()):
+                    if not self._evict_place(b, f):
+                        raise RuntimeError(
+                            f"cuckoo filter over capacity (n_buckets={self.n_buckets})"
+                        )
+
+    # -- public API --------------------------------------------------------------
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        h = np.unique(np.asarray(hashes, dtype=np.int64))
+        i1, fp = _cuckoo_index(h, self.n_buckets)
+        self._place_pairs(i1, fp)
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        i1, fp = _cuckoo_index(h, self.n_buckets)
+        i2 = _cuckoo_alt(i1, fp, self.n_buckets)
+        return (
+            (self.table[i1] == fp[:, None]).any(axis=1)
+            | (self.table[i2] == fp[:, None]).any(axis=1)
+        )
+
+    def delete_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove one stored copy per distinct requested key. Returns the
+        per-key removed mask (aligned to the DEDUPED, sorted key order of
+        ``np.unique``). Vectorized in rounds: each round clears all
+        conflict-free (bucket, slot) targets at once; keys colliding on
+        the same slot defer to the next round (bounded by multiplicity)."""
+        h = np.unique(np.asarray(hashes, dtype=np.int64))
+        i1, fp = _cuckoo_index(h, self.n_buckets)
+        i2 = _cuckoo_alt(i1, fp, self.n_buckets)
+        removed = np.zeros(len(h), dtype=bool)
+        pending = np.arange(len(h))
+        for _ in range(2 * CUCKOO_SLOTS + 2):
+            if len(pending) == 0:
+                break
+            deferred = []
+            for bucket_arr in (i1, i2):
+                if len(pending) == 0:
+                    break
+                b = bucket_arr[pending]
+                match = self.table[b] == fp[pending][:, None]
+                has = match.any(axis=1)
+                slot = match.argmax(axis=1)
+                tgt = b * CUCKOO_SLOTS + slot
+                first = _rank_within(tgt) == 0  # one deleter per slot per round
+                do = has & first
+                self.table[b[do], slot[do]] = 0
+                removed[pending[do]] = True
+                deferred.append(pending[has & ~first])  # slot collision: retry
+                pending = pending[~has]  # absent here -> try the other bucket
+            if deferred:
+                pending = np.concatenate([pending, *deferred])
+        return removed
+
+    def union(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Merge by re-inserting the other table's resident (bucket, fp)
+        pairs — residency already encodes the home/alt pair, which
+        ``_place_pairs`` re-derives via the involutive alt mapping."""
+        assert self.n_buckets == other.n_buckets
+        out = CuckooFilter(self.n_buckets, self.table.copy())
+        b, s = np.nonzero(other.table)
+        out._place_pairs(b.astype(np.int64), other.table[b, s])
+        return out
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.n_buckets, CUCKOO_SLOTS], dtype=np.int64).tobytes()
+        return head + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CuckooFilter":
+        n_buckets, slots = np.frombuffer(b[:16], dtype=np.int64)
+        table = np.frombuffer(b[16:], dtype=np.uint16).reshape(int(n_buckets), int(slots)).copy()
+        return cls(int(n_buckets), table)
+
+
+@_dataclass
+class ShardedCuckoo:
+    """Handle for the sharded cuckoo seen-filter: (shard int, cuckoo
+    binary) rows, one or more per shard (one per committed round; merge
+    is fingerprint re-insertion, geometry fixed by construction)."""
+
+    shards: DataFrame
+    n_shards: int
+
+
+def build_cuckoo_shards(
+    df: DataFrame, hash_col: str, n_shards: int, expected_n: int
+) -> DataFrame:
+    """df -> one (shard, cuckoo) row per non-empty shard.
+
+    Unlike the Bloom (partial bitmaps OR-merge, so partials shuffle), a
+    cuckoo table has no lossless cheap union of PARTIALS at full size —
+    so shuffle the raw 8-byte hashes by shard key instead (the same bytes
+    the url_seen table append already shuffles) and build each shard's
+    filter in a single pass inside its own task. Shards are sized with
+    25% headroom over the even split to absorb shard-count variance."""
+    n_buckets = cuckoo_params(max(16, expected_n * 5 // (4 * max(1, n_shards))))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(n_buckets)
+        cf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"shard": pdf["__shard"].iloc[:1], "cuckoo": [cf.to_bytes()]})
+
+    keyed = df.select(F.col(hash_col).cast("long").alias(hash_col)).withColumn(
+        "__shard", bloom_shard_col(hash_col, n_shards)
+    )
+    return keyed.groupBy("__shard").applyInPandas(build, "shard int, cuckoo binary")
+
+
+def merge_cuckoo_shards(shards: DataFrame) -> DataFrame:
+    """Re-insertion merge of (shard, cuckoo) rows down to one per shard."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter.from_bytes(bytes(pdf["cuckoo"].iloc[0]))
+        for blob in pdf["cuckoo"].iloc[1:]:
+            cf = cf.union(CuckooFilter.from_bytes(bytes(blob)))
+        return pd.DataFrame({"shard": pdf["shard"].iloc[:1], "cuckoo": [cf.to_bytes()]})
+
+    return shards.select("shard", "cuckoo").groupBy("shard").applyInPandas(
+        merge, "shard int, cuckoo binary"
+    )
+
+
+def delete_from_cuckoo_shards(
+    shards: DataFrame, deletes: DataFrame, n_shards: int, hash_col: str = "url_hash"
+) -> DataFrame:
+    """Recrawl/TTL invalidation: remove the given url_hashes from their
+    shards' filters and return the updated (shard, cuckoo) table — the
+    operation a Bloom cannot express. Cogroup: each task touches one
+    shard's bytes and its own deletion keys only; shards without
+    deletions pass through merged-untouched."""
+
+    def apply_del(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
+                                 "cuckoo": pd.Series([], dtype=object)})
+        cf = CuckooFilter.from_bytes(bytes(left["cuckoo"].iloc[0]))
+        for blob in left["cuckoo"].iloc[1:]:
+            cf = cf.union(CuckooFilter.from_bytes(bytes(blob)))
+        if len(right):
+            cf.delete_many(right[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"shard": left["shard"].iloc[:1], "cuckoo": [cf.to_bytes()]})
+
+    keyed = deletes.select(F.col(hash_col).cast("long").alias(hash_col)).withColumn(
+        "__shard", bloom_shard_col(hash_col, n_shards)
+    )
+    return (
+        shards.groupBy("shard")
+        .cogroup(keyed.groupBy("__shard"))
+        .applyInPandas(apply_del, "shard int, cuckoo binary")
+    )
+
+
+def cuckoo_prune_sharded(
+    candidates: DataFrame,
+    cuckoo: ShardedCuckoo,
+    hash_col: str = "url_hash",
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """Sharded cuckoo twin of bloom_prune_sharded (cogroup probe; a task
+    never sees another shard's table bytes)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_cols = candidates.columns
+    schema = StructType(list(candidates.schema.fields) + [StructField(flag_col, BooleanType())])
+    cand = candidates.withColumn("__shard", bloom_shard_col(hash_col, cuckoo.n_shards))
+    merged = merge_cuckoo_shards(cuckoo.shards)
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left[out_cols].copy()
+        if len(right) == 0 or len(left) == 0:
+            out[flag_col] = np.zeros(len(left), dtype=bool)
+            return out
+        cf = CuckooFilter.from_bytes(bytes(right["cuckoo"].iloc[0]))
+        out[flag_col] = cf.contains_many(left[hash_col].to_numpy(dtype=np.int64))
+        return out
+
+    return (
+        cand.groupBy("__shard")
+        .cogroup(merged.groupBy("shard"))
+        .applyInPandas(probe, schema)
+    )
+
+
 def subtract_seen(
     candidates: DataFrame,
     url_seen: DataFrame | None,
-    bloom: "BloomFilter | ShardedBloom | None" = None,
+    bloom: "BloomFilter | ShardedBloom | CuckooFilter | ShardedCuckoo | None" = None,
     hash_col: str = "url_hash",
 ) -> DataFrame:
     """candidates minus seen — the EXCEPT of the engine (§2.2 set ops).
@@ -278,6 +606,8 @@ def subtract_seen(
         return candidates.join(seen_keys, on=hash_col, how="left_anti")
     if isinstance(bloom, ShardedBloom):
         pruned = bloom_prune_sharded(candidates, bloom, hash_col)
+    elif isinstance(bloom, ShardedCuckoo):
+        pruned = cuckoo_prune_sharded(candidates, bloom, hash_col)
     else:
         pruned = bloom_prune(candidates, bloom, hash_col)
     definitely_new = pruned.filter(~F.col("maybe_seen")).drop("maybe_seen")

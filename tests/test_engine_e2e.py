@@ -96,6 +96,41 @@ def test_sharded_bloom_run_equals_monolithic(spark, corpus, tmp_path):
     assert sharded.catalog.read_blob("url_seen/round=0/_bloom.bin") is None
 
 
+def test_sharded_cuckoo_run_equals_monolithic(spark, corpus, tmp_path):
+    """seen_filter="cuckoo" (deletable shard table) must crawl the exact
+    same URL set as the monolithic Bloom run — the filter family changes
+    the maintenance story (TTL deletes), never membership answers for
+    inserted keys (both are no-false-negative + exact-anti-join-backed)."""
+    seeds = seed_urls(10, N_PAGES)
+    mono = _engine(spark, corpus, str(tmp_path / "mono"))
+    mono.run(seed_urls=seeds, max_rounds=3)
+
+    cfg = RavenConfig(
+        name="e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=3,
+    )
+    cuckoo = CrawlEngine(
+        spark, cfg, str(tmp_path / "cuckoo"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8, bloom_shards=8,
+            seen_filter="cuckoo",
+        ),
+    )
+    cuckoo.run(seed_urls=seeds, max_rounds=3)
+
+    for table in ("url_seen", "pages", "text"):
+        a, b = mono.table(table), cuckoo.table(table)
+        key = "url" if table == "text" else "url_hash"
+        assert a.count() == b.count(), table
+        assert a.select(key).exceptAll(b.select(key)).count() == 0, table
+    # the cuckoo run wrote a cuckoo TABLE; no bloom table, no sidecars
+    assert cuckoo.table("cuckoo") is not None
+    assert cuckoo.table("bloom") is None
+    assert cuckoo.catalog.read_blob("url_seen/round=0/_bloom.bin") is None
+
+
 def test_politeness_cap_holds_every_round(spark, corpus, tmp_path):
     eng = _engine(spark, corpus, str(tmp_path / "s2"), budget=3, rounds=2)
     eng.run(seed_urls=seed_urls(30, N_PAGES), max_rounds=2)
