@@ -778,6 +778,27 @@ def q39_url_seen_cuckoo(spark, sf_dir):
     return subtract_seen(cand, remaining, bloom=updated).select("url_hash")
 
 
+def q40_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): attach to every non-error
+    event the user's latest at-or-before 'error' snapshot (snapshots are
+    deduped to one row per (user_id, ts) so the match is tie-free in both
+    engines). One union + one hash-partition by user_id + one in-partition
+    sort — no pair explosion; oracle replays with DuckDB's native ASOF
+    LEFT JOIN."""
+    from raven_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    snaps = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("snap_id"), F.max("value").alias("snap_value"))
+    )
+    lhs = e.filter(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+    return asof_join(lhs, snaps, on="user_id").select(
+        "event_id", "snap_id", "snap_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -819,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_snapshot_dedup": q37_snapshot_dedup,
         "q38_pii_scrub": q38_pii_scrub,
         "q39_url_seen_cuckoo": q39_url_seen_cuckoo,
+        "q40_asof_join": q40_asof_join,
     }
 
 
@@ -1449,6 +1471,17 @@ def oracle_sql() -> dict[str, str]:
         "q39_url_seen_cuckoo": """
             SELECT event_id AS url_hash FROM events
             WHERE event_id % 3 <> 0 OR event_id % 15 = 0
+        """,
+        "q40_asof_join": """
+            WITH snaps AS (
+              SELECT user_id, ts, max(event_id) AS snap_id, max(value) AS snap_value
+              FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+            ), l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'
+            )
+            SELECT l.event_id, s.snap_id, s.snap_value
+            FROM l ASOF LEFT JOIN snaps s
+              ON l.user_id = s.user_id AND l.ts >= s.ts
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -59,6 +59,7 @@ HEADLINE = [
     "q37_snapshot_dedup",
     "q38_pii_scrub",
     "q39_url_seen_cuckoo",
+    "q40_asof_join",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
