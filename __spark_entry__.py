@@ -799,6 +799,23 @@ def q40_asof_join(spark, sf_dir):
     )
 
 
+def q41_stratified_sample(spark, sf_dir):
+    """Corpus sampling (operators/sampling.py): a zero-shuffle 30%
+    deterministic Bernoulli sample composed with a 25-per-(source, lang)
+    stratified cap. The driver path uses the SQL-replayable Knuth coin
+    (pipeline.split_col convention); production uses the default xxhash64
+    coin — identical algebra, stronger mixing (test_sampling.py covers
+    both). The sample filter is pure column algebra in the scan stage;
+    only the cap shuffles (one exchange keyed on the stratum)."""
+    from raven_spark.operators.sampling import hash_sample, knuth_coin, stratified_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    s = hash_sample(d, "doc_id", 0.30, coin=knuth_coin("doc_id"))
+    return stratified_cap(
+        s, ["source", "lang"], 25, "doc_id", coin=knuth_coin("doc_id")
+    ).select("doc_id", "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -841,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_pii_scrub": q38_pii_scrub,
         "q39_url_seen_cuckoo": q39_url_seen_cuckoo,
         "q40_asof_join": q40_asof_join,
+        "q41_stratified_sample": q41_stratified_sample,
     }
 
 
@@ -1482,6 +1500,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, s.snap_id, s.snap_value
             FROM l ASOF LEFT JOIN snaps s
               ON l.user_id = s.user_id AND l.ts >= s.ts
+        """,
+        "q41_stratified_sample": """
+            WITH sampled AS (
+              SELECT doc_id, source, lang FROM documents
+              WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 < 300000
+            ), ranked AS (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source, lang
+                       ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000,
+                                doc_id
+                     ) AS rk
+              FROM sampled
+            )
+            SELECT doc_id, source, lang FROM ranked WHERE rk <= 25
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

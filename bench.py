@@ -60,6 +60,7 @@ HEADLINE = [
     "q38_pii_scrub",
     "q39_url_seen_cuckoo",
     "q40_asof_join",
+    "q41_stratified_sample",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -1,0 +1,98 @@
+"""Deterministic corpus sampling — the subsetting pass between cleaning
+and training: hold out eval slices, balance languages/sources, downsample
+over-represented hosts. Reference scope note: the reference engine has no
+sampling (its task list is the whole corpus); task-brief pipeline tier,
+sibling of operators/pipeline.py::hash_split.
+
+Two shapes, chosen by what must be controlled:
+
+- ``hash_sample``: keep a FRACTION per row, decided by a pure column
+  expression over xxhash64(key, salt) — zero shuffle, zero state, stable
+  under reruns/partitioning, composable with any scan. The 100 TB
+  default: a Bernoulli sample whose coin is the row's own identity, so
+  the same row lands in the same sample on every run and on every
+  cluster size (unlike ``df.sample``, whose result depends on partition
+  layout and RNG seeding per task).
+
+- ``stratified_cap``: keep AT MOST n rows per stratum, ranked by the
+  same identity hash ("uniform without replacement" per stratum, but
+  deterministic). One shuffle keyed on the stratum; rank via window.
+  Skew note: a hot stratum sorts on one partition — cap-style sampling
+  needs a global per-stratum order by construction; for strata too hot
+  to sort, pre-thin with ``hash_sample(fraction ~ 3*n/stratum_size)``
+  first (both ops are content-deterministic, so the composition is too).
+
+The hash coin: xxhash64 output is uniform over int64; ``pmod(h, D)/D``
+gives a uniform threshold test with exact rational semantics (no float
+rounding at the boundary), replayable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000  # fraction resolution: 1e-6
+
+
+KNUTH_32 = 2654435761  # Knuth multiplicative constant (public; TAOCP vol 3)
+
+
+def knuth_coin(key_col: str, denom: int = _DENOM) -> "F.Column":
+    """The ANSI-SQL-replayable coin (same convention as pipeline.split_col):
+    ((key mod 1e9+7) * K) mod denom — overflow-free for all bigints, so
+    DuckDB oracles can replay membership exactly. Weaker mixing than
+    xxhash64 (use only on already-arbitrary integer ids)."""
+    return F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(1_000_000_007)) * F.lit(KNUTH_32),
+        F.lit(denom),
+    )
+
+
+def sample_flag(
+    key_cols: list[str], fraction: float, salt: str = "", coin: "F.Column | None" = None
+) -> "F.Column":
+    """Boolean column: row is in the deterministic ``fraction``-sample.
+    The default coin is pmod(xxhash64(*keys, salt), 1e6) — pure column
+    algebra (codegen'd), content-deterministic, salt-independent across
+    concurrent samples. Pass ``coin`` (values uniform on [0, 1e6)) to
+    substitute another generator, e.g. ``knuth_coin`` for SQL replay."""
+    thresh = int(round(fraction * _DENOM))
+    if coin is None:
+        coin = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(salt)), F.lit(_DENOM))
+    return coin < F.lit(thresh)
+
+
+def hash_sample(
+    df: DataFrame, key_cols: str | list[str], fraction: float, salt: str = "",
+    coin: "F.Column | None" = None,
+) -> DataFrame:
+    """Zero-shuffle deterministic Bernoulli sample (see module doc)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return df.filter(sample_flag(keys, fraction, salt, coin))
+
+
+def stratified_cap(
+    df: DataFrame,
+    stratum_cols: str | list[str],
+    n: int,
+    key_cols: str | list[str],
+    salt: str = "",
+    rank_col: str | None = None,
+    coin: "F.Column | None" = None,
+) -> DataFrame:
+    """At most ``n`` rows per stratum, chosen uniformly-deterministically:
+    rank rows inside each stratum by (xxhash64(key, salt), key) and keep
+    rank <= n. With ``rank_col`` the ranking becomes (rank_col asc,
+    hash) instead — "keep the n best by score, hash-tiebroken"."""
+    strata = [stratum_cols] if isinstance(stratum_cols, str) else list(stratum_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = coin if coin is not None else F.xxhash64(*[F.col(c) for c in keys], F.lit(salt))
+    order = [F.col(rank_col).asc()] if rank_col else []
+    order += [h.asc()] + [F.col(c).asc() for c in keys]
+    w = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
