@@ -816,6 +816,22 @@ def q41_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "lang")
 
 
+def q42_host_reputation(spark, sf_dir):
+    """Host reputation (operators/reputation.py): per-host corpus feedback
+    (dup rate via 8-byte content hashes, dominant language with a
+    deterministic tie-break, mean quality) blended into a crawl-priority
+    score. Two map-side-partial aggregates joined on host; output is
+    O(hosts). Quality proxy here is least(n_chars/1000, 1); production
+    passes functions.text.quality_score."""
+    from raven_spark.operators.reputation import host_reputation
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"), "text", "lang",
+        F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)).alias("q"),
+    )
+    return host_reputation(d, quality_col="q")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -859,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_url_seen_cuckoo": q39_url_seen_cuckoo,
         "q40_asof_join": q40_asof_join,
         "q41_stratified_sample": q41_stratified_sample,
+        "q42_host_reputation": q42_host_reputation,
     }
 
 
@@ -1515,6 +1532,32 @@ def oracle_sql() -> dict[str, str]:
               FROM sampled
             )
             SELECT doc_id, source, lang FROM ranked WHERE rk <= 25
+        """,
+        "q42_host_reputation": """
+            WITH base AS (
+              SELECT source AS host, text, lang,
+                     LEAST(n_chars / 1000.0, 1.0) AS q
+              FROM documents
+            ), per_host AS (
+              SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique,
+                     AVG(q) AS avg_q
+              FROM base GROUP BY host
+            ), langs AS (
+              SELECT host, lang, COUNT(*) AS c FROM base GROUP BY host, lang
+            ), dom AS (
+              SELECT host, lang AS dominant_lang, c AS dom_c,
+                     row_number() OVER (PARTITION BY host ORDER BY c DESC, lang DESC) AS rk
+              FROM langs
+            )
+            SELECT p.host, p.n_docs, p.n_unique,
+                   round(1.0 - p.n_unique / CAST(p.n_docs AS DOUBLE), 6) AS dup_rate,
+                   d.dominant_lang,
+                   round(d.dom_c / CAST(p.n_docs AS DOUBLE), 6) AS lang_consistency,
+                   round(p.avg_q, 6) AS avg_quality,
+                   round(0.5 * (1.0 - (1.0 - p.n_unique / CAST(p.n_docs AS DOUBLE)))
+                         + 0.3 * (d.dom_c / CAST(p.n_docs AS DOUBLE))
+                         + 0.2 * LEAST(p.avg_q, 1.0), 6) AS score
+            FROM per_host p JOIN dom d ON p.host = d.host AND d.rk = 1
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

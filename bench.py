@@ -61,6 +61,7 @@ HEADLINE = [
     "q39_url_seen_cuckoo",
     "q40_asof_join",
     "q41_stratified_sample",
+    "q42_host_reputation",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

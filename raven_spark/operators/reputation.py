@@ -1,0 +1,116 @@
+"""Host reputation — the signal that closes the corpus -> crawl loop.
+
+A web-scale pipeline doesn't just filter documents; it feeds what it
+learned back into the frontier: hosts that keep yielding duplicate,
+boilerplate, or off-language pages should get less of the politeness
+budget, and high-yield hosts should be recrawled first. The reference
+engine has no cross-round feedback (each round is independent,
+runner.rs); this is task-brief pipeline tier, composing the existing
+corpus signals (quality scores, dup hashing, language ID) into one
+per-host table.
+
+Scale shape: two hash aggregates over the corpus — one keyed on host
+(count / distinct-content / mean quality; all map-side partial, and the
+distinct rides an 8-byte xxhash64, never text) and one keyed on
+(host, lang) rolled up with max_by for the dominant language — joined on
+host. At 10^10 pages the output is O(hosts) (~10^7 rows), broadcastable
+back onto any frontier.
+
+The score is a transparent linear blend, not a learned model: callers
+tune weights or replace the expression; the operator's value is the
+deterministic, partition-invariant aggregation underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_reputation(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-host reputation profile.
+
+    Output columns: host, n_docs, n_unique (distinct content hashes),
+    dup_rate, dominant_lang (count tie -> lexicographically largest,
+    deterministic in both engines), lang_consistency (dominant share),
+    avg_quality (mean of ``quality_col``; n_chars-style proxies or
+    functions.text.quality_score outputs both work), score in [0, 1].
+
+    score = 0.5*(1 - dup_rate) + 0.3*lang_consistency
+          + 0.2*least(avg_quality, 1.0)   (rounded to 6 dp)
+
+    so ``quality_col`` is expected normalized to ~[0, 1]; pass e.g.
+    ``least(n_chars/1000, 1)`` precomputed, or quality_score's [0,1]
+    output.
+    """
+    q = F.col(quality_col) if quality_col else F.lit(0.0)
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.xxhash64(F.col(text_col)).alias("__h"),
+        F.col(lang_col).alias("lang"),
+        q.cast("double").alias("__q"),
+    )
+    per_host = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_unique"),
+        F.avg("__q").alias("avg_quality"),
+    )
+    dominant = (
+        base.groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("host")
+        .agg(
+            F.max_by("lang", F.struct(F.col("__c"), F.col("lang"))).alias("dominant_lang"),
+            F.max("__c").alias("__dom"),
+        )
+    )
+    out = per_host.join(dominant, "host")
+    dup_rate = 1.0 - F.col("n_unique") / F.col("n_docs")
+    consistency = F.col("__dom") / F.col("n_docs")
+    score = (
+        F.lit(0.5) * (F.lit(1.0) - dup_rate)
+        + F.lit(0.3) * consistency
+        + F.lit(0.2) * F.least(F.col("avg_quality"), F.lit(1.0))
+    )
+    return out.select(
+        "host",
+        "n_docs",
+        "n_unique",
+        F.round(dup_rate, 6).alias("dup_rate"),
+        "dominant_lang",
+        F.round(consistency, 6).alias("lang_consistency"),
+        F.round("avg_quality", 6).alias("avg_quality"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def apply_host_priority(
+    frontier: DataFrame,
+    reputation: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    max_boost: int = 3,
+) -> DataFrame:
+    """Fold reputation into frontier priority (lower = more urgent):
+    boost = floor(score * max_boost) subtracted from the row's priority
+    (floored at 0). Reputation is O(hosts) — broadcast-joined, so this
+    adds zero shuffles to the round plan; hosts without a reputation row
+    keep their priority."""
+    rep = F.broadcast(
+        reputation.select(F.col("host").alias(host_col), "score")
+    )
+    boosted = F.greatest(
+        F.col(priority_col) - F.floor(F.coalesce(F.col("score"), F.lit(0.0)) * max_boost).cast("int"),
+        F.lit(0),
+    )
+    return (
+        frontier.join(rep, on=host_col, how="left")
+        .withColumn(priority_col, boosted)
+        .drop("score")
+    )

@@ -1,0 +1,70 @@
+"""Host reputation: aggregate correctness on planted data, dominant-lang
+tie determinism, partition invariance, frontier priority application."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raven_spark.operators.reputation import apply_host_priority, host_reputation
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = []
+    # hostA: 4 docs, 1 duplicated text (3 unique), langs en,en,en,de
+    rows += [
+        ("a.example", "alpha text one", "en", 0.8),
+        ("a.example", "alpha text one", "en", 0.8),
+        ("a.example", "alpha text two", "en", 0.6),
+        ("a.example", "alpha text drei", "de", 1.4),
+    ]
+    # hostB: 2 docs, all unique, lang tie en/fr -> 'fr' (lexicographically larger)
+    rows += [
+        ("b.example", "beta one", "en", 0.5),
+        ("b.example", "beta two", "fr", 0.5),
+    ]
+    return spark.createDataFrame(rows, "host string, text string, lang string, q double")
+
+
+def test_host_reputation_values(corpus):
+    rep = {r["host"]: r.asDict() for r in
+           host_reputation(corpus, quality_col="q").collect()}
+    a = rep["a.example"]
+    assert (a["n_docs"], a["n_unique"]) == (4, 3)
+    assert a["dup_rate"] == 0.25
+    assert a["dominant_lang"] == "en" and a["lang_consistency"] == 0.75
+    assert a["avg_quality"] == pytest.approx(0.9)
+    # score: 0.5*0.75 + 0.3*0.75 + 0.2*min(0.9,1) = 0.375+0.225+0.18
+    assert a["score"] == pytest.approx(0.78)
+    b = rep["b.example"]
+    assert b["dominant_lang"] == "fr"  # deterministic tie-break
+    assert b["dup_rate"] == 0.0 and b["lang_consistency"] == 0.5
+
+
+def test_host_reputation_partition_invariance(corpus):
+    one = sorted(map(tuple, host_reputation(corpus.coalesce(1), quality_col="q").collect()))
+    many = sorted(map(tuple, host_reputation(corpus.repartition(13), quality_col="q").collect()))
+    assert one == many
+
+
+def test_apply_host_priority(spark, corpus):
+    rep = host_reputation(corpus, quality_col="q")
+    frontier = spark.createDataFrame(
+        [("a.example", 5), ("b.example", 5), ("c.example", 5), ("a.example", 0)],
+        "host string, priority int",
+    )
+    out = {(r["host"], i): r["priority"] for i, r in
+           enumerate(apply_host_priority(frontier, rep).collect())}
+    got = {r["host"]: [] for r in frontier.collect()}
+    for r in apply_host_priority(frontier, rep).collect():
+        got[r["host"]].append(r["priority"])
+    # a.example score ~0.78 -> boost floor(2.34)=2: 5->3, 0->0 (floored)
+    assert sorted(got["a.example"]) == [0, 3]
+    # b.example score = 0.5*1 + 0.3*0.5 + 0.2*0.5 = 0.75 -> boost 2
+    assert got["b.example"] == [3]
+    # unknown host: unchanged
+    assert got["c.example"] == [5]
+    # no shuffle added: the reputation join is broadcast
+    plan = apply_host_priority(frontier, rep)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
