@@ -773,9 +773,15 @@ def q39_url_seen_cuckoo(spark, sf_dir):
         seen, "url_hash", n_shards=8, expected_n=max(seen.count(), 16)
     )
     expired = seen.filter(F.pmod(F.col("url_hash"), F.lit(15)) == 0)
-    updated = ShardedCuckoo(delete_from_cuckoo_shards(shards, expired, 8), 8)
+    # the shard table is O(n_shards) rows: checkpoint it so the build +
+    # delete lineage runs once, not once per subtract branch
+    updated = ShardedCuckoo(
+        delete_from_cuckoo_shards(shards, expired, 8).localCheckpoint(eager=False), 8
+    )
     remaining = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
-    return subtract_seen(cand, remaining, bloom=updated).select("url_hash")
+    return subtract_seen(
+        cand, remaining, bloom=updated, materialize=True
+    ).select("url_hash")
 
 
 def q40_asof_join(spark, sf_dir):

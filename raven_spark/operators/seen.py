@@ -591,6 +591,7 @@ def subtract_seen(
     url_seen: DataFrame | None,
     bloom: "BloomFilter | ShardedBloom | CuckooFilter | ShardedCuckoo | None" = None,
     hash_col: str = "url_hash",
+    materialize: bool = False,
 ) -> DataFrame:
     """candidates minus seen — the EXCEPT of the engine (§2.2 set ops).
 
@@ -598,6 +599,13 @@ def subtract_seen(
     10^10 scale) -> ] left_anti join on url_hash for the maybe-seen
     remainder -> union with the definitely-new rows. With no url_seen yet,
     candidates pass through.
+
+    The definitely-new / maybe-seen branches both read the pruned frame;
+    inside the engine that frame is already part of plan_round's staged
+    materialization, so the split is free. STANDALONE callers should pass
+    ``materialize=True`` to localCheckpoint the pruned frame once instead
+    of re-running the probe (and, for sharded filters, the filter build)
+    per branch.
     """
     if url_seen is None:
         return candidates
@@ -610,6 +618,8 @@ def subtract_seen(
         pruned = cuckoo_prune_sharded(candidates, bloom, hash_col)
     else:
         pruned = bloom_prune(candidates, bloom, hash_col)
+    if materialize:
+        pruned = pruned.localCheckpoint(eager=False)
     definitely_new = pruned.filter(~F.col("maybe_seen")).drop("maybe_seen")
     survivors = pruned.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = survivors.join(seen_keys, on=hash_col, how="left_anti")
