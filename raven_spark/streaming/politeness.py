@@ -1,0 +1,131 @@
+"""Stateful streaming politeness: a per-host admission budget that
+persists ACROSS micro-batches via ``applyInPandasWithState``.
+
+The batch engine enforces per-host budgets per round with window
+functions (operators/politeness.py) — stateless, because a round is one
+job. A streaming frontier has no rounds: requests for the same host
+arrive across many micro-batches, and the budget must be cumulative
+until the politeness window resets. That is exactly the custom stateful
+operator shape Spark reserves ``applyInPandasWithState`` for (the
+task-brief bullet): state = (window_start_epoch, used) per host, input =
+this batch's candidate fetches, output = the admitted rows.
+
+Semantics (token bucket with a tumbling refill window):
+
+- Each host gets ``budget`` admissions per ``window_seconds`` wall
+  window (windows are aligned to the epoch, so replays admit the same
+  rows for the same data — no processing-time dependence).
+- Within a batch, candidates are admitted in deterministic order
+  (event ts, then url_hash) so output is partitioning-independent.
+- Non-admitted rows are EMITTED with admitted=false rather than
+  dropped: the caller routes them back to the frontier (the batch
+  engine's deferral semantics, plans/round.py) or to a dead-letter sink.
+
+Scale: state is O(active hosts) x 16 bytes; the group key is the host,
+so the shuffle is the same host-keyed exchange the batch politeness
+window uses. GroupStateTimeout evicts hosts idle past the window, so
+state doesn't accumulate dead hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("window_start", T.LongType()),
+    T.StructField("used", T.LongType()),
+])
+
+
+def _admit_schema() -> T.StructType:
+    return T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("admitted", T.BooleanType()),
+    ])
+
+
+def _budget_fn(budget: int, window_seconds: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        win_start, used = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                ["event_ts", "url_hash"], kind="mergesort"
+            ).reset_index(drop=True)
+            # event-time aligned windows: replay-stable, no processing time
+            ts = pdf["event_ts"].astype("int64") // 10**9
+            w = (ts // window_seconds) * window_seconds
+            if win_start is not None:
+                # late rows never reopen a closed window's budget: fold
+                # them into the currently-open window
+                w = w.clip(lower=win_start)
+            # vectorized admission: rank within window + carried usage
+            rank = pdf.groupby(w).cumcount().to_numpy()
+            carry = np.where(
+                w.to_numpy() == (win_start if win_start is not None else -1),
+                used, 0,
+            )
+            admitted = (rank + carry) < budget
+            out.append(
+                pdf[["host", "url_canon", "url_hash", "event_ts"]].assign(
+                    admitted=admitted
+                )
+            )
+            last_w = int(w.iloc[-1])
+            last_carry = used if (win_start is not None and last_w == win_start) else 0
+            used = last_carry + int(admitted[w.to_numpy() == last_w].sum())
+            win_start = last_w
+        state.update((win_start if win_start is not None else 0, used))
+        # evict hosts idle for a full window beyond the current one
+        state.setTimeoutDuration(2 * window_seconds * 1000)
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def stateful_host_budget(
+    candidates: DataFrame,
+    budget: int,
+    window_seconds: int = 60,
+    host_col: str = "host",
+) -> DataFrame:
+    """Streaming per-host admission control (see module doc).
+
+    ``candidates`` must carry (host, url_canon, url_hash, event_ts)
+    — the identity columns ``with_url_identity`` produces plus an event
+    timestamp. Returns the same rows with ``admitted`` appended; state
+    (window_start, used) persists per host across micro-batches.
+    """
+    return (
+        candidates.select(
+            host_col, "url_canon", "url_hash", "event_ts"
+        )
+        .groupBy(host_col)
+        .applyInPandasWithState(
+            _budget_fn(budget, window_seconds),
+            outputStructType=_admit_schema(),
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

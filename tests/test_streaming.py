@@ -100,3 +100,53 @@ def test_host_rate_metrics_window_counts(spark, pages_dir):
     for k, v in got_d.items():
         assert want[k] == v
     assert len(got_d) >= len(want) - len({h for (_, h) in want})
+
+
+def test_stateful_host_budget_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState politeness: the per-host budget must be
+    CUMULATIVE across micro-batches within one event-time window —
+    batch 1 admits up to the budget, batch 2's same-window rows are
+    denied; a later window refills. Denied rows are emitted, not
+    dropped."""
+    from raven_spark.streaming.politeness import stateful_host_budget
+
+    root = str(tmp_path / "cands")
+    # window 0: 6 requests for hostA (3 per file drop), 2 for hostB;
+    # window 1 (ts+120s): 2 more for hostA
+    rows0 = [("a.example", f"https://a.example/{i}", i, 10 + i) for i in range(3)]
+    rows1 = [("a.example", f"https://a.example/{i+3}", i + 3, 20 + i) for i in range(3)]
+    rows0 += [("b.example", f"https://b.example/{i}", 100 + i, 15 + i) for i in range(2)]
+    rows1 += [("a.example", f"https://a.example/w2-{i}", 200 + i, 130 + i) for i in range(2)]
+    ddl = "host string, url_canon string, url_hash long, event_ts timestamp"
+
+    def to_df(rows):
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        return spark.createDataFrame(
+            [(h, u, x, base + dt.timedelta(seconds=s)) for h, u, x, s in rows], ddl,
+        )
+
+    to_df(rows0).coalesce(1).write.parquet(root, mode="append")
+    to_df(rows1).coalesce(1).write.parquet(root, mode="append")
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(root)
+    )
+    out = stateful_host_budget(stream, budget=4, window_seconds=60)
+    q = (
+        out.writeStream.format("memory").queryName("budget_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("budget_sink").collect()
+    assert len(got) == len(rows0) + len(rows1)  # denied rows emitted too
+    a_w0 = [r for r in got if r["host"] == "a.example" and r["url_hash"] < 100]
+    assert sum(r["admitted"] for r in a_w0) == 4  # cumulative cap across batches
+    # the admitted four are the earliest by event time
+    admitted_ids = sorted(r["url_hash"] for r in a_w0 if r["admitted"])
+    assert admitted_ids == [0, 1, 2, 3]
+    b_rows = [r for r in got if r["host"] == "b.example"]
+    assert all(r["admitted"] for r in b_rows)  # under budget
+    a_w2 = [r for r in got if r["url_hash"] >= 200]
+    assert all(r["admitted"] for r in a_w2)  # new window refills
