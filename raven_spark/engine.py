@@ -69,6 +69,13 @@ class EngineOptions:
     # recrawl/TTL invalidation via delete_from_cuckoo_shards without a
     # full rebuild; north_star's "Bloom/cuckoo" alternative)
     seen_filter: str = "bloom"
+    # recrawl TTL: a capture blocks re-fetch for this many FOLLOWING
+    # rounds; older url_seen rounds (and their filter deltas/sidecars)
+    # simply fall out of the windowed catalog read, so expiry costs
+    # nothing — no delete pass, no rebuild (for selective invalidation
+    # inside the window, see seen.delete_from_cuckoo_shards). None =
+    # fetch-once-forever (reference semantics).
+    seen_ttl_rounds: int | None = None
     shuffle_partitions: int | None = None
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
@@ -184,12 +191,14 @@ class CrawlEngine:
     def _bloom_relpath(self, round_no: int) -> str:
         return f"url_seen/round={round_no}/_bloom.bin"
 
-    def _merged_bloom(self, upto_round: int) -> BloomFilter | None:
-        """OR of all committed per-round Bloom deltas — O(rounds) bitmap ORs
-        on the driver, no table scan (the north_star merge choreography:
-        per-partition build happens at write time via treeAggregate)."""
+    def _merged_bloom(self, upto_round: int, from_round: int = 0) -> BloomFilter | None:
+        """OR of committed per-round Bloom deltas in [from_round, upto] —
+        O(rounds) bitmap ORs on the driver, no table scan (the north_star
+        merge choreography: per-partition build happens at write time via
+        treeAggregate). ``from_round`` implements the recrawl TTL: expired
+        rounds' sidecars are simply skipped."""
         merged: BloomFilter | None = None
-        for r in range(upto_round + 1):
+        for r in range(from_round, upto_round + 1):
             raw = self.catalog.read_blob(self._bloom_relpath(r))
             if raw is None:
                 continue
@@ -247,20 +256,26 @@ class CrawlEngine:
 
         url_seen = None
         bloom = None
+        ttl = self.opt.seen_ttl_rounds
+        seen_lo = max(0, round_no - ttl) if ttl is not None else None
         if round_no > 0:
-            url_seen = self.catalog.read("url_seen", upto_round=round_no - 1)
+            url_seen = self.catalog.read(
+                "url_seen", upto_round=round_no - 1, from_round=seen_lo
+            )
             if url_seen is not None:
                 url_seen = url_seen.drop("round")
             if self.opt.bloom_shards:
                 table = "cuckoo" if self.opt.seen_filter == "cuckoo" else "bloom"
-                shards_df = self.catalog.read(table, upto_round=round_no - 1)
+                shards_df = self.catalog.read(
+                    table, upto_round=round_no - 1, from_round=seen_lo
+                )
                 if shards_df is not None:
                     if "round" in shards_df.columns:
                         shards_df = shards_df.drop("round")
                     cls = ShardedCuckoo if table == "cuckoo" else ShardedBloom
                     bloom = cls(shards_df, self.opt.bloom_shards)
             else:
-                bloom = self._merged_bloom(round_no - 1)
+                bloom = self._merged_bloom(round_no - 1, from_round=seen_lo or 0)
 
         plan = plan_round(
             frontier_delta,
@@ -401,7 +416,22 @@ class CrawlEngine:
             # but over an already-thin delta.
             from raven_spark.operators.seen import subtract_seen
 
-            discovered = subtract_seen(discovered, url_seen, bloom)
+            # with a recrawl TTL the delta feeds round_no+1, whose seen
+            # window starts one round later than this round's — re-read
+            # with the shifted lower bound so re-discovered URLs that
+            # expire NEXT round stay in the frontier. The (wider-window)
+            # round Bloom stays valid as a prune: a superset filter only
+            # adds anti-join work, never drops a live row.
+            seen_for_next = url_seen
+            if ttl is not None and round_no > 0:
+                seen_for_next = self.catalog.read(
+                    "url_seen",
+                    upto_round=round_no - 1,
+                    from_round=max(0, round_no + 1 - ttl),
+                )
+                if seen_for_next is not None:
+                    seen_for_next = seen_for_next.drop("round")
+            discovered = subtract_seen(discovered, seen_for_next, bloom)
             discovered = discovered.join(
                 seen_delta.select("url_hash").distinct(), on="url_hash", how="left_anti"
             )

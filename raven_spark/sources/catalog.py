@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 class Catalog(Protocol):
     def append(self, name: str, df: DataFrame, round_no: int) -> None: ...
 
-    def read(self, name: str, upto_round: int | None = None) -> DataFrame | None: ...
+    def read(
+        self, name: str, upto_round: int | None = None, from_round: int | None = None
+    ) -> DataFrame | None: ...
 
     def exists(self, name: str) -> bool: ...
 
@@ -198,10 +200,14 @@ class ParquetCatalog:
         manifest.setdefault("committed_at", {})[str(round_no)] = time.time()
         self._save_manifest(name, manifest)
 
-    def read(self, name: str, upto_round: int | None = None) -> DataFrame | None:
+    def read(
+        self, name: str, upto_round: int | None = None, from_round: int | None = None
+    ) -> DataFrame | None:
         manifest = self._load_manifest(name)
         rounds = [
-            r for r in manifest["rounds"] if upto_round is None or r <= upto_round
+            r for r in manifest["rounds"]
+            if (upto_round is None or r <= upto_round)
+            and (from_round is None or r >= from_round)
         ]
         if not rounds:
             return None
@@ -240,12 +246,16 @@ class IcebergCatalog:
         else:
             df.writeTo(self._t(name)).append()
 
-    def read(self, name: str, upto_round: int | None = None) -> DataFrame | None:
+    def read(
+        self, name: str, upto_round: int | None = None, from_round: int | None = None
+    ) -> DataFrame | None:
         if not self.spark.catalog.tableExists(self._t(name)):
             return None
         df = self.spark.table(self._t(name))
         if upto_round is not None:
             df = df.filter(F.col("round") <= upto_round)
+        if from_round is not None:
+            df = df.filter(F.col("round") >= from_round)
         return df
 
     def exists(self, name: str) -> bool:

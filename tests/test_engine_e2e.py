@@ -177,3 +177,54 @@ def test_crawl_order_deterministic(spark, corpus, tmp_path):
         ]
 
     assert run(str(tmp_path / "a")) == run(str(tmp_path / "b"))
+
+
+def test_seen_ttl_recrawl(spark, corpus, tmp_path):
+    """Recrawl TTL: with seen_ttl_rounds=1, a capture only blocks the
+    NEXT round; pages re-discovered after expiry are fetched again. The
+    baseline (no TTL) fetches every url_hash exactly once; the TTL run
+    must re-fetch at least one, and never inside its TTL window."""
+    seeds = seed_urls(10, N_PAGES)
+    base = _engine(spark, corpus, str(tmp_path / "nottl"), rounds=4)
+    base.run(seed_urls=seeds, max_rounds=4)
+    once = base.table("pages").groupBy("url_hash").count()
+    assert once.filter("count > 1").count() == 0
+
+    cfg = RavenConfig(
+        name="e2e",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=4,
+    )
+    ttl_eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "ttl"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8, seen_ttl_rounds=1
+        ),
+    )
+    ttl_eng.run(seed_urls=seeds, max_rounds=4)
+    pages = ttl_eng.table("pages").select("url_hash", "round")
+    refetched = (
+        pages.groupBy("url_hash")
+        .agg(F.count("*").alias("n"), F.collect_list("round").alias("rounds"))
+        .filter("n > 1")
+        .collect()
+    )
+    assert len(refetched) > 0  # expiry actually reopens URLs
+    for r in refetched:
+        rs = sorted(r["rounds"])
+        # no refetch inside the TTL window: consecutive fetches of the
+        # same URL are at least ttl+1 = 2 rounds apart
+        assert all(b - a >= 2 for a, b in zip(rs, rs[1:])), rs
+
+    # a TTL wider than the run is identical to no TTL at all
+    wide = CrawlEngine(
+        spark, cfg, str(tmp_path / "wide"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8, seen_ttl_rounds=10
+        ),
+    )
+    wide.run(seed_urls=seeds, max_rounds=4)
+    a, b = base.table("pages"), wide.table("pages")
+    assert a.count() == b.count()
+    assert a.select("url_hash").exceptAll(b.select("url_hash")).count() == 0
