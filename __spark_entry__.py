@@ -838,6 +838,36 @@ def q42_host_reputation(spark, sf_dir):
     return host_reputation(d, quality_col="q")
 
 
+def q43_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingestion (operators/sitemaps.py): deterministic sitemap
+    XML synthesized per document (doc_id%5==0 -> a sitemapindex of two
+    child sitemaps, else a urlset of two page URLs, one with an escaped
+    &amp; and stray whitespace) -> loc extraction + kind classification +
+    entity unescape, all column algebra. Oracle replays the construction
+    and the identical regex in DuckDB."""
+    from raven_spark.operators.sitemaps import sitemap_locs
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = F.concat(F.lit("https://h"), F.pmod(i, 7).cast("string"), F.lit(".example"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    index_body = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), h, F.lit("/sm/"), s(i),
+        F.lit("-1.xml</loc></sitemap><sitemap><loc> "), h, F.lit("/sm/"), s(i),
+        F.lit("-2.xml </loc></sitemap></sitemapindex>"),
+    )
+    urlset_body = F.concat(
+        F.lit("<urlset><url><loc>"), h, F.lit("/p/"), s(F.pmod(i, 211)),
+        F.lit("?a=1&amp;b=2</loc></url><url><loc>"), h, F.lit("/p/"),
+        s(F.pmod(i, 499)), F.lit("</loc></url></urlset>"),
+    )
+    sm = d.select(
+        F.concat(h, F.lit("/sitemap-"), s(i), F.lit(".xml")).alias("url"),
+        F.when(F.pmod(i, 5) == 0, index_body).otherwise(urlset_body).alias("body"),
+    )
+    return sitemap_locs(sm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -882,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_asof_join": q40_asof_join,
         "q41_stratified_sample": q41_stratified_sample,
         "q42_host_reputation": q42_host_reputation,
+        "q43_sitemap_ingest": q43_sitemap_ingest,
     }
 
 
@@ -1564,6 +1595,34 @@ def oracle_sql() -> dict[str, str]:
                          + 0.3 * (d.dom_c / CAST(p.n_docs AS DOUBLE))
                          + 0.2 * LEAST(p.avg_q, 1.0), 6) AS score
             FROM per_host p JOIN dom d ON p.host = d.host AND d.rk = 1
+        """,
+        "q43_sitemap_ingest": r"""
+            WITH sm AS (
+              SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/sitemap-'
+                       || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       '<sitemapindex><sitemap><loc>https://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/sm/' || CAST(doc_id AS VARCHAR)
+                       || '-1.xml</loc></sitemap><sitemap><loc> https://h'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example/sm/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '-2.xml </loc></sitemap></sitemapindex>'
+                     ELSE
+                       '<urlset><url><loc>https://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id % 211 AS VARCHAR)
+                       || '?a=1&amp;b=2</loc></url><url><loc>https://h'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id % 499 AS VARCHAR) || '</loc></url></urlset>'
+                     END AS body
+              FROM documents
+            )
+            SELECT sitemap_url,
+                   CASE WHEN body LIKE '%<sitemapindex%' THEN 'sitemapindex'
+                        ELSE 'urlset' END AS kind,
+                   replace(replace(replace(replace(replace(
+                     trim(loc), '&amp;', '&'), '&apos;', ''''), '&quot;', '"'),
+                     '&gt;', '>'), '&lt;', '<') AS loc
+            FROM sm, unnest(regexp_extract_all(body, '<loc>\s*([^<]+?)\s*</loc>', 1)) AS t(loc)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -62,6 +62,7 @@ HEADLINE = [
     "q40_asof_join",
     "q41_stratified_sample",
     "q42_host_reputation",
+    "q43_sitemap_ingest",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

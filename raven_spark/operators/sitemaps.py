@@ -1,0 +1,90 @@
+"""Sitemap ingestion — the other half of seed discovery.
+
+Link extraction finds what pages reference; sitemaps are what hosts
+DECLARE (sitemaps.org protocol): XML documents listing ``<loc>`` URLs,
+optionally nested one level via a ``<sitemapindex>`` of child sitemaps,
+and advertised in robots.txt ``Sitemap:`` lines. A crawl that honors
+them seeds deep/unlinked pages a BFS frontier would never reach. The
+reference crawler has no discovery at all (its task list is fully
+config-expanded, parser.rs); this is crawl-tier task-brief scope, the
+seed-side sibling of streaming_link_frontier.
+
+Scale shape: pure column algebra — one regexp_extract_all + explode per
+sitemap body, no Python, no shuffle until the frontier dedup the caller
+already runs. Sitemap bodies cap at 50 MB/50k URLs by protocol, so the
+explode fan-out is bounded per row.
+
+Deliberate scope: XML parsed by pattern, not by a full parser — sitemap
+<loc> contents are URLs (no nested markup), the protocol requires
+entity-escaping, and the pattern form is exactly replayable in the
+DuckDB oracle. Gzip'd sitemaps (<name>.xml.gz) arrive decompressed by
+the HTTP layer (Content-Encoding), not here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LOC = r"<loc>\s*([^<]+?)\s*</loc>"
+
+
+def sitemap_locs(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, kind, loc) per ``<loc>`` entry.
+
+    kind: 'sitemapindex' when the document is an index of child sitemaps
+    (its locs are sitemap URLs to fetch next — one protocol-defined
+    nesting level), else 'urlset' (its locs are page URLs). XML entities
+    the protocol requires escaped in URLs are unescaped (&amp; &apos;
+    &quot; &gt; &lt;)."""
+    kind = F.when(
+        F.col(body_col).contains("<sitemapindex"), F.lit("sitemapindex")
+    ).otherwise(F.lit("urlset"))
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(_LOC), 1)
+    out = df.select(
+        F.col(url_col).alias("sitemap_url"),
+        kind.alias("kind"),
+        F.explode(locs).alias("loc"),
+    )
+    unescaped = F.col("loc")
+    for ent, ch in (("&amp;", "&"), ("&apos;", "'"), ("&quot;", '"'),
+                    ("&gt;", ">"), ("&lt;", "<")):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    return out.withColumn("loc", unescaped)
+
+
+def sitemap_frontier(
+    df: DataFrame, url_col: str = "url", body_col: str = "body",
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Page URLs declared by urlset sitemaps, carried through the same
+    canonicalize/hash/salt identity the whole engine keys on — ready for
+    subtract_seen + frontier union. Index locs are excluded (they are
+    sitemaps to fetch, not pages; feed them back through the fetch
+    stage and this operator again)."""
+    from raven_spark.functions.urls import with_url_identity
+
+    pages = (
+        sitemap_locs(df, url_col, body_col)
+        .filter(F.col("kind") == "urlset")
+        .select(F.col("loc").alias("url"))
+    )
+    return with_url_identity(pages, salt_buckets=salt_buckets)
+
+
+def robots_sitemap_urls(text: str | None) -> list[str]:
+    """Sitemap: pointers from one robots.txt body (driver-side, O(hosts)
+    like parse_robots_txt — the rules table is small by construction).
+    The field is group-independent per the protocol, so every Sitemap
+    line counts regardless of user-agent blocks."""
+    if not text:
+        return []
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
