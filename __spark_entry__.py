@@ -868,6 +868,30 @@ def q43_sitemap_ingest(spark, sf_dir):
     return sitemap_locs(sm)
 
 
+def q44_unicode_norm(spark, sf_dir):
+    """Unicode dedup identity (functions/unicode_norm.py): per doc_id%3
+    plant a composed É, a decomposed E+U+0301, or plain ASCII, then
+    NFC-normalize + lower/trim/collapse. The two accented spellings must
+    hash identically (the oracle replays with DuckDB nfc_normalize).
+    Arrow-batched UDF with an ASCII fast path — the only Python in the
+    plan, scan -> project, zero shuffles."""
+    from raven_spark.functions.unicode_norm import unicode_norm_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    suffix = (
+        F.when(F.pmod(i, 3) == 0, F.lit(" CAFÉ fin"))
+        .when(F.pmod(i, 3) == 1, F.lit(" CAFÉ fin"))
+        .otherwise(F.lit(" cafe fin"))
+    )
+    n = unicode_norm_col(F.concat(F.col("text"), suffix))
+    return d.select(
+        "doc_id",
+        F.md5(n).alias("norm_md5"),
+        F.length(n).cast("bigint").alias("norm_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -913,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_stratified_sample": q41_stratified_sample,
         "q42_host_reputation": q42_host_reputation,
         "q43_sitemap_ingest": q43_sitemap_ingest,
+        "q44_unicode_norm": q44_unicode_norm,
     }
 
 
@@ -1623,6 +1648,25 @@ def oracle_sql() -> dict[str, str]:
                      trim(loc), '&amp;', '&'), '&apos;', ''''), '&quot;', '"'),
                      '&gt;', '>'), '&lt;', '<') AS loc
             FROM sm, unnest(regexp_extract_all(body, '<loc>\s*([^<]+?)\s*</loc>', 1)) AS t(loc)
+        """,
+        "q44_unicode_norm": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 3
+                       WHEN 0 THEN ' CAF' || chr(201) || ' fin'
+                       WHEN 1 THEN ' CAFE' || chr(769) || ' fin'
+                       ELSE ' cafe fin'
+                     END AS text
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(nfc_normalize(text))),
+                                    '\s+', ' ', 'g') AS n
+              FROM planted
+            )
+            SELECT doc_id, md5(n) AS norm_md5,
+                   CAST(length(n) AS BIGINT) AS norm_len
+            FROM norm
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

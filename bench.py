@@ -63,6 +63,7 @@ HEADLINE = [
     "q41_stratified_sample",
     "q42_host_reputation",
     "q43_sitemap_ingest",
+    "q44_unicode_norm",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
