@@ -892,6 +892,29 @@ def q44_unicode_norm(spark, sf_dir):
     )
 
 
+def q45_surt_keys(spark, sf_dir):
+    """SURT index keys (functions/urls.surt_col): deterministic URLs
+    (some www-prefixed, some with already-sorted query strings) through
+    canonicalize -> SURT. Pure column algebra after the canonicalization
+    UDF; the oracle replays label reversal with DuckDB list_reverse.
+    The point at 10^10 URLs: SURT order makes per-domain queries RANGE
+    predicates over a sorted CDX-style index (PLANS.md)."""
+    from raven_spark.functions.urls import canonicalize_udf, surt_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod(i, 4) == 0, F.lit("www.")).otherwise(
+            F.concat(F.lit("s"), s(F.pmod(i, 13)), F.lit("."))
+        ),
+        F.lit("h"), s(F.pmod(i, 7)), F.lit(".example/p/"), s(F.pmod(i, 211)),
+        F.when(F.pmod(i, 3) == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", surt_col(canonicalize_udf(url)).alias("surt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -938,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_host_reputation": q42_host_reputation,
         "q43_sitemap_ingest": q43_sitemap_ingest,
         "q44_unicode_norm": q44_unicode_norm,
+        "q45_surt_keys": q45_surt_keys,
     }
 
 
@@ -1667,6 +1691,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(n) AS norm_md5,
                    CAST(length(n) AS BIGINT) AS norm_len
             FROM norm
+        """,
+        "q45_surt_keys": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://'
+                     || CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                        ELSE 's' || CAST(doc_id % 13 AS VARCHAR) || '.' END
+                     || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+                     || CAST(doc_id % 211 AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                     split_part(split_part(url, '://', 2), '/', 1) AS auth,
+                     substr(split_part(url, '://', 2),
+                            length(split_part(split_part(url, '://', 2), '/', 1)) + 1) AS pq
+              FROM u
+            )
+            SELECT doc_id,
+                   array_to_string(list_reverse(string_split(
+                     CASE WHEN auth LIKE 'www.%' THEN substr(auth, 5) ELSE auth END,
+                     '.')), ',')
+                   || ')' || CASE WHEN pq = '' THEN '/' ELSE pq END AS surt
+            FROM parts
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

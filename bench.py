@@ -64,6 +64,7 @@ HEADLINE = [
     "q42_host_reputation",
     "q43_sitemap_ingest",
     "q44_unicode_norm",
+    "q45_surt_keys",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

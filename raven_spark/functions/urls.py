@@ -286,3 +286,39 @@ def with_url_identity(df, url_col: str = "url", salt_buckets: int = 256):
         .withColumn("salt_bucket", F.pmod(F.col("host_hash"), F.lit(salt_buckets)).cast("int"))
     )
     return df
+
+
+def surt_col(url_canon: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the public
+    Common-Crawl/OpenWayback index key form): reverse the host labels,
+    join with commas, append ")" + path?query, drop the scheme and a
+    leading "www.".
+
+        https://www.example.com/a/b?x=1 -> com,example)/a/b?x=1
+
+    Why it exists at 10^10 URLs: lexicographic order on the SURT clusters
+    a registrable domain's every subdomain/page into one contiguous key
+    range, so "everything under example.com" is a RANGE predicate — a
+    sorted/range-partitioned index (CDX-style) answers it with partition
+    pruning instead of a full scan, and sorting a capture table by SURT
+    gives the host locality that makes per-host politeness and per-domain
+    rollups near-shuffle-free. Pure built-in column algebra over the
+    ALREADY-canonical URL (run canonicalize first; ports and userinfo are
+    normalized there). IPv6 literals keep their bracket form unreversed
+    (label-reversal is only meaningful for DNS names).
+    """
+    rest = F.split_part(url_canon, F.lit("://"), F.lit(2))
+    authority = F.split_part(rest, F.lit("/"), F.lit(1))
+    no_user = F.element_at(F.split(authority, "@"), -1)
+    host = F.when(
+        F.startswith(no_user, F.lit("[")),
+        F.concat(F.split_part(no_user, F.lit("]"), F.lit(1)), F.lit("]")),
+    ).otherwise(F.split_part(no_user, F.lit(":"), F.lit(1)))
+    host = F.when(F.startswith(host, F.lit("www.")), F.substring(host, 5, 2**30)) \
+        .otherwise(host)
+    reversed_host = F.when(
+        F.startswith(host, F.lit("[")), host  # IPv6: no label semantics
+    ).otherwise(F.array_join(F.reverse(F.split(host, r"\.")), ","))
+    path_q = F.substring(rest, F.length(authority) + 1, 2**30)
+    path_q = F.when(path_q == "", F.lit("/")).otherwise(path_q)
+    return F.concat(reversed_host, F.lit(")"), path_q)

@@ -127,3 +127,44 @@ def test_pure_python_xxh64_matches_spark(spark):
     )
     for r in rows:
         assert spark_xxhash64_str(r["s"]) == r["h"], r["s"]
+
+
+def test_surt_col(spark):
+    from raven_spark.functions.urls import surt_col, canonicalize_udf
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.example.com/a/b?x=1", "com,example)/a/b?x=1"),
+        ("https://sub.Foo.example.ORG/", "org,example,foo,sub)/"),
+        ("http://example.com", "com,example)/"),
+        ("https://user:p@www.example.com:8443/p", "com,example)/p"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1])/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = df.select(
+        "url", surt_col(canonicalize_udf(F.col("url"))).alias("surt")
+    ).collect()
+    got = {r["url"]: r["surt"] for r in out}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])
+
+
+def test_surt_prefix_range_clusters_domain(spark):
+    """The operative property: every page under one registrable domain
+    sorts into a contiguous SURT range."""
+    from raven_spark.functions.urls import surt_col, canonicalize_udf
+    from pyspark.sql import functions as F
+
+    urls = (
+        [f"https://a{i}.example.com/p{i}" for i in range(20)]
+        + [f"https://other{i}.net/q{i}" for i in range(20)]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select(surt_col(canonicalize_udf(F.col("url"))).alias("s"))
+        .orderBy("s")
+        .collect()
+    )
+    flags = [r["s"].startswith("com,example") for r in rows]
+    first, last = flags.index(True), len(flags) - 1 - flags[::-1].index(True)
+    assert all(flags[first:last + 1]) and sum(flags) == 20
