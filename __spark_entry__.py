@@ -915,6 +915,28 @@ def q45_surt_keys(spark, sf_dir):
     return d.select("doc_id", surt_col(canonicalize_udf(url)).alias("surt"))
 
 
+def q46_pack_chunks(spark, sf_dir):
+    """Sequence packing (operators/pipeline.pack_chunks): whitespace
+    token counts -> deterministic concat-and-chunk placement into 512-
+    token context windows inside 8 Knuth-keyed buckets (the SQL-
+    replayable coin, q41 convention; production uses xxhash64). One
+    bucket-keyed shuffle + in-partition running sum — no global sort."""
+    from raven_spark.operators.pipeline import pack_chunks
+    from raven_spark.operators.sampling import knuth_coin
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint").alias("n_tokens"),
+    )
+    return pack_chunks(
+        d, ctx_len=512,
+        bucket_col=F.pmod(knuth_coin("doc_id"), F.lit(8)).cast("int"),
+        order_col=knuth_coin("doc_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -962,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_sitemap_ingest": q43_sitemap_ingest,
         "q44_unicode_norm": q44_unicode_norm,
         "q45_surt_keys": q45_surt_keys,
+        "q46_pack_chunks": q46_pack_chunks,
     }
 
 
@@ -1715,6 +1738,32 @@ def oracle_sql() -> dict[str, str]:
                      '.')), ',')
                    || ')' || CASE WHEN pq = '' THEN '/' ELSE pq END AS surt
             FROM parts
+        """,
+        "q46_pack_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens,
+                     ((doc_id % 1000000007) * 2654435761) % 1000000 AS coin
+              FROM documents
+            ), placed AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coin % 8 AS INT) AS pack_bucket,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY coin % 8 ORDER BY coin, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens AS start_offset
+              FROM toks
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_bucket,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS chunk_id,
+                   CAST(CASE WHEN n_tokens <= 0 THEN 0
+                        ELSE (start_offset + n_tokens - 1) // 512
+                             - start_offset // 512 + 1 END AS BIGINT)
+                     AS chunks_spanned
+            FROM placed
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

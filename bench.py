@@ -65,6 +65,7 @@ HEADLINE = [
     "q43_sitemap_ingest",
     "q44_unicode_norm",
     "q45_surt_keys",
+    "q46_pack_chunks",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -38,7 +38,7 @@ operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raven_spark.operators.dedup import norm_text_col
@@ -282,3 +282,59 @@ def clean_corpus(
         "is_canonical",
         (lang_ok & quality_ok & rep_ok & F.col("is_canonical")).alias("keep"),
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    ctx_len: int = 2048,
+    bucket_col: Column | None = None,
+    n_buckets: int = 256,
+    order_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — where a training corpus ends:
+    documents are laid end-to-end in a deterministic order and the stream
+    is cut every ``ctx_len`` tokens (the standard packing used to fill
+    fixed-length context windows without padding).
+
+    This operator computes each document's PLACEMENT, not the token
+    stream itself: (pack_bucket, start_offset, chunk_id, chunks_spanned)
+    — everything a writer needs to emit chunk k of bucket b by streaming
+    its documents in order. Placement is what must be deterministic and
+    distributed; tokenization stays wherever tokens_col came from.
+
+    Scale shape: packing is inherently a running sum over an order, so it
+    runs INSIDE hash buckets (default pmod(xxhash64(id), n_buckets) —
+    content-deterministic like every identity in this engine): one
+    shuffle on the bucket key, one in-partition sort per bucket, no
+    global sort. Buckets trade off against sequence-boundary waste: the
+    last partial chunk per bucket (< ctx_len tokens of padding) is the
+    only loss, so waste <= n_buckets * ctx_len tokens over the whole
+    corpus — noise at 10^10 docs, and each bucket packs in parallel.
+    """
+    idc = F.col(id_col)
+    bucket = (
+        bucket_col if bucket_col is not None
+        else F.pmod(F.xxhash64(idc), F.lit(n_buckets)).cast("int")
+    )
+    order = order_col if order_col is not None else F.xxhash64(idc)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col("__ord").asc(), idc.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("pack_bucket", bucket)
+        .withColumn("__ord", order)
+        .withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        .withColumn("start_offset", (F.col("__cum") - F.col(tokens_col)).cast("bigint"))
+        .withColumn("chunk_id", F.floor(F.col("start_offset") / ctx_len).cast("bigint"))
+        .withColumn(
+            "chunks_spanned",
+            F.when(F.col(tokens_col) <= 0, F.lit(0)).otherwise(
+                F.floor((F.col("__cum") - 1) / ctx_len) - F.col("chunk_id") + 1
+            ).cast("bigint"),
+        )
+    )
+    return out.drop("__ord", "__cum")

@@ -147,3 +147,30 @@ def test_contamination_set_semantics(spark):
     corpus = _docs(spark, [(1, " ".join([g] * 3), "c")])
     out = benchmark_contamination(corpus, bench, ngram_n=5, min_overlap=1).collect()
     assert out[0]["n_overlap"] == 1 and out[0]["contaminated"]
+
+
+def test_pack_chunks_invariants(spark):
+    """Packing invariants: offsets within a bucket are contiguous
+    (start_offset = sum of earlier docs' tokens), chunk ids are
+    floor(start/ctx), span counts cover the doc's token range, and the
+    whole placement is partition-invariant."""
+    from raven_spark.operators.pipeline import pack_chunks
+
+    df = spark.range(500, numPartitions=7).selectExpr(
+        "id as doc_id", "1 + pmod(xxhash64(id, 't'), 700) as n_tokens"
+    )
+    out = pack_chunks(df, ctx_len=512, n_buckets=8)
+    rows = sorted(
+        ((r["pack_bucket"], r["start_offset"], r["doc_id"], r["n_tokens"],
+          r["chunk_id"], r["chunks_spanned"]) for r in out.collect())
+    )
+    # contiguity + correctness per bucket
+    pos = {}
+    for b, start, _id, n, chunk, span in rows:
+        assert start == pos.get(b, 0), (b, start)
+        assert chunk == start // 512
+        assert span == (start + n - 1) // 512 - chunk + 1
+        pos[b] = start + n
+    # partition invariance
+    again = pack_chunks(df.repartition(3), ctx_len=512, n_buckets=8)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
