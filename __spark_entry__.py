@@ -937,6 +937,31 @@ def q46_pack_chunks(spark, sf_dir):
     )
 
 
+def q47_dedup_within_doc(spark, sf_dir):
+    """Intra-document repetition removal (pipeline.dedup_within_doc):
+    plant a copy of each doc's first 8 words at the end (doc_id%2==0), so
+    the pass must drop exactly the repeated window and keep the rest in
+    order. Zero-shuffle per-row array algebra (no explode+window); oracle
+    replays first-occurrence keep with a DuckDB row_number."""
+    from raven_spark.operators.pipeline import dedup_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    words8 = F.array_join(
+        F.slice(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+                1, 8), " ",
+    )
+    planted = F.when(
+        F.pmod(F.col("doc_id"), 2) == 0, F.concat(F.col("text"), F.lit(" "), words8)
+    ).otherwise(F.col("text"))
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup_within_doc(src).select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        F.length("text_dedup").cast("bigint").alias("dedup_len"),
+        "dropped_units",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_unicode_norm": q44_unicode_norm,
         "q45_surt_keys": q45_surt_keys,
         "q46_pack_chunks": q46_pack_chunks,
+        "q47_dedup_within_doc": q47_dedup_within_doc,
     }
 
 
@@ -1764,6 +1790,44 @@ def oracle_sql() -> dict[str, str]:
                              - start_offset // 512 + 1 END AS BIGINT)
                      AS chunks_spanned
             FROM placed
+        """,
+        "q47_dedup_within_doc": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN text || ' ' ||
+                       array_to_string(list_slice(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         1, 8), ' ')
+                     ELSE text END AS text
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM planted
+            ), w AS (
+              SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm
+            ), units AS (
+              SELECT doc_id, i,
+                     array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS unit
+              FROM w, unnest(generate_series(0,
+                     CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS g(i)
+              WHERE length(t) > 0
+            ), ranked AS (
+              SELECT doc_id, i, unit,
+                     row_number() OVER (PARTITION BY doc_id, unit ORDER BY i) AS rk
+              FROM units
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN rk = 1 THEN unit END, ' ' ORDER BY i) AS dedup,
+                     count(*) AS n_units,
+                     sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   md5(coalesce(a.dedup, '')) AS dedup_md5,
+                   CAST(length(coalesce(a.dedup, '')) AS BIGINT) AS dedup_len,
+                   CAST(coalesce(a.n_units - a.n_kept, 0) AS BIGINT) AS dropped_units
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

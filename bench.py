@@ -66,6 +66,7 @@ HEADLINE = [
     "q44_unicode_norm",
     "q45_surt_keys",
     "q46_pack_chunks",
+    "q47_dedup_within_doc",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -338,3 +338,70 @@ def pack_chunks(
         )
     )
     return out.drop("__ord", "__cum")
+
+
+def dedup_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit_words: int = 8,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Intra-document repetition removal: cut each document into
+    non-overlapping ``unit_words``-word windows, drop every window whose
+    normalized form already appeared EARLIER IN THE SAME DOCUMENT, and
+    reassemble the survivors in order. The in-document counterpart of
+    ``dup_ngram_frac`` (which only SCORES repetition): boilerplate blocks
+    and copy-paste loops inside one page disappear, cross-document
+    content is untouched.
+
+    Scale shape: pure column algebra, ZERO shuffles — the first-occurrence
+    test is per-row array logic (aggregate over the window array with an
+    accumulated seen-hash array), never an explode + window over
+    (doc, unit), so a document's units stay inside its row and the pass
+    fuses into the scan projection like every other text kernel here.
+    Memory is O(units per doc) per row — bounded by the page size cap the
+    fetch stage already enforces.
+
+    Output: input columns + ``out_col`` (deduped text) +
+    ``dropped_units`` (how many windows were removed).
+    """
+    norm = norm_text_col(F.col(text_col))
+    words = F.split(norm, " ")
+    n_units = F.ceil(F.size(words) / F.lit(unit_words)).cast("int")
+    units = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_units - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i * unit_words + 1, unit_words), " "),
+    )
+    # empty/whitespace text normalizes to "" (split -> [""]): no units
+    units = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(units)
+    # first-occurrence filter without explode: fold over the units,
+    # carrying (seen-hash set, kept list); xxhash64 keys keep the
+    # accumulator 8 bytes/unit (same collision class as exact_dedup)
+    dedup = F.aggregate(
+        units,
+        F.struct(
+            F.array().cast("array<bigint>").alias("seen"),
+            F.array().cast("array<string>").alias("kept"),
+        ),
+        lambda acc, u: F.when(
+            F.array_contains(acc["seen"], F.xxhash64(u)),
+            acc,
+        ).otherwise(
+            F.struct(
+                F.array_append(acc["seen"], F.xxhash64(u)).alias("seen"),
+                F.array_append(acc["kept"], u).alias("kept"),
+            )
+        ),
+        lambda acc: acc["kept"],
+    )
+    return (
+        df.withColumn("__units", units)
+        .withColumn("__kept", dedup)
+        .withColumn(out_col, F.array_join(F.col("__kept"), " "))
+        .withColumn(
+            "dropped_units",
+            (F.size("__units") - F.size("__kept")).cast("bigint"),
+        )
+        .drop("__units", "__kept")
+    )

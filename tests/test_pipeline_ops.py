@@ -174,3 +174,26 @@ def test_pack_chunks_invariants(spark):
     # partition invariance
     again = pack_chunks(df.repartition(3), ctx_len=512, n_buckets=8)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_dedup_within_doc(spark):
+    """Repeated 8-word windows inside one doc are removed (first
+    occurrence wins, order preserved); distinct docs never interact;
+    empty and single-word docs survive."""
+    from raven_spark.operators.pipeline import dedup_within_doc
+
+    unit_a = "a b c d e f g h"
+    unit_b = "i j k l m n o p"
+    rows = [
+        (1, f"{unit_a} {unit_b} {unit_a} {unit_b}"),  # halves repeat
+        (2, unit_a),                                   # same text, other doc
+        (3, "solo"),
+        (4, "   "),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in dedup_within_doc(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1]["text_dedup"] == f"{unit_a} {unit_b}"
+    assert out[1]["dropped_units"] == 2
+    assert out[2]["text_dedup"] == unit_a and out[2]["dropped_units"] == 0
+    assert out[3]["text_dedup"] == "solo" and out[3]["dropped_units"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["dropped_units"] == 0
