@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="fetch + honor robots.txt per host (HTTP mode); "
                           "rules are fetched for seed hosts before round 0 "
                           "and refreshed each round for newly discovered hosts")
+    run.add_argument("--sitemaps", action="store_true",
+                     help="with --robots: follow robots.txt Sitemap: "
+                          "pointers (one sitemapindex level) and seed the "
+                          "declared pages into round 0's frontier")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -79,11 +83,34 @@ def main(argv: list[str] | None = None) -> int:
             # hosts before they are ever scheduled
             def robots_fetcher(hosts_df):
                 return fetch_robots(hosts_df, timeout_s=config.request.timeout_s)
+        if args.sitemaps and not args.robots:
+            p.error("--sitemaps requires --robots (pointers come from robots.txt)")
         eng = CrawlEngine(
             spark, config, args.state, fetcher,
             options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
         )
-        eng.bootstrap_from_config(run_ts=run_ts)
+        extra_urls: list[str] = []
+        if args.sitemaps:
+            # seed-host robots were not fetched yet (the engine fetches
+            # them lazily at round 0) — fetch them now for their Sitemap:
+            # pointers; the engine's own refresh then skips known hosts
+            from pyspark.sql import functions as F
+
+            from raven_spark.expansion import tasks_df
+            from raven_spark.operators.sitemaps import discover_sitemap_pages
+            from raven_spark.plans.round import frontier_from_tasks
+
+            seeds = frontier_from_tasks(
+                tasks_df(spark, config, run_ts), round_no=0,
+                salt_buckets=config.salt_buckets,
+            )
+            rules = robots_fetcher(seeds.select("host").distinct())
+            pointers = rules.select(F.explode("sitemaps").alias("url"))
+            pages = discover_sitemap_pages(
+                pointers, timeout_s=config.request.timeout_s
+            )
+            extra_urls = [r["url_canon"] for r in pages.select("url_canon").collect()]
+        eng.bootstrap_from_config(run_ts=run_ts, extra_urls=extra_urls or None)
         stats = eng.run(max_rounds=args.max_rounds)
         summary = {
             "name": config.name,

@@ -215,22 +215,35 @@ class CrawlEngine:
         )
         self.catalog.append("frontier", f0, 0)
 
-    def bootstrap_from_config(self, run_ts=None) -> None:
+    def bootstrap_from_config(self, run_ts=None, extra_urls: list[str] | None = None):
         """Write frontier Δ(0) from the config's OWN expanded task list —
         the full reference lifecycle (config.create_crawler_tasks ->
         crawl, config.rs:46-100): vars x params expansion, template bind,
         canonical query strings, GET/POST routing; every task row keeps
         its method/body_params/timeouts through the round into the fetch
-        stage."""
+        stage.
+
+        ``extra_urls`` (e.g. sitemap-declared pages from
+        operators/sitemaps.discover_sitemap_pages) union into Δ(0) as
+        plain GET seeds — request fields null -> stage defaults, the same
+        union the per-round frontier write uses for discoveries. Returns
+        the written Δ(0)."""
         from datetime import datetime as _dt
 
         from raven_spark.expansion import tasks_df
-        from raven_spark.plans.round import frontier_from_tasks
+        from raven_spark.plans.round import frontier_from_tasks, frontier_from_urls
 
         run_ts = run_ts or _dt.now(timezone.utc)
         tasks = tasks_df(self.spark, self.config, run_ts)
         f0 = frontier_from_tasks(tasks, round_no=0, salt_buckets=self.config.salt_buckets)
+        if extra_urls:
+            extra = frontier_from_urls(
+                self.spark, extra_urls, round_no=0,
+                salt_buckets=self.config.salt_buckets,
+            )
+            f0 = f0.unionByName(extra, allowMissingColumns=True)
         self.catalog.append("frontier", f0, 0)
+        return f0
 
     def run_round(self, round_no: int) -> dict:
         """Execute one round; returns its stats (also committed to the

@@ -57,7 +57,8 @@ def schedule_budget(
 
 
 ROBOTS_SCHEMA = (
-    "host string, allow array<string>, deny array<string>, crawl_delay_s int"
+    "host string, allow array<string>, deny array<string>, crawl_delay_s int,"
+    " sitemaps array<string>"
 )
 
 
@@ -132,6 +133,8 @@ def robots_rules_df(robots_texts: DataFrame, agent: str = "*") -> DataFrame:
     table is O(hosts), not O(urls)."""
     import pandas as pd
 
+    from raven_spark.operators.sitemaps import robots_sitemap_urls
+
     def parse(batches):
         for pdf in batches:
             rows = [parse_robots_txt(t, agent) for t in pdf["robots_txt"]]
@@ -140,6 +143,7 @@ def robots_rules_df(robots_texts: DataFrame, agent: str = "*") -> DataFrame:
                 "allow": [r[0] for r in rows],
                 "deny": [r[1] for r in rows],
                 "crawl_delay_s": pd.array([r[2] for r in rows], dtype="Int32"),
+                "sitemaps": [robots_sitemap_urls(t) for t in pdf["robots_txt"]],
             })
 
     return robots_texts.select("host", "robots_txt").mapInPandas(parse, ROBOTS_SCHEMA)
@@ -179,6 +183,8 @@ def fetch_robots(
 
         opener = default_opener
 
+    from raven_spark.operators.sitemaps import robots_sitemap_urls
+
     def fetch_one(host):
         text = None
         try:
@@ -191,7 +197,7 @@ def fetch_robots(
         except (TimeoutError, OSError):
             pass  # unreachable -> allow-all
         allow, deny, delay = parse_robots_txt(text, agent)
-        return (host, allow, deny, delay)
+        return (host, allow, deny, delay, robots_sitemap_urls(text))
 
     def run(batches):
         from concurrent.futures import ThreadPoolExecutor
@@ -210,6 +216,7 @@ def fetch_robots(
                 "allow": [r[1] for r in out_rows],
                 "deny": [r[2] for r in out_rows],
                 "crawl_delay_s": pd.array([r[3] for r in out_rows], dtype="Int32"),
+                "sitemaps": [r[4] for r in out_rows],
             })
 
     return hosts.select("host").distinct().mapInPandas(run, ROBOTS_SCHEMA)

@@ -88,3 +88,75 @@ def robots_sitemap_urls(text: str | None) -> list[str]:
         if field.strip().lower() == "sitemap" and value.strip():
             out.append(value.strip())
     return out
+
+
+def fetch_sitemaps(
+    urls: DataFrame,
+    opener=None,
+    timeout_s: int = 5,
+    concurrency: int = 8,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url) rows -> (url, body) by fetching each sitemap through the
+    injected opener (the fetch stage's seam; same thread-pool shape as
+    politeness.fetch_robots — sitemap URLs are O(hosts), pure network
+    wait). Unfetchable sitemaps (non-200, transport errors, timeouts)
+    yield body='' — zero locs, never an abort."""
+    import pandas as pd
+
+    if opener is None:
+        from raven_spark.operators.http import default_opener
+
+        opener = default_opener
+
+    def fetch_one(url):
+        try:
+            status, _hdrs, raw, _ct = opener(
+                url, method="GET", headers={}, body=None, timeout_s=timeout_s
+            )
+            if status == 200 and raw:
+                return (url, raw.decode("utf-8", errors="replace"))
+        except (TimeoutError, OSError):
+            pass
+        return (url, "")
+
+    def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
+        for pdf in batches:
+            url_list = list(pdf[url_col])
+            if not url_list:
+                continue
+            if len(url_list) == 1:
+                rows = [fetch_one(url_list[0])]
+            else:
+                with ThreadPoolExecutor(min(concurrency, len(url_list))) as pool:
+                    rows = list(pool.map(fetch_one, url_list))
+            yield pd.DataFrame({"url": [r[0] for r in rows],
+                                "body": [r[1] for r in rows]})
+
+    return urls.select(F.col(url_col).alias(url_col)).distinct().mapInPandas(
+        run, "url string, body string"
+    )
+
+
+def discover_sitemap_pages(
+    sitemap_urls: DataFrame,
+    opener=None,
+    timeout_s: int = 5,
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Sitemap pointers (robots ``Sitemap:`` lines or configured seeds)
+    -> the identity frontier of every page they declare. Fetches the
+    pointed sitemaps, follows ONE ``<sitemapindex>`` nesting level (the
+    protocol's maximum), and runs urlset locs through sitemap_frontier.
+    Output: with_url_identity columns, ready for bootstrap seeding or a
+    frontier union."""
+    bodies = fetch_sitemaps(sitemap_urls, opener=opener, timeout_s=timeout_s)
+    locs = sitemap_locs(bodies, "url", "body")
+    children = locs.filter(F.col("kind") == "sitemapindex").select(
+        F.col("loc").alias("url")
+    )
+    child_bodies = fetch_sitemaps(children, opener=opener, timeout_s=timeout_s)
+    all_bodies = bodies.unionByName(child_bodies)
+    return sitemap_frontier(all_bodies, "url", "body", salt_buckets=salt_buckets)

@@ -52,8 +52,8 @@ def test_robots_gate(spark):
     f = _frontier(spark, n_hosts=3, per_host=4)  # hosts h0,h1,h2; paths /p/0..3
     robots = spark.createDataFrame(
         [
-            ("h0.example", [], ["/"], 1),              # fully denied
-            ("h1.example", ["/p/1"], ["/p"], 1),       # denied except /p/1 (longest allow wins)
+            ("h0.example", [], ["/"], 1, []),          # fully denied
+            ("h1.example", ["/p/1"], ["/p"], 1, []),   # denied except /p/1 (longest allow wins)
         ],
         schema=ROBOTS_SCHEMA,
     )

@@ -69,3 +69,85 @@ def test_robots_sitemap_urls():
         "https://a.example/other.xml",
     ]
     assert robots_sitemap_urls(None) == []
+
+
+INDEX_BODY = (
+    '<sitemapindex><sitemap><loc>https://a.example/sm-1.xml</loc></sitemap>'
+    '<sitemap><loc>https://a.example/sm-404.xml</loc></sitemap></sitemapindex>'
+)
+CHILD_BODY = (
+    '<urlset><url><loc>https://a.example/deep/1</loc></url>'
+    '<url><loc>https://a.example/deep/2</loc></url></urlset>'
+)
+FLAT_BODY = '<urlset><url><loc>https://b.example/top</loc></url></urlset>'
+
+def _make_opener():
+    # closure (cloudpickle-by-value): module-level funcs don't import on workers
+    server = {
+        "https://a.example/sitemap_index.xml": INDEX_BODY,
+        "https://a.example/sm-1.xml": CHILD_BODY,
+        "https://b.example/sitemap.xml": FLAT_BODY,
+    }
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=5):
+        if url in server:
+            return 200, {}, server[url].encode(), "application/xml"
+        return 404, {}, b"", "text/plain"
+
+    return opener
+
+
+def test_fetch_sitemaps_seam(spark):
+    urls = spark.createDataFrame(
+        [("https://a.example/sm-1.xml",), ("https://a.example/sm-404.xml",)],
+        "url string",
+    )
+    got = {r["url"]: r["body"] for r in
+           __import__("raven_spark.operators.sitemaps", fromlist=["fetch_sitemaps"])
+           .fetch_sitemaps(urls, opener=_make_opener()).collect()}
+    assert got["https://a.example/sm-1.xml"] == CHILD_BODY
+    assert got["https://a.example/sm-404.xml"] == ""  # non-200 -> no locs
+
+
+def test_discover_sitemap_pages_follows_one_index_level(spark):
+    from raven_spark.operators.sitemaps import discover_sitemap_pages
+
+    pointers = spark.createDataFrame(
+        [("https://a.example/sitemap_index.xml",), ("https://b.example/sitemap.xml",)],
+        "url string",
+    )
+    pages = discover_sitemap_pages(pointers, opener=_make_opener())
+    got = {r["url_canon"] for r in pages.collect()}
+    assert got == {
+        "https://a.example/deep/1",
+        "https://a.example/deep/2",
+        "https://b.example/top",
+    }
+
+
+def test_bootstrap_extra_urls_seed_round0(spark, tmp_path):
+    """Sitemap-declared pages union into frontier round 0 next to the
+    config-expanded tasks (request fields null -> stage defaults)."""
+    from raven_spark.config import RavenConfig, RavenRequest
+    from raven_spark.engine import CrawlEngine, EngineOptions
+    from raven_spark.operators.fetch import SyntheticFetcher
+    from raven_spark.sources.corpus import generate_pages
+
+    corpus = generate_pages(spark, 50, seed=3)
+    cfg = RavenConfig(
+        name="sm",
+        request=RavenRequest(url="https://h0.example/p/0", max_retry=1),
+        host_budget_per_round=50, max_rounds=1,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "s"), SyntheticFetcher(corpus, seed=3),
+        options=EngineOptions(expected_total_urls=1024, shuffle_partitions=4),
+    )
+    f0 = eng.bootstrap_from_config(
+        extra_urls=["https://h1.example/p/7", "https://h2.example/p/9"]
+    )
+    urls = {r["url_canon"] for r in f0.select("url_canon").collect()}
+    assert {"https://h1.example/p/7", "https://h2.example/p/9"} <= urls
+    assert "https://h0.example/p/0" in urls
+    stored = eng.catalog.read("frontier", upto_round=0)
+    assert stored.count() == 3
