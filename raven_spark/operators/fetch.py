@@ -47,6 +47,10 @@ from raven_spark.functions.text import extract_links, extract_text
 
 # result_code domain (result.rs:32-40 + task_error.rs:27-32)
 CODE_SUCCESS = 200
+# 304 is an engine ADDITION beyond the reference taxonomy (result.rs:42-50
+# has no conditional requests): a not-modified revalidation is success-
+# class (the capture is still valid) but must not overwrite text/html.
+CODE_NOT_MODIFIED = 304
 CODE_CLIENT_ERROR = 400
 CODE_SERVER_ERROR = 500
 CODE_TIMEOUT = 600
@@ -54,8 +58,9 @@ CODE_CHARSET = 700
 CODE_OTHER = 800
 CODE_PERSIST_FAILED = 1000
 
-RESULT_LABELS = {  # result.rs:42-50, task_error labels
+RESULT_LABELS = {  # result.rs:42-50, task_error labels (+304 addition)
     CODE_SUCCESS: "success",
+    CODE_NOT_MODIFIED: "not_modified",
     CODE_CLIENT_ERROR: "client_error",
     CODE_SERVER_ERROR: "server_error",
     CODE_TIMEOUT: "timeout_error",

@@ -35,6 +35,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from raven_spark.functions.charset import (
     CharsetConversionError,
@@ -46,6 +47,7 @@ from raven_spark.functions.text import extract_links, extract_text
 from raven_spark.operators.fetch import (
     CODE_CHARSET,
     CODE_CLIENT_ERROR,
+    CODE_NOT_MODIFIED,
     CODE_OTHER,
     CODE_SERVER_ERROR,
     CODE_SUCCESS,
@@ -231,6 +233,9 @@ def _fetch_one(opener: Opener, url, method, headers, body, timeout_s, max_retry,
             ms = int((time.monotonic() - t0) * 1000)
             return 0, CODE_OTHER, f"connection error: {e}"[:200], attempts, None, None, None, ms
         ms = int((time.monotonic() - t0) * 1000)
+        if status == 304:  # conditional revalidation hit: success-class,
+            # empty body by protocol; the prior capture stays authoritative
+            return status, CODE_NOT_MODIFIED, "", attempts, b"", hdrs, ctype, ms
         if 400 <= status < 500:  # fail fast, no retry (crawler.rs:110-112)
             return status, CODE_CLIENT_ERROR, f"client error: {status}", attempts, raw, hdrs, ctype, ms
         if status >= 500:
@@ -290,6 +295,8 @@ def http_fetch_stage(
             row_sleep = pdf["sleep_s"] if "sleep_s" in pdf else None
             row_method = pdf["method"] if "method" in pdf else None
             row_body = pdf["body_params"] if "body_params" in pdf else None
+            row_inm = pdf["if_none_match"] if "if_none_match" in pdf else None
+            row_ims = pdf["if_modified_since"] if "if_modified_since" in pdf else None
 
             cols: dict[str, list] = {k: [] for k in (
                 "status", "result_code", "detail", "attempts", "fetch_ms",
@@ -314,6 +321,14 @@ def http_fetch_stage(
                 hdrs = base_hdrs
                 if body is not None and not has_ctype_hdr:
                     hdrs = {**base_hdrs, "Content-Type": _FORM_CONTENT_TYPE}
+                inm = _cell(row_inm, i, None)
+                ims = _cell(row_ims, i, None)
+                if inm is not None or ims is not None:
+                    hdrs = dict(hdrs)
+                    if inm is not None:
+                        hdrs["If-None-Match"] = inm
+                    if ims is not None:
+                        hdrs["If-Modified-Since"] = ims
                 status, code, detail, attempts, raw, rhdrs, ctype, ms = _fetch_one(
                     opener,
                     urls[i],
@@ -410,3 +425,40 @@ def http_fetcher_for(config, opener: Opener | None = None) -> "HttpFetcher":
         input_charset=req.encoding_in,
         output_charset=req.encoding_out,
     )
+
+
+def with_conditional_headers(
+    frontier: DataFrame,
+    prior_pages: DataFrame,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Attach conditional-request columns (``if_none_match`` /
+    ``if_modified_since``) to a frontier from the latest prior capture's
+    response headers — the revalidation half of recrawl: paired with
+    ``EngineOptions.seen_ttl_rounds`` (which reopens the URL), a 304
+    answer costs headers instead of the body.
+
+    The prior side reduces to one row per url_hash with a map-side
+    partial max_by on (round, fetch order) — same skew posture as
+    snapshots.latest_snapshot — then joins on the 8-byte hash. Rows with
+    no prior capture (or no validators in it) get nulls -> plain GET.
+    """
+    ordkey = F.struct(
+        F.coalesce(F.col("round"), F.lit(-1)).alias("r"),
+        F.coalesce(F.col("fetch_ms"), F.lit(0)).alias("t"),
+    ) if "round" in prior_pages.columns else F.lit(0)
+    payload = F.struct(
+        F.element_at(F.col("response_headers"), "etag").alias("etag"),
+        F.element_at(F.col("response_headers"), "last-modified").alias("lm"),
+    )
+    latest = (
+        prior_pages.filter(F.col("response_headers").isNotNull())
+        .groupBy(hash_col)
+        .agg(F.max_by(payload, ordkey).alias("__v"))
+        .select(
+            hash_col,
+            F.col("__v.etag").alias("if_none_match"),
+            F.col("__v.lm").alias("if_modified_since"),
+        )
+    )
+    return frontier.join(latest, on=hash_col, how="left")

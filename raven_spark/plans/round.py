@@ -37,7 +37,11 @@ FRONTIER_COLUMNS = [
 # from the expanded task list (tasks_df) and each row keeps its own
 # method/params/timeouts all the way into the fetch stage, which reads
 # them per row. Discovery rows lack them (-> nulls -> stage defaults).
-REQUEST_COLUMNS = ["method", "query_params", "body_params", "timeout_s", "max_retry", "sleep_s"]
+REQUEST_COLUMNS = ["method", "query_params", "body_params", "timeout_s", "max_retry", "sleep_s",
+                   # conditional-revalidation validators (recrawl TTL pairing;
+                   # attached by http.with_conditional_headers, read per-row
+                   # by http_fetch_stage; nulls -> plain GET)
+                   "if_none_match", "if_modified_since"]
 
 
 def _carried_columns(df: DataFrame) -> list[str]:

@@ -239,3 +239,52 @@ def test_robots_rules_df(spark):
     assert rows["h1.example"]["deny"] == ["/private/"]
     assert rows["h1.example"]["crawl_delay_s"] == 2
     assert rows["h2.example"]["deny"] == []
+
+
+def test_conditional_get_304(spark):
+    """Conditional revalidation: rows carrying if_none_match /
+    if_modified_since send the validators; a 304 answer is success-class
+    (result_code 304, label not_modified, empty body, NO text overwrite,
+    no retry); rows without validators fetch normally."""
+    from raven_spark.operators.http import HttpFetcher
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1):
+        h = headers or {}
+        if h.get("If-None-Match") == 'W/"v1"' or "If-Modified-Since" in h:
+            return 304, {"ETag": 'W/"v1"'}, b"", None
+        return 200, {"ETag": 'W/"v1"', "Content-Type": "text/html"}, b"<p>fresh body</p>", "text/html"
+
+    rows = [
+        ("https://h.example/a", 'W/"v1"', None),                      # etag hit
+        ("https://h.example/b", None, "Mon, 01 Jan 2026 00:00:00 GMT"),  # date hit
+        ("https://h.example/c", None, None),                          # plain GET
+    ]
+    scheduled = spark.createDataFrame(
+        rows, "url_canon string, if_none_match string, if_modified_since string"
+    )
+    out = {r["url_canon"]: r for r in
+           HttpFetcher(opener=opener).fetch(scheduled).collect()}
+    a, b, c = (out[f"https://h.example/{k}"] for k in "abc")
+    assert a["result_code"] == 304 and a["result_label"] == "not_modified"
+    assert a["attempts"] == 1 and a["text"] is None and bytes(a["html"] or b"") == b""
+    assert b["result_code"] == 304
+    assert c["result_code"] == 200 and c["text"] == "fresh body"
+
+
+def test_with_conditional_headers_join(spark):
+    from raven_spark.operators.http import with_conditional_headers
+
+    prior = spark.createDataFrame(
+        [
+            (1, 0, 5, {"etag": 'W/"old"', "last-modified": "Sun"}),
+            (1, 1, 9, {"etag": 'W/"new"'}),          # later round wins
+            (2, 0, 1, {"content-type": "text/html"}),  # no validators -> nulls
+        ],
+        "url_hash long, round int, fetch_ms int, response_headers map<string,string>",
+    )
+    frontier = spark.createDataFrame([(1,), (2,), (3,)], "url_hash long")
+    got = {r["url_hash"]: (r["if_none_match"], r["if_modified_since"])
+           for r in with_conditional_headers(frontier, prior).collect()}
+    assert got[1] == ('W/"new"', None)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)  # never captured
