@@ -76,6 +76,11 @@ class EngineOptions:
     # inside the window, see seen.delete_from_cuckoo_shards). None =
     # fetch-once-forever (reference semantics).
     seen_ttl_rounds: int | None = None
+    # with seen_ttl_rounds: join If-None-Match/If-Modified-Since validators
+    # from the latest prior capture onto every round's frontier, so TTL
+    # refetches revalidate (304) instead of re-downloading bodies. Only
+    # meaningful with an HTTP fetcher (SyntheticFetcher ignores them).
+    revalidate: bool = False
     shuffle_partitions: int | None = None
     max_depth: int | None = None
     extra_sinks: list = field(default_factory=list)  # additional Catalogs (P1 fan-out)
@@ -260,6 +265,18 @@ class CrawlEngine:
         frontier_delta = self.catalog.read("frontier", upto_round=round_no)
         if frontier_delta is None:
             return {"tasks": 0, "empty": True}
+        if self.opt.revalidate and round_no > 0:
+            # recrawl half 2 (pairs with seen_ttl_rounds): attach the
+            # latest prior capture's validators so a re-opened URL costs a
+            # 304 instead of a body. In-sandbox this reduces the pages
+            # table per round; at 10^10 keep an incremental (url_hash,
+            # etag, last-modified) validators table instead — same join,
+            # O(urls-revalidated) smaller input (http.py docstring).
+            from raven_spark.operators.http import with_conditional_headers
+
+            prior = self.catalog.read("pages", upto_round=round_no - 1)
+            if prior is not None and "response_headers" in prior.columns:
+                frontier_delta = with_conditional_headers(frontier_delta, prior)
         frontier_delta = frontier_delta.filter(F.col("round") == round_no).drop("round")
 
         tr = time.time()

@@ -233,3 +233,54 @@ request: {url: "https://x/"}
 notify:
   - slack: {url: "https://h/", channel: "#c", level: loud}
 """)
+
+
+def test_ttl_recrawl_revalidates_with_304(spark, tmp_path):
+    """Full recrawl loop: seen_ttl_rounds reopens URLs; revalidate=True
+    sends the stored ETag; the server answers 304; the pages table
+    records a not_modified capture with no body and the text table keeps
+    exactly one (original) row per URL."""
+    from raven_spark.config import RavenConfig, RavenRequest
+    from raven_spark.engine import CrawlEngine, EngineOptions
+    from raven_spark.operators.http import HttpFetcher
+    from pyspark.sql import functions as F
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1):
+        h = headers or {}
+        i = int(url.rstrip("/").rsplit("/", 1)[1])
+        if h.get("If-None-Match") == f'W/"v{i}"':
+            return 304, {"ETag": f'W/"v{i}"'}, b"", None
+        nxt1, nxt2 = (i + 1) % 3, (i + 2) % 3
+        body_html = (
+            f'<p>page {i} body</p>'
+            f'<a href="https://h.example/p/{nxt1}">n1</a>'
+            f'<a href="https://h.example/p/{nxt2}">n2</a>'
+        )
+        return 200, {"ETag": f'W/"v{i}"', "Content-Type": "text/html; charset=utf-8"}, \
+            body_html.encode(), "text/html; charset=utf-8"
+
+    cfg = RavenConfig(
+        name="reval",
+        request=RavenRequest(url="https://h.example/p/0", max_retry=0),
+        host_budget_per_round=10, max_rounds=4,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "s"), HttpFetcher(opener=opener),
+        options=EngineOptions(
+            expected_total_urls=1024, shuffle_partitions=4,
+            seen_ttl_rounds=1, revalidate=True,
+        ),
+    )
+    eng.run(seed_urls=["https://h.example/p/0"], max_rounds=4)
+    pages = eng.table("pages")
+    codes = {(r["url_canon"], r["round"]): r["result_code"] for r in pages.collect()}
+    n304 = sum(1 for c in codes.values() if c == 304)
+    n200 = sum(1 for c in codes.values() if c == 200)
+    assert n304 > 0, codes           # at least one TTL refetch revalidated
+    assert n200 >= 3                  # all three pages fetched fresh once
+    # 304 captures carry no body and never overwrite text
+    empt = pages.filter("result_code = 304").filter(
+        F.length(F.coalesce(F.col("html"), F.lit(b""))) > 0).count()
+    assert empt == 0
+    text = eng.table("text")
+    assert text.select("url").distinct().count() == text.count() == 3
