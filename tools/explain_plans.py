@@ -109,6 +109,42 @@ def main():
         },
     )
 
+    summarize(
+        "q39 cuckoo subtract (staged: filter build/delete checkpointed once)",
+        em.q39_url_seen_cuckoo(spark, sf_dir),
+        {
+            "anti join": r"LeftAnti",
+            "no whole-filter broadcast of shards": r"^(?![\s\S]*BroadcastExchange[\s\S]*cuckoo)",
+        },
+    )
+    summarize(
+        "q40 as-of join (union + window, no join node)",
+        em.q40_asof_join(spark, sf_dir),
+        {
+            "single window": r"Window",
+            "no pairwise join": r"^(?![\s\S]*(SortMergeJoin|BroadcastHashJoin))",
+            "pushed event_type filters": r"PushedFilters: \[.*event_type",
+        },
+    )
+    summarize(
+        "q41 stratified sample+cap (zero-shuffle filter, top-k pushdown)",
+        em.q41_stratified_sample(spark, sf_dir),
+        {
+            "map-side WindowGroupLimit": r"WindowGroupLimit",
+            # one physical Exchange node: its "(n) Exchange" detail header
+            # appears once (tree + detail would double-count plain "Exchange")
+            "exactly one exchange": r"^(?:(?!\(\d+\) Exchange)[\s\S])*\(\d+\) Exchange(?:(?!\(\d+\) Exchange)[\s\S])*$",
+        },
+    )
+    summarize(
+        "q46 sequence packing (bucketed running sum)",
+        em.q46_pack_chunks(spark, sf_dir),
+        {
+            "one window": r"Window",
+            "no python": r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        },
+    )
+
     # frontier round plan (the engine hot path)
     from raven_spark.config import RavenConfig, RavenRequest
     from raven_spark.operators.fetch import SyntheticFetcher
