@@ -1718,8 +1718,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN body LIKE '%<sitemapindex%' THEN 'sitemapindex'
                         ELSE 'urlset' END AS kind,
                    replace(replace(replace(replace(replace(
-                     trim(loc), '&amp;', '&'), '&apos;', ''''), '&quot;', '"'),
-                     '&gt;', '>'), '&lt;', '<') AS loc
+                     trim(loc), '&apos;', ''''), '&quot;', '"'),
+                     '&gt;', '>'), '&lt;', '<'), '&amp;', '&') AS loc
             FROM sm, unnest(regexp_extract_all(body, '<loc>\s*([^<]+?)\s*</loc>', 1)) AS t(loc)
         """,
         "q44_unicode_norm": r"""

@@ -85,18 +85,15 @@ def main(argv: list[str] | None = None) -> int:
                 return fetch_robots(hosts_df, timeout_s=config.request.timeout_s)
         if args.sitemaps and not args.robots:
             p.error("--sitemaps requires --robots (pointers come from robots.txt)")
-        eng = CrawlEngine(
-            spark, config, args.state, fetcher,
-            options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
-        )
+        prefetched_rules = None
         extra_urls: list[str] = []
         if args.sitemaps:
-            # seed-host robots were not fetched yet (the engine fetches
-            # them lazily at round 0) — fetch them now for their Sitemap:
-            # pointers; the engine's own refresh then skips known hosts
-            from pyspark.sql import functions as F
-
+            # fetch seed-host robots ONCE, driver-side: the collected rows
+            # feed BOTH the sitemap pointers and the engine's rules table
+            # (robots=...), so neither the engine's round-0 refresh nor the
+            # pointer derivation re-fetches a host's robots.txt
             from raven_spark.expansion import tasks_df
+            from raven_spark.operators.politeness import ROBOTS_SCHEMA
             from raven_spark.operators.sitemaps import discover_sitemap_pages
             from raven_spark.plans.round import frontier_from_tasks
 
@@ -104,12 +101,21 @@ def main(argv: list[str] | None = None) -> int:
                 tasks_df(spark, config, run_ts), round_no=0,
                 salt_buckets=config.salt_buckets,
             )
-            rules = robots_fetcher(seeds.select("host").distinct())
-            pointers = rules.select(F.explode("sitemaps").alias("url"))
-            pages = discover_sitemap_pages(
-                pointers, timeout_s=config.request.timeout_s
-            )
-            extra_urls = [r["url_canon"] for r in pages.select("url_canon").collect()]
+            rows = robots_fetcher(seeds.select("host").distinct()).collect()
+            prefetched_rules = spark.createDataFrame(rows, ROBOTS_SCHEMA)
+            ptr_urls = sorted({u for r in rows for u in (r["sitemaps"] or [])})
+            if ptr_urls:
+                pages = discover_sitemap_pages(
+                    spark.createDataFrame([(u,) for u in ptr_urls], "url string"),
+                    timeout_s=config.request.timeout_s,
+                )
+                extra_urls = [
+                    r["url_canon"] for r in pages.select("url_canon").collect()
+                ]
+        eng = CrawlEngine(
+            spark, config, args.state, fetcher, robots=prefetched_rules,
+            options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
+        )
         eng.bootstrap_from_config(run_ts=run_ts, extra_urls=extra_urls or None)
         stats = eng.run(max_rounds=args.max_rounds)
         summary = {

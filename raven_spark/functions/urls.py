@@ -251,14 +251,31 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
 
 
 # host extraction on canonical URLs is pure string algebra -> keep it JVM-side
-def host_col(url_canon: Column) -> Column:
-    """Host of a canonical URL as a built-in-functions column (codegen'd)."""
+def _authority_col(url_canon: Column) -> Column:
+    """authority (host[:port], userinfo stripped) of a canonical URL."""
     authority = F.split_part(F.split_part(url_canon, F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1))
-    no_user = F.element_at(F.split(authority, "@"), -1)
+    return F.element_at(F.split(authority, "@"), -1)
+
+
+def _host_of_authority(no_user: Column) -> Column:
     return F.when(
         F.startswith(no_user, F.lit("[")),
         F.concat(F.split_part(no_user, F.lit("]"), F.lit(1)), F.lit("]")),
     ).otherwise(F.split_part(no_user, F.lit(":"), F.lit(1)))
+
+
+def _port_of_authority(no_user: Column) -> Column:
+    """port suffix ('' when none) — canonicalize already strips default
+    ports, so a remaining port is origin-significant."""
+    return F.when(
+        F.startswith(no_user, F.lit("[")),
+        F.split_part(no_user, F.lit("]:"), F.lit(2)),
+    ).otherwise(F.split_part(no_user, F.lit(":"), F.lit(2)))
+
+
+def host_col(url_canon: Column) -> Column:
+    """Host of a canonical URL as a built-in-functions column (codegen'd)."""
+    return _host_of_authority(_authority_col(url_canon))
 
 
 def url_hash_col(url_canon: Column) -> Column:
@@ -310,15 +327,19 @@ def surt_col(url_canon: Column) -> Column:
     rest = F.split_part(url_canon, F.lit("://"), F.lit(2))
     authority = F.split_part(rest, F.lit("/"), F.lit(1))
     no_user = F.element_at(F.split(authority, "@"), -1)
-    host = F.when(
-        F.startswith(no_user, F.lit("[")),
-        F.concat(F.split_part(no_user, F.lit("]"), F.lit(1)), F.lit("]")),
-    ).otherwise(F.split_part(no_user, F.lit(":"), F.lit(1)))
+    host = _host_of_authority(no_user)
+    port = _port_of_authority(no_user)
     host = F.when(F.startswith(host, F.lit("www.")), F.substring(host, 5, 2**30)) \
         .otherwise(host)
     reversed_host = F.when(
         F.startswith(host, F.lit("[")), host  # IPv6: no label semantics
     ).otherwise(F.array_join(F.reverse(F.split(host, r"\.")), ","))
+    # a surviving (non-default) port is part of the origin: keep it in the
+    # key, real-SURT style ('com,example:8080)/...'), so distinct origins
+    # never collapse onto one range
+    with_port = F.when(
+        port != "", F.concat(reversed_host, F.lit(":"), port)
+    ).otherwise(reversed_host)
     path_q = F.substring(rest, F.length(authority) + 1, 2**30)
     path_q = F.when(path_q == "", F.lit("/")).otherwise(path_q)
-    return F.concat(reversed_host, F.lit(")"), path_q)
+    return F.concat(with_port, F.lit(")"), path_q)

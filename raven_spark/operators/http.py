@@ -438,21 +438,28 @@ def with_conditional_headers(
     ``EngineOptions.seen_ttl_rounds`` (which reopens the URL), a 304
     answer costs headers instead of the body.
 
-    The prior side reduces to one row per url_hash with a map-side
-    partial max_by on (round, fetch order) — same skew posture as
-    snapshots.latest_snapshot — then joins on the 8-byte hash. Rows with
-    no prior capture (or no validators in it) get nulls -> plain GET.
+    The prior side keeps only captures that CARRY a validator (a later
+    error or bare-304 capture must not shadow the stored ETag — RFC 9110
+    allows 304 responses without one) and reduces to one row per url_hash
+    with a map-side partial max_by on (round, content-hash tiebreak) —
+    same skew posture as snapshots.latest_snapshot — then joins on the
+    8-byte hash. Rows with no validator-bearing prior capture get nulls
+    -> plain GET. Pre-existing validator columns on the frontier (e.g.
+    re-queued deferrals from an earlier round) are dropped first: the
+    join re-derives them, and a second copy would make the downstream
+    select ambiguous.
     """
+    etag = F.element_at(F.col("response_headers"), "etag")
+    lm = F.element_at(F.col("response_headers"), "last-modified")
+    payload = F.struct(etag.alias("etag"), lm.alias("lm"))
     ordkey = F.struct(
-        F.coalesce(F.col("round"), F.lit(-1)).alias("r"),
-        F.coalesce(F.col("fetch_ms"), F.lit(0)).alias("t"),
-    ) if "round" in prior_pages.columns else F.lit(0)
-    payload = F.struct(
-        F.element_at(F.col("response_headers"), "etag").alias("etag"),
-        F.element_at(F.col("response_headers"), "last-modified").alias("lm"),
+        (F.coalesce(F.col("round"), F.lit(-1)) if "round" in prior_pages.columns
+         else F.lit(0)).alias("r"),
+        F.xxhash64(payload).alias("tb"),  # content tiebreak, never a latency
     )
     latest = (
         prior_pages.filter(F.col("response_headers").isNotNull())
+        .filter(etag.isNotNull() | lm.isNotNull())
         .groupBy(hash_col)
         .agg(F.max_by(payload, ordkey).alias("__v"))
         .select(
@@ -461,4 +468,7 @@ def with_conditional_headers(
             F.col("__v.lm").alias("if_modified_since"),
         )
     )
+    stale = [c for c in ("if_none_match", "if_modified_since") if c in frontier.columns]
+    if stale:
+        frontier = frontier.drop(*stale)
     return frontier.join(latest, on=hash_col, how="left")

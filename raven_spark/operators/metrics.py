@@ -66,11 +66,16 @@ def task_metrics(
 
 def run_summary(results: DataFrame) -> DataFrame:
     """Run-summary aggregation (runner.rs:113-152): tasks, failures,
-    persist errors — a 3-measure grouped aggregate."""
+    persist errors — a 3-measure grouped aggregate. Success class is
+    {200, 304}: a conditional revalidation hit (fetch.py
+    CODE_NOT_MODIFIED, an engine addition) confirms the capture is still
+    valid — reporting it as failure would make a healthy revalidating
+    crawl look broken."""
+    ok = F.col("result_code").isin(200, 304)
     return results.agg(
         F.count(F.lit(1)).alias("tasks"),
-        F.sum(F.when(F.col("result_code") != 200, 1).otherwise(0)).alias("failed"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("failed"),
         F.sum(F.when(F.col("result_code") == 1000, 1).otherwise(0)).alias("persist_errors"),
-        F.sum(F.when(F.col("result_code") == 200, 1).otherwise(0)).alias("succeeded"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("succeeded"),
         F.avg("fetch_ms").alias("avg_fetch_ms"),
     )

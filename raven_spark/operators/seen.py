@@ -357,13 +357,19 @@ class CuckooFilter:
 
     def _greedy_place(self, buckets: np.ndarray, fp: np.ndarray) -> np.ndarray:
         """Place (bucket, fp) pairs into free slots without eviction.
-        Returns the boolean mask of PLACED pairs. Fully vectorized: slot =
-        current occupancy + rank among same-bucket pairs in this batch."""
+        Returns the boolean mask of PLACED pairs. Fully vectorized: each
+        pair takes its bucket's (rank+1)-th ACTUAL free slot (ranks are
+        per-bucket within the batch). Deletions leave holes anywhere in a
+        bucket row, so occupancy-count indexing would overwrite live
+        fingerprints — slots must be looked up, not assumed left-packed."""
         if len(buckets) == 0:
             return np.zeros(0, dtype=bool)
-        occ = (self.table[buckets] != 0).sum(axis=1)
-        slot = occ + _rank_within(buckets)
-        placed = slot < CUCKOO_SLOTS
+        free = self.table[buckets] == 0  # (n, SLOTS)
+        # stable argsort of ~free lists each row's free slot indices first
+        free_slots = np.argsort(~free, axis=1, kind="stable")
+        rank = _rank_within(buckets)
+        placed = rank < free.sum(axis=1)
+        slot = free_slots[np.arange(len(buckets)), np.minimum(rank, CUCKOO_SLOTS - 1)]
         self.table[buckets[placed], slot[placed]] = fp[placed]
         return placed
 

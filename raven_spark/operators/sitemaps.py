@@ -48,9 +48,11 @@ def sitemap_locs(
         kind.alias("kind"),
         F.explode(locs).alias("loc"),
     )
+    # &amp; LAST: unescaping it first would double-unescape sequences
+    # like '&amp;lt;' (a URL literally containing '&lt;') into '<'
     unescaped = F.col("loc")
-    for ent, ch in (("&amp;", "&"), ("&apos;", "'"), ("&quot;", '"'),
-                    ("&gt;", ">"), ("&lt;", "<")):
+    for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
+                    ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
         unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
     return out.withColumn("loc", unescaped)
 
@@ -152,7 +154,13 @@ def discover_sitemap_pages(
     protocol's maximum), and runs urlset locs through sitemap_frontier.
     Output: with_url_identity columns, ready for bootstrap seeding or a
     frontier union."""
-    bodies = fetch_sitemaps(sitemap_urls, opener=opener, timeout_s=timeout_s)
+    # checkpoint the fetched bodies ONCE: the lazy fetch subtree would
+    # otherwise sit under BOTH union branches (parents + the children
+    # derivation) and every sitemap — plus everything upstream of
+    # sitemap_urls — would be fetched over the network twice
+    bodies = fetch_sitemaps(
+        sitemap_urls, opener=opener, timeout_s=timeout_s
+    ).localCheckpoint(eager=False)
     locs = sitemap_locs(bodies, "url", "body")
     children = locs.filter(F.col("kind") == "sitemapindex").select(
         F.col("loc").alias("url")

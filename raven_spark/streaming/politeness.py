@@ -33,6 +33,7 @@ from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -118,9 +119,9 @@ def stateful_host_budget(
     """
     return (
         candidates.select(
-            host_col, "url_canon", "url_hash", "event_ts"
+            F.col(host_col).alias("host"), "url_canon", "url_hash", "event_ts"
         )
-        .groupBy(host_col)
+        .groupBy("host")
         .applyInPandasWithState(
             _budget_fn(budget, window_seconds),
             outputStructType=_admit_schema(),

@@ -154,3 +154,55 @@ def test_subtract_seen_cuckoo_equals_exact(spark, sharded):
     want = {r[0] for r in cand.join(seen.select("url_hash"), "url_hash", "left_anti")
             .select("url_hash").collect()}
     assert got == want
+
+
+def test_insert_after_delete_never_overwrites_live_keys():
+    """Regression (code-review r3): deletions leave holes anywhere in a
+    bucket row; a later insert must take a FREE slot, not the
+    occupancy-count position (which would overwrite a live fingerprint
+    and break the no-false-negative contract)."""
+    from raven_spark.operators.seen import CuckooFilter, _cuckoo_index
+
+    cf = CuckooFilter(16)
+    # find three keys in the same home bucket with distinct fingerprints
+    keys, fps, bucket = [], set(), None
+    for k in range(200_000):
+        i1, fp = _cuckoo_index(np.array([k], dtype=np.int64), 16)
+        if bucket is None:
+            bucket = int(i1[0])
+        if int(i1[0]) == bucket and int(fp[0]) not in fps:
+            keys.append(k)
+            fps.add(int(fp[0]))
+            if len(keys) == 3:
+                break
+    a, b, c = (np.array([k], dtype=np.int64) for k in keys)
+    cf.add_many(a)
+    cf.add_many(b)
+    cf.delete_many(a)          # hole at slot 0, b live at slot 1
+    cf.add_many(c)             # must NOT overwrite b
+    assert cf.contains_many(b).all()
+    assert cf.contains_many(c).all()
+    assert not cf.contains_many(a).any()
+
+
+def test_interleaved_insert_delete_property():
+    """Churn property: after arbitrary rounds of insert/delete, every
+    still-live key answers present (deleting only previously-inserted
+    keys, the documented contract)."""
+    rng = np.random.RandomState(5)
+    cf = CuckooFilter.for_capacity(4000)
+    live: set[int] = set()
+    pool = np.unique(rng.randint(-(2**62), 2**62, size=3000).astype(np.int64))
+    for step in range(6):
+        ins = pool[rng.rand(len(pool)) < 0.3]
+        new = np.array([k for k in ins.tolist() if k not in live], dtype=np.int64)
+        if len(new):
+            cf.add_many(new)
+            live.update(new.tolist())
+        dels = np.array([k for k in list(live) if rng.rand() < 0.25], dtype=np.int64)
+        if len(dels):
+            cf.delete_many(dels)
+            live.difference_update(dels.tolist())
+        if live:
+            arr = np.array(sorted(live), dtype=np.int64)
+            assert cf.contains_many(arr).all(), f"false negative at step {step}"

@@ -151,3 +151,50 @@ def test_bootstrap_extra_urls_seed_round0(spark, tmp_path):
     assert "https://h0.example/p/0" in urls
     stored = eng.catalog.read("frontier", upto_round=0)
     assert stored.count() == 3
+
+
+def test_discover_fetches_each_sitemap_once(spark, tmp_path):
+    """Regression (code-review r3): the lazy fetch subtree sat under both
+    union branches, fetching every parent sitemap twice. Each URL must be
+    fetched exactly once per discover call."""
+    import os
+    import uuid
+
+    from raven_spark.operators.sitemaps import discover_sitemap_pages
+
+    counter_dir = str(tmp_path / "hits")
+    os.makedirs(counter_dir, exist_ok=True)
+    server = {
+        "https://a.example/sitemap_index.xml": INDEX_BODY,
+        "https://a.example/sm-1.xml": CHILD_BODY,
+        "https://b.example/sitemap.xml": FLAT_BODY,
+    }
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=5):
+        safe = url.replace("/", "_").replace(":", "_")
+        with open(f"{counter_dir}/{safe}.{uuid.uuid4().hex}", "w"):
+            pass
+        if url in server:
+            return 200, {}, server[url].encode(), "application/xml"
+        return 404, {}, b"", "text/plain"
+
+    pointers = spark.createDataFrame(
+        [("https://a.example/sitemap_index.xml",), ("https://b.example/sitemap.xml",)],
+        "url string",
+    )
+    got = {r["url_canon"] for r in discover_sitemap_pages(pointers, opener=opener).collect()}
+    assert len(got) == 3
+    from collections import Counter
+
+    hits = Counter(f.rsplit(".", 1)[0] for f in os.listdir(counter_dir))
+    assert all(v == 1 for v in hits.values()), hits
+
+
+def test_unescape_order_amp_last(spark):
+    """Regression (code-review r3): '&amp;lt;' is a URL literally
+    containing '&lt;' — unescaping &amp; first would double-unescape it
+    to '<'."""
+    body = "<urlset><url><loc>https://a.example/p?q=&amp;lt;x</loc></url></urlset>"
+    df = spark.createDataFrame([("https://a.example/s.xml", body)], "url string, body string")
+    locs = [r["loc"] for r in sitemap_locs(df).collect()]
+    assert locs == ["https://a.example/p?q=&lt;x"]

@@ -137,7 +137,8 @@ def test_surt_col(spark):
         ("https://www.example.com/a/b?x=1", "com,example)/a/b?x=1"),
         ("https://sub.Foo.example.ORG/", "org,example,foo,sub)/"),
         ("http://example.com", "com,example)/"),
-        ("https://user:p@www.example.com:8443/p", "com,example)/p"),
+        ("https://user:p@www.example.com:8443/p", "com,example:8443)/p"),
+        ("http://[2001:db8::1]:8080/y", "[2001:db8::1]:8080)/y"),
         ("http://[2001:db8::1]/x", "[2001:db8::1])/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
