@@ -189,6 +189,10 @@ def parse_config(doc: dict[str, Any] | str) -> RavenConfig:
         if not isinstance(nm, dict) or "slack" not in nm:
             raise ConfigError(f"unknown notify method: {sorted(nm) if isinstance(nm, dict) else nm}")
         sl = nm["slack"]
+        if not isinstance(sl, dict):
+            raise ConfigError(
+                f"notify slack: expected a mapping with url/channel, got {type(sl).__name__}"
+            )
         try:
             notify_methods.append(
                 NotifyMethod(

@@ -302,6 +302,19 @@ class CrawlEngine:
                 if shards_df is not None:
                     if "round" in shards_df.columns:
                         shards_df = shards_df.drop("round")
+                    # merge the per-round shard deltas ONCE per round and
+                    # checkpoint: the round probes the filter twice (the
+                    # in-round subtract + the discovery-dedup in
+                    # _w_frontier), and without this each probe re-shuffles
+                    # and re-ORs O(rounds) deltas — O(rounds^2) merge bytes
+                    # over a long crawl
+                    from raven_spark.operators.seen import (
+                        merge_bloom_shards,
+                        merge_cuckoo_shards,
+                    )
+
+                    merge = merge_cuckoo_shards if table == "cuckoo" else merge_bloom_shards
+                    shards_df = merge(shards_df).localCheckpoint(eager=False)
                     cls = ShardedCuckoo if table == "cuckoo" else ShardedBloom
                     bloom = cls(shards_df, self.opt.bloom_shards)
             else:

@@ -224,6 +224,10 @@ def minhash_dedup(
             rep.join(better.withColumnRenamed("id_a", "id"), "id", "left")
             .select("id", F.col("rep").alias("__old"),
                     F.least(F.col("rep"), F.coalesce(F.col("cand"), F.col("rep"))).alias("rep"))
+            # the pointer-jump self-join below reads this frame on BOTH
+            # sides; checkpoint so the edges-join + neighbor-min aggregate
+            # runs once per iteration, not twice
+            .localCheckpoint(eager=False)
         )
         jumped = (
             stepped.alias("s")

@@ -154,23 +154,44 @@ class PooledOpener:
             conn.close()
         self._pool().clear()
 
+    @staticmethod
+    def _hget(hdrs: dict, name: str):
+        """Case-insensitive header lookup (RFC 7230: field names are
+        case-insensitive on the wire; urllib matched insensitively, a
+        plain dict.get would not)."""
+        lname = name.lower()
+        for k, v in hdrs.items():
+            if k.lower() == lname:
+                return v
+        return None
+
     def __call__(self, url, method="GET", headers=None, body=None, timeout_s=1):
         import http.client
         from urllib.parse import urljoin, urlsplit
 
+        headers = dict(headers or {})
         for _hop in range(self.MAX_REDIRECTS + 1):
-            parts = urlsplit(url)
+            # URL parsing must stay inside the Opener contract: a hostile
+            # redirect Location (port 99999, 'http:///x', 'mailto:')
+            # raises ValueError/InvalidURL here — surface it as OSError
+            # (code 800 downstream) like default_opener, never crash the
+            # whole mapInPandas task
+            try:
+                parts = urlsplit(url)
+                host, port = parts.hostname, parts.port
+            except ValueError as e:
+                raise OSError(f"invalid URL {url!r}: {e}") from e
+            if not host or parts.scheme not in ("http", "https"):
+                raise OSError(f"invalid URL {url!r}: no http(s) host")
             path = parts.path or "/"
             if parts.query:
                 path += "?" + parts.query
             reused_first = True
             while True:
-                key, conn = self._connect(
-                    parts.scheme, parts.hostname, parts.port, timeout_s
-                )
+                key, conn = self._connect(parts.scheme, host, port, timeout_s)
                 was_fresh = conn.sock is None
                 try:
-                    conn.request(method, path, body=body, headers=headers or {})
+                    conn.request(method, path, body=body, headers=headers)
                     resp = conn.getresponse()
                     data = resp.read()
                     hdrs = dict(resp.getheaders())
@@ -180,20 +201,28 @@ class PooledOpener:
                 except TimeoutError:
                     self._drop(key)
                     raise
-                except (http.client.HTTPException, OSError) as e:
+                except (http.client.HTTPException, OSError, ValueError) as e:
                     self._drop(key)
-                    if was_fresh or not reused_first:
+                    # silent replay is only safe for idempotent methods: a
+                    # stale-keep-alive POST may already have been processed
+                    # by the server before the reset
+                    replayable = method in ("GET", "HEAD")
+                    if was_fresh or not reused_first or not replayable:
                         raise OSError(str(e)) from e
                     reused_first = False  # stale keep-alive: one fresh retry
             status = resp.status
-            loc = hdrs.get("Location")
+            loc = self._hget(hdrs, "Location")
             if status in (301, 302, 303, 307, 308) and loc and _hop < self.MAX_REDIRECTS:
                 url = urljoin(url, loc)
                 if status == 303 or (status in (301, 302) and method == "POST"):
                     method, body = "GET", None  # urllib redirect semantics
+                    # ...including urllib's header hygiene: the follow-up
+                    # GET must not advertise the dropped body
+                    headers = {k: v for k, v in headers.items()
+                               if k.lower() not in ("content-type", "content-length")}
                 continue
-            return status, hdrs, data, hdrs.get("Content-Type")
-        return status, hdrs, data, hdrs.get("Content-Type")
+            return status, hdrs, data, self._hget(hdrs, "Content-Type")
+        return status, hdrs, data, self._hget(hdrs, "Content-Type")
 
 
 def form_body(params: dict | None) -> bytes | None:

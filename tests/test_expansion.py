@@ -235,3 +235,23 @@ def test_expand_ranges_df(spark):
     assert out == sorted(
         ["id-1-1", "id-1-2", "id-2-1", "id-2-2", "plain", "x3y", "x4y"]
     )
+
+
+def test_notify_scalar_slack_is_config_error():
+    """Regression (code-review r3): a scalar `slack:` value must raise
+    ConfigError (the strict-parse contract), not a raw TypeError."""
+    import pytest
+
+    from raven_spark.config import ConfigError, parse_config
+
+    yaml_doc = """
+name: t
+request:
+  url: "https://h.example/p"
+output:
+  - local_file: {file_path: /tmp/x}
+notify:
+  - slack: "https://hooks.example/xyz"
+"""
+    with pytest.raises(ConfigError, match="expected a mapping"):
+        parse_config(yaml_doc)

@@ -44,6 +44,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/redir":
             self._body(b"", 302, {"Location": "/ok"})
+        elif self.path == "/badredir":
+            self._body(b"", 301, {"Location": "http://127.0.0.1:99999/x"})
+        elif self.path == "/lowredir":
+            # lowercase header name: legal per RFC 7230, must be followed
+            self.server.requests += 1
+            self.send_response(302)
+            self.send_header("location", "/ok")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/404":
             self._body(b"nope", 404)
         elif self.path == "/close":
@@ -198,3 +207,36 @@ def test_http_stage_over_real_sockets(spark, server):
     # request count proves in-worker reuse (warmup may add a socket)
     assert server.requests >= 5
     assert server.connections <= 2
+
+
+def test_malformed_redirect_is_oserror_not_crash(server):
+    """Regression (code-review r3): a hostile Location (port 99999) must
+    surface as OSError (-> retry-matrix code 800), never escape the
+    Opener contract and kill the fetch task."""
+    op = PooledOpener()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    with pytest.raises(OSError):
+        op(f"{base}/badredir", timeout_s=2)
+    # and through the retry matrix: code 800, task alive
+    status, code, *_ = _fetch_one(op, f"{base}/badredir", "GET", {}, None, 2, 0, 0)
+    assert code == 800
+    op.close()
+
+
+def test_lowercase_location_header_followed(server):
+    """Regression (code-review r3): header names are case-insensitive;
+    a lowercase 'location:' must still be followed."""
+    op = PooledOpener()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    status, hdrs, data, ctype = op(f"{base}/lowredir", timeout_s=2)
+    assert status == 200 and b"hello pooled" in data
+    assert ctype and "text/html" in ctype
+    op.close()
+
+
+def test_invalid_scheme_is_oserror():
+    op = PooledOpener()
+    for bad in ("mailto:x@y.example", "http:///nopath", "ftp://h.example/x"):
+        with pytest.raises(OSError):
+            op(bad, timeout_s=1)
+    op.close()
