@@ -962,6 +962,27 @@ def q47_dedup_within_doc(spark, sf_dir):
     )
 
 
+def q48_unigram_logprob(spark, sf_dir):
+    """Corpus-relative fluency (pipeline.unigram_logprob): mean unigram
+    log-probability per doc under the corpus's own word distribution —
+    the SQL-able analogue of CCNet's perplexity filter. Word keys are
+    8-byte hashes engine-side; the oracle joins on the word strings
+    (same collision class as exact_dedup's accepted hash variant)."""
+    from raven_spark.operators.pipeline import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q49_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile (pipeline.corpus_stats): doc counts,
+    mean length, exact interpolated p50/p90/p99 whitespace-token counts.
+    Spark percentile() and DuckDB quantile_cont share linear-interpolation
+    semantics (verified element-wise)."""
+    from raven_spark.operators.pipeline import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1011,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_surt_keys": q45_surt_keys,
         "q46_pack_chunks": q46_pack_chunks,
         "q47_dedup_within_doc": q47_dedup_within_doc,
+        "q48_unigram_logprob": q48_unigram_logprob,
+        "q49_corpus_stats": q49_corpus_stats,
     }
 
 
@@ -1828,6 +1851,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(coalesce(a.dedup, '')) AS BIGINT) AS dedup_len,
                    CAST(coalesce(a.n_units - a.n_kept, 0) AS BIGINT) AS dropped_units
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q48_unigram_logprob": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ), freq AS (
+              SELECT w, count(*) AS c FROM words GROUP BY w
+            ), tot AS (
+              SELECT sum(c) AS t FROM freq
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_words,
+                     round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS avg_logprob
+              FROM words JOIN freq USING (w), tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.avg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "q49_corpus_stats": r"""
+            WITH toks AS (
+              SELECT source AS group_key, length(text) AS len,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS tok
+              FROM documents
+            )
+            SELECT group_key, count(*) AS n_docs,
+                   round(avg(len), 6) AS avg_chars,
+                   round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(tok, 0.99), 6) AS p99_tokens
+            FROM toks GROUP BY group_key
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -67,6 +67,8 @@ HEADLINE = [
     "q45_surt_keys",
     "q46_pack_chunks",
     "q47_dedup_within_doc",
+    "q48_unigram_logprob",
+    "q49_corpus_stats",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

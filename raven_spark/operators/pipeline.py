@@ -405,3 +405,88 @@ def dedup_within_doc(
         )
         .drop("__units", "__kept")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Corpus-relative fluency score — the SQL-able analogue of CCNet's
+    LM-perplexity filter: score each document by the mean log-probability
+    of its words under the corpus's own unigram distribution. Gibberish,
+    OCR noise, and off-domain boilerplate score far below prose made of
+    common words; rankings feed the same keep/drop thresholds CCNet's
+    head/middle/tail buckets use.
+
+    Two aggregates + one join, all on 8-byte word hashes:
+
+        words   = explode(normalized words)          [one shuffle: hash]
+        freq    = count per word-hash                [map-side partial]
+        scored  = words join freq -> avg(ln(c/total)) per doc
+
+    The join is hash-keyed (xxhash64(word), never the word text) and both
+    sides arrive partitioned by it from the aggregate — same reuse
+    posture as host_boilerplate. The corpus total is one scalar.
+
+    Output: every input row's id + n_words + ``out_col`` (6 dp; nulls for
+    empty/whitespace docs, which have no distribution to score).
+    """
+    norm = norm_text_col(F.col(text_col))
+    words = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(norm, " ")).alias("__w"),
+        )
+        .select(F.col(id_col), F.xxhash64("__w").alias("__wh"))
+    )
+    freq = words.groupBy("__wh").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c")).first()[0] or 1
+    scored = (
+        words.join(freq, "__wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.log(F.col("__c") / F.lit(float(total)))), 6).alias(out_col),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group corpus profile: doc counts, mean length, and EXACT
+    interpolated token-count percentiles — the report a curation run
+    prints before/after every filter stage (length cliffs, sources gone
+    degenerate, truncation artifacts live in the tails).
+
+    Exact percentiles group-sort each group's token counts — the right
+    call for reporting (groups are sources/hosts: many groups, each
+    bounded); swap in percentile_approx for a single global distribution
+    over 10^10 docs. One scan, one shuffle on the group key.
+    """
+    tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("bigint")
+    pct = F.percentile(F.col("__tok"), list(percentiles))
+    out = (
+        df.select(F.col(group_col).alias("group_key"),
+                  F.length(text_col).alias("__len"), tokens.alias("__tok"))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__len"), 6).alias("avg_chars"),
+            pct.alias("__p"),
+        )
+    )
+    return out.select(
+        "group_key", "n_docs", "avg_chars",
+        *[F.round(F.element_at("__p", i + 1), 6).alias(f"p{int(p * 100)}_tokens")
+          for i, p in enumerate(percentiles)],
+    )

@@ -197,3 +197,34 @@ def test_dedup_within_doc(spark):
     assert out[2]["text_dedup"] == unit_a and out[2]["dropped_units"] == 0
     assert out[3]["text_dedup"] == "solo" and out[3]["dropped_units"] == 0
     assert out[4]["text_dedup"] == "" and out[4]["dropped_units"] == 0
+
+
+def test_unigram_logprob(spark):
+    """Common-word docs outscore rare-word docs; empty docs score null;
+    values are partition-invariant."""
+    from raven_spark.operators.pipeline import unigram_logprob
+
+    rows = [(1, "the the the cat"), (2, "the cat"), (3, "zyx qwv"), (4, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(df).collect()}
+    # corpus: the x4, cat x2, zyx, qwv -> total 8
+    import math
+    exp1 = round((3 * math.log(4 / 8) + math.log(2 / 8)) / 4, 6)
+    assert out[1]["avg_logprob"] == exp1 and out[1]["n_words"] == 4
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]  # fluent > gibberish
+    assert out[4]["avg_logprob"] is None and out[4]["n_words"] is None
+    again = {r["doc_id"]: r["avg_logprob"]
+             for r in unigram_logprob(df.repartition(7)).collect()}
+    assert all(again[k] == out[k]["avg_logprob"] for k in again)
+
+
+def test_corpus_stats(spark):
+    from raven_spark.operators.pipeline import corpus_stats
+
+    rows = [("a", "one two three"), ("a", "one"), ("a", "one two"), ("b", "")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["group_key"]: r.asDict() for r in corpus_stats(df).collect()}
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["p50_tokens"] == 2.0      # tokens 1,2,3 -> median 2
+    assert out["a"]["p90_tokens"] == 2.8      # linear interpolation
+    assert out["b"]["p50_tokens"] == 0.0      # empty text -> 0 tokens
