@@ -983,6 +983,30 @@ def q49_corpus_stats(spark, sf_dir):
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+def q50_trap_scores(spark, sf_dir):
+    """Crawler-trap scoring (urls.trap_score_col): deterministic URLs
+    planted with the four trap signals (repeated segments, session-id
+    params, 8+ digit runs, deep paths) and a clean control; the oracle
+    replays the identical scoring algebra. Pure column algebra, one
+    projection, zero shuffles."""
+    from raven_spark.functions.urls import trap_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    suffix = (
+        F.when(F.pmod(i, 5) == 0, F.lit("/x/x/x"))
+        .when(F.pmod(i, 5) == 1, F.concat(F.lit("/p?phpsessid="), s(i)))
+        .when(F.pmod(i, 5) == 2, F.concat(F.lit("/p/"), s(i + 100000000)))
+        .when(F.pmod(i, 5) == 3, F.lit("/a/b/c/d/e/f/g/h/i"))
+        .otherwise(F.concat(F.lit("/article/"), s(F.pmod(i, 97))))
+    )
+    url = F.concat(F.lit("https://h"), s(F.pmod(i, 7)), F.lit(".example"), suffix)
+    return d.select(
+        "doc_id", url.alias("url"), trap_score_col(url).alias("trap_score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_dedup_within_doc": q47_dedup_within_doc,
         "q48_unigram_logprob": q48_unigram_logprob,
         "q49_corpus_stats": q49_corpus_stats,
+        "q50_trap_scores": q50_trap_scores,
     }
 
 
@@ -1885,6 +1910,40 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
                    round(quantile_cont(tok, 0.99), 6) AS p99_tokens
             FROM toks GROUP BY group_key
+        """,
+        "q50_trap_scores": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                     || CASE doc_id % 5
+                        WHEN 0 THEN '/x/x/x'
+                        WHEN 1 THEN '/p?phpsessid=' || CAST(doc_id AS VARCHAR)
+                        WHEN 2 THEN '/p/' || CAST(doc_id + 100000000 AS VARCHAR)
+                        WHEN 3 THEN '/a/b/c/d/e/f/g/h/i'
+                        ELSE '/article/' || CAST(doc_id % 97 AS VARCHAR)
+                        END AS url
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, url,
+                     list_filter(string_split(
+                       split_part(substr(split_part(url, '://', 2),
+                                  strpos(split_part(url, '://', 2), '/')), '?', 1),
+                       '/'), x -> x <> '') AS segs
+              FROM u
+            )
+            SELECT doc_id, url,
+                   round(least(
+                     least(greatest(len(segs) - 6, 0) * 0.1, 0.3)
+                     + CASE WHEN len(segs) >= 3
+                            AND len(segs) - len(list_distinct(segs)) >= 2
+                       THEN 0.3 ELSE 0.0 END
+                     + CASE WHEN regexp_matches(url, '[0-9]{8,}')
+                       THEN 0.2 ELSE 0.0 END
+                     + CASE WHEN regexp_matches(url,
+                         '[?&](sessionid|session_id|sid|phpsessid|jsessionid)=')
+                       THEN 0.2 ELSE 0.0 END,
+                     1.0), 6) AS trap_score
+            FROM feats
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

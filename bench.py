@@ -69,6 +69,7 @@ HEADLINE = [
     "q47_dedup_within_doc",
     "q48_unigram_logprob",
     "q49_corpus_stats",
+    "q50_trap_scores",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -343,3 +343,42 @@ def surt_col(url_canon: Column) -> Column:
     path_q = F.substring(rest, F.length(authority) + 1, 2**30)
     path_q = F.when(path_q == "", F.lit("/")).otherwise(path_q)
     return F.concat(with_port, F.lit(")"), path_q)
+
+
+def trap_score_col(url_canon: Column) -> Column:
+    """Crawler-trap likelihood in [0, 1] — the frontier's spam filter.
+
+    Infinite URL spaces (calendar pages, session ids, faceted search,
+    path loops) will eat any politeness budget; production crawlers
+    score-and-deprioritize rather than hard-block. Four classic signals,
+    each from the public crawler-trap literature (Heritrix's path-repeat
+    rule, session-id query heuristics), all pure column algebra:
+
+    - deep paths:           depth > 6 (each extra level +0.1, cap 0.3)
+    - repeated segment:     any path segment occurring 3+ times (0.3)
+    - long digit runs:      8+ consecutive digits anywhere (0.2)
+    - session-y params:     query keys like sessionid/sid/phpsessid (0.2)
+
+    Compose with apply_host_priority-style demotion or a threshold
+    filter; the score is deterministic so the same URL always lands the
+    same side of the gate.
+    """
+    rest = F.split_part(url_canon, F.lit("://"), F.lit(2))
+    path = F.split_part(F.substring(rest, F.instr(rest, "/"), 2**30), F.lit("?"), F.lit(1))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    deep = F.least(
+        F.greatest(depth - F.lit(6), F.lit(0)).cast("double") * F.lit(0.1), F.lit(0.3)
+    )
+    # a segment repeating 3+ times: distinct count drops by >= 2
+    repeated = F.when(
+        (depth >= 3) & (depth - F.size(F.array_distinct(segs)) >= 2), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    digits = F.when(
+        url_canon.rlike("[0-9]{8,}"), F.lit(0.2)
+    ).otherwise(F.lit(0.0))
+    session = F.when(
+        url_canon.rlike(r"[?&](sessionid|session_id|sid|phpsessid|jsessionid)="),
+        F.lit(0.2),
+    ).otherwise(F.lit(0.0))
+    return F.round(F.least(deep + repeated + digits + session, F.lit(1.0)), 6)

@@ -169,3 +169,25 @@ def test_surt_prefix_range_clusters_domain(spark):
     flags = [r["s"].startswith("com,example") for r in rows]
     first, last = flags.index(True), len(flags) - 1 - flags[::-1].index(True)
     assert all(flags[first:last + 1]) and sum(flags) == 20
+
+
+def test_trap_score_col(spark):
+    from raven_spark.functions.urls import trap_score_col
+    from pyspark.sql import functions as F
+
+    cases = {
+        "https://a.example/article/2026/story": 0.0,
+        "https://a.example/a/b/a/b/a/b/c/d/e": None,     # repeat + deep (checked below)
+        "https://a.example/p?phpsessid=deadbeef": 0.2,
+        "https://a.example/p/12345678901": 0.2,          # digit run
+        "https://a.example/x/x/x": 0.3,                  # 3x repeated segment
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["s"] for r in
+           df.select("url", trap_score_col(F.col("url")).alias("s")).collect()}
+    assert got["https://a.example/article/2026/story"] == 0.0
+    assert got["https://a.example/p?phpsessid=deadbeef"] == 0.2
+    assert got["https://a.example/p/12345678901"] == 0.2
+    assert got["https://a.example/x/x/x"] == 0.3
+    # deep (9 segs -> +0.3 cap) + repeated (a,b 3x+) = 0.6
+    assert got["https://a.example/a/b/a/b/a/b/c/d/e"] == 0.6
