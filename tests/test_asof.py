@@ -115,3 +115,19 @@ def test_asof_collision_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("snap", "tag"), on="k")
+
+
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "x", _ts("2026-01-01T10:00:00"), "l1"),
+         (1, "y", _ts("2026-01-01T10:00:00"), "l2")],
+        "k int, sub string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", _ts("2026-01-01T09:00:00"), 1.0),
+         (1, "y", _ts("2026-01-01T09:30:00"), 2.0)],
+        "k int, sub string, ts timestamp, snap double",
+    )
+    out = {(r["k"], r["sub"]): r["snap"]
+           for r in asof_join(left, right, on=["k", "sub"]).collect()}
+    assert out[(1, "x")] == 1.0 and out[(1, "y")] == 2.0
