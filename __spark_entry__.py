@@ -1007,6 +1007,20 @@ def q50_trap_scores(spark, sf_dir):
     )
 
 
+def q51_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality model (CCNet §2.2's learned
+    filter analogue, quality_model.classifier_score): unigram+bigram
+    features hashed by the SQL-replayable poly-31/Knuth bucket function,
+    scored by the deterministic synthetic weight model, sigmoid'd. Pure
+    per-row column algebra — zero shuffles, zero joins (the learned-
+    weights variant broadcast-joins a (bucket, weight) table instead;
+    plan-asserted in tests)."""
+    from raven_spark.operators.quality_model import classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_score(d, n_buckets=1 << 14, bias=0.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1059,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_unigram_logprob": q48_unigram_logprob,
         "q49_corpus_stats": q49_corpus_stats,
         "q50_trap_scores": q50_trap_scores,
+        "q51_quality_classifier": q51_quality_classifier,
     }
 
 
@@ -1944,6 +1959,42 @@ def oracle_sql() -> dict[str, str]:
                        THEN 0.2 ELSE 0.0 END,
                      1.0), 6) AS trap_score
             FROM feats
+        """,
+        "q51_quality_classifier": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents
+            ), words AS (
+              SELECT doc_id, string_split(norm, ' ') AS ws
+              FROM docs WHERE length(norm) > 0
+            ), feats AS (
+              SELECT doc_id, unnest(ws) AS f FROM words
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i+1])) AS f
+              FROM words
+            ), bucketed AS (
+              SELECT doc_id,
+                     (list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(f) + 1),
+                            i -> CAST(unicode(substring(f, CAST(i AS INT), 1)) AS BIGINT))),
+                        (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                      * 2654435761) % 16384 AS bucket
+              FROM feats
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_feats,
+                     avg((bucket * 2654435761) % 1000003 / 1000003.0 * 2 - 1) AS m
+              FROM bucketed GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+                   CASE WHEN a.doc_id IS NOT NULL
+                        THEN round(1.0 / (1.0 + exp(-a.m)), 6)
+                   END AS quality_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

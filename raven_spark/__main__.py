@@ -86,37 +86,43 @@ def main(argv: list[str] | None = None) -> int:
         if args.sitemaps and not args.robots:
             p.error("--sitemaps requires --robots (pointers come from robots.txt)")
         prefetched_rules = None
-        extra_urls: list[str] = []
         if args.sitemaps:
-            # fetch seed-host robots ONCE, driver-side: the collected rows
-            # feed BOTH the sitemap pointers and the engine's rules table
-            # (robots=...), so neither the engine's round-0 refresh nor the
-            # pointer derivation re-fetches a host's robots.txt
+            # fetch seed-host robots ONCE: the lazy rules pipeline goes to
+            # the engine, whose catalog append is the single materializing
+            # action; the table is then read BACK for the sitemap pointers
+            # — so neither the engine's round-0 refresh nor the pointer
+            # derivation re-fetches a host's robots.txt, and no rule row
+            # ever lands on the driver
             from raven_spark.expansion import tasks_df
-            from raven_spark.operators.politeness import ROBOTS_SCHEMA
-            from raven_spark.operators.sitemaps import discover_sitemap_pages
             from raven_spark.plans.round import frontier_from_tasks
 
             seeds = frontier_from_tasks(
                 tasks_df(spark, config, run_ts), round_no=0,
                 salt_buckets=config.salt_buckets,
             )
-            rows = robots_fetcher(seeds.select("host").distinct()).collect()
-            prefetched_rules = spark.createDataFrame(rows, ROBOTS_SCHEMA)
-            ptr_urls = sorted({u for r in rows for u in (r["sitemaps"] or [])})
-            if ptr_urls:
-                pages = discover_sitemap_pages(
-                    spark.createDataFrame([(u,) for u in ptr_urls], "url string"),
-                    timeout_s=config.request.timeout_s,
-                )
-                extra_urls = [
-                    r["url_canon"] for r in pages.select("url_canon").collect()
-                ]
+            prefetched_rules = robots_fetcher(seeds.select("host").distinct())
         eng = CrawlEngine(
             spark, config, args.state, fetcher, robots=prefetched_rules,
             options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
         )
-        eng.bootstrap_from_config(run_ts=run_ts, extra_urls=extra_urls or None)
+        extra_urls_df = None
+        if args.sitemaps:
+            # sitemap pointers -> declared pages, end-to-end distributed:
+            # a real sitemapindex (50k sitemaps x 50k locs) stays on the
+            # executors and unions into frontier Δ(0) as a DataFrame
+            from pyspark.sql import functions as F
+
+            from raven_spark.operators.sitemaps import discover_sitemap_pages
+
+            pointers = (
+                eng.table("robots")
+                .select(F.explode("sitemaps").alias("url"))
+                .distinct()
+            )
+            extra_urls_df = discover_sitemap_pages(
+                pointers, timeout_s=config.request.timeout_s
+            )
+        eng.bootstrap_from_config(run_ts=run_ts, extra_urls_df=extra_urls_df)
         stats = eng.run(max_rounds=args.max_rounds)
         summary = {
             "name": config.name,

@@ -116,54 +116,50 @@ class CrawlEngine:
         self.state_root = state_root
         self.fetcher = fetcher
         self.opt = options or EngineOptions()
-        # Materialize robots rules ONCE, driver-side. fetch_robots returns
-        # a lazy mapInPandas pipeline — if it were joined as-is, every
-        # round's plan would re-fetch each host's robots.txt over the
-        # network at least twice (the flag join and the budget join have
-        # separate lineages and could even see DIFFERENT content
-        # mid-crawl). Rules are O(hosts), so collect + rebuild local.
-        self._robots_rows: list = []
-        if robots is not None:
-            self._robots_rows = list(robots.collect())
-            robots = self._robots_df()
-        self.robots = robots
-        self._rebuild_host_budgets()
         self.catalog = ParquetCatalog(spark, state_root)
         if "://" not in state_root and not state_root.startswith("file:/"):
             os.makedirs(state_root, exist_ok=True)
+        # Robots rules live in a catalog TABLE next to url_seen — never as
+        # a driver-resident row list (at 10^10 URLs the frontier touches
+        # 10^7-10^8 hosts; a collected list re-serialized through
+        # createDataFrame every refresh is the same scale-killer class as
+        # a monolithic driver Bloom). fetch_robots returns a lazy
+        # mapInPandas pipeline — joined as-is, every consuming plan would
+        # re-fetch each host's robots.txt over the network (and could see
+        # DIFFERENT content mid-crawl); the one catalog append below IS
+        # the materialize-once action. Robots-table round numbering:
+        # prefetched rules land at round 0, the per-crawl-round refresh
+        # for newly discovered hosts appends at crawl_round + 1 (so
+        # re-running a crashed round overwrites exactly its own delta).
+        if robots is not None:
+            self.catalog.append("robots", robots, 0)
 
-    def _robots_df(self) -> DataFrame:
-        from raven_spark.operators.politeness import ROBOTS_SCHEMA
+    _ROBOTS_RULE_COLS = ["host", "allow", "deny", "crawl_delay_s"]
 
-        return self.spark.createDataFrame(self._robots_rows, ROBOTS_SCHEMA)
+    def _robots_for_round(self, round_no: int) -> DataFrame | None:
+        """Rules visible to crawl round N: robots-table deltas 0..N+1
+        (prefetch + every refresh up to and including this round's). The
+        rule columns only — the sitemaps pointer column never rides the
+        flag/budget joins."""
+        df = self.catalog.read("robots", upto_round=round_no + 1)
+        if df is None:
+            return None
+        return df.select(*self._ROBOTS_RULE_COLS)
 
-    def _rebuild_host_budgets(self) -> None:
-        # robots crawl-delay -> per-host budget override (broadcast side)
-        from raven_spark.operators.politeness import effective_budget_col
-
-        self._host_budgets = effective_budget_col(
-            self.robots, self.config.effective_host_budget()
-        )
-
-    def _refresh_robots(self, frontier_delta: DataFrame) -> None:
+    def _refresh_robots(self, frontier_delta: DataFrame, round_no: int) -> None:
         """Fetch rules for hosts in this round's delta that have none yet
-        (O(new hosts) work; known hosts are never re-requested)."""
+        and append them as the robots-table delta for this round — fully
+        distributed: new hosts come from a left-anti join against the
+        rules table (O(new hosts) fetch work; known hosts are never
+        re-requested), and the append materializes the lazy fetch exactly
+        once. No robots row ever transits the driver."""
         if self.opt.robots_fetcher is None:
             return
-        import pandas as pd
-
-        known = {r["host"] for r in self._robots_rows}
-        hosts = sorted(
-            r["host"]
-            for r in frontier_delta.select("host").distinct().collect()
-            if r["host"] not in known
-        )
-        if not hosts:
-            return
-        hosts_df = self.spark.createDataFrame(pd.DataFrame({"host": hosts}))
-        self._robots_rows.extend(self.opt.robots_fetcher(hosts_df).collect())
-        self.robots = self._robots_df()
-        self._rebuild_host_budgets()
+        hosts = frontier_delta.select("host").distinct()
+        known = self.catalog.read("robots", upto_round=round_no)
+        if known is not None:
+            hosts = hosts.join(known.select("host"), on="host", how="left_anti")
+        self.catalog.append("robots", self.opt.robots_fetcher(hosts), round_no + 1)
 
     # -- manifest -------------------------------------------------------------
     # run manifest + Bloom sidecars go through the catalog blob API so URI
@@ -220,7 +216,12 @@ class CrawlEngine:
         )
         self.catalog.append("frontier", f0, 0)
 
-    def bootstrap_from_config(self, run_ts=None, extra_urls: list[str] | None = None):
+    def bootstrap_from_config(
+        self,
+        run_ts=None,
+        extra_urls: list[str] | None = None,
+        extra_urls_df: DataFrame | None = None,
+    ):
         """Write frontier Δ(0) from the config's OWN expanded task list —
         the full reference lifecycle (config.create_crawler_tasks ->
         crawl, config.rs:46-100): vars x params expansion, template bind,
@@ -228,15 +229,23 @@ class CrawlEngine:
         its method/body_params/timeouts through the round into the fetch
         stage.
 
-        ``extra_urls`` (e.g. sitemap-declared pages from
-        operators/sitemaps.discover_sitemap_pages) union into Δ(0) as
-        plain GET seeds — request fields null -> stage defaults, the same
-        union the per-round frontier write uses for discoveries. Returns
-        the written Δ(0)."""
+        ``extra_urls_df`` (e.g. sitemap-declared pages from
+        operators/sitemaps.discover_sitemap_pages — any DataFrame with a
+        ``url`` column, or already identity-shaped with url_canon/
+        url_hash/host/salt_bucket) unions into Δ(0) as plain GET seeds —
+        request fields null -> stage defaults, the same union the
+        per-round frontier write uses for discoveries. The union is fully
+        distributed: a 50k-sitemaps x 50k-locs index never touches the
+        driver. ``extra_urls`` (small driver-side list) remains for
+        explicit hand-seeded runs. Returns the written Δ(0)."""
         from datetime import datetime as _dt
 
         from raven_spark.expansion import tasks_df
-        from raven_spark.plans.round import frontier_from_tasks, frontier_from_urls
+        from raven_spark.plans.round import (
+            frontier_from_tasks,
+            frontier_from_urls,
+            frontier_identity,
+        )
 
         run_ts = run_ts or _dt.now(timezone.utc)
         tasks = tasks_df(self.spark, self.config, run_ts)
@@ -245,6 +254,11 @@ class CrawlEngine:
             extra = frontier_from_urls(
                 self.spark, extra_urls, round_no=0,
                 salt_buckets=self.config.salt_buckets,
+            )
+            f0 = f0.unionByName(extra, allowMissingColumns=True)
+        if extra_urls_df is not None:
+            extra = frontier_identity(
+                extra_urls_df, round_no=0, salt_buckets=self.config.salt_buckets
             )
             f0 = f0.unionByName(extra, allowMissingColumns=True)
         self.catalog.append("frontier", f0, 0)
@@ -265,28 +279,46 @@ class CrawlEngine:
         frontier_delta = self.catalog.read("frontier", upto_round=round_no)
         if frontier_delta is None:
             return {"tasks": 0, "empty": True}
+        ttl = self.opt.seen_ttl_rounds
         if self.opt.revalidate and round_no > 0:
             # recrawl half 2 (pairs with seen_ttl_rounds): attach the
             # latest prior capture's validators so a re-opened URL costs a
-            # 304 instead of a body. In-sandbox this reduces the pages
-            # table per round; at 10^10 keep an incremental (url_hash,
-            # etag, last-modified) validators table instead — same join,
+            # 304 instead of a body. The read is WINDOWED to the last
+            # 2*ttl rounds: a URL revalidated at round k expired at most
+            # ttl rounds ago, so its latest capture is >= k-2*ttl unless
+            # re-discovery lagged a full TTL — and a missed validator only
+            # costs a plain 200 refetch, never a wrong result. Without the
+            # bound this scan is O(rounds) per round, O(rounds^2) per
+            # crawl. At 10^10 keep an incremental (url_hash, etag,
+            # last-modified) validators table instead — same join,
             # O(urls-revalidated) smaller input (http.py docstring).
             from raven_spark.operators.http import with_conditional_headers
 
-            prior = self.catalog.read("pages", upto_round=round_no - 1)
+            reval_lo = max(0, round_no - 2 * ttl) if ttl is not None else None
+            prior = self.catalog.read(
+                "pages", upto_round=round_no - 1, from_round=reval_lo
+            )
             if prior is not None and "response_headers" in prior.columns:
                 frontier_delta = with_conditional_headers(frontier_delta, prior)
         frontier_delta = frontier_delta.filter(F.col("round") == round_no).drop("round")
 
         tr = time.time()
-        self._refresh_robots(frontier_delta)
+        self._refresh_robots(frontier_delta, round_no)
         if self.opt.robots_fetcher is not None:
             _mark("robots_refresh", tr)
+        # rules + crawl-delay budget overrides for THIS round, read back
+        # from the robots table (broadcast-joined downstream while
+        # O(hosts) stays small; swap to a key-partitioned join when the
+        # rules side outgrows the broadcast threshold)
+        from raven_spark.operators.politeness import effective_budget_col
+
+        robots = self._robots_for_round(round_no)
+        host_budgets = effective_budget_col(
+            robots, self.config.effective_host_budget()
+        )
 
         url_seen = None
         bloom = None
-        ttl = self.opt.seen_ttl_rounds
         seen_lo = max(0, round_no - ttl) if ttl is not None else None
         if round_no > 0:
             url_seen = self.catalog.read(
@@ -327,9 +359,9 @@ class CrawlEngine:
             round_no,
             host_budget=self.config.effective_host_budget(),
             bloom=bloom,
-            robots=self.robots,
+            robots=robots,
             shuffle_partitions=self.opt.shuffle_partitions,
-            host_budgets=self._host_budgets,
+            host_budgets=host_budgets,
             max_retry=self.config.request.max_retry,
             input_charset=self.config.request.encoding_in,
             output_charset=self.config.request.encoding_out,

@@ -356,12 +356,12 @@ def dedup_within_doc(
     content is untouched.
 
     Scale shape: pure column algebra, ZERO shuffles — the first-occurrence
-    test is per-row array logic (aggregate over the window array with an
-    accumulated seen-hash array), never an explode + window over
-    (doc, unit), so a document's units stay inside its row and the pass
-    fuses into the scan projection like every other text kernel here.
-    Memory is O(units per doc) per row — bounded by the page size cap the
-    fetch stage already enforces.
+    test is per-row array logic (sort (hash, index) pairs, keep hash-run
+    heads, re-sort survivors by index: O(n log n) per doc), never an
+    explode + window over (doc, unit), so a document's units stay inside
+    its row and the pass fuses into the scan projection like every other
+    text kernel here. Memory is O(units per doc) per row — bounded by the
+    page size cap the fetch stage already enforces.
 
     Output: input columns + ``out_col`` (deduped text) +
     ``dropped_units`` (how many windows were removed).
@@ -375,35 +375,44 @@ def dedup_within_doc(
     )
     # empty/whitespace text normalizes to "" (split -> [""]): no units
     units = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(units)
-    # first-occurrence filter without explode: fold over the units,
-    # carrying (seen-hash set, kept list); xxhash64 keys keep the
-    # accumulator 8 bytes/unit (same collision class as exact_dedup)
-    dedup = F.aggregate(
-        units,
-        F.struct(
-            F.array().cast("array<bigint>").alias("seen"),
-            F.array().cast("array<string>").alias("kept"),
-        ),
-        lambda acc, u: F.when(
-            F.array_contains(acc["seen"], F.xxhash64(u)),
-            acc,
-        ).otherwise(
-            F.struct(
-                F.array_append(acc["seen"], F.xxhash64(u)).alias("seen"),
-                F.array_append(acc["kept"], u).alias("kept"),
-            )
-        ),
-        lambda acc: acc["kept"],
+    # first-occurrence filter without explode OR an accumulator fold: an
+    # accumulator that grows per unit (array_contains over an appended
+    # array, or map_contains_key over map_concat — Spark maps are
+    # ArrayBasedMapData, so both lookup AND insert are O(k) copies) costs
+    # O(units^2) per document. Instead detect first occurrences by
+    # SORTING (hash, index) pairs — O(n log n) column algebra, no
+    # per-step copies: after array_sort, an element is a first occurrence
+    # iff its hash differs from its sorted predecessor's; re-sorting the
+    # surviving indices restores document order. xxhash64 keys keep the
+    # comparison 8 bytes/unit (same collision class as exact_dedup).
+    pairs = F.transform(
+        units, lambda u, i: F.struct(F.xxhash64(u).alias("h"), i.alias("i"))
+    )
+    out = (
+        df.withColumn("__units", units)
+        .withColumn("__sp", F.array_sort(pairs))
+    )
+    first_idx = F.array_sort(
+        F.transform(
+            F.filter(
+                F.col("__sp"),
+                lambda p, j: (j == F.lit(0))
+                | (p["h"] != F.element_at(F.col("__sp"), j)["h"]),
+            ),
+            lambda p: p["i"],
+        )
+    )
+    kept = F.transform(
+        first_idx, lambda i: F.element_at(F.col("__units"), i + F.lit(1))
     )
     return (
-        df.withColumn("__units", units)
-        .withColumn("__kept", dedup)
+        out.withColumn("__kept", kept)
         .withColumn(out_col, F.array_join(F.col("__kept"), " "))
         .withColumn(
             "dropped_units",
             (F.size("__units") - F.size("__kept")).cast("bigint"),
         )
-        .drop("__units", "__kept")
+        .drop("__units", "__sp", "__kept")
     )
 
 

@@ -1,0 +1,180 @@
+"""Model-based quality scoring — a fastText-style linear classifier over
+hashed word n-gram features, the one CCNet/Gopher-family signal the
+heuristic stack (functions/text.py quality_score) lacks: CCNet §2.2
+filters on a learned LM/classifier score, and the standard cheap form of
+that model (fastText: Joulin et al., "Bag of Tricks for Efficient Text
+Classification") is
+
+    score = sigmoid( mean_f w[bucket(f)] + bias )
+
+over unigram+bigram features hashed into D buckets (the hashing trick —
+collisions are part of the model). fastText's own feature hash is a
+multiplicative rolling hash; ours is the same class, chosen to be exactly
+replayable in ANSI SQL (the engine's Knuth-coin convention,
+operators/sampling.py):
+
+    h(f)      = fold over codepoints: h = (h*31 + cp) mod 1_000_000_007
+    bucket(f) = (h * 2654435761) mod D
+
+Scale shape: tokenize -> featurize -> hash -> weight-lookup -> mean is
+pure per-row column algebra — ZERO shuffles, fused into the scan
+projection, text never leaves its partition. With a learned weights
+TABLE (bucket -> weight) the lookup becomes one explode + broadcast join
++ map-side-combinable mean (weights are O(D) ~ MBs vs the 100 TB corpus
+— always the broadcast side). No Python in either path; the pure-Python
+twin below exists for differential tests only.
+
+Reference seam: the reference crawler has no content models at all
+(crawler.rs persists bytes); this is task-brief LLM-pipeline scope, the
+learned sibling of functions/text.py:quality_score.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POLY_P = 1_000_000_007
+KNUTH_32 = 2_654_435_761
+_W_P = 1_000_003  # synthetic-weight modulus (deterministic pseudo-model)
+
+
+def _norm(text: Column) -> Column:
+    # the engine-wide dedup identity transform (dedup.norm_text_col)
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def feature_bucket_col(feat: Column, n_buckets: int) -> Column:
+    """SQL-replayable feature hash: polynomial-31 codepoint fold mod
+    1e9+7, then the Knuth multiplicative mix mod ``n_buckets``. All
+    intermediates fit bigint: acc*31+cp <= ~3.1e10, h*K <= ~2.7e18."""
+    cps = F.transform(F.split(feat, ""), lambda c: F.ascii(c).cast("bigint"))
+    h = F.aggregate(
+        cps,
+        F.lit(0).cast("bigint"),
+        lambda acc, cp: F.pmod(acc * F.lit(31) + cp, F.lit(POLY_P)),
+    )
+    return F.pmod(h * F.lit(KNUTH_32), F.lit(n_buckets))
+
+
+def synthetic_weight_col(bucket: Column) -> Column:
+    """Deterministic pseudo-model weight in [-1, 1): a fixed arithmetic
+    function of the bucket id, replayable anywhere. Stands in for learned
+    weights in oracle-checked runs; real models pass a weights table."""
+    return (
+        F.pmod(bucket * F.lit(KNUTH_32), F.lit(_W_P)).cast("double")
+        / F.lit(float(_W_P)) * F.lit(2.0) - F.lit(1.0)
+    )
+
+
+def _features(text: Column) -> Column:
+    """Unigram + bigram word features of the normalized text (fastText's
+    wordNgrams=2 configuration). Empty/whitespace docs -> empty array."""
+    norm = _norm(text)
+    words = F.split(norm, " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(words, bigrams)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(feats)
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    weights: DataFrame | None = None,
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Score every document with the hashed linear model (module doc).
+
+    ``weights=None`` (default): the synthetic arithmetic pseudo-model —
+    the whole scorer is one in-row fold, zero shuffles, zero joins.
+    ``weights`` = (bucket bigint, weight double) rows: real learned
+    weights; features explode and broadcast-join the table (missing
+    buckets weigh 0.0), then a map-side-combinable mean per doc.
+
+    Output: (id_col, n_feats, out_col) for EVERY input row; docs with no
+    words score null with n_feats 0. Scores round to 6 dp.
+    """
+    idc = F.col(id_col)
+    feats = _features(F.col(text_col))
+    if weights is None:
+        buckets = F.transform(feats, lambda f: feature_bucket_col(f, n_buckets))
+        s = F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc + synthetic_weight_col(b),
+        )
+        n = F.size(feats)
+        mean = s / n.cast("double") + F.lit(float(bias))
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+        return df.select(
+            idc,
+            n.cast("bigint").alias("n_feats"),
+            F.when(n > 0, F.round(score, 6)).alias(out_col),
+        )
+    exploded = (
+        df.select(idc, feats.alias("__feats"))
+        .select(idc, F.explode_outer("__feats").alias("__f"))
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("__f").isNotNull(),
+                feature_bucket_col(F.col("__f"), n_buckets),
+            ),
+        )
+    )
+    joined = exploded.join(F.broadcast(weights), on="bucket", how="left")
+    agg = joined.groupBy(idc).agg(
+        F.count("__f").alias("n_feats"),
+        F.avg(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__mean"),
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__mean") + F.lit(float(bias)))))
+    return agg.select(
+        idc,
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.when(F.col("n_feats") > 0, F.round(score, 6)).alias(out_col),
+    )
+
+
+# -- pure-Python twin (differential tests ONLY — never on the hot path) ----
+
+
+def feature_bucket_py(feat: str, n_buckets: int) -> int:
+    h = 0
+    for ch in feat:
+        h = (h * 31 + ord(ch)) % POLY_P
+    return (h * KNUTH_32) % n_buckets
+
+
+def score_text_py(
+    text: str,
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    weight_fn=None,
+) -> tuple[int, float | None]:
+    """(n_feats, score) for one document — an independent reimplementation
+    of classifier_score's math (python loop vs column fold) used to
+    differentially test the Spark path."""
+    if weight_fn is None:
+        def weight_fn(b):  # synthetic_weight_col's twin
+            return ((b * KNUTH_32) % _W_P) / _W_P * 2.0 - 1.0
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    if not norm:
+        return 0, None
+    ws = norm.split(" ")
+    feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    mean = sum(
+        weight_fn(feature_bucket_py(f, n_buckets)) for f in feats
+    ) / len(feats) + bias
+    return len(feats), round(1.0 / (1.0 + math.exp(-mean)), 6)

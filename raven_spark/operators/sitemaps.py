@@ -98,12 +98,18 @@ def fetch_sitemaps(
     timeout_s: int = 5,
     concurrency: int = 8,
     url_col: str = "url",
+    max_bytes: int = 50 * 1024 * 1024,
 ) -> DataFrame:
     """(url) rows -> (url, body) by fetching each sitemap through the
     injected opener (the fetch stage's seam; same thread-pool shape as
     politeness.fetch_robots — sitemap URLs are O(hosts), pure network
     wait). Unfetchable sitemaps (non-200, transport errors, timeouts)
-    yield body='' — zero locs, never an abort."""
+    yield body='' — zero locs, never an abort.
+
+    Bodies are TRUNCATED at ``max_bytes`` (protocol limit: 50 MB per
+    sitemap) so a hostile or malformed endpoint can't balloon executor
+    memory; a cut mid-``<loc>`` just leaves an incomplete tag the
+    extractor ignores."""
     import pandas as pd
 
     if opener is None:
@@ -117,7 +123,7 @@ def fetch_sitemaps(
                 url, method="GET", headers={}, body=None, timeout_s=timeout_s
             )
             if status == 200 and raw:
-                return (url, raw.decode("utf-8", errors="replace"))
+                return (url, raw[:max_bytes].decode("utf-8", errors="replace"))
         except (TimeoutError, OSError):
             pass
         return (url, "")

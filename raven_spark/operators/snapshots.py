@@ -45,6 +45,7 @@ def latest_snapshot(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     tiebreak_col: str | None = None,
+    exclude_not_modified: bool = True,
 ) -> DataFrame:
     """Keep the latest capture per URL; one output row per distinct URL
     with the original schema plus ``n_versions`` (capture count).
@@ -53,7 +54,17 @@ def latest_snapshot(
     xxhash64 of every non-key column, so the winner is a deterministic
     function of row CONTENT, independent of partitioning/row order —
     the invariant every dedup op in this engine guarantees).
+
+    ``exclude_not_modified``: when the input carries a ``result_code``
+    column (the engine's pages table), 304 revalidation rows are dropped
+    BEFORE the latest pick — a 304 capture has an empty body by protocol
+    (operators/http.py), and letting it win would shadow the prior real
+    capture with nothing. They still aren't counted in ``n_versions``
+    (they are recrawls that found no new content). Pass False to rank
+    raw captures as-is.
     """
+    if exclude_not_modified and "result_code" in df.columns:
+        df = df.filter(F.coalesce(F.col("result_code"), F.lit(0)) != 304)
     payload_cols = [c for c in df.columns if c != url_col]
     tb = (
         F.col(tiebreak_col)

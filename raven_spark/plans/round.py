@@ -72,6 +72,27 @@ def frontier_from_urls(
     )
 
 
+def frontier_identity(
+    df: DataFrame, round_no: int = 0, depth: int = 0, priority: int = 100,
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Any URL-bearing DataFrame -> frontier-shaped rows, fully
+    distributed (the DataFrame sibling of frontier_from_urls: sitemap
+    discoveries, imported seed tables — anything too big to pass as a
+    driver list). Rows already carrying the identity columns
+    (with_url_identity output, e.g. discover_sitemap_pages) are used
+    as-is; otherwise identity is derived from ``url``."""
+    if "url_hash" not in df.columns:
+        df = with_url_identity(df, salt_buckets=salt_buckets)
+    return (
+        df.withColumn("priority", F.lit(priority))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("round_added", F.lit(round_no))
+        .withColumn("deferred_count", F.lit(0))
+        .select(*FRONTIER_COLUMNS)
+    )
+
+
 def frontier_from_tasks(
     tasks: DataFrame, round_no: int = 0, priority: int = 100, salt_buckets: int = 256,
 ) -> DataFrame:
@@ -167,10 +188,18 @@ def plan_round(
     output_charset: str = "utf-8",
 ) -> RoundPlan:
     """The round dataflow, materialization-aware: every branch the engine
-    consumes (scheduled/deferred/denied/seen_delta) filters from ONE
-    persisted `staged` DataFrame, so the expensive upstream (delta dedup ->
-    Bloom prune -> anti-join -> robots join -> politeness window) executes
-    exactly once per round regardless of how many outputs are written.
+    consumes (scheduled/deferred/denied/seen_delta) derives from TWO
+    persisted DataFrames — `staged` (the flagged candidate pool, PRE-
+    window, so the expensive upstream delta dedup -> Bloom prune ->
+    anti-join -> robots join executes once) and `sched_cache` (the
+    budget-capped scheduled set, so the politeness window executes once).
+    Persisting BEFORE the window (r3 persisted after) is what lets the
+    WindowGroupLimit prune reach the exchange: a filter on a cached plan
+    can't push into the cache.
+
+    ``host_budget`` is the global per-host maximum; per-host overrides in
+    ``host_budgets`` may only LOWER it (larger values are capped — the
+    literal maximum is what bounds the window's skew).
     """
     # 1. within-delta dedup: one candidate per url_hash, canonical order.
     #    Fast path: groupBy-min over a struct (map-side combinable). When
@@ -209,22 +238,45 @@ def plan_round(
     else:
         flagged = flagged.withColumn("host_budget", F.lit(None).cast("int"))
 
-    # 4. politeness budget: ONE window ranks allowed rows first within each
-    #    host (robots_ok DESC leads the order), so denied rows never consume
-    #    budget slots and allowed ranks are unaffected by their presence.
+    # 4. politeness budget, skew-bounded. Ranking only ALLOWED rows (denied
+    #    rows never enter the pool, so they consume no budget slots and
+    #    ranks match the old robots_ok-DESC-ordered window exactly) and
+    #    capping with a LITERAL bound first is what lets Catalyst infer a
+    #    WindowGroupLimit: every map task pre-prunes to its own
+    #    top-`host_budget` rows per host BEFORE the exchange, so a
+    #    10^7-row Zipf host shuffles <= budget x map-partitions rows and
+    #    never full-sorts in one task. `host_budget` is the global
+    #    per-host MAXIMUM — per-host overrides (robots crawl-delay,
+    #    effective_budget_col) may only lower it, which the exact filter
+    #    applies on the pruned survivors; a surviving row's rank equals
+    #    its true rank because every row ordered before it also survives
+    #    the literal prune.
+    ok = F.col("robots_ok")
+    staged = flagged.persist()  # pre-window: all branches filter this ONE materialization
+    pool = staged.filter(ok)
     w = Window.partitionBy("host").orderBy(
-        F.col("robots_ok").desc(),
         F.col("priority").asc(), F.col("depth").asc(), F.col("url_hash").asc()
     )
-    staged = flagged.withColumn("host_rank", F.row_number().over(w)).persist()
-
-    ok = F.col("robots_ok")
-    in_budget = F.col("host_rank") <= F.coalesce(F.col("host_budget"), F.lit(host_budget))
-    scheduled = staged.filter(ok & in_budget).drop("robots_ok", "host_budget")
-    denied = staged.filter(~ok).drop("robots_ok", "host_rank", "host_budget")
+    in_budget_exact = F.col("host_rank") <= F.least(
+        F.coalesce(F.col("host_budget"), F.lit(host_budget)), F.lit(host_budget)
+    )
+    sched_cache = (
+        pool.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.lit(int(host_budget)))  # literal -> WindowGroupLimit
+        .filter(in_budget_exact)
+        .drop("robots_ok", "host_budget")
+        .persist()
+    )
+    scheduled = sched_cache
+    denied = staged.filter(~ok).drop("robots_ok", "host_budget")
+    # deferral needs the overflow ROWS, not their ranks: the complement of
+    # the scheduled set within the allowed pool (url_hash is unique per
+    # delta after step 1, so the anti-join is exact). At scale this is one
+    # hash-partitioned anti-join on an 8-byte key — parallel — where the
+    # old single full-rank window serialized the hot host into one task.
     deferred = (
-        staged.filter(ok & ~in_budget)
-        .drop("robots_ok", "host_rank", "host_budget")
+        pool.join(sched_cache.select("url_hash"), on="url_hash", how="left_anti")
+        .drop("robots_ok", "host_budget")
         .withColumn("priority", F.greatest(F.col("priority") - F.lit(1), F.lit(0)))
         .withColumn("deferred_count", F.col("deferred_count") + 1)
         .withColumn("round_added", F.lit(round_no + 1))
@@ -253,9 +305,10 @@ def plan_round(
         )
 
     seen_delta = (
-        staged.filter((ok & in_budget) | ~ok)
-        .select("url_hash", "url_canon")
+        sched_cache.select("url_hash", "url_canon")
+        .unionByName(denied.select("url_hash", "url_canon"))
         .withColumn("round_seen", F.lit(round_no))
     )
     return RoundPlan(scheduled=scheduled, deferred=deferred, denied=denied,
-                     results=results, seen_delta=seen_delta, cached=[staged])
+                     results=results, seen_delta=seen_delta,
+                     cached=[staged, sched_cache])

@@ -65,10 +65,16 @@ def _budget_fn(budget: int, window_seconds: int):
             state.remove()
             return
         win_start, used = state.get if state.exists else (None, 0)
-        out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # buffer the WHOLE micro-batch for this host before sorting: a
+        # per-chunk sort would make WHICH rows get admitted depend on
+        # Arrow chunk boundaries (budget totals stay right, row identity
+        # doesn't) — concatenating first keeps the admitted SET a pure
+        # function of the batch's contents. Memory is one host's
+        # micro-batch slice, the same bound the sort itself needs.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = None
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(
                 ["event_ts", "url_hash"], kind="mergesort"
             ).reset_index(drop=True)
@@ -86,20 +92,25 @@ def _budget_fn(budget: int, window_seconds: int):
                 used, 0,
             )
             admitted = (rank + carry) < budget
-            out.append(
-                pdf[["host", "url_canon", "url_hash", "event_ts"]].assign(
-                    admitted=admitted
-                )
+            out = pdf[["host", "url_canon", "url_hash", "event_ts"]].assign(
+                admitted=admitted
             )
             last_w = int(w.iloc[-1])
             last_carry = used if (win_start is not None and last_w == win_start) else 0
             used = last_carry + int(admitted[w.to_numpy() == last_w].sum())
             win_start = last_w
         state.update((win_start if win_start is not None else 0, used))
-        # evict hosts idle for a full window beyond the current one
+        # evict hosts idle for a full window beyond the current one. NOTE
+        # (replay-stability bound): eviction is processing-time based, so
+        # a row arriving for a still-open EVENT window after >=
+        # 2*window_seconds of wall-clock host idleness restarts used=0 and
+        # can over-admit; replay determinism holds within that horizon.
+        # An event-time eviction needs a watermark column on the input
+        # (EventTimeTimeout) — callers that replay cold history should
+        # widen window_seconds or feed a watermarked stream.
         state.setTimeoutDuration(2 * window_seconds * 1000)
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        if out is not None:
+            yield out
 
     return fn
 

@@ -199,6 +199,28 @@ def test_dedup_within_doc(spark):
     assert out[4]["text_dedup"] == "" and out[4]["dropped_units"] == 0
 
 
+def test_dedup_within_doc_long_doc_linear(spark):
+    """A 2.4k-unit document (the r3 quadratic-cliff regression: the old
+    accumulator fold cost O(units^2) copies) dedups correctly and fast —
+    the sort-based kernel is O(n log n) per row. Pattern: 1200 distinct
+    units each repeated twice, interleaved; survivors are the 1200 firsts
+    in order."""
+    import time
+
+    from raven_spark.operators.pipeline import dedup_within_doc
+
+    n = 1200
+    units = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h" for i in range(n)]
+    text = " ".join(u for i in range(n) for u in (units[i], units[i]))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    row = dedup_within_doc(df).collect()[0]
+    assert row["dropped_units"] == n
+    assert row["text_dedup"] == " ".join(units)
+    # generous wall bound: the quadratic fold took minutes here
+    assert time.time() - t0 < 60
+
+
 def test_unigram_logprob(spark):
     """Common-word docs outscore rare-word docs; empty docs score null;
     values are partition-invariant."""

@@ -60,6 +60,27 @@ def test_latest_snapshot_partition_invariant(spark):
     assert len(one) == len({r[0] for r in [(f"https://h{i % 5}.example/p{i % 23}",) for i in range(300)]})
 
 
+def test_latest_snapshot_304_rows_never_shadow_bodies(spark):
+    """A later 304 revalidation capture (empty body by protocol) must not
+    win the latest pick over the prior real capture; with
+    exclude_not_modified=False the raw ranking is preserved."""
+    rows = [
+        ("https://a.example/p", TS(10), "real body", 200),
+        ("https://a.example/p", TS(20), "", 304),
+        ("https://b.example/q", TS(5), "only", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, result_code int"
+    )
+    out = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert out["https://a.example/p"]["text"] == "real body"
+    assert out["https://a.example/p"]["n_versions"] == 1  # 304s aren't versions
+    raw = {r["url"]: r for r in
+           latest_snapshot(df, exclude_not_modified=False).collect()}
+    assert raw["https://a.example/p"]["text"] == ""
+    assert raw["https://a.example/p"]["n_versions"] == 2
+
+
 def test_snapshot_stats_churn(spark):
     rows = [
         # url A: 3 captures, 2 distinct contents -> change_rate 0.5
