@@ -92,6 +92,13 @@ class EngineOptions:
     # configured level EQUALS the event level (instances.rs:93-100):
     # level=error -> failures only, level=info -> completions only.
     notify_poster: object = None
+    # every N rounds, merge the small-delta tables' per-round directories
+    # into one segment (catalog.compact): a 10^4-round crawl otherwise
+    # lists 10^4 directories on every windowed url_seen/filter-shard/
+    # robots/frontier read. Rewrite cost is O(those tables) — hashes and
+    # rules, never page bodies (pages is append-only and excluded). None
+    # = off.
+    compact_every: int | None = None
     # callable(hosts_df: DataFrame[host]) -> ROBOTS_SCHEMA DataFrame.
     # When set, the engine fetches rules for every host the crawl reaches
     # BEFORE scheduling it: round 0 covers the seed hosts, and each later
@@ -556,6 +563,25 @@ class CrawlEngine:
         srow = outs["summary"]
         n_fetched = int(srow["tasks"] or 0)
         tp = _mark("derived_writes", tp)
+
+        if (
+            self.opt.compact_every
+            and round_no > 0
+            and round_no % self.opt.compact_every == 0
+        ):
+            # compact BEFORE the round commits, bounded at round_no-1: a
+            # crash mid-compaction re-runs this round, whose own delta
+            # dirs are then re-appended — excluding them from the merge
+            # keeps that re-append from duplicating rows already folded
+            # into a segment. The orphan/retry behavior of compact()
+            # itself is crash-consistent (see catalog.compact).
+            tcomp = time.time()
+            tables = ["url_seen", "frontier", "robots"]
+            if self.opt.bloom_shards:
+                tables.append("cuckoo" if self.opt.seen_filter == "cuckoo" else "bloom")
+            for t in tables:
+                self.catalog.compact(t, upto_round=round_no - 1)
+            phase_ms["compaction"] = int((time.time() - tcomp) * 1000)
 
         stats = {
             "tasks": n_fetched,

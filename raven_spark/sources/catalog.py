@@ -43,6 +43,8 @@ class Catalog(Protocol):
 
     def last_round(self, name: str) -> int | None: ...
 
+    def compact(self, name: str, upto_round: int | None = None) -> bool: ...
+
 
 class ParquetCatalog:
     """Round-partitioned Parquet directories under a state root.
@@ -209,20 +211,100 @@ class ParquetCatalog:
             if (upto_round is None or r <= upto_round)
             and (from_round is None or r >= from_round)
         ]
-        if not rounds:
+        # compacted segments whose [lo, hi] span OVERLAPS the window join
+        # the scan; rows outside the window are cut by the row-level round
+        # filter below (round is a DATA column inside a segment, so any
+        # window boundary stays exact even mid-segment)
+        segs = [
+            (lo, hi) for lo, hi in manifest.get("segments", [])
+            if (upto_round is None or lo <= upto_round)
+            and (from_round is None or hi >= from_round)
+        ]
+        if not rounds and not segs:
             return None
-        paths = [self._join(name, f"round={r}") for r in rounds]
-        df = self.spark.read.option("basePath", self._join(name)).parquet(*paths)
-        if "round" not in df.columns:
-            return df
+        dfs = []
+        if rounds:
+            paths = [self._join(name, f"round={r}") for r in rounds]
+            dfs.append(
+                self.spark.read.option("basePath", self._join(name)).parquet(*paths)
+            )
+        for lo, hi in segs:
+            dfs.append(self.spark.read.parquet(self._join(name, f"segment_{lo}_{hi}")))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        if segs and "round" in df.columns:
+            if from_round is not None:
+                df = df.filter(F.col("round") >= from_round)
+            if upto_round is not None:
+                df = df.filter(F.col("round") <= upto_round)
         return df
 
+    def compact(self, name: str, upto_round: int | None = None) -> bool:
+        """Merge the table's per-round delta directories (and any earlier
+        segments) up to ``upto_round`` into ONE segment directory — the
+        Iceberg rewrite_data_files analogue for the Parquet fallback. A
+        10^4-round crawl otherwise lists 10^4 directories (and their
+        footers) on EVERY windowed read; after compaction the history is
+        one columnar segment with ``round`` as an ordinary column, so
+        windowed reads (TTL, resume) stay exact via row-level filtering
+        and benefit from parquet min/max round stats.
+
+        Crash-consistent like append: the segment is fully written before
+        the manifest flips to it (a torn segment is unreferenced); source
+        directories are removed best-effort AFTER the manifest commit
+        (orphans are invisible to readers). Returns True if a merge ran.
+        """
+        manifest = self._load_manifest(name)
+        rounds = [
+            r for r in manifest["rounds"] if upto_round is None or r <= upto_round
+        ]
+        segs = [
+            (lo, hi) for lo, hi in manifest.get("segments", [])
+            if upto_round is None or hi <= upto_round
+        ]
+        if len(rounds) + len(segs) < 2:
+            return False  # nothing to merge
+        df = self.read(name, upto_round=upto_round)
+        bounds = [*rounds, *(b for s in segs for b in s)]
+        lo, hi = min(bounds), max(bounds)
+        out = df.withColumn("round", F.col("round").cast("int"))
+        out.write.mode("overwrite").parquet(self._join(name, f"segment_{lo}_{hi}"))
+        manifest["rounds"] = [r for r in manifest["rounds"] if r not in set(rounds)]
+        manifest["segments"] = sorted(
+            [list(s) for s in manifest.get("segments", []) if tuple(s) not in set(segs)]
+            + [[lo, hi]]
+        )
+        self._save_manifest(name, manifest)
+        for r in rounds:
+            self._rm(self._join(name, f"round={r}"))
+        for slo, shi in segs:
+            if (slo, shi) != (lo, hi):
+                self._rm(self._join(name, f"segment_{slo}_{shi}"))
+        return True
+
+    def _rm(self, path_str: str) -> None:
+        """Best-effort recursive delete (post-commit cleanup only — a
+        survivor is an invisible orphan, never a correctness issue)."""
+        try:
+            if self._is_uri:
+                fs, jp = self._hfs(path_str)
+                fs.delete(jp, True)
+                return
+            import shutil
+
+            shutil.rmtree(path_str, ignore_errors=True)
+        except Exception:  # noqa: BLE001
+            pass
+
     def exists(self, name: str) -> bool:
-        return bool(self._load_manifest(name)["rounds"])
+        m = self._load_manifest(name)
+        return bool(m["rounds"] or m.get("segments"))
 
     def last_round(self, name: str) -> int | None:
-        rounds = self._load_manifest(name)["rounds"]
-        return max(rounds) if rounds else None
+        m = self._load_manifest(name)
+        cands = list(m["rounds"]) + [hi for _lo, hi in m.get("segments", [])]
+        return max(cands) if cands else None
 
 
 class IcebergCatalog:
@@ -266,6 +348,13 @@ class IcebergCatalog:
             return None
         row = self.spark.table(self._t(name)).agg(F.max("round")).first()
         return row[0]
+
+    def compact(self, name: str, upto_round: int | None = None) -> bool:
+        """Small-file maintenance on Iceberg is the engine's own
+        ``rewrite_data_files`` procedure (table layout is unchanged —
+        round stays a data column); run it out-of-band via CALL when the
+        runtime ships the procedures. No-op here."""
+        return False
 
 
 def catalog_for_sink(spark: SparkSession, method) -> Catalog:

@@ -59,6 +59,49 @@ def test_data_round_column_dropped_on_append(spark, tmp_path):
     assert out.columns.count("round") == 1  # partition col only, no shadow
 
 
+def test_compact_merges_rounds_and_keeps_windows_exact(spark, tmp_path):
+    """compact() folds round dirs into one segment; windowed reads whose
+    from/upto boundaries fall MID-segment still slice row-exactly (round
+    becomes a data column); later appends, recompaction, idempotent
+    re-append, and last_round all keep working."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    for r in range(5):
+        cat.append("t", _df(spark, [10 * r, 10 * r + 1], r), r)
+    assert cat.compact("t", upto_round=3) is True
+    # physical layout: one segment + round=4
+    names = sorted(os.listdir(os.path.join(str(tmp_path), "t")))
+    assert [n for n in names if n.startswith("segment_")] == ["segment_0_3"]
+    assert [n for n in names if n.startswith("round=")] == ["round=4"]
+    # full read unchanged
+    assert sorted(r["v"] for r in cat.read("t").collect()) == sorted(
+        v for r in range(5) for v in (10 * r, 10 * r + 1)
+    )
+    # boundaries inside the segment
+    assert sorted(r["v"] for r in cat.read("t", upto_round=1).collect()) == [0, 1, 10, 11]
+    assert sorted(r["v"] for r in cat.read("t", from_round=2, upto_round=3).collect()) == [20, 21, 30, 31]
+    # window spanning segment + live round dir
+    assert sorted(r["v"] for r in cat.read("t", from_round=3).collect()) == [30, 31, 40, 41]
+    assert cat.last_round("t") == 4 and cat.exists("t")
+    # `round` survives as a usable column everywhere
+    assert set(r["round"] for r in cat.read("t").select("round").collect()) == set(range(5))
+    # append after compaction + recompact everything (segment + rounds)
+    cat.append("t", _df(spark, [50], 5), 5)
+    assert cat.compact("t") is True
+    names = sorted(os.listdir(os.path.join(str(tmp_path), "t")))
+    assert [n for n in names if n.startswith("segment_")] == ["segment_0_5"]
+    assert not [n for n in names if n.startswith("round=")]
+    assert cat.read("t").count() == 11 and cat.last_round("t") == 5
+    # idempotent re-append of a compacted round is the ONE caveat the
+    # engine honors by compacting only upto round-1 — a fresh round
+    # append after full compaction still reads correctly
+    cat.append("t", _df(spark, [60], 6), 6)
+    assert sorted(r["v"] for r in cat.read("t", from_round=5).collect()) == [50, 60]
+    # single remaining source -> nothing to merge
+    cat2 = ParquetCatalog(spark, str(tmp_path / "solo"))
+    cat2.append("u", _df(spark, [1], 0), 0)
+    assert cat2.compact("u") is False
+
+
 def test_parquet_catalog_uri_root_file_scheme(spark, tmp_path):
     """P3: the URI code path (Hadoop FileSystem manifest I/O + Spark URI
     writes) — the exact path an s3a:// root takes — exercised with

@@ -162,6 +162,87 @@ def test_resume_is_exact(spark, corpus, tmp_path):
         ), table
 
 
+def test_compaction_preserves_state_and_resume(spark, corpus, tmp_path):
+    """compact_every=1 (segments merged mid-run every round): final
+    pages/url_seen/text state is identical to the uncompacted run, the
+    per-round delta dirs really are merged, and resume after a 'crash'
+    still lands on the same state with compaction enabled."""
+    import os
+
+    seeds = seed_urls(10, N_PAGES)
+    plain = _engine(spark, corpus, str(tmp_path / "plain"))
+    plain.run(seed_urls=seeds, max_rounds=3)
+
+    def _compacting(d):
+        cfg = RavenConfig(
+            name="e2e",
+            request=RavenRequest(url="https://ignored/", max_retry=1),
+            host_budget_per_round=50,
+            max_rounds=3,
+        )
+        return CrawlEngine(
+            spark, cfg, d, SyntheticFetcher(corpus, seed=42),
+            options=EngineOptions(
+                expected_total_urls=4096, shuffle_partitions=8, compact_every=1
+            ),
+        )
+
+    comp = _compacting(str(tmp_path / "comp"))
+    comp.run(seed_urls=seeds, max_rounds=3)
+    for table in ("pages", "url_seen", "text"):
+        key = "url_hash" if table != "text" else "url"
+        a = sorted(r[key] for r in plain.table(table).select(key).collect())
+        b = sorted(r[key] for r in comp.table(table).select(key).collect())
+        assert a == b, table
+    # the url_seen history is physically one segment + at most the last
+    # round's delta dir
+    seen_dir = str(tmp_path / "comp" / "url_seen")
+    round_dirs = [d for d in os.listdir(seen_dir) if d.startswith("round=")]
+    seg_dirs = [d for d in os.listdir(seen_dir) if d.startswith("segment_")]
+    assert len(seg_dirs) == 1 and len(round_dirs) <= 1, (round_dirs, seg_dirs)
+
+    # crash after round 1 (compaction already ran), resume to completion
+    part = _compacting(str(tmp_path / "part"))
+    part.run(seed_urls=seeds, max_rounds=2)
+    part2 = _compacting(str(tmp_path / "part"))
+    assert part2.last_completed_round() == 1
+    part2.resume(max_rounds=3)
+    for table in ("pages", "url_seen", "text"):
+        key = "url_hash" if table != "text" else "url"
+        a = sorted(r[key] for r in plain.table(table).select(key).collect())
+        b = sorted(r[key] for r in part2.table(table).select(key).collect())
+        assert a == b, table
+
+
+def test_compaction_with_ttl_window_reads(spark, corpus, tmp_path):
+    """TTL windows slice COMPACTED history row-exactly: the seen_ttl run
+    with compact_every=1 refetches exactly like the uncompacted TTL run
+    (from_round boundaries fall mid-segment and must still apply)."""
+    seeds = seed_urls(10, N_PAGES)
+
+    def run(d, compact_every):
+        cfg = RavenConfig(
+            name="e2e",
+            request=RavenRequest(url="https://ignored/", max_retry=1),
+            host_budget_per_round=50,
+            max_rounds=4,
+        )
+        eng = CrawlEngine(
+            spark, cfg, d, SyntheticFetcher(corpus, seed=42),
+            options=EngineOptions(
+                expected_total_urls=4096, shuffle_partitions=8,
+                seen_ttl_rounds=1, compact_every=compact_every,
+            ),
+        )
+        eng.run(seed_urls=seeds, max_rounds=4)
+        return sorted(
+            (r["url_hash"], r["round"])
+            for r in eng.table("pages").select("url_hash", "round").collect()
+        )
+
+    assert run(str(tmp_path / "nc"), None) == run(str(tmp_path / "cc"), 1)
+
+
 def test_crawl_order_deterministic(spark, corpus, tmp_path):
     """The defined canonical order (round, priority, host_hash, host_rank)
     is identical across two independent runs."""

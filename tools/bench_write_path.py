@@ -35,6 +35,13 @@ VARIANTS = ["count_only", "snappy", "lz4", "zstd", "uncompressed"]
 # dictionary encoding builds + abandons a dictionary per column chunk
 # before falling back to plain; measure the encode tax of that.
 VARIANTS += ["zstd_nodict"]
+# round-4 A/B (VERDICT r3 #5): writer-side levers on the pages append —
+# row-group size (writer buffering + scan granularity), maxRecordsPerFile
+# (file splitting within a task), and the output-partition count of the
+# write (parallel writer tasks; parts_* also resizes the round's shuffle,
+# noted in BASELINE.md). Baseline for these = "zstd" (the session
+# default codec path).
+VARIANTS += ["rowgroup_16mb", "rowgroup_64mb", "maxrec_50k", "parts_2x", "parts_half"]
 
 
 def child(variant: str, cpus: int) -> None:
@@ -48,6 +55,7 @@ def child(variant: str, cpus: int) -> None:
     from raven_spark.sources.corpus import seed_urls
 
     extra = {}
+    write_parts = cpus
     if variant in ("snappy", "lz4", "zstd"):
         extra["spark.sql.parquet.compression.codec"] = variant
     elif variant == "uncompressed":
@@ -55,6 +63,16 @@ def child(variant: str, cpus: int) -> None:
     elif variant == "zstd_nodict":
         extra["spark.sql.parquet.compression.codec"] = "zstd"
         extra["spark.hadoop.parquet.enable.dictionary"] = "false"
+    elif variant == "rowgroup_16mb":
+        extra["spark.hadoop.parquet.block.size"] = str(16 * 1024 * 1024)
+    elif variant == "rowgroup_64mb":
+        extra["spark.hadoop.parquet.block.size"] = str(64 * 1024 * 1024)
+    elif variant == "maxrec_50k":
+        extra["spark.sql.files.maxRecordsPerFile"] = "50000"
+    elif variant == "parts_2x":
+        write_parts = cpus * 2
+    elif variant == "parts_half":
+        write_parts = max(1, cpus // 2)
 
     spark = get_spark(f"wp_{variant}", cpus=cpus, shuffle_partitions=cpus, extra_conf=extra)
     corpus = spark.read.parquet(CORPUS_CACHE)
@@ -70,7 +88,7 @@ def child(variant: str, cpus: int) -> None:
     try:
         eng = CrawlEngine(
             spark, cfg, state, fetcher,
-            options=EngineOptions(expected_total_urls=1 << 20, shuffle_partitions=cpus),
+            options=EngineOptions(expected_total_urls=1 << 20, shuffle_partitions=write_parts),
         )
         if variant == "count_only":
             # compute-only: execute the round pipeline without any write
