@@ -70,6 +70,7 @@ HEADLINE = [
     "q48_unigram_logprob",
     "q49_corpus_stats",
     "q50_trap_scores",
+    "q51_quality_classifier",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
