@@ -25,6 +25,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sf_guess(sf_dir: str) -> float:
+    """Scale factor from the directory name (sfX.Y) — used to SIZE
+    probabilistic structures from known population math instead of a
+    driver-side count() (events ~ 10^6 x sf rows, TESTDATA.md)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -289,7 +302,11 @@ def q17_url_seen_subtract(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     cand = e.select(F.col("event_id").alias("url_hash"), F.col("event_id").cast("string").alias("url_canon"))
     seen = cand.filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
-    bloom = build_bloom(seen, "url_hash", expected_n=max(seen.count(), 16))
+    # size from the KNOWN population (events ~ 10^6 x sf rows, 1/3 seen),
+    # not a driver-side count() — the engine sizes from config the same
+    # way (EngineOptions.expected_total_urls); oversizing only costs bits
+    expected = max(int(1_000_000 * _sf_guess(sf_dir)) // 3, 1 << 10)
+    bloom = build_bloom(seen, "url_hash", expected_n=expected)
     return subtract_seen(cand, seen, bloom=bloom).select("url_hash")
 
 
