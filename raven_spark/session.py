@@ -67,6 +67,16 @@ def get_spark(
         # quantization at the default 128 MB starves half the cores on the
         # last wave at high parallelism)
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("RAVEN_MAX_PART_BYTES", str(32 * 1024 * 1024)))
+        # 16 MB parquet row groups (default 128 MB): with ~18 KB unique
+        # bodies each writer task buffers a whole row group in heap before
+        # flushing — at 16 concurrent writers that's ~2 GB of churn and the
+        # flush serializes encode behind buffering. 16 MB groups flush 8x
+        # more often, pipelining encode with I/O: pages_write dropped
+        # 25-45% across 4 A/B runs with IDENTICAL bytes (+0.08% metadata);
+        # 64 MB and maxRecordsPerFile were washes or losers (BASELINE.md
+        # round-4 A/B). Scan side: derived reads are column-pruned (never
+        # the body column), and 16 MB groups align 2-per-32 MB split.
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
     )
     env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in filter(None, env_extra.split(";")):
