@@ -138,7 +138,11 @@ class CrawlEngine:
         # prefetched rules land at round 0, the per-crawl-round refresh
         # for newly discovered hosts appends at crawl_round + 1 (so
         # re-running a crashed round overwrites exactly its own delta).
-        if robots is not None:
+        # On RESUME the table already exists and is authoritative: round 0
+        # may have been folded into a compacted segment, where a blind
+        # re-append would DUPLICATE every prefetched rule (append's
+        # idempotence is per round DIR; a segment is not re-overwritten).
+        if robots is not None and not self.catalog.exists("robots"):
             self.catalog.append("robots", robots, 0)
 
     _ROBOTS_RULE_COLS = ["host", "allow", "deny", "crawl_delay_s"]

@@ -194,8 +194,22 @@ class ParquetCatalog:
             # the partition directory IS the round column; a duplicate data
             # column would shadow it on read (COLUMN_ALREADY_EXISTS)
             df = df.drop("round")
-        df.write.mode("overwrite").parquet(path)  # idempotent per round
         manifest = self._load_manifest(name)
+        # idempotence guard: re-appending a LIVE round overwrites its dir
+        # (crash-retry safe), but a round already folded into a compacted
+        # segment cannot be overwritten — the rows would exist twice. The
+        # engine keeps this unreachable (compaction is bounded at the
+        # current round - 1; __init__ skips the robots prefetch on
+        # resume); failing loudly here turns any future caller's silent
+        # duplication into an immediate error.
+        for lo, hi in manifest.get("segments", []):
+            if lo <= round_no <= hi:
+                raise ValueError(
+                    f"append({name!r}, round={round_no}): round is inside "
+                    f"compacted segment [{lo}, {hi}] — re-appending would "
+                    "duplicate its rows; write to a new round instead"
+                )
+        df.write.mode("overwrite").parquet(path)  # idempotent per round
         if round_no not in manifest["rounds"]:
             manifest["rounds"].append(round_no)
             manifest["rounds"].sort()

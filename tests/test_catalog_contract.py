@@ -59,6 +59,24 @@ def test_data_round_column_dropped_on_append(spark, tmp_path):
     assert out.columns.count("round") == 1  # partition col only, no shadow
 
 
+def test_append_into_compacted_segment_rejected(spark, tmp_path):
+    """Re-appending a round that was folded into a segment would duplicate
+    its rows (the round-dir overwrite can't reach inside the segment), so
+    append fails loudly; a NEW round and a crash-retry of a LIVE round
+    both still work."""
+    import pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    for r in range(3):
+        cat.append("t", _df(spark, [r], r), r)
+    assert cat.compact("t", upto_round=1) is True
+    with pytest.raises(ValueError, match="segment"):
+        cat.append("t", _df(spark, [99], 0), 0)
+    cat.append("t", _df(spark, [20], 2), 2)  # live round: idempotent retry
+    cat.append("t", _df(spark, [30], 3), 3)  # new round: fine
+    assert sorted(r["v"] for r in cat.read("t").collect()) == [0, 1, 20, 30]
+
+
 def test_compact_merges_rounds_and_keeps_windows_exact(spark, tmp_path):
     """compact() folds round dirs into one segment; windowed reads whose
     from/upto boundaries fall MID-segment still slice row-exactly (round

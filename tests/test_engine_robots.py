@@ -284,3 +284,46 @@ def test_ttl_recrawl_revalidates_with_304(spark, tmp_path):
     assert empt == 0
     text = eng.table("text")
     assert text.select("url").distinct().count() == text.count() == 3
+
+
+def test_prefetched_robots_not_duplicated_on_resume_after_compaction(spark, tmp_path):
+    """Resume re-constructs the engine with the same prefetched rules; the
+    robots table on disk is authoritative (round 0 may already be folded
+    into a compacted segment, where a blind re-append would duplicate
+    every rule row and double the budget-join fan-out)."""
+    corpus = generate_pages(spark, N, seed=42).persist()
+    hosts = [r["host"] for r in corpus.select("host").distinct().collect()]
+    texts = spark.createDataFrame(
+        [(h, "User-agent: *\nDisallow:") for h in hosts],
+        "host string, robots_txt string",
+    )
+
+    cfg = RavenConfig(
+        name="robots-resume",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=50,
+        max_rounds=3,
+    )
+
+    def _eng():
+        return CrawlEngine(
+            spark, cfg, str(tmp_path / "s"), SyntheticFetcher(corpus, seed=42),
+            robots=robots_rules_df(texts),
+            options=EngineOptions(
+                expected_total_urls=4096, shuffle_partitions=8, compact_every=1
+            ),
+        )
+
+    eng = _eng()
+    eng.run(seed_urls=seed_urls(20, N), max_rounds=2)
+    before = eng.table("robots").groupBy("host").count()
+    assert before.filter(F.col("count") > 1).count() == 0
+
+    eng2 = _eng()  # resume: compaction already folded robots round 0
+    after = eng2.table("robots").groupBy("host").count()
+    assert after.filter(F.col("count") > 1).count() == 0
+    assert after.count() == before.count()
+    eng2.resume(max_rounds=3)
+    final = eng2.table("robots").groupBy("host").count()
+    assert final.filter(F.col("count") > 1).count() == 0
+    corpus.unpersist()
