@@ -28,14 +28,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _sf_guess(sf_dir: str) -> float:
     """Scale factor from the directory name (sfX.Y) — used to SIZE
     probabilistic structures from known population math instead of a
-    driver-side count() (events ~ 10^6 x sf rows, TESTDATA.md)."""
+    driver-side count() (events ~ 10^6 x sf rows, TESTDATA.md).
+
+    A non-conforming name falls back to sf=1.0 WITH a warning: for a
+    Bloom sizing, under-sizing saturates the filter (FPR -> 1, the prune
+    silently does no work) while over-sizing only costs bits — so the
+    blind fallback must be the large one, and never silent."""
     import os
+    import warnings
 
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
         return float(base.replace("sf", ""))
     except ValueError:
-        return 0.01
+        warnings.warn(
+            f"sf_dir basename {base!r} does not parse as sfX.Y; sizing "
+            "probabilistic structures for sf=1.0 (oversize-safe fallback)",
+            stacklevel=2,
+        )
+        return 1.0
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="fetch + honor robots.txt per host (HTTP mode); "
                           "rules are fetched for seed hosts before round 0 "
                           "and refreshed each round for newly discovered hosts")
+    run.add_argument("--compact-every", type=int, default=64, metavar="N",
+                     help="fold per-round state deltas into segments every "
+                          "N rounds (0 disables); long crawls otherwise "
+                          "re-list O(rounds) delta dirs per round")
     run.add_argument("--sitemaps", action="store_true",
                      help="with --robots: follow robots.txt Sitemap: "
                           "pointers (one sitemapindex level) and seed the "
@@ -103,7 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             prefetched_rules = robots_fetcher(seeds.select("host").distinct())
         eng = CrawlEngine(
             spark, config, args.state, fetcher, robots=prefetched_rules,
-            options=EngineOptions(extra_sinks=extra_sinks, robots_fetcher=robots_fetcher),
+            options=EngineOptions(
+                extra_sinks=extra_sinks, robots_fetcher=robots_fetcher,
+                compact_every=args.compact_every or None,
+            ),
         )
         extra_urls_df = None
         if args.sitemaps:
@@ -119,8 +126,12 @@ def main(argv: list[str] | None = None) -> int:
                 .select(F.explode("sitemaps").alias("url"))
                 .distinct()
             )
+            # salt_buckets must match the config: the fetch stage's
+            # host-local politeness relies on every row of a host landing
+            # in the same salt bucket as the config-expanded/link paths
             extra_urls_df = discover_sitemap_pages(
-                pointers, timeout_s=config.request.timeout_s
+                pointers, timeout_s=config.request.timeout_s,
+                salt_buckets=config.salt_buckets,
             )
         eng.bootstrap_from_config(run_ts=run_ts, extra_urls_df=extra_urls_df)
         stats = eng.run(max_rounds=args.max_rounds)

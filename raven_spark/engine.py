@@ -170,6 +170,14 @@ class CrawlEngine:
         known = self.catalog.read("robots", upto_round=round_no)
         if known is not None:
             hosts = hosts.join(known.select("host"), on="host", how="left_anti")
+        # steady state (no newly discovered hosts) must not run the fetch
+        # pipeline or append an empty delta dir: without this guard a
+        # 10^4-round crawl accumulates 10^4 empty robots round dirs that
+        # every later read/refresh re-lists — the O(rounds) listing cost
+        # compaction exists to avoid. isEmpty() is a LIMIT-1 job over the
+        # anti-join: O(new hosts) work, trivially cheap in steady state.
+        if hosts.isEmpty():
+            return
         self.catalog.append("robots", self.opt.robots_fetcher(hosts), round_no + 1)
 
     # -- manifest -------------------------------------------------------------

@@ -59,15 +59,22 @@ from raven_spark.operators.fetch import (
 Opener = Callable[..., tuple]
 
 
-def default_opener(url, method="GET", headers=None, body=None, timeout_s=1):
-    """stdlib urllib opener implementing the Opener contract."""
+def default_opener(url, method="GET", headers=None, body=None, timeout_s=1,
+                   max_bytes=None):
+    """stdlib urllib opener implementing the Opener contract.
+
+    ``max_bytes`` bounds the body AT THE READ (``resp.read(n)``), so a
+    hostile endpoint streaming gigabytes never materializes more than the
+    cap in the Python worker — truncating after a full ``read()`` would
+    protect nothing. None = unbounded (page-fetch parity with the
+    reference, which reads whole bodies)."""
     import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, data=body, method=method, headers=headers or {})
     try:
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            data = resp.read()
+            data = resp.read(max_bytes) if max_bytes is not None else resp.read()
             hdrs = dict(resp.headers.items())
             return resp.status, hdrs, data, hdrs.get("Content-Type")
     except urllib.error.HTTPError as e:  # 4xx/5xx come back as a response
@@ -165,7 +172,8 @@ class PooledOpener:
                 return v
         return None
 
-    def __call__(self, url, method="GET", headers=None, body=None, timeout_s=1):
+    def __call__(self, url, method="GET", headers=None, body=None, timeout_s=1,
+                 max_bytes=None):
         import http.client
         from urllib.parse import urljoin, urlsplit
 
@@ -193,7 +201,17 @@ class PooledOpener:
                 try:
                     conn.request(method, path, body=body, headers=headers)
                     resp = conn.getresponse()
-                    data = resp.read()
+                    if max_bytes is not None:
+                        # bounded read: cap allocation at the socket. Read
+                        # one extra byte to detect overflow; an oversize
+                        # body leaves unread bytes on the connection, which
+                        # would poison keep-alive reuse -> drop it.
+                        data = resp.read(max_bytes + 1)
+                        if len(data) > max_bytes:
+                            data = data[:max_bytes]
+                            self._drop(key)
+                    else:
+                        data = resp.read()
                     hdrs = dict(resp.getheaders())
                     if resp.will_close:
                         self._drop(key)

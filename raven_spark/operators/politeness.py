@@ -156,6 +156,7 @@ def fetch_robots(
     timeout_s: int = 2,
     scheme: str = "https",
     concurrency: int = 16,
+    max_bytes: int = 512 * 1024,
 ) -> DataFrame:
     """(host) rows -> ROBOTS_SCHEMA rules table by fetching
     ``{scheme}://{host}/robots.txt`` through the injected opener (the same
@@ -176,6 +177,8 @@ def fetch_robots(
     — pass concurrency=1 to serialize, pooling buys nothing across
     distinct hosts anyway).
     """
+    import inspect
+
     import pandas as pd
 
     if opener is None:
@@ -185,15 +188,25 @@ def fetch_robots(
 
     from raven_spark.operators.sitemaps import robots_sitemap_urls
 
+    # robots bodies are bounded at the read (RFC 9309 §2.4: parsers may
+    # enforce ~500 KiB; rules past the cap are ignored) so a hostile host
+    # can't balloon the worker. Injected openers without the kwarg fall
+    # back to a post-read slice.
+    try:
+        bounded = "max_bytes" in inspect.signature(opener).parameters
+    except (TypeError, ValueError):
+        bounded = False
+
     def fetch_one(host):
         text = None
         try:
+            kw = {"max_bytes": max_bytes} if bounded else {}
             status, _hdrs, raw, _ct = opener(
                 f"{scheme}://{host}/robots.txt", method="GET",
-                headers={}, body=None, timeout_s=timeout_s,
+                headers={}, body=None, timeout_s=timeout_s, **kw,
             )
             if status == 200 and raw:
-                text = raw.decode("utf-8", errors="replace")
+                text = raw[:max_bytes].decode("utf-8", errors="replace")
         except (TimeoutError, OSError):
             pass  # unreachable -> allow-all
         allow, deny, delay = parse_robots_txt(text, agent)

@@ -72,7 +72,10 @@ def synthetic_weight_col(bucket: Column) -> Column:
 
 def _features(text: Column) -> Column:
     """Unigram + bigram word features of the normalized text (fastText's
-    wordNgrams=2 configuration). Empty/whitespace docs -> empty array."""
+    wordNgrams=2 configuration). Empty/whitespace/NULL docs -> empty
+    array (NULL must not propagate: the synthetic path's F.size would
+    return NULL n_feats while the weights path's explode_outer+count
+    returns 0 — the two scorer paths and the q51 oracle agree on 0)."""
     norm = _norm(text)
     words = F.split(norm, " ")
     n = F.size(words)
@@ -82,7 +85,9 @@ def _features(text: Column) -> Column:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     feats = F.concat(words, bigrams)
-    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(feats)
+    return F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.array().cast("array<string>")
+    ).otherwise(feats)
 
 
 def classifier_score(

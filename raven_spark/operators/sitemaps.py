@@ -106,10 +106,15 @@ def fetch_sitemaps(
     wait). Unfetchable sitemaps (non-200, transport errors, timeouts)
     yield body='' — zero locs, never an abort.
 
-    Bodies are TRUNCATED at ``max_bytes`` (protocol limit: 50 MB per
-    sitemap) so a hostile or malformed endpoint can't balloon executor
-    memory; a cut mid-``<loc>`` just leaves an incomplete tag the
-    extractor ignores."""
+    Bodies are BOUNDED at ``max_bytes`` (protocol limit: 50 MB per
+    sitemap). When the opener supports bounded reads (both package
+    openers do, via ``max_bytes=``) the cap is applied AT THE SOCKET so a
+    hostile endpoint streaming gigabytes never allocates more than the
+    cap in the Python worker; injected openers without the kwarg fall
+    back to a post-read slice (caps downstream memory only). A cut
+    mid-``<loc>`` just leaves an incomplete tag the extractor ignores."""
+    import inspect
+
     import pandas as pd
 
     if opener is None:
@@ -117,10 +122,17 @@ def fetch_sitemaps(
 
         opener = default_opener
 
+    try:
+        bounded = "max_bytes" in inspect.signature(opener).parameters
+    except (TypeError, ValueError):  # builtins / odd callables
+        bounded = False
+
     def fetch_one(url):
         try:
+            kw = {"max_bytes": max_bytes} if bounded else {}
             status, _hdrs, raw, _ct = opener(
-                url, method="GET", headers={}, body=None, timeout_s=timeout_s
+                url, method="GET", headers={}, body=None, timeout_s=timeout_s,
+                **kw,
             )
             if status == 200 and raw:
                 return (url, raw[:max_bytes].decode("utf-8", errors="replace"))

@@ -56,26 +56,33 @@ def latest_snapshot(
     the invariant every dedup op in this engine guarantees).
 
     ``exclude_not_modified``: when the input carries a ``result_code``
-    column (the engine's pages table), 304 revalidation rows are dropped
-    BEFORE the latest pick — a 304 capture has an empty body by protocol
-    (operators/http.py), and letting it win would shadow the prior real
-    capture with nothing. They still aren't counted in ``n_versions``
-    (they are recrawls that found no new content). Pass False to rank
-    raw captures as-is.
+    column (the engine's pages table), 304 revalidation rows are DEMOTED
+    below every real capture in the latest pick — a 304 capture has an
+    empty body by protocol (operators/http.py), and letting it win would
+    shadow the prior real capture with nothing. They aren't counted in
+    ``n_versions`` (they are recrawls that found no new content). The
+    one-output-row-per-distinct-URL contract still holds for a URL whose
+    only in-scope captures ARE 304s (e.g. a windowed pages read whose 200
+    capture falls outside the window): it yields its latest 304 row with
+    ``n_versions = 0`` — present, and flagged as having no real body in
+    this slice — rather than silently vanishing. Pass False to rank raw
+    captures as-is.
     """
     if exclude_not_modified and "result_code" in df.columns:
-        df = df.filter(F.coalesce(F.col("result_code"), F.lit(0)) != 304)
+        real = F.coalesce(F.col("result_code"), F.lit(0)) != 304
+    else:
+        real = F.lit(True)
     payload_cols = [c for c in df.columns if c != url_col]
     tb = (
         F.col(tiebreak_col)
         if tiebreak_col is not None
         else F.xxhash64(*[F.col(c) for c in payload_cols])
     )
-    ordkey = F.struct(F.col(ts_col).alias("ts"), tb.alias("tb"))
+    ordkey = F.struct(real.alias("real"), F.col(ts_col).alias("ts"), tb.alias("tb"))
     payload = F.struct(*[F.col(c) for c in payload_cols])
     agg = df.groupBy(url_col).agg(
         F.max_by(payload, ordkey).alias("__latest"),
-        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(real.cast("int")).cast("bigint").alias("n_versions"),
     )
     return agg.select(
         url_col,

@@ -327,3 +327,50 @@ def test_prefetched_robots_not_duplicated_on_resume_after_compaction(spark, tmp_
     final = eng2.table("robots").groupBy("host").count()
     assert final.filter(F.col("count") > 1).count() == 0
     corpus.unpersist()
+
+
+def test_robots_refresh_skips_rounds_with_no_new_hosts(spark, tmp_path):
+    """Regression (code-review r4): once every reachable host has rules,
+    later rounds must neither invoke the fetch pipeline nor append an
+    empty robots delta — a 10^4-round steady-state crawl would otherwise
+    accumulate 10^4 empty round dirs that every later read re-lists."""
+    corpus = generate_pages(spark, N, seed=42).persist()
+    all_hosts = [r["host"] for r in corpus.select("host").distinct().collect()]
+    calls: list[int] = []
+
+    def robots_fetcher(hosts_df):
+        hosts = [r["host"] for r in hosts_df.collect()]
+        calls.append(len(hosts))
+        texts = spark.createDataFrame(
+            [(h, "User-agent: *\nDisallow:") for h in hosts],
+            "host string, robots_txt string",
+        )
+        return robots_rules_df(texts)
+
+    cfg = RavenConfig(
+        name="robots-steady",
+        request=RavenRequest(url="https://ignored/", max_retry=1),
+        host_budget_per_round=500,
+        max_rounds=4,
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "rs"), SyntheticFetcher(corpus, seed=42),
+        options=EngineOptions(
+            expected_total_urls=4096, shuffle_partitions=8,
+            robots_fetcher=robots_fetcher,
+        ),
+    )
+    # generous budget: every host is discovered and fully ruled quickly,
+    # so at least the last round runs with zero new hosts
+    eng.run(seed_urls=seed_urls(60, N), max_rounds=4)
+
+    manifest_rounds = eng.catalog._load_manifest("robots")["rounds"]
+    # every recorded delta is non-empty...
+    for r in manifest_rounds:
+        delta = eng.catalog.read("robots", upto_round=r, from_round=r)
+        assert delta is not None and delta.count() > 0, f"empty robots delta r{r}"
+    # ...and once all hosts are known, rounds stop appending entirely:
+    # with every corpus host ruled, the final rounds add no manifest entry
+    assert len(manifest_rounds) < 5  # 4 rounds + prefetch slot would be 5
+    assert sum(calls) <= len(all_hosts)
+    corpus.unpersist()

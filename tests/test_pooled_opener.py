@@ -55,6 +55,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
         elif self.path == "/404":
             self._body(b"nope", 404)
+        elif self.path == "/big":
+            self._body(b"A" * 200_000, 200)
         elif self.path == "/close":
             self.close_connection = True
             self._body(b"<html><body>bye</body></html>", 200, {"Connection": "close"})
@@ -240,3 +242,35 @@ def test_invalid_scheme_is_oserror():
         with pytest.raises(OSError):
             op(bad, timeout_s=1)
     op.close()
+
+
+def test_bounded_read_truncates_and_drops_connection(server):
+    """Regression (code-review r4): max_bytes caps the body AT THE READ.
+    An oversize body is truncated to the cap, and the keep-alive
+    connection is dropped (unread bytes would poison the next request on
+    it); an in-cap body keeps the connection pooled."""
+    op = PooledOpener()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    status, _h, body, _c = op(f"{base}/big", method="GET", max_bytes=10_000)
+    assert status == 200 and len(body) == 10_000
+    # oversize read dropped the pooled socket: the next request opens a
+    # fresh connection and still gets a clean response
+    status, _h, body, _c = op(f"{base}/p1", method="GET", max_bytes=10_000)
+    assert status == 200 and b"hello pooled" in body
+    assert op.connections_opened == 2
+    # in-cap body: connection stays pooled across requests
+    for _ in range(3):
+        status, _h, body, _c = op(f"{base}/p2", method="GET", max_bytes=10_000)
+        assert status == 200
+    assert op.connections_opened == 2
+    op.close()
+
+
+def test_default_opener_bounded_read(server):
+    from raven_spark.operators.http import default_opener
+
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    status, _h, body, _c = default_opener(f"{base}/big", max_bytes=4_096)
+    assert status == 200 and len(body) == 4_096
+    status, _h, body, _c = default_opener(f"{base}/p1")
+    assert status == 200 and b"hello pooled" in body

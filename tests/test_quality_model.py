@@ -78,3 +78,24 @@ def test_classifier_plan_is_shuffle_free(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = classifier_score(df, n_buckets=D)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_classifier_null_text_both_paths_agree(spark):
+    """Regression (code-review r4): NULL text must score (n_feats=0,
+    score=NULL) on BOTH scorer paths — the synthetic path used to
+    propagate NULL through F.size (n_feats NULL), disagreeing with the
+    weights path's explode_outer+count (n_feats 0) and failing the q51
+    oracle's coalesce(n_feats, 0) = 0 check."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id long, text string"
+    )
+    synth = {r["doc_id"]: r for r in classifier_score(df, n_buckets=D).collect()}
+    assert synth[1]["n_feats"] == 0 and synth[1]["quality_score"] is None
+    assert synth[2]["n_feats"] > 0
+
+    weights = spark.createDataFrame([(0, 0.5)], "bucket bigint, weight double")
+    learned = {r["doc_id"]: r
+               for r in classifier_score(df, n_buckets=D, weights=weights).collect()}
+    assert learned[1]["n_feats"] == 0 and learned[1]["quality_score"] is None
+    assert (synth[1]["n_feats"], synth[1]["quality_score"]) == (
+        learned[1]["n_feats"], learned[1]["quality_score"])

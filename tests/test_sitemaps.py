@@ -3,6 +3,8 @@ identity plumbing into the frontier, robots Sitemap pointers."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from raven_spark.operators.sitemaps import (
     robots_sitemap_urls,
     sitemap_frontier,
@@ -198,3 +200,62 @@ def test_unescape_order_amp_last(spark):
     df = spark.createDataFrame([("https://a.example/s.xml", body)], "url string, body string")
     locs = [r["loc"] for r in sitemap_locs(df).collect()]
     assert locs == ["https://a.example/p?q=&lt;x"]
+
+
+def test_bootstrap_extra_urls_df_distributed_path(spark, tmp_path):
+    """The DataFrame seeding path (engine.bootstrap_from_config
+    extra_urls_df -> plans.round.frontier_identity): identity-shaped
+    input (discover_sitemap_pages output) seeds round 0 as-is; a bare
+    ``url`` DataFrame derives identity with the CONFIG's salt_buckets, so
+    a host's sitemap rows land in the same salt bucket as its
+    config-expanded rows (the fetch stage's host-local politeness
+    depends on it)."""
+    from raven_spark.config import RavenConfig, RavenRequest
+    from raven_spark.engine import CrawlEngine, EngineOptions
+    from raven_spark.operators.fetch import SyntheticFetcher
+    from raven_spark.operators.sitemaps import sitemap_frontier
+    from raven_spark.sources.corpus import generate_pages
+
+    corpus = generate_pages(spark, 50, seed=3)
+    cfg = RavenConfig(
+        name="smdf",
+        request=RavenRequest(url="https://h1.example/p/0", max_retry=1),
+        host_budget_per_round=50, max_rounds=1, salt_buckets=16,
+    )
+
+    def eng(sub):
+        return CrawlEngine(
+            spark, cfg, str(tmp_path / sub), SyntheticFetcher(corpus, seed=3),
+            options=EngineOptions(expected_total_urls=1024, shuffle_partitions=4),
+        )
+
+    # identity-shaped input: the discover_sitemap_pages output shape
+    bodies = spark.createDataFrame(
+        [("https://h1.example/sitemap.xml",
+          "<urlset><url><loc>https://h1.example/p/7</loc></url>"
+          "<url><loc>https://h2.example/p/9</loc></url></urlset>")],
+        "url string, body string",
+    )
+    shaped = sitemap_frontier(bodies, "url", "body", salt_buckets=cfg.salt_buckets)
+    f0 = eng("a").bootstrap_from_config(extra_urls_df=shaped)
+    urls = {r["url_canon"] for r in f0.select("url_canon").collect()}
+    assert {"https://h1.example/p/7", "https://h2.example/p/9",
+            "https://h1.example/p/0"} <= urls
+    # host-local politeness invariant: every row of a host shares ONE
+    # salt bucket across the config-expanded and sitemap-seeded paths
+    per_host = f0.groupBy("host").agg(
+        F.countDistinct("salt_bucket").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_host), per_host
+
+    # bare url DataFrame: identity derived inside bootstrap with the
+    # config's salt_buckets
+    bare = spark.createDataFrame(
+        [("https://h1.example/p/8",), ("https://h3.example/p/1",)], "url string"
+    )
+    f0b = eng("b").bootstrap_from_config(extra_urls_df=bare)
+    per_host_b = f0b.groupBy("host").agg(
+        F.countDistinct("salt_bucket").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_host_b), per_host_b
+    assert {r["url_canon"] for r in f0b.select("url_canon").collect()} >= {
+        "https://h1.example/p/8", "https://h3.example/p/1",
+    }

@@ -111,3 +111,26 @@ def test_latest_snapshot_plan_is_partial_aggregate(spark):
     # crosses the exchange)
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_latest_snapshot_only_304_url_still_present(spark):
+    """Regression (code-review r4): a URL whose only in-scope captures
+    are 304s (e.g. a windowed pages read whose 200 capture fell outside
+    the window) must still yield one output row — its latest 304 with
+    n_versions=0 — not silently vanish from the per-URL contract."""
+    rows = [
+        ("https://a.example/p", TS(10), "", 304),
+        ("https://a.example/p", TS(20), "", 304),
+        ("https://b.example/q", TS(5), "real", 200),
+        ("https://b.example/q", TS(9), "", 304),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, result_code int"
+    )
+    out = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert set(out) == {"https://a.example/p", "https://b.example/q"}
+    a = out["https://a.example/p"]
+    assert a["n_versions"] == 0 and a["result_code"] == 304
+    assert a["warc_ts"] == TS(20)  # latest of the 304s
+    b = out["https://b.example/q"]
+    assert b["n_versions"] == 1 and b["text"] == "real"
