@@ -53,7 +53,7 @@ def _admit_schema() -> T.StructType:
     ])
 
 
-def _budget_fn(budget: int, window_seconds: int):
+def _budget_fn(budget: int, window_seconds: int, event_time: bool = False):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -81,34 +81,73 @@ def _budget_fn(budget: int, window_seconds: int):
             # event-time aligned windows: replay-stable, no processing time
             ts = pdf["event_ts"].astype("int64") // 10**9
             w = (ts // window_seconds) * window_seconds
-            if win_start is not None:
-                # late rows never reopen a closed window's budget: fold
-                # them into the currently-open window
-                w = w.clip(lower=win_start)
-            # vectorized admission: rank within window + carried usage
-            rank = pdf.groupby(w).cumcount().to_numpy()
-            carry = np.where(
-                w.to_numpy() == (win_start if win_start is not None else -1),
-                used, 0,
-            )
-            admitted = (rank + carry) < budget
+            # event-time mode: rows whose window is already EVICTABLE
+            # (watermark passed its eviction horizon) are denied outright.
+            # Spark does NOT watermark-filter applyInPandasWithState input
+            # (verified empirically on 4.1: numRowsDroppedByWatermark
+            # stays 0), so without this a row arriving after its window's
+            # state was evicted would meet fresh used=0 and over-admit.
+            # Denying is always politeness-safe; such rows route to
+            # deferral like any other non-admitted row.
+            stale = None
+            if event_time:
+                wm_ms = state.getCurrentWatermarkMs()
+                stale_mask = ((w + 2 * window_seconds) * 1000 <= wm_ms).to_numpy()
+                if stale_mask.any():
+                    stale = stale_mask
+            if stale is not None:
+                fresh = pdf[~stale].reset_index(drop=True)
+                w_f = w[~stale].reset_index(drop=True)
+            else:
+                fresh, w_f = pdf, w
+            admitted_all = np.zeros(len(pdf), dtype=bool)
+            if len(fresh):
+                if win_start is not None:
+                    # late-but-not-evictable rows never reopen a closed
+                    # window's budget: fold them into the open window
+                    w_f = w_f.clip(lower=win_start)
+                # vectorized admission: rank within window + carried usage
+                rank = fresh.groupby(w_f).cumcount().to_numpy()
+                carry = np.where(
+                    w_f.to_numpy() == (win_start if win_start is not None else -1),
+                    used, 0,
+                )
+                admitted = (rank + carry) < budget
+                if stale is not None:
+                    admitted_all[~stale] = admitted
+                else:
+                    admitted_all = admitted
+                last_w = int(w_f.iloc[-1])
+                last_carry = (
+                    used if (win_start is not None and last_w == win_start) else 0
+                )
+                used = last_carry + int(admitted[w_f.to_numpy() == last_w].sum())
+                win_start = last_w
             out = pdf[["host", "url_canon", "url_hash", "event_ts"]].assign(
-                admitted=admitted
+                admitted=admitted_all
             )
-            last_w = int(w.iloc[-1])
-            last_carry = used if (win_start is not None and last_w == win_start) else 0
-            used = last_carry + int(admitted[w.to_numpy() == last_w].sum())
-            win_start = last_w
-        state.update((win_start if win_start is not None else 0, used))
-        # evict hosts idle for a full window beyond the current one. NOTE
-        # (replay-stability bound): eviction is processing-time based, so
-        # a row arriving for a still-open EVENT window after >=
-        # 2*window_seconds of wall-clock host idleness restarts used=0 and
-        # can over-admit; replay determinism holds within that horizon.
-        # An event-time eviction needs a watermark column on the input
-        # (EventTimeTimeout) — callers that replay cold history should
-        # widen window_seconds or feed a watermarked stream.
-        state.setTimeoutDuration(2 * window_seconds * 1000)
+        win_val = win_start if win_start is not None else 0
+        state.update((win_val, used))
+        if event_time:
+            # watermarked input (EventTimeTimeout): evict only once the
+            # WATERMARK — event-time progress, not wall clock — passes a
+            # full idle window beyond the open window's end. Any row for
+            # an evicted window arriving later hits the stale-denial
+            # above (same horizon arithmetic), so eviction can never
+            # cause over-admission: the per-window budget invariant holds
+            # unconditionally in this mode.
+            target = (win_val + 2 * window_seconds) * 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target, wm + 1))
+        else:
+            # no watermark available: evict hosts idle for a full window
+            # beyond the current one, by WALL clock. NOTE (replay-stability
+            # bound): a row arriving for a still-open EVENT window after >=
+            # 2*window_seconds of wall-clock host idleness restarts used=0
+            # and can over-admit; replay determinism holds within that
+            # horizon. Pass ``watermark=`` to stateful_host_budget for the
+            # event-time eviction that removes the caveat.
+            state.setTimeoutDuration(2 * window_seconds * 1000)
         if out is not None:
             yield out
 
@@ -120,6 +159,7 @@ def stateful_host_budget(
     budget: int,
     window_seconds: int = 60,
     host_col: str = "host",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming per-host admission control (see module doc).
 
@@ -127,17 +167,36 @@ def stateful_host_budget(
     — the identity columns ``with_url_identity`` produces plus an event
     timestamp. Returns the same rows with ``admitted`` appended; state
     (window_start, used) persists per host across micro-batches.
+
+    ``watermark`` (e.g. ``"10 minutes"``): bound event-time lateness on
+    ``event_ts`` and switch state eviction to EventTimeTimeout — a host's
+    state is removed only when the watermark passes a full idle window
+    beyond its open window, and any row for an already-evictable window
+    is DENIED by the kernel itself (Spark does not watermark-filter this
+    operator's input, so the kernel enforces the horizon). This removes
+    the processing-time mode's over-admission caveat entirely: the
+    per-host-per-window budget holds unconditionally; the trade is that
+    very late rows are denied (routed to deferral) rather than folded
+    into the open window. Without a watermark the operator keeps
+    wall-clock eviction (2 windows idle), which never denies-as-late but
+    can over-admit on >=2-window-stale replays.
     """
+    src = candidates.select(
+        F.col(host_col).alias("host"), "url_canon", "url_hash", "event_ts"
+    )
+    if watermark is not None:
+        src = src.withWatermark("event_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return (
-        candidates.select(
-            F.col(host_col).alias("host"), "url_canon", "url_hash", "event_ts"
-        )
+        src
         .groupBy("host")
         .applyInPandasWithState(
-            _budget_fn(budget, window_seconds),
+            _budget_fn(budget, window_seconds, event_time=watermark is not None),
             outputStructType=_admit_schema(),
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
