@@ -1049,6 +1049,57 @@ def q51_quality_classifier(spark, sf_dir):
     return classifier_score(d, n_buckets=1 << 14, bias=0.0)
 
 
+def q52_warc_roundtrip(spark, sf_dir):
+    """WARC/1.0 container round trip entirely in-plan (sources/warc.py):
+    documents → HTTP response records (deterministic UUIDv5 ids, one
+    gzip member per record, the Common Crawl layout) → xxhash64-bucketed
+    file assembly → streaming member-at-a-time parse → HTTP decode →
+    the original rows. The oracle is the identity transform on
+    documents, so hash-green == the container codec is byte-faithful:
+    any framing/compression/header defect breaks value equality. Scale
+    shape: ONE 8-byte-keyed shuffle into n_files buckets (the export's
+    real layout job; bucket == output file == task), parse memory
+    O(largest record), never the decompressed file."""
+    import pandas as pd
+
+    from raven_spark.sources.warc import (
+        assemble_warc_files,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    files = assemble_warc_files(pages, n_files=8)
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for content in pdf["content"]:
+                for rec in iter_warc_records(bytes(content)):
+                    _st, _hh, body = parse_http_response(rec["block"])
+                    rows.append((
+                        rec["headers"]["warc-target-uri"],
+                        len(body),
+                        body.decode("utf-8"),
+                    ))
+            yield pd.DataFrame(rows, columns=["url", "n_bytes", "text"])
+
+    back = files.select("content").mapInPandas(
+        scan, "url string, n_bytes long, text string"
+    )
+    return back.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1102,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_corpus_stats": q49_corpus_stats,
         "q50_trap_scores": q50_trap_scores,
         "q51_quality_classifier": q51_quality_classifier,
+        "q52_warc_roundtrip": q52_warc_roundtrip,
     }
 
 
@@ -2023,6 +2075,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(1.0 / (1.0 + exp(-a.m)), 6)
                    END AS quality_score
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q52_warc_roundtrip": """
+            SELECT doc_id,
+                   'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents WHERE text IS NOT NULL
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

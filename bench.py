@@ -71,6 +71,7 @@ HEADLINE = [
     "q49_corpus_stats",
     "q50_trap_scores",
     "q51_quality_classifier",
+    "q52_warc_roundtrip",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

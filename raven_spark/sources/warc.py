@@ -1,0 +1,420 @@
+"""WARC/1.0 container source + sink — the Common-Crawl interchange
+format for the pages this engine crawls (ISO 28500; the reference keeps
+fetched bodies only in its sinks, s3.rs:12-43 / local_file.rs, so WARC
+import/export is a Spark-side extension of the P-family, not a port).
+
+Read path (``read_warc``): ``spark.read.format("binaryFile")`` — one
+WARC file per task, the Common Crawl convention (their own Spark tooling
+reads whole .warc.gz files per split; gzip members can't be split
+without an external index, and CC sizes files ~1 GB precisely so that
+file == task is the right granularity at 100 TB: a 100 TB crawl is
+~10^5 files ⇒ ~10^5 tasks, ideal for a 1000-executor cluster). Records
+are parsed by a streaming member-at-a-time gzip scan inside
+``mapInPandas``: peak memory per task is O(largest record), never the
+decompressed file.
+
+Write path (``write_warc``): rows → WARC response records (encoded per
+Arrow batch) → deterministic bucket assembly (``applyInPandas`` keyed on
+``pmod(xxhash64(url), n_files)``, records sorted by canonical URL within
+a bucket — output bytes are a pure function of the input SET, not of
+partitioning) → distributed per-bucket file writes from the executors.
+Each record is its own gzip member (``gzip_members=True``), so any
+standard WARC reader — including this one — can random-access records
+given an offset index.
+
+Determinism: WARC-Record-IDs are name-based UUIDv5 over (url, date) and
+WARC-Date comes from the row's ``warc_ts`` — re-exporting the same table
+yields byte-identical files, which is what makes the round-trip oracle
+(q52) and resume-safe re-exports possible.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import uuid
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_SOFTWARE = "raven-spark-warc/1.0"
+
+# ---------------------------------------------------------------------------
+# record-level codec (pure Python, no Spark) — unit-testable in isolation
+# ---------------------------------------------------------------------------
+
+
+def encode_response_record(
+    url: str,
+    date_iso: str,
+    body: bytes,
+    content_type: str = "text/html",
+    http_status: int = 200,
+    gzip_member: bool = True,
+) -> bytes:
+    """One WARC/1.0 ``response`` record wrapping an HTTP/1.1 response.
+
+    The record id is UUIDv5(NAMESPACE_URL, url + "\\n" + date) — name
+    based, so the encoding is deterministic (no wall clock, no PRNG: the
+    same row always produces the same bytes, at any parallelism).
+    """
+    http_head = (
+        f"HTTP/1.1 {http_status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    block = http_head + body
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
+        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
+        # URIs should be ASCII but real frontiers carry IRIs; UTF-8 the
+        # header line (the parser decodes header values as UTF-8)
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(block)}\r\n".encode("ascii")
+        + _CRLF
+    )
+    record = head + block + _CRLF + _CRLF
+    if not gzip_member:
+        return record
+    # mtime=0: gzip headers carry a timestamp; pin it so re-exports are
+    # byte-identical (same reason parquet writes are dictionary-pinned)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream ONE MEMBER AT A TIME.
+
+    Common Crawl writes one record per member; yielding member-by-member
+    bounds peak memory to the largest record instead of the whole
+    decompressed file (~3-4x the .gz size). Plain (non-gzip) input is
+    yielded whole.
+    """
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=47)  # 47 = auto gzip/zlib header
+        # no max_length, so the whole member decompresses in one call;
+        # the next member's bytes land in unused_data
+        yield d.decompress(rest)
+        rest = d.unused_data
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Scan a WARC file's bytes (gzip-member'd, whole-file gzip, or
+    plain) into dicts: {headers: {lower-name: value}, block: bytes}.
+
+    Framing is Content-Length per the spec; the scan buffers only until
+    the current record is complete (streaming over gzip members), then
+    releases it. Truncated trailing garbage is ignored (CC files
+    occasionally end mid-record after transfer truncation) — a record is
+    only yielded if its full declared block arrived.
+    """
+    buf = b""
+    chunks = _gzip_member_chunks(data)
+    exhausted = False
+
+    def fill() -> bool:
+        nonlocal buf, exhausted
+        if exhausted:
+            return False
+        try:
+            buf += next(chunks)
+            return True
+        except StopIteration:
+            exhausted = True
+            return False
+
+    while True:
+        # locate the header/block boundary, pulling more members as needed
+        while (sep := buf.find(_CRLF + _CRLF)) < 0:
+            if not fill():
+                return
+        head, rest = buf[:sep], buf[sep + 4:]
+        lines = head.split(_CRLF)
+        if not lines or not lines[0].startswith(b"WARC/"):
+            # resync: skip to the next plausible record start
+            nxt = buf.find(b"WARC/", 1)
+            if nxt < 0:
+                if not fill():
+                    return
+                continue
+            buf = buf[nxt:]
+            continue
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            if _:
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            n = int(headers.get("content-length", ""))
+        except ValueError:
+            buf = rest
+            continue
+        while len(rest) < n:
+            if not fill():
+                return  # truncated final record: drop, per docstring
+            rest = buf[sep + 4:]
+        yield {"headers": headers, "block": rest[:n]}
+        # each record ends with two CRLFs before the next one
+        buf = rest[n:].lstrip(_CRLF)
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """HTTP head + body out of a response record's block. Returns
+    (status, lower-cased headers, body). A block that isn't HTTP (e.g.
+    a warcinfo record routed here by mistake) returns (0, {}, block)."""
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return 0, {}, block
+    head = block[:sep].split(_CRLF)
+    try:
+        status = int(head[0].split()[1])
+    except (IndexError, ValueError):
+        return 0, {}, block
+    headers: dict[str, str] = {}
+    for ln in head[1:]:
+        k, _, v = ln.partition(b":")
+        if _:
+            headers[k.decode("ascii", "replace").strip().lower()] = (
+                v.decode("utf-8", "replace").strip()
+            )
+    return status, headers, block[sep + 4:]
+
+
+# ---------------------------------------------------------------------------
+# DataFrame source / sink
+# ---------------------------------------------------------------------------
+
+READ_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("warc_file", T.StringType()),
+])
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC files → the input_hint page shape (url, warc_ts, html, ...).
+
+    One file per task via binaryFile (see module doc for why that is the
+    right split at 100 TB); the record scan is streaming per gzip
+    member. Non-``warc_types`` records (warcinfo, request, metadata) are
+    filtered inside the scan so they never cross Arrow.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    wanted = tuple(w.lower() for w in warc_types)
+
+    def scan(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "").lower()
+                    if wtype not in wanted:
+                        continue
+                    status, _hh, body = (
+                        parse_http_response(rec["block"])
+                        if wtype == "response"
+                        else (0, {}, rec["block"])
+                    )
+                    out.append((
+                        h.get("warc-target-uri"),
+                        pd.Timestamp(h["warc-date"]).tz_localize(None)
+                        if "warc-date" in h else None,
+                        wtype,
+                        status,
+                        _hh.get("content-type"),
+                        body,
+                        fpath,
+                    ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in READ_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(scan, READ_SCHEMA)
+
+
+def warc_pages_table(spark: SparkSession, path: str) -> DataFrame:
+    """WARC dump → the BASELINE input_hint table shape
+    ``(url, warc_ts, html, text, lang)``: charset-decode each response
+    body using its stored HTTP Content-Type (the same WHATWG label
+    resolution the fetch stage uses, charset.py), extract text with the
+    SAME pinned extractor (text.py — so WARC-imported corpora satisfy
+    the byte-identical-text invariant vs a live crawl of the same
+    bytes), then language-ID as plain column algebra on the decoded
+    text. Decode+extract ride the read's mapInPandas output through ONE
+    more Arrow stage; lang stays JVM-side/codegen'd."""
+    from raven_spark.functions.charset import decode_to_str
+    from raven_spark.functions.mime import parse_content_type
+    from raven_spark.functions.text import extract_text, lang_id_col
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def decode(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            texts: list[str | None] = []
+            for body, ctype in zip(pdf["html"], pdf["content_type"]):
+                try:
+                    _mime, charset = parse_content_type(ctype)
+                    s = decode_to_str(bytes(body), charset)
+                    texts.append(extract_text(s))
+                except Exception:
+                    texts.append(None)  # undecodable body: keep the bytes
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "html": pdf["html"],
+                "text": texts,
+            })
+
+    pages = read_warc(spark, path).mapInPandas(decode, schema)
+    return pages.withColumn("lang", lang_id_col(F.col("text")))
+
+
+_FILE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("file_name", T.StringType()),
+    T.StructField("records", T.LongType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+
+def assemble_warc_files(
+    df: DataFrame,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    content_type_col: str | None = None,
+    prefix: str = "part",
+) -> DataFrame:
+    """Pages → (bucket, file_name, records, content) WARC file blobs.
+
+    Bucket = pmod(xxhash64(url), n_files): the assembly shuffle is keyed
+    on an 8-byte hash and each output file's record set — and, after the
+    in-bucket sort by url, its exact bytes — is partition-independent.
+    ``n_files`` sizes files the way CC does (aim ~1 GB compressed): at
+    100 TB pick n_files ≈ bytes/1 GB; each bucket is one task whose
+    memory is one output file, the same bound the write itself needs.
+    """
+    ct = (
+        F.coalesce(F.col(content_type_col), F.lit("text/html"))
+        if content_type_col
+        else F.lit("text/html")
+    )
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("1970-01-01T00:00:00Z"),
+        ).alias("__date"),
+        F.col(body_col).alias("__body"),
+        ct.alias("__ct"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
+        .cast("int").alias("bucket"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url", kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        parts = [
+            encode_response_record(
+                u, d, bytes(b) if b is not None else b"", c
+            )
+            for u, d, b, c in zip(
+                pdf["url"], pdf["__date"], pdf["__body"], pdf["__ct"]
+            )
+        ]
+        return pd.DataFrame({
+            "bucket": [bucket],
+            "file_name": [f"{prefix}-{bucket:05d}.warc.gz"],
+            "records": [len(parts)],
+            "content": [b"".join(parts)],
+        })
+
+    return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Distributed WARC export: assemble file blobs, write each from the
+    executor that built it, return the manifest (file_name, records,
+    bytes) as a DataFrame — no file content ever visits the driver.
+
+    Local/NFS paths are written directly; object-store exports on a real
+    cluster route the same blobs through a cloud SDK in this function's
+    writer (not installed in this sandbox — the seam is the single
+    ``_put`` below, mirroring the catalog's ``_put_uri``).
+    """
+    import os
+
+    target = out_dir[len("file:"):] if out_dir.startswith("file:") else out_dir
+    if "://" in target:
+        raise NotImplementedError(
+            "object-store WARC export needs a cloud SDK on the executors; "
+            "use a file:/ or mounted path here (see docstring)"
+        )
+    files = assemble_warc_files(
+        df, n_files, url_col, ts_col, body_col, content_type_col
+    )
+    os.makedirs(target, exist_ok=True)
+
+    manifest_schema = T.StructType([
+        T.StructField("file_name", T.StringType()),
+        T.StructField("records", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+    ])
+
+    def _put(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for name, nrec, content in zip(
+                pdf["file_name"], pdf["records"], pdf["content"]
+            ):
+                data = bytes(content)
+                tmp = os.path.join(target, f".{name}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.replace(tmp, os.path.join(target, name))  # atomic
+                rows.append((name, int(nrec), len(data)))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "records", "bytes"]
+            )
+
+    return files.mapInPandas(_put, manifest_schema)
