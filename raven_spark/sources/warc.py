@@ -61,13 +61,16 @@ def encode_response_record(
 
     The record id is UUIDv5(NAMESPACE_URL, url + "\\n" + date) — name
     based, so the encoding is deterministic (no wall clock, no PRNG: the
-    same row always produces the same bytes, at any parallelism).
+    same row always produces the same bytes, at any parallelism). The
+    HTTP head encodes as UTF-8 (never crashes on the non-ASCII junk real
+    Content-Type headers carry; this module's parser decodes header
+    values the same way).
     """
     http_head = (
         f"HTTP/1.1 {http_status} OK\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")
     block = http_head + body
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
     head = (
@@ -94,23 +97,73 @@ def encode_response_record(
 
 
 def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream ONE MEMBER AT A TIME.
+    """Decompress a multi-member gzip stream in bounded chunks.
 
-    Common Crawl writes one record per member; yielding member-by-member
-    bounds peak memory to the largest record instead of the whole
-    decompressed file (~3-4x the .gz size). Plain (non-gzip) input is
-    yielded whole.
+    Common Crawl writes one record per member; streaming the
+    decompression bounds peak memory to O(chunk + largest record)
+    instead of the whole decompressed file (~3-4x the .gz size). The
+    compressed input is fed through a memoryview in 1 MiB slices — a
+    whole-remainder feed would copy the tail into ``unused_data`` once
+    PER MEMBER, i.e. O(members x file_bytes) memcpy, which at CC scale
+    (~50k members / 1 GB file) never finishes. Plain (non-gzip) input
+    is yielded whole; trailing non-gzip garbage and a truncated final
+    member end the scan cleanly (the framing layer above only yields
+    complete records anyway).
     """
     if data[:2] != b"\x1f\x8b":
         yield data
         return
-    rest = data
-    while rest:
+    mv = memoryview(data)
+    pos, total = 0, len(data)
+    step = 1 << 20
+    while pos < total:
+        if bytes(mv[pos:pos + 2]) != b"\x1f\x8b":
+            return  # trailing garbage after the last member
         d = zlib.decompressobj(wbits=47)  # 47 = auto gzip/zlib header
-        # no max_length, so the whole member decompresses in one call;
-        # the next member's bytes land in unused_data
-        yield d.decompress(rest)
-        rest = d.unused_data
+        while not d.eof:
+            chunk = mv[pos:pos + step]
+            if len(chunk) == 0:
+                return  # truncated member
+            try:
+                out = d.decompress(bytes(chunk))
+            except zlib.error:
+                return  # corrupt member: stop at the last good record
+            if d.eof:
+                pos += len(chunk) - len(d.unused_data)
+            else:
+                pos += len(chunk)
+            if out:
+                yield out
+
+
+def _parse_header_lines(lines: list[bytes]) -> dict[str, str]:
+    """k/v header lines → {lower-name: value}; duplicate names last-win.
+    Values decode as UTF-8 (what this writer emits; real-world crawl
+    headers carry UTF-8 junk more often than latin-1)."""
+    headers: dict[str, str] = {}
+    for ln in lines:
+        k, sep, v = ln.partition(b":")
+        if sep:
+            headers[k.decode("ascii", "replace").strip().lower()] = (
+                v.decode("utf-8", "replace").strip()
+            )
+    return headers
+
+
+def _warc_date(value: str | None) -> pd.Timestamp | None:
+    """WARC-Date header → tz-naive UTC Timestamp (the read schema's
+    TimestampType). Real crawls carry malformed dates and non-Z offsets;
+    normalizing to UTC and returning None on junk beats a task-killing
+    parse error over a 100 TB scan."""
+    if not value:
+        return None
+    try:
+        ts = pd.Timestamp(value)
+    except (ValueError, TypeError):
+        return None
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
@@ -154,13 +207,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 continue
             buf = buf[nxt:]
             continue
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(b":")
-            if _:
-                headers[k.decode("ascii", "replace").strip().lower()] = (
-                    v.decode("utf-8", "replace").strip()
-                )
+        headers = _parse_header_lines(lines[1:])
         try:
             n = int(headers.get("content-length", ""))
         except ValueError:
@@ -187,14 +234,7 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
         status = int(head[0].split()[1])
     except (IndexError, ValueError):
         return 0, {}, block
-    headers: dict[str, str] = {}
-    for ln in head[1:]:
-        k, _, v = ln.partition(b":")
-        if _:
-            headers[k.decode("ascii", "replace").strip().lower()] = (
-                v.decode("utf-8", "replace").strip()
-            )
-    return status, headers, block[sep + 4:]
+    return status, _parse_header_lines(head[1:]), block[sep + 4:]
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +283,7 @@ def read_warc(
                     )
                     out.append((
                         h.get("warc-target-uri"),
-                        pd.Timestamp(h["warc-date"]).tz_localize(None)
-                        if "warc-date" in h else None,
+                        _warc_date(h.get("warc-date")),
                         wtype,
                         status,
                         _hh.get("content-type"),

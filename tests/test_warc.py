@@ -175,3 +175,61 @@ def test_object_store_export_rejected():
 def test_parse_http_response_non_http_block():
     st, hh, body = parse_http_response(b"not http at all")
     assert (st, hh, body) == (0, {}, b"not http at all")
+
+
+def test_gzip_member_scan_is_chunked_and_robust():
+    """The member scan feeds 1 MiB slices (never the whole remainder —
+    O(members × bytes) memcpy at CC scale) and must survive members
+    larger than one slice, many small members, trailing garbage, and a
+    truncated final member."""
+    from raven_spark.sources.warc import _gzip_member_chunks
+
+    big = encode_response_record(
+        "https://e.x/big", "2026-01-01T00:00:00Z", b"A" * (3 << 20)
+    )
+    small = [
+        encode_response_record(f"https://e.x/{i}", "2026-01-01T00:00:00Z", b"b")
+        for i in range(50)
+    ]
+    data = big + b"".join(small)
+    recs = list(iter_warc_records(data))
+    assert len(recs) == 51
+    assert parse_http_response(recs[0]["block"])[2] == b"A" * (3 << 20)
+
+    # trailing non-gzip garbage: every complete member still parses
+    assert len(list(iter_warc_records(data + b"\x00garbage"))) == 51
+    # truncated final member: prior records survive, the torn one drops
+    assert len(list(iter_warc_records(data[:-20]))) == 50
+    # decompressed byte equality against the one-shot reference decode
+    import gzip as _gz
+    assert b"".join(_gzip_member_chunks(data)) == _gz.decompress(data)
+
+
+def test_warc_date_parsing_is_defensive():
+    from raven_spark.sources.warc import _warc_date
+
+    assert _warc_date(None) is None
+    assert _warc_date("") is None
+    assert _warc_date("not a date") is None
+    ts = _warc_date("2026-01-02T03:04:05Z")
+    assert ts is not None and ts.tzinfo is None
+    assert str(ts) == "2026-01-02 03:04:05"
+    # non-Z offsets normalize to UTC, not wall time
+    assert str(_warc_date("2026-01-02T05:04:05+02:00")) == "2026-01-02 03:04:05"
+
+
+def test_non_ascii_headers_round_trip():
+    """Real crawl headers carry UTF-8 junk; the codec must not crash and
+    must round-trip what it wrote."""
+    rec = encode_response_record(
+        "https://例え.jp/ページ",
+        "2026-01-01T00:00:00Z",
+        "本文".encode("utf-8"),
+        content_type='text/html; charset="utf-8"; note=日本語',
+    )
+    [parsed] = list(iter_warc_records(rec))
+    assert parsed["headers"]["warc-target-uri"] == "https://例え.jp/ページ"
+    st, hh, body = parse_http_response(parsed["block"])
+    assert st == 200
+    assert hh["content-type"] == 'text/html; charset="utf-8"; note=日本語'
+    assert body == "本文".encode("utf-8")
