@@ -1100,6 +1100,58 @@ def q52_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q53_cdx_random_access(spark, sf_dir):
+    """CDX index + random-access fetch (sources/cdx.py): documents →
+    WARC file blobs (q52's deterministic export, but with q45-style
+    varied hosts so SURT keying is exercised) → one-pass CDX build
+    (per-gzip-member offsets, SHA-1/B32 digests, SURT keys) → every
+    record re-read FROM ITS (offset, length) SLICE ALONE in a different
+    task (the ranges cross a real shuffle — the Range-GET contract a
+    10^5-file archive reader depends on). Output columns are all
+    recomputed from the FETCHED payload (sha2/decode JVM-side), so
+    hash-green means the index's byte arithmetic is exact: any
+    off-by-one shifts a slice, breaks the gzip member, and changes the
+    hash. The oracle replays URL construction + SURT (q45's list_reverse
+    replay) + sha256/octet_length over the source text."""
+    from raven_spark.sources.cdx import cdx_index, random_access_fetch
+    from raven_spark.sources.warc import assemble_warc_files
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod(i, 4) == 0, F.lit("www.")).otherwise(
+            F.concat(F.lit("s"), s(F.pmod(i, 13)), F.lit("."))
+        ),
+        F.lit("h"), s(F.pmod(i, 7)), F.lit(".example/p/"), s(i),
+        F.when(F.pmod(i, 3) == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    files = assemble_warc_files(pages, n_files=8).withColumnRenamed(
+        "file_name", "path"
+    )
+    idx = cdx_index(files, file_col="path", content_col="content")
+    fetched = random_access_fetch(files, idx, file_col="path")
+    j = idx.select("warc_file", "offset", "surt", "mime").join(
+        fetched, ["warc_file", "offset"]
+    )
+    return j.select(
+        F.regexp_extract("url", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
+        "url",
+        "surt",
+        "mime",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+        F.decode(F.col("payload"), "utf-8").alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1154,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_trap_scores": q50_trap_scores,
         "q51_quality_classifier": q51_quality_classifier,
         "q52_warc_roundtrip": q52_warc_roundtrip,
+        "q53_cdx_random_access": q53_cdx_random_access,
     }
 
 
@@ -2082,6 +2135,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    text
             FROM documents WHERE text IS NOT NULL
+        """,
+        "q53_cdx_random_access": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ), u AS (
+              SELECT doc_id, text,
+                     'https://'
+                     || CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                        ELSE 's' || CAST(doc_id % 13 AS VARCHAR) || '.' END
+                     || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS url
+              FROM d
+            ), parts AS (
+              SELECT doc_id, text, url,
+                     split_part(split_part(url, '://', 2), '/', 1) AS auth,
+                     substr(split_part(url, '://', 2),
+                            length(split_part(split_part(url, '://', 2), '/', 1)) + 1) AS pq
+              FROM u
+            )
+            SELECT doc_id, url,
+                   array_to_string(list_reverse(string_split(
+                     CASE WHEN auth LIKE 'www.%' THEN substr(auth, 5) ELSE auth END,
+                     '.')), ',')
+                   || ')' || CASE WHEN pq = '' THEN '/' ELSE pq END AS surt,
+                   'text/html' AS mime,
+                   CAST(200 AS INT) AS http_status,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   text
+            FROM parts
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -72,6 +72,7 @@ HEADLINE = [
     "q50_trap_scores",
     "q51_quality_classifier",
     "q52_warc_roundtrip",
+    "q53_cdx_random_access",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -136,6 +136,49 @@ def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
                 yield out
 
 
+def iter_gzip_members_with_offsets(
+    data: bytes,
+) -> Iterator[tuple[int, int, bytes]]:
+    """(compressed_offset, compressed_length, decompressed_bytes) per
+    gzip member — the information a CDX index records: a member's
+    [offset, offset+length) range in the .warc.gz is exactly the HTTP
+    Range a reader fetches to random-access one record (CC writes one
+    record per member). Same bounded slice-feed as
+    ``_gzip_member_chunks`` (never the whole remainder), but each
+    member's output is buffered whole — O(largest record), the same
+    bound the record parse needs anyway. Plain input yields one
+    pseudo-member ``(0, len(data), data)``; trailing garbage and
+    truncated/corrupt members end the scan at the last complete member.
+    """
+    if data[:2] != b"\x1f\x8b":
+        yield 0, len(data), data
+        return
+    mv = memoryview(data)
+    pos, total = 0, len(data)
+    step = 1 << 20
+    while pos < total:
+        if bytes(mv[pos:pos + 2]) != b"\x1f\x8b":
+            return
+        start = pos
+        d = zlib.decompressobj(wbits=47)
+        parts: list[bytes] = []
+        while not d.eof:
+            chunk = mv[pos:pos + step]
+            if len(chunk) == 0:
+                return  # truncated member
+            try:
+                out = d.decompress(bytes(chunk))
+            except zlib.error:
+                return  # corrupt member
+            if d.eof:
+                pos += len(chunk) - len(d.unused_data)
+            else:
+                pos += len(chunk)
+            if out:
+                parts.append(out)
+        yield start, pos - start, b"".join(parts)
+
+
 def _parse_header_lines(lines: list[bytes]) -> dict[str, str]:
     """k/v header lines → {lower-name: value}; duplicate names last-win.
     Values decode as UTF-8 (what this writer emits; real-world crawl
@@ -220,6 +263,49 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         yield {"headers": headers, "block": rest[:n]}
         # each record ends with two CRLFs before the next one
         buf = rest[n:].lstrip(_CRLF)
+
+
+def iter_records_with_extents(
+    member: bytes,
+) -> Iterator[tuple[int, int, dict]]:
+    """Records in one (decompressed) member with their byte extents:
+    yields ``(start, length, {headers, block})`` where [start,
+    start+length) spans the record INCLUDING its two trailing CRLFs.
+    Used by the CDX indexer for plain (uncompressed) WARCs, where a
+    record's extent in the file IS its random-access range (gzip-member
+    files use the member extent instead, ``iter_gzip_members_with_
+    offsets``). Same framing rules as ``iter_warc_records``: resync on
+    garbage, drop a truncated final record."""
+    pos, total = 0, len(member)
+    while pos < total:
+        sep = member.find(_CRLF + _CRLF, pos)
+        if sep < 0:
+            return
+        lines = member[pos:sep].split(_CRLF)
+        if not lines or not lines[0].startswith(b"WARC/"):
+            nxt = member.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        headers = _parse_header_lines(lines[1:])
+        try:
+            n = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = sep + 4
+            continue
+        block_end = sep + 4 + n
+        if block_end > total:
+            return  # truncated final record
+        end = block_end
+        # consume the record's trailing CRLF pair(s) into its extent
+        while member[end:end + 2] == _CRLF:
+            end += 2
+        yield pos, end - pos, {
+            "headers": headers,
+            "block": member[sep + 4: block_end],
+        }
+        pos = end
 
 
 def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:

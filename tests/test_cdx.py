@@ -1,0 +1,148 @@
+"""CDX index: per-member offsets, spec digests, SURT keys, and the
+random-access contract — every record re-readable from its (offset,
+length) slice ALONE, across a shuffle boundary from where the index was
+built. Codec-level cases run on the pure helpers (no Spark)."""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import gzip
+import hashlib
+
+from pyspark.sql import functions as F
+
+from raven_spark.sources.cdx import (
+    cdx_index,
+    cdx_index_from_files,
+    cdx_records,
+    random_access_fetch,
+)
+from raven_spark.sources.warc import (
+    encode_response_record,
+    iter_gzip_members_with_offsets,
+    iter_records_with_extents,
+    read_warc,
+    write_warc,
+)
+
+TS = dt.datetime(2026, 1, 2, 3, 4, 5)
+
+
+def _pages(spark, n=40):
+    rows = [
+        (
+            f"https://host{i % 5}.example/p/{i}",
+            TS + dt.timedelta(seconds=i),
+            (f"<html><body><p>cdx doc {i}</p></body></html>").encode("utf-8"),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+
+
+def test_member_offsets_are_range_fetchable():
+    """Each (offset, length) must decompress standalone with PLAIN
+    gzip.decompress — the Range-GET contract, no shared state."""
+    recs = [
+        encode_response_record(
+            f"https://e.x/{i}", "2026-01-01T00:00:00Z", b"x" * (100 * i + 1)
+        )
+        for i in range(20)
+    ]
+    data = b"".join(recs)
+    members = list(iter_gzip_members_with_offsets(data))
+    assert len(members) == 20
+    assert members[0][0] == 0
+    assert members[-1][0] + members[-1][1] == len(data)
+    for (off, length, plain), original in zip(members, recs):
+        assert data[off:off + length] == original
+        assert gzip.decompress(data[off:off + length]) == plain
+    # offsets are contiguous: member i+1 starts where i ends
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+
+
+def test_plain_record_extents():
+    recs = [
+        encode_response_record(
+            f"https://e.x/{i}", "2026-01-01T00:00:00Z", b"b" * (i + 1),
+            gzip_member=False,
+        )
+        for i in range(5)
+    ]
+    data = b"".join(recs)
+    got = list(iter_records_with_extents(data))
+    assert len(got) == 5
+    for (start, length, rec), original in zip(got, recs):
+        assert data[start:start + length] == original
+        assert rec["headers"]["warc-target-uri"].endswith(
+            str(got.index((start, length, rec)))
+        )
+    rows = cdx_records("f.warc", data)
+    assert [(r[6], r[7]) for r in rows] == [(s, l) for s, l, _ in got]
+
+
+def test_cdx_records_fields_and_digest():
+    body = b"<html>hello</html>"
+    data = encode_response_record(
+        "https://www.example.com/a/b?x=1", "2026-01-02T03:04:05Z", body,
+        content_type="text/html; charset=utf-8",
+    )
+    [row] = cdx_records("crawl-00001.warc.gz", data)
+    url, wdate, wtype, mime, status, digest, off, length, fname = row
+    assert url == "https://www.example.com/a/b?x=1"
+    assert wdate == "2026-01-02T03:04:05Z"
+    assert (wtype, mime, status) == ("response", "text/html", 200)
+    assert digest == base64.b32encode(hashlib.sha1(body).digest()).decode()
+    assert (off, length, fname) == (0, len(data), "crawl-00001.warc.gz")
+
+
+def test_cdx_index_and_random_access_round_trip(spark, tmp_path):
+    """End-to-end: export → index → fetch-by-range in a different task.
+    Every record comes back byte-identical (digest equality joins the
+    index row to its fetched payload) and the SURT key matches the
+    engine's surt_col over the same URL."""
+    out = str(tmp_path / "warcs")
+    write_warc(_pages(spark), out, n_files=4).collect()
+
+    files = spark.read.format("binaryFile").load(f"{out}/*.warc.gz")
+    idx = cdx_index(files).cache()
+    assert idx.count() == 40
+    assert idx.where(F.col("surt").isNull()).count() == 0
+    # surt clusters the corpus: host5 variants → 5 distinct prefixes
+    pref = idx.select(
+        F.split_part("surt", F.lit(")"), F.lit(1)).alias("p")
+    ).distinct()
+    assert pref.count() == 5
+    assert all(r["p"].startswith("example,host") for r in pref.collect())
+
+    fetched = random_access_fetch(files, idx)
+    j = idx.alias("i").join(
+        fetched.alias("f"),
+        (F.col("i.warc_file") == F.col("f.warc_file"))
+        & (F.col("i.offset") == F.col("f.offset")),
+    )
+    assert j.count() == 40
+    assert j.where(F.col("i.digest") != F.col("f.digest")).count() == 0
+    assert j.where(F.col("i.url") != F.col("f.url")).count() == 0
+    # payloads really are the original bodies
+    got = {
+        r["url"]: bytes(r["payload"])
+        for r in fetched.select("url", "payload").collect()
+    }
+    for r in _pages(spark).collect():
+        assert got[r["url"]] == bytes(r["html"])
+
+
+def test_cdx_glob_reader_matches_read_warc(spark, tmp_path):
+    out = str(tmp_path / "warcs")
+    write_warc(_pages(spark, 25), out, n_files=3).collect()
+    idx = cdx_index_from_files(spark, f"{out}/*.warc.gz")
+    via_read = read_warc(spark, f"{out}/*.warc.gz")
+    assert idx.count() == via_read.count() == 25
+    assert (
+        idx.select("url").exceptAll(via_read.select("url")).count() == 0
+    )
