@@ -178,8 +178,16 @@ def random_access_fetch(
     on; any off-by-one in the index breaks this loudly. Emits the parsed
     payload + a recomputed digest so callers can assert digest equality
     against the index (the end-to-end "the index is honest" check)."""
+    # distinct BEFORE grouping: a multi-record member (e.g. a whole-
+    # file-gzip WARC — one member, k records) indexes every record at
+    # the member's extent, and fetching that extent once already yields
+    # all k records. Without the dedupe the fetch would decompress the
+    # member k times and emit k^2 rows. (Callers joining fetch results
+    # back to such an index need the digest in the key — (file, offset)
+    # alone is only unique for one-record-per-member layouts like CC's
+    # and this module's own writer.)
     ranges = (
-        index.select("warc_file", "offset", "length")
+        index.select("warc_file", "offset", "length").distinct()
         .groupBy("warc_file")
         .agg(F.collect_list(F.struct("offset", "length")).alias("ranges"))
     )

@@ -96,22 +96,25 @@ def encode_response_record(
     return buf.getvalue()
 
 
-def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream in bounded chunks.
+def _member_chunk_scan(
+    data: bytes,
+) -> Iterator[tuple[int, int | None, bytes]]:
+    """THE member scanner — both public iterators wrap it, so the
+    tricky parts (magic checks, 1 MiB slice feed, eof/unused_data pos
+    arithmetic, truncation/corruption endings) exist exactly once.
 
-    Common Crawl writes one record per member; streaming the
-    decompression bounds peak memory to O(chunk + largest record)
-    instead of the whole decompressed file (~3-4x the .gz size). The
-    compressed input is fed through a memoryview in 1 MiB slices — a
-    whole-remainder feed would copy the tail into ``unused_data`` once
-    PER MEMBER, i.e. O(members x file_bytes) memcpy, which at CC scale
-    (~50k members / 1 GB file) never finishes. Plain (non-gzip) input
-    is yielded whole; trailing non-gzip garbage and a truncated final
-    member end the scan cleanly (the framing layer above only yields
-    complete records anyway).
+    Yields ``(member_start, member_end, chunk)`` per decompressed chunk;
+    ``member_end`` is None until the chunk that completes the member.
+    The compressed input is fed through a memoryview in 1 MiB slices —
+    a whole-remainder feed would copy the tail into ``unused_data``
+    once PER MEMBER, i.e. O(members x file_bytes) memcpy, which at CC
+    scale (~50k members / 1 GB file) never finishes. Plain (non-gzip)
+    input yields one pseudo-member ``(0, len(data), data)``; trailing
+    non-gzip garbage and a truncated/corrupt final member end the scan
+    at the last complete member.
     """
     if data[:2] != b"\x1f\x8b":
-        yield data
+        yield 0, len(data), data
         return
     mv = memoryview(data)
     pos, total = 0, len(data)
@@ -119,7 +122,9 @@ def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
     while pos < total:
         if bytes(mv[pos:pos + 2]) != b"\x1f\x8b":
             return  # trailing garbage after the last member
+        start = pos
         d = zlib.decompressobj(wbits=47)  # 47 = auto gzip/zlib header
+        pending = b""  # hold one chunk back so member_end rides the last
         while not d.eof:
             chunk = mv[pos:pos + step]
             if len(chunk) == 0:
@@ -133,7 +138,19 @@ def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
             else:
                 pos += len(chunk)
             if out:
-                yield out
+                if pending:
+                    yield start, None, pending
+                pending = out
+        yield start, pos, pending  # final chunk: may be b"" (empty member)
+
+
+def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
+    """Decompressed chunks across all members, memory O(chunk):
+    Common Crawl writes one record per member, so the record framer on
+    top of this never buffers more than one record."""
+    for _start, _end, chunk in _member_chunk_scan(data):
+        if chunk:
+            yield chunk
 
 
 def iter_gzip_members_with_offsets(
@@ -143,40 +160,15 @@ def iter_gzip_members_with_offsets(
     gzip member — the information a CDX index records: a member's
     [offset, offset+length) range in the .warc.gz is exactly the HTTP
     Range a reader fetches to random-access one record (CC writes one
-    record per member). Same bounded slice-feed as
-    ``_gzip_member_chunks`` (never the whole remainder), but each
-    member's output is buffered whole — O(largest record), the same
-    bound the record parse needs anyway. Plain input yields one
-    pseudo-member ``(0, len(data), data)``; trailing garbage and
-    truncated/corrupt members end the scan at the last complete member.
-    """
-    if data[:2] != b"\x1f\x8b":
-        yield 0, len(data), data
-        return
-    mv = memoryview(data)
-    pos, total = 0, len(data)
-    step = 1 << 20
-    while pos < total:
-        if bytes(mv[pos:pos + 2]) != b"\x1f\x8b":
-            return
-        start = pos
-        d = zlib.decompressobj(wbits=47)
-        parts: list[bytes] = []
-        while not d.eof:
-            chunk = mv[pos:pos + step]
-            if len(chunk) == 0:
-                return  # truncated member
-            try:
-                out = d.decompress(bytes(chunk))
-            except zlib.error:
-                return  # corrupt member
-            if d.eof:
-                pos += len(chunk) - len(d.unused_data)
-            else:
-                pos += len(chunk)
-            if out:
-                parts.append(out)
-        yield start, pos - start, b"".join(parts)
+    record per member). Each member's output is buffered whole —
+    O(largest record), the same bound the record parse needs anyway.
+    Plain input yields one pseudo-member ``(0, len(data), data)``."""
+    parts: list[bytes] = []
+    for start, end, chunk in _member_chunk_scan(data):
+        parts.append(chunk)
+        if end is not None:
+            yield start, end - start, b"".join(parts)
+            parts = []
 
 
 def _parse_header_lines(lines: list[bytes]) -> dict[str, str]:
@@ -219,16 +211,21 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     occasionally end mid-record after transfer truncation) — a record is
     only yielded if its full declared block arrived.
     """
-    buf = b""
+    # bytearray, not bytes: appends are amortized O(chunk) and consumed
+    # prefixes release with one del — a bytes `buf += chunk` plus a
+    # re-slice of the tail per fill is O(record^2) memcpy, which on a
+    # whole-file-gzip WARC holding one large record (a 500 MB media
+    # capture) turns the scan into hundreds of GB of copying.
+    buf = bytearray()
     chunks = _gzip_member_chunks(data)
     exhausted = False
 
     def fill() -> bool:
-        nonlocal buf, exhausted
+        nonlocal exhausted
         if exhausted:
             return False
         try:
-            buf += next(chunks)
+            buf.extend(next(chunks))
             return True
         except StopIteration:
             exhausted = True
@@ -239,8 +236,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         while (sep := buf.find(_CRLF + _CRLF)) < 0:
             if not fill():
                 return
-        head, rest = buf[:sep], buf[sep + 4:]
-        lines = head.split(_CRLF)
+        lines = bytes(buf[:sep]).split(_CRLF)
         if not lines or not lines[0].startswith(b"WARC/"):
             # resync: skip to the next plausible record start
             nxt = buf.find(b"WARC/", 1)
@@ -248,21 +244,27 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 if not fill():
                     return
                 continue
-            buf = buf[nxt:]
+            del buf[:nxt]
             continue
         headers = _parse_header_lines(lines[1:])
         try:
             n = int(headers.get("content-length", ""))
         except ValueError:
-            buf = rest
+            n = -1
+        if n < 0:
+            # malformed length (absent, junk, or negative — real crawls
+            # carry all three): skip this header, resync on the block
+            del buf[:sep + 4]
             continue
-        while len(rest) < n:
+        while len(buf) - (sep + 4) < n:
             if not fill():
                 return  # truncated final record: drop, per docstring
-            rest = buf[sep + 4:]
-        yield {"headers": headers, "block": rest[:n]}
+        end = sep + 4 + n
+        yield {"headers": headers, "block": bytes(buf[sep + 4:end])}
         # each record ends with two CRLFs before the next one
-        buf = rest[n:].lstrip(_CRLF)
+        while end < len(buf) and buf[end] in (0x0D, 0x0A):
+            end += 1
+        del buf[:end]
 
 
 def iter_records_with_extents(
@@ -292,6 +294,8 @@ def iter_records_with_extents(
         try:
             n = int(headers.get("content-length", ""))
         except ValueError:
+            n = -1
+        if n < 0:  # absent, junk, or negative: skip head, resync
             pos = sep + 4
             continue
         block_end = sep + 4 + n
@@ -352,6 +356,17 @@ def read_warc(
     """
     files = spark.read.format("binaryFile").load(path)
     wanted = tuple(w.lower() for w in warc_types)
+    # _warc_date yields naive TRUE-UTC timestamps, but Spark interprets
+    # naive Arrow timestamps as SESSION-timezone wall time — under a
+    # non-UTC session the stored instant would shift by the offset.
+    # Convert to session wall time here (closure-captured tz), so the
+    # stored instant is the WARC-Date's actual instant in any session.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+
+    def to_session_wall(ts: pd.Timestamp | None) -> pd.Timestamp | None:
+        if ts is None:
+            return None
+        return ts.tz_localize("UTC").tz_convert(tz).tz_localize(None)
 
     def scan(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -369,7 +384,7 @@ def read_warc(
                     )
                     out.append((
                         h.get("warc-target-uri"),
-                        _warc_date(h.get("warc-date")),
+                        to_session_wall(_warc_date(h.get("warc-date"))),
                         wtype,
                         status,
                         _hh.get("content-type"),
@@ -456,20 +471,34 @@ def assemble_warc_files(
         if content_type_col
         else F.lit("text/html")
     )
+    # WARC-Date must be the true UTC instant: date_format alone renders
+    # SESSION-timezone wall time, so a non-UTC session (this is public
+    # library API — only the repo's own session factory pins UTC) would
+    # stamp wrong times under the literal 'Z' AND make output bytes
+    # depend on session config. to_utc_timestamp(ts, session_tz) shifts
+    # the wall time so the session-tz rendering IS the UTC rendering.
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    utc_ts = F.to_utc_timestamp(F.col(ts_col), tz)
     src = df.select(
         F.col(url_col).alias("url"),
         F.coalesce(
-            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.date_format(utc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
             F.lit("1970-01-01T00:00:00Z"),
         ).alias("__date"),
         F.col(body_col).alias("__body"),
         ct.alias("__ct"),
+        F.xxhash64(F.col(body_col)).alias("__bh"),
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
         .cast("int").alias("bucket"),
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("url", kind="mergesort")
+        # url alone is not a total order: recrawls carry the same url at
+        # different times — without the (date, body-hash) tiebreaks a
+        # stable sort would preserve shuffle-arrival order and the
+        # output bytes would depend on partitioning, breaking the
+        # pure-function-of-the-input-SET promise re-exports rely on
+        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
         parts = [
             encode_response_record(
@@ -518,7 +547,6 @@ def write_warc(
     files = assemble_warc_files(
         df, n_files, url_col, ts_col, body_col, content_type_col
     )
-    os.makedirs(target, exist_ok=True)
 
     manifest_schema = T.StructType([
         T.StructField("file_name", T.StringType()),
@@ -527,6 +555,9 @@ def write_warc(
     ])
 
     def _put(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mkdir on the EXECUTOR: a driver-side mkdir would only exist on
+        # the driver's filesystem when the path is node-local
+        os.makedirs(target, exist_ok=True)
         for pdf in pdfs:
             rows = []
             for name, nrec, content in zip(

@@ -146,3 +146,30 @@ def test_cdx_glob_reader_matches_read_warc(spark, tmp_path):
     assert (
         idx.select("url").exceptAll(via_read.select("url")).count() == 0
     )
+
+
+def test_whole_file_gzip_member_fetch_is_deduped(spark):
+    """A whole-file-gzip WARC (ONE member, k records) indexes every
+    record at the member extent; the fetch must decompress that range
+    once and emit k rows, not k^2 (review finding)."""
+    k = 7
+    plain = b"".join(
+        encode_response_record(
+            f"https://w.example/{i}", "2026-01-01T00:00:00Z",
+            f"body {i}".encode(), gzip_member=False,
+        )
+        for i in range(k)
+    )
+    blob = gzip.compress(plain)
+    rows = cdx_records("whole.warc.gz", blob)
+    assert len(rows) == k
+    assert {(r[6], r[7]) for r in rows} == {(0, len(blob))}  # member extent
+    files = spark.createDataFrame(
+        [("whole.warc.gz", bytearray(blob))], "path string, content binary"
+    )
+    idx = cdx_index(files)
+    fetched = random_access_fetch(files, idx)
+    got = fetched.collect()
+    assert len(got) == k  # not k^2
+    by_url = {r["url"]: r for r in got}
+    assert bytes(by_url["https://w.example/3"]["payload"]) == b"body 3"

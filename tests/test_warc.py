@@ -233,3 +233,101 @@ def test_non_ascii_headers_round_trip():
     assert st == 200
     assert hh["content-type"] == 'text/html; charset="utf-8"; note=日本語'
     assert body == "本文".encode("utf-8")
+
+
+def test_duplicate_url_export_is_partitioning_independent(spark, tmp_path):
+    """Recrawls carry the same url at different times/bodies; the
+    in-bucket sort needs (date, body-hash) tiebreaks or output bytes
+    depend on shuffle-arrival order (review finding)."""
+    rows = []
+    for i in range(6):
+        for cap in range(3):  # 3 captures per url, distinct ts + body
+            rows.append((
+                f"https://dup.example/p/{i}",
+                TS + dt.timedelta(hours=cap),
+                f"<html>capture {cap} of {i}</html>".encode(),
+            ))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    blobs = {}
+    for parts in (1, 7):
+        out = str(tmp_path / f"w{parts}")
+        write_warc(df.repartition(parts), out, n_files=2).collect()
+        blobs[parts] = {
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(f"{out}/*.warc.gz")
+        }
+    assert blobs[1] == blobs[7]
+
+
+def test_negative_content_length_resyncs():
+    """'Content-Length: -1' must not swallow the rest of the stream
+    (review finding: int() accepts it; len(rest) < -1 is never true)."""
+    from raven_spark.sources.warc import iter_records_with_extents
+
+    good1 = encode_response_record(
+        "https://e.x/1", "2026-01-01T00:00:00Z", b"one", gzip_member=False
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://e.x/bad\r\n"
+        b"Content-Length: -1\r\n\r\n"
+    )
+    good2 = encode_response_record(
+        "https://e.x/2", "2026-01-01T00:00:00Z", b"two", gzip_member=False
+    )
+    for data in (good1 + bad + good2, bad + good1 + good2):
+        urls = [
+            r["headers"]["warc-target-uri"]
+            for r in iter_warc_records(data)
+        ]
+        assert urls == ["https://e.x/1", "https://e.x/2"]
+        urls2 = [
+            r["headers"]["warc-target-uri"]
+            for _s, _l, r in iter_records_with_extents(data)
+        ]
+        assert urls2 == ["https://e.x/1", "https://e.x/2"]
+
+
+def test_warc_dates_are_true_utc_under_any_session_tz(spark, tmp_path):
+    """WARC-Date must be the row's UTC instant and output bytes must
+    not depend on spark.sql.session.timeZone; reading back under a
+    non-UTC session must restore the same instants (review finding:
+    date_format renders session wall time; naive Arrow timestamps are
+    reinterpreted as session-local)."""
+    df = _pages(spark, 8)  # instants fixed while the session is UTC
+    out_utc = str(tmp_path / "utc")
+    write_warc(df, out_utc, n_files=2).collect()
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    assert tz0 == "UTC"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out_ny = str(tmp_path / "ny")
+        write_warc(df, out_ny, n_files=2).collect()
+        for p in glob.glob(f"{out_utc}/*.warc.gz"):
+            q = os.path.join(out_ny, os.path.basename(p))
+            assert open(p, "rb").read() == open(q, "rb").read()
+        # raw header check: the stamped date IS the UTC instant
+        blob = open(sorted(glob.glob(f"{out_ny}/*.warc.gz"))[0], "rb").read()
+        dates = {
+            r["headers"]["warc-date"] for r in iter_warc_records(blob)
+        }
+        assert all(d.startswith("2026-01-02T03:04:") for d in dates)
+        # read back under the NY session: instants (not wall times) match
+        back = read_warc(spark, f"{out_ny}/*.warc.gz")
+        rendered = back.select(
+            F.date_format(
+                F.to_utc_timestamp("warc_ts", "America/New_York"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("d"),
+            "url",
+        ).collect()
+        for r in rendered:
+            i = int(r["url"].rsplit("/", 1)[1])
+            want = (TS + dt.timedelta(seconds=i)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            assert r["d"] == want, r["url"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
