@@ -342,26 +342,14 @@ READ_SCHEMA = T.StructType([
 ])
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    warc_types: tuple[str, ...] = ("response",),
-) -> DataFrame:
-    """WARC files → the input_hint page shape (url, warc_ts, html, ...).
-
-    One file per task via binaryFile (see module doc for why that is the
-    right split at 100 TB); the record scan is streaming per gzip
-    member. Non-``warc_types`` records (warcinfo, request, metadata) are
-    filtered inside the scan so they never cross Arrow.
-    """
-    files = spark.read.format("binaryFile").load(path)
-    wanted = tuple(w.lower() for w in warc_types)
-    # _warc_date yields naive TRUE-UTC timestamps, but Spark interprets
-    # naive Arrow timestamps as SESSION-timezone wall time — under a
-    # non-UTC session the stored instant would shift by the offset.
-    # Convert to session wall time here (closure-captured tz), so the
-    # stored instant is the WARC-Date's actual instant in any session.
-    tz = spark.conf.get("spark.sql.session.timeZone")
+def _record_scan(wanted: tuple[str, ...], tz: str):
+    """The file→records Arrow kernel shared by the batch reader and the
+    streaming reader (streaming/ingest.read_warc_stream) — one framing
+    implementation, two sources. ``tz`` is the session timezone captured
+    at PLAN BUILD: _warc_date yields naive TRUE-UTC timestamps, but
+    Spark interprets naive Arrow timestamps as SESSION-timezone wall
+    time — under a non-UTC session the stored instant would shift by
+    the offset, so convert to session wall time here."""
 
     def to_session_wall(ts: pd.Timestamp | None) -> pd.Timestamp | None:
         if ts is None:
@@ -395,29 +383,47 @@ def read_warc(
                 out, columns=[f.name for f in READ_SCHEMA.fields]
             )
 
-    return files.select("path", "content").mapInPandas(scan, READ_SCHEMA)
+    return scan
 
 
-def warc_pages_table(spark: SparkSession, path: str) -> DataFrame:
-    """WARC dump → the BASELINE input_hint table shape
-    ``(url, warc_ts, html, text, lang)``: charset-decode each response
-    body using its stored HTTP Content-Type (the same WHATWG label
-    resolution the fetch stage uses, charset.py), extract text with the
-    SAME pinned extractor (text.py — so WARC-imported corpora satisfy
-    the byte-identical-text invariant vs a live crawl of the same
-    bytes), then language-ID as plain column algebra on the decoded
-    text. Decode+extract ride the read's mapInPandas output through ONE
-    more Arrow stage; lang stays JVM-side/codegen'd."""
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC files → the input_hint page shape (url, warc_ts, html, ...).
+
+    One file per task via binaryFile (see module doc for why that is the
+    right split at 100 TB); the record scan is streaming per gzip
+    member. Non-``warc_types`` records (warcinfo, request, metadata) are
+    filtered inside the scan so they never cross Arrow.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    wanted = tuple(w.lower() for w in warc_types)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return files.select("path", "content").mapInPandas(
+        _record_scan(wanted, tz), READ_SCHEMA
+    )
+
+
+_PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _decode_pages_scan():
+    """records → decoded pages Arrow kernel (shared batch/streaming):
+    charset-decode each response body using its stored HTTP
+    Content-Type (the same WHATWG label resolution the fetch stage
+    uses, charset.py), extract text with the SAME pinned extractor
+    (text.py — so WARC-imported corpora satisfy the byte-identical-text
+    invariant vs a live crawl of the same bytes)."""
     from raven_spark.functions.charset import decode_to_str
     from raven_spark.functions.mime import parse_content_type
-    from raven_spark.functions.text import extract_text, lang_id_col
-
-    schema = T.StructType([
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-    ])
+    from raven_spark.functions.text import extract_text
 
     def decode(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -436,7 +442,19 @@ def warc_pages_table(spark: SparkSession, path: str) -> DataFrame:
                 "text": texts,
             })
 
-    pages = read_warc(spark, path).mapInPandas(decode, schema)
+    return decode
+
+
+def warc_pages_table(spark: SparkSession, path: str) -> DataFrame:
+    """WARC dump → the BASELINE input_hint table shape
+    ``(url, warc_ts, html, text, lang)``: decode + extract ride the
+    read's mapInPandas output through ONE more Arrow stage
+    (``_decode_pages_scan``); lang stays JVM-side/codegen'd."""
+    from raven_spark.functions.text import lang_id_col
+
+    pages = read_warc(spark, path).mapInPandas(
+        _decode_pages_scan(), _PAGES_SCHEMA
+    )
     return pages.withColumn("lang", lang_id_col(F.col("text")))
 
 

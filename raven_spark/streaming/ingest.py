@@ -126,3 +126,64 @@ def host_rate_metrics(
             "bytes",
         )
     )
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    root: str,
+    warc_types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingest: new .warc(.gz) files landing under
+    ``root`` become record rows per micro-batch — the archive-ingest
+    counterpart of ``read_pages_stream`` (a live crawl DELIVERS WARC
+    files continuously; CC publishes a crawl as ~10^5 of them, and
+    ingesting as-they-land beats re-listing a growing directory).
+
+    Same kernel as the batch reader (``sources/warc._record_scan`` —
+    one framing implementation, two sources), same one-file-per-task
+    granularity: the binaryFile stream source lists whole files per
+    trigger, so a micro-batch is N files == N tasks and
+    ``max_files_per_trigger`` IS the backpressure knob. Downstream the
+    result chains into ``warc_pages_stream`` / the frontier exactly
+    like the batch table."""
+    from raven_spark.sources.warc import READ_SCHEMA, _record_scan
+
+    # Streaming sources require an explicit schema; binaryFile's is
+    # fixed by the format (path, modificationTime, length, content).
+    binary_file_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    reader = spark.readStream.format("binaryFile").schema(binary_file_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(root)
+    wanted = tuple(w.lower() for w in warc_types)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return files.select("path", "content").mapInPandas(
+        _record_scan(wanted, tz), READ_SCHEMA
+    )
+
+
+def warc_pages_stream(
+    spark: SparkSession,
+    root: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingest decoded to the input_hint page shape
+    (url, warc_ts, html, text, lang) — the same two Arrow stages as
+    the batch ``warc_pages_table`` (shared ``_decode_pages_scan``), so
+    a corpus ingested live is byte-identical to one imported after the
+    fact (tested). Feed this straight into ``streaming_link_frontier``
+    or ``host_rate_metrics`` for a WARC-driven live pipeline."""
+    from raven_spark.functions.text import lang_id_col
+    from raven_spark.sources.warc import _PAGES_SCHEMA, _decode_pages_scan
+
+    records = read_warc_stream(
+        spark, root, max_files_per_trigger=max_files_per_trigger
+    )
+    pages = records.mapInPandas(_decode_pages_scan(), _PAGES_SCHEMA)
+    return pages.withColumn("lang", lang_id_col(F.col("text")))

@@ -215,3 +215,82 @@ def test_stateful_host_budget_event_time_eviction(spark, tmp_path):
     if 99 in got:
         assert got[99]["admitted"] is False
     assert len(got) in (8, 9)
+
+
+def _warc_fixture_pages(spark, n=30):
+    import datetime as dt
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (
+            f"https://host{i % 4}.example/s/{i}",
+            ts0 + dt.timedelta(seconds=i),
+            (f"<html><body><p>stream doc {i}</p></body></html>").encode(
+                "shift_jis" if i % 7 == 0 else "utf-8"
+            ),
+            "text/html; charset=shift_jis" if i % 7 == 0 else "text/html",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, content_type string"
+    )
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming WARC ingest is row-identical to the batch reader on the
+    same files (shared _record_scan kernel): every field including the
+    raw body bytes matches, with one micro-batch per file."""
+    from raven_spark.sources.warc import read_warc, write_warc
+    from raven_spark.streaming.ingest import read_warc_stream
+
+    root = str(tmp_path / "warc")
+    write_warc(
+        _warc_fixture_pages(spark), root, n_files=3,
+        content_type_col="content_type",
+    ).collect()
+
+    stream = read_warc_stream(spark, f"{root}/*.warc.gz",
+                              max_files_per_trigger=1)
+    _run_to_memory(stream, "warc_stream_sink", "append")
+    got = {r["url"]: r for r in spark.table("warc_stream_sink").collect()}
+    want = {r["url"]: r for r in read_warc(spark, f"{root}/*.warc.gz").collect()}
+    assert set(got) == set(want) and len(want) == 30
+    for u, w in want.items():
+        g = got[u]
+        assert bytes(g["html"]) == bytes(w["html"])
+        assert g["warc_ts"] == w["warc_ts"]
+        assert g["http_status"] == w["http_status"]
+        assert g["content_type"] == w["content_type"]
+        assert g["warc_type"] == "response"
+
+
+def test_warc_pages_stream_matches_batch_table(spark, tmp_path):
+    """A corpus ingested live (warc_pages_stream) is byte/text-identical
+    to one imported after the fact (warc_pages_table): same decode +
+    pinned extractor + lang-ID, so the input_hint invariants hold on
+    the streaming path too."""
+    from raven_spark.sources.warc import warc_pages_table, write_warc
+    from raven_spark.streaming.ingest import warc_pages_stream
+
+    root = str(tmp_path / "warc")
+    write_warc(
+        _warc_fixture_pages(spark), root, n_files=2,
+        content_type_col="content_type",
+    ).collect()
+
+    stream = warc_pages_stream(spark, f"{root}/*.warc.gz",
+                               max_files_per_trigger=1)
+    _run_to_memory(stream, "warc_pages_sink", "append")
+    got = {r["url"]: r for r in spark.table("warc_pages_sink").collect()}
+    want = {
+        r["url"]: r
+        for r in warc_pages_table(spark, f"{root}/*.warc.gz").collect()
+    }
+    assert set(got) == set(want) and len(want) == 30
+    for u, w in want.items():
+        g = got[u]
+        assert bytes(g["html"]) == bytes(w["html"])
+        assert g["text"] == w["text"] and g["text"]  # non-empty extraction
+        assert g["lang"] == w["lang"]
+        assert g["warc_ts"] == w["warc_ts"]
