@@ -1152,6 +1152,66 @@ def q53_cdx_random_access(spark, sf_dir):
     )
 
 
+def q54_warc_revisit(spark, sf_dir):
+    """Payload-digest dedup over a real WARC corpus (cdx.py::
+    revisit_resolve — the ISO 28500 revisit convention CC's dedup
+    emits): documents → 3 mirror captures each (m0/m1/m2 hosts, one
+    shared timestamp, payload = the doc text) → WARC export → CDX index
+    → resolve. Mirrors carrying the same payload collapse onto ONE
+    canonical capture (min (warc_date, url) — equal dates here, so min
+    url; the temporal pick is pytest-covered); every other capture is a
+    revisit referencing it. Digest groups span doc_ids when texts
+    collide, so the oracle's GROUP BY text replays group structure,
+    sizes, and canonical references exactly — through the real WARC
+    bytes and SHA-1 digests, which the oracle never sees (digest
+    equality ≡ payload equality is the property under test). Scale
+    shape: ONE aggregate-window exchange over 20-byte digests; payload
+    bytes never shuffle (see revisit_resolve docstring)."""
+    from raven_spark.sources.cdx import cdx_index, revisit_resolve
+    from raven_spark.sources.warc import assemble_warc_files
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    i = F.col("doc_id")
+    cap = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("capture")
+    caps = d.select("doc_id", "text", cap)
+    pages = caps.select(
+        F.concat(
+            F.lit("https://m"), F.col("capture").cast("string"),
+            F.lit(".h"), (i % 7).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    files = assemble_warc_files(pages, n_files=8).withColumnRenamed(
+        "file_name", "path"
+    )
+    res = revisit_resolve(cdx_index(files))
+    return res.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"//m(\d)\.", 1).cast("int").alias("capture"),
+        "url",
+        F.col("n_captures").cast("long").alias("n_captures"),
+        "is_revisit",
+        "canon_url",
+    )
+
+
+def q55_gopher_rules(spark, sf_dir):
+    """The published Gopher rule filter (Rae et al. 2021 A1.1,
+    functions/text.py::gopher_rules_cols) — hard pass/fail flags beside
+    q12's soft score and q51's learned score: word-count bounds, mean
+    word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-word hits. Pure zero-shuffle column
+    algebra fused into the scan (plan: single WholeStageCodegen over
+    the parquet scan, no exchanges)."""
+    from raven_spark.functions.text import gopher_rules_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = gopher_rules_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1207,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_quality_classifier": q51_quality_classifier,
         "q52_warc_roundtrip": q52_warc_roundtrip,
         "q53_cdx_random_access": q53_cdx_random_access,
+        "q54_warc_revisit": q54_warc_revisit,
+        "q55_gopher_rules": q55_gopher_rules,
     }
 
 
@@ -1233,6 +1295,19 @@ def _stopword_hits_sql() -> str:
     return " + ".join(
         f"CAST((length(p) - length(replace(p, ' {sw} ', '')))/{len(sw) + 2} AS INT)"
         for sw in STOPWORDS
+    )
+
+
+def _gopher_hits_sql() -> str:
+    """Replay of gopher_rules_cols's required-word regexes: one
+    CAST(bool AS INT) per word so NULL text propagates (CASE WHEN would
+    coerce NULL to 0 and break parity)."""
+    from raven_spark.functions.text import GOPHER_REQUIRED_WORDS
+
+    return " + ".join(
+        "CAST(regexp_matches(lower(text), "
+        f"'(^|[^a-z]){sw}([^a-z]|$)') AS INT)"
+        for sw in GOPHER_REQUIRED_WORDS
     )
 
 
@@ -2166,6 +2241,82 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256,
                    text
             FROM parts
+        """,
+        "q54_warc_revisit": """
+            WITH caps AS (
+              SELECT d.doc_id, c.n AS capture, d.text,
+                     'https://m' || CAST(c.n AS VARCHAR) || '.h'
+                     || CAST(d.doc_id % 7 AS VARCHAR) || '.example/p/'
+                     || CAST(d.doc_id AS VARCHAR) AS url
+              FROM documents d
+              CROSS JOIN (VALUES (0), (1), (2)) c(n)
+              WHERE d.text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, capture, url,
+                     count(*) OVER (PARTITION BY text) AS n_captures,
+                     min(url) OVER (PARTITION BY text) AS canon_url
+              FROM caps
+            )
+            SELECT doc_id, CAST(capture AS INT) AS capture, url,
+                   CAST(n_captures AS BIGINT) AS n_captures,
+                   url <> canon_url AS is_revisit,
+                   canon_url
+            FROM g
+        """,
+        "q55_gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                          AS BIGINT) AS n_words,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(trim(x)) > 0) AS lines,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_words,
+                     CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / greatest(n_words, 1) AS mwl,
+                     ( (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) // 3
+                     + (length(text) - length(replace(text, '…', ''))) )
+                       / CAST(greatest(n_words, 1) AS DOUBLE) AS sym,
+                     len(list_filter(lines,
+                       x -> list_contains(['•','‣','▪','-','*'],
+                                          substr(ltrim(x), 1, 1))))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet,
+                     len(list_filter(lines,
+                       x -> ends_with(rtrim(x), '...')
+                            OR ends_with(rtrim(x), '…')))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE) AS ell,
+                     len(list_filter(words,
+                       w -> regexp_matches(w, '[a-zA-Z]')))
+                       / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha,
+                     ({_gopher_hits_sql()}) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_ratio,
+                   round(bullet, 6) AS bullet_frac,
+                   round(ell, 6) AS ellipsis_frac,
+                   round(alpha, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS INT) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                   (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+                   (sym <= 0.1) AS ok_symbol_ratio,
+                   (bullet < 0.9) AS ok_bullet_lines,
+                   (ell < 0.3) AS ok_ellipsis_lines,
+                   (alpha >= 0.8) AS ok_alpha_words,
+                   (stop_hits >= 2) AS ok_stop_words,
+                   ( (n_words >= 50 AND n_words <= 100000)
+                     AND (mwl >= 3.0 AND mwl <= 10.0)
+                     AND (sym <= 0.1) AND (bullet < 0.9) AND (ell < 0.3)
+                     AND (alpha >= 0.8) AND (stop_hits >= 2)
+                   ) AS gopher_pass
+            FROM m
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

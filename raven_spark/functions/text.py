@@ -308,6 +308,116 @@ def quality_cols(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher's required-word list (Rae et al. 2021, appendix A1.1): a doc
+# must contain at least 2 of these to pass the rule filter.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLETS = ["•", "‣", "▪", "-", "*"]
+
+
+def _substr_count(col: Column, needle: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def gopher_rules_cols(text: Column) -> dict[str, Column]:
+    """The published Gopher rule filter (Rae et al. 2021, appendix
+    A1.1) as pure column algebra — the hard pass/fail counterpart of
+    ``quality_cols``'s soft score. One flag per rule plus the conjunct:
+
+    - ``ok_word_count``     50 <= words <= 100,000
+    - ``ok_mean_word_len``  3 <= mean characters/word <= 10
+    - ``ok_symbol_ratio``   (# + ellipsis) / words <= 0.1
+    - ``ok_bullet_lines``   < 90% of lines start with a bullet
+    - ``ok_ellipsis_lines`` < 30% of lines end with an ellipsis
+    - ``ok_alpha_words``    >= 80% of words contain a letter
+    - ``ok_stop_words``     >= 2 distinct of GOPHER_REQUIRED_WORDS
+    - ``gopher_pass``       all of the above
+
+    Scale shape: zero shuffles, zero UDFs — every rule is split/filter/
+    length algebra inside the scan projection (same class as
+    ``quality_cols``/``token_count_cols``), so the filter fuses into
+    whole-stage codegen and runs at scan speed over 100 TB. Ratios are
+    rounded to 6 places (the suite's oracle-comparison convention).
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    # mean chars/word over non-whitespace chars (whole-doc aggregate,
+    # not per-word mean — the cheaper equivalent for ws-split words)
+    n_nonws = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len = n_nonws.cast("double") / safe_words
+
+    n_symbols = (
+        _substr_count(text, "#")
+        + _substr_count(text, "...")
+        + _substr_count(text, "…")
+    )
+    symbol_ratio = n_symbols.cast("double") / safe_words
+
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(GOPHER_BULLETS),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    )
+    bullet_frac = bullet_lines.cast("double") / safe_lines
+    ellipsis_frac = ellipsis_lines.cast("double") / safe_lines
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_word_frac = alpha_words.cast("double") / safe_words
+
+    low = F.lower(text)
+    stop_hits = F.lit(0)
+    for sw in GOPHER_REQUIRED_WORDS:
+        stop_hits = stop_hits + low.rlike(
+            f"(^|[^a-z]){sw}([^a-z]|$)"
+        ).cast("int")
+
+    ok_word_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean_word_len = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    ok_symbol_ratio = symbol_ratio <= 0.1
+    ok_bullet_lines = bullet_frac < 0.9
+    ok_ellipsis_lines = ellipsis_frac < 0.3
+    ok_alpha_words = alpha_word_frac >= 0.8
+    ok_stop_words = stop_hits >= 2
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "bullet_frac": F.round(bullet_frac, 6),
+        "ellipsis_frac": F.round(ellipsis_frac, 6),
+        "alpha_word_frac": F.round(alpha_word_frac, 6),
+        "stop_hits": stop_hits.cast("int"),
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_bullet_lines": ok_bullet_lines,
+        "ok_ellipsis_lines": ok_ellipsis_lines,
+        "ok_alpha_words": ok_alpha_words,
+        "ok_stop_words": ok_stop_words,
+        "gopher_pass": (
+            ok_word_count & ok_mean_word_len & ok_symbol_ratio
+            & ok_bullet_lines & ok_ellipsis_lines & ok_alpha_words
+            & ok_stop_words
+        ),
+    }
+
+
 # --- token counting ----------------------------------------------------------
 
 # BPE-ish pretokenizer: word pieces, numbers, punctuation runs — a public

@@ -152,6 +152,83 @@ def cdx_index_from_files(spark: SparkSession, path: str) -> DataFrame:
     return cdx_index(spark.read.format("binaryFile").load(path))
 
 
+def revisit_resolve(index: DataFrame) -> DataFrame:
+    """Payload-digest deduplication over a CDX index — the WARC
+    "revisit" convention (ISO 28500 §6.7; what Common Crawl's dedup
+    produces): within each digest group the EARLIEST capture is the
+    canonical record, every later capture of the same payload is a
+    revisit that references it, so an archive stores each distinct
+    payload's bytes once no matter how many URLs × recrawls carried it.
+
+    Input: ``cdx_index`` rows (response records are resolved; other
+    record types pass through with ``is_revisit`` null — revisit
+    semantics only apply to captures). Output: the input columns plus
+
+    - ``is_revisit`` — false for the group's canonical capture
+    - ``canon_url`` / ``canon_warc_date`` / ``canon_warc_file`` /
+      ``canon_offset`` — the referenced original (WARC-Refers-To-*
+      fields of a revisit record)
+    - ``n_captures`` — group size (1 == unique payload)
+
+    Canonical pick is a total order — min over
+    (warc_date, url, warc_file, offset): WARC-Dates are fixed-width
+    ISO-8601 strings so lexicographic == chronological, and the
+    remaining fields break exact-timestamp ties deterministically
+    (partitioning-independent output, the engine-wide invariant).
+
+    Scale shape: ONE exchange — an unordered aggregate window over
+    ``digest`` (20-byte Base32 keys; the index is ~100 bytes/row, 10^3
+    smaller than the corpus, so even a 10^11-capture crawl's index
+    shuffles in ~10 TB — this is exactly the job CC runs to emit its
+    dedup'd crawls). No self-join: min(struct) + count over the same
+    window partition share the one shuffle/sort. Payload bytes never
+    move — only index rows do.
+    """
+    from pyspark.sql.window import Window
+
+    resp = index.where(F.col("warc_type") == "response")
+    rest = index.where(
+        F.col("warc_type").isNull() | (F.col("warc_type") != "response")
+    )
+    w = Window.partitionBy("digest")
+    canon = F.min(
+        F.struct(
+            F.col("warc_date").alias("d"),
+            F.col("url").alias("u"),
+            F.col("warc_file").alias("f"),
+            F.col("offset").alias("o"),
+        )
+    ).over(w)
+    resolved = (
+        resp.withColumn("__c", canon)
+        .withColumn("n_captures", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_revisit",
+            ~(
+                F.col("warc_date").eqNullSafe(F.col("__c.d"))
+                & F.col("url").eqNullSafe(F.col("__c.u"))
+                & F.col("warc_file").eqNullSafe(F.col("__c.f"))
+                & F.col("offset").eqNullSafe(F.col("__c.o"))
+            ),
+        )
+        .withColumn("canon_url", F.col("__c.u"))
+        .withColumn("canon_warc_date", F.col("__c.d"))
+        .withColumn("canon_warc_file", F.col("__c.f"))
+        .withColumn("canon_offset", F.col("__c.o"))
+        .drop("__c")
+    )
+    null_s = F.lit(None).cast("string")
+    passthrough = (
+        rest.withColumn("n_captures", F.lit(None).cast("bigint"))
+        .withColumn("is_revisit", F.lit(None).cast("boolean"))
+        .withColumn("canon_url", null_s)
+        .withColumn("canon_warc_date", null_s)
+        .withColumn("canon_warc_file", null_s)
+        .withColumn("canon_offset", F.lit(None).cast("long"))
+    )
+    return resolved.unionByName(passthrough)
+
+
 FETCH_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("http_status", T.IntegerType()),

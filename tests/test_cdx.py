@@ -173,3 +173,90 @@ def test_whole_file_gzip_member_fetch_is_deduped(spark):
     assert len(got) == k  # not k^2
     by_url = {r["url"]: r for r in got}
     assert bytes(by_url["https://w.example/3"]["payload"]) == b"body 3"
+
+
+def _capture_pages(spark):
+    """12 docs x 3 mirror captures; payload depends only on doc_id % 4,
+    so there are 4 digest groups of 9 captures each (3 docs x 3
+    mirrors per payload)."""
+    rows = []
+    for doc in range(12):
+        body = f"<html><body>payload {doc % 4}</body></html>".encode()
+        for cap in range(3):
+            rows.append((
+                f"https://m{cap}.h{doc % 5}.example/p/{doc}",
+                TS + dt.timedelta(hours=cap, seconds=doc),
+                body,
+            ))
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+
+
+def test_revisit_resolve_earliest_canonical(spark, tmp_path):
+    """Digest dedup picks the EARLIEST capture per payload group as
+    canonical; all others are revisits referencing it; n_captures is
+    the group size; output is partitioning-independent."""
+    from raven_spark.sources.cdx import revisit_resolve
+
+    out = str(tmp_path / "warcs")
+    write_warc(_capture_pages(spark), out, n_files=4).collect()
+    idx = cdx_index_from_files(spark, f"{out}/*.warc.gz")
+    res = revisit_resolve(idx).cache()
+
+    assert res.count() == 36
+    assert res.where("n_captures != 9").count() == 0
+    assert res.where("not is_revisit").count() == 4  # one canon per digest
+    # canonical is min (warc_date, url): hour-0 captures sort first, and
+    # within hour 0 the smallest (date, url) — doc == payload group id
+    # has second-offset == group id, the earliest in its group.
+    canons = {
+        r["digest"]: r for r in res.where("not is_revisit").collect()
+    }
+    for d, r in canons.items():
+        assert r["url"].startswith("https://m0."), r["url"]
+        assert r["canon_url"] == r["url"]
+        assert r["canon_offset"] == r["offset"]
+        assert r["canon_warc_file"] == r["warc_file"]
+    # every revisit references its group's canonical exactly
+    for r in res.where("is_revisit").collect():
+        c = canons[r["digest"]]
+        assert (r["canon_url"], r["canon_warc_date"]) == (
+            c["url"], c["warc_date"]
+        )
+        assert (r["canon_warc_file"], r["canon_offset"]) == (
+            c["warc_file"], c["offset"]
+        )
+    # partitioning-independent: same rows under a different layout
+    res2 = revisit_resolve(idx.repartition(13)).orderBy("url", "offset")
+    assert [tuple(r) for r in res2.collect()] == [
+        tuple(r) for r in res.orderBy("url", "offset").collect()
+    ]
+
+
+def test_revisit_resolve_non_response_passthrough(spark):
+    """Non-response records (warcinfo/metadata) pass through with NULL
+    revisit fields — revisit semantics only apply to captures."""
+    from raven_spark.sources.cdx import revisit_resolve
+
+    idx = spark.createDataFrame(
+        [
+            ("https://a.example/", "2026-01-01T00:00:00Z", "response",
+             "text/html", 200, "DIGA", 0, 100, "f1", "example,a)/"),
+            ("https://a.example/", "2026-01-02T00:00:00Z", "response",
+             "text/html", 200, "DIGA", 100, 100, "f1", "example,a)/"),
+            (None, "2026-01-01T00:00:00Z", "warcinfo",
+             "application/warc-fields", 0, "DIGW", 200, 50, "f1", None),
+        ],
+        "url string, warc_date string, warc_type string, mime string, "
+        "http_status int, digest string, offset long, length long, "
+        "warc_file string, surt string",
+    )
+    res = revisit_resolve(idx)
+    rows = {(r["warc_type"], r["offset"]): r for r in res.collect()}
+    assert rows[("warcinfo", 200)]["is_revisit"] is None
+    assert rows[("warcinfo", 200)]["n_captures"] is None
+    assert rows[("response", 0)]["is_revisit"] is False
+    assert rows[("response", 100)]["is_revisit"] is True
+    assert rows[("response", 100)]["canon_url"] == "https://a.example/"
+    assert rows[("response", 100)]["canon_offset"] == 0

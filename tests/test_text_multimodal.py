@@ -87,3 +87,90 @@ def test_media_feature_extraction(spark):
     j = back.join(emb, "vec_id").select("vec_id", "v", "embedding").collect()
     for r in j:
         assert np.allclose(np.array(r["v"]), np.array(r["embedding"]), atol=0)
+
+
+def test_gopher_rules_vectors(spark):
+    """Each published Gopher rule (Rae et al. 2021 A1.1) trips on a
+    crafted document and passes on a plain one — boundary conditions
+    included (symbol ratio exactly 0.1 passes; 2 required words pass,
+    1 fails)."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.text import gopher_rules_cols
+
+    passing = (
+        "The quick brown fox jumps over the lazy dog and then decides "
+        "that it would have been wiser to rest with friends of its own "
+        "kind for a while. " * 3
+    ).strip()
+    docs = [
+        ("ok", passing),
+        ("short", "The dog and that cat have fun with all of it."),
+        # >100k words
+        ("long", ("word " * 100_001).strip()),
+        # mean word len < 3 but otherwise passing-ish
+        ("tiny_words", ("an is at of the be to and it we " * 20).strip()),
+        # symbol-heavy: one '#' per word
+        ("hashes", " ".join(f"#tag{i}" for i in range(80))
+         + " the be to of and"),
+        # 10 of 11 non-empty lines start with a bullet
+        ("bullets", "\n".join(["- item one of the list be to and"] * 10
+                              + ["a closing line that have with text"])),
+        # half the lines end with ellipsis
+        ("ellipses", "\n".join(
+            ["this line trails off into the distance somewhere ..."] * 5
+            + ["this line is a complete sentence of the usual kind."] * 5
+        )),
+        # words are mostly digits
+        ("numeric", " ".join(str(i) for i in range(100))
+         + " the be to of and that have with"),
+        # only one required word ("the")
+        ("one_stop", ("the zebra gallops quickly across endless plains "
+                      "while zebras graze near waterholes seeking shade "
+                      "under acacia trees during scorching afternoons "
+                      "when lions rest quietly between distant rocky "
+                      "outcrops overlooking vast golden savannas full "
+                      "grass swaying gently beneath warm african winds "
+                      "carrying scents from faraway herds moving slowly "
+                      "toward northern grazing grounds every summer")),
+    ]
+    df = spark.createDataFrame(docs, "name string, text string")
+    out = df.select(
+        "name", *[c.alias(k) for k, c in gopher_rules_cols(F.col("text")).items()]
+    )
+    r = {row["name"]: row for row in out.collect()}
+
+    assert r["ok"]["gopher_pass"] is True
+    assert all(r["ok"][k] for k in r["ok"].asDict() if k.startswith("ok_"))
+    assert r["short"]["ok_word_count"] is False and r["short"]["n_words"] < 50
+    assert r["long"]["ok_word_count"] is False
+    assert r["tiny_words"]["ok_mean_word_len"] is False
+    assert r["hashes"]["ok_symbol_ratio"] is False
+    assert r["bullets"]["ok_bullet_lines"] is False   # 10/11 > 0.9
+    assert r["ellipses"]["ok_ellipsis_lines"] is False  # 0.5 >= 0.3
+    assert r["numeric"]["ok_alpha_words"] is False
+    assert r["one_stop"]["ok_stop_words"] is False
+    assert r["one_stop"]["stop_hits"] == 1
+    for name in ("short", "long", "tiny_words", "hashes", "bullets",
+                 "ellipses", "numeric", "one_stop"):
+        assert r[name]["gopher_pass"] is False, name
+
+
+def test_gopher_rules_null_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.text import gopher_rules_cols
+
+    df = spark.createDataFrame(
+        [("empty", ""), ("null", None)], "name string, text string"
+    )
+    out = {
+        row["name"]: row
+        for row in df.select(
+            "name",
+            *[c.alias(k) for k, c in gopher_rules_cols(F.col("text")).items()],
+        ).collect()
+    }
+    assert out["empty"]["n_words"] == 0
+    assert out["empty"]["gopher_pass"] is False
+    assert out["null"]["gopher_pass"] is None  # NULL propagates, never True
