@@ -73,6 +73,8 @@ HEADLINE = [
     "q51_quality_classifier",
     "q52_warc_roundtrip",
     "q53_cdx_random_access",
+    "q54_warc_revisit",
+    "q55_gopher_rules",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -176,21 +176,25 @@ def revisit_resolve(index: DataFrame) -> DataFrame:
     remaining fields break exact-timestamp ties deterministically
     (partitioning-independent output, the engine-wide invariant).
 
-    Scale shape: ONE exchange — an unordered aggregate window over
-    ``digest`` (20-byte Base32 keys; the index is ~100 bytes/row, 10^3
-    smaller than the corpus, so even a 10^11-capture crawl's index
-    shuffles in ~10 TB — this is exactly the job CC runs to emit its
-    dedup'd crawls). No self-join: min(struct) + count over the same
-    window partition share the one shuffle/sort. Payload bytes never
-    move — only index rows do.
+    Scale shape: ONE exchange and ONE pass over the input subtree — an
+    unordered aggregate window over ``(is_response, digest)`` (20-byte
+    Base32 keys; the index is ~100 bytes/row, 10^3 smaller than the
+    corpus, so even a 10^11-capture crawl's index shuffles in ~10 TB —
+    this is exactly the job CC runs to emit its dedup'd crawls). No
+    self-join, and deliberately NOT a filter-responses + union-the-rest
+    shape: Spark plans a union of two filters over the same source as
+    TWO executions of that source, which for a CDX built in-plan means
+    scanning the WARC corpus twice. Folding the response predicate into
+    the window partition key keeps one subtree; non-response rows ride
+    the same shuffle (they are a ~0% fraction of a crawl's index) and
+    get their revisit fields nulled afterwards. min(struct) + count
+    share the one shuffle/sort. Payload bytes never move — only index
+    rows do.
     """
     from pyspark.sql.window import Window
 
-    resp = index.where(F.col("warc_type") == "response")
-    rest = index.where(
-        F.col("warc_type").isNull() | (F.col("warc_type") != "response")
-    )
-    w = Window.partitionBy("digest")
+    is_resp = F.col("warc_type").eqNullSafe(F.lit("response"))
+    w = Window.partitionBy(is_resp, "digest")
     canon = F.min(
         F.struct(
             F.col("warc_date").alias("d"),
@@ -199,16 +203,26 @@ def revisit_resolve(index: DataFrame) -> DataFrame:
             F.col("offset").alias("o"),
         )
     ).over(w)
-    resolved = (
-        resp.withColumn("__c", canon)
-        .withColumn("n_captures", F.count(F.lit(1)).over(w))
+    null_if_not_resp = lambda c: F.when(is_resp, c)  # noqa: E731
+    # both window expressions in ONE projection: chained withColumns
+    # re-derive the computed partition key per call, which Catalyst
+    # cannot prove equal across Window nodes — it would plan two
+    # exchanges + sorts instead of one (verified via explain)
+    return (
+        index.select(
+            "*",
+            null_if_not_resp(canon).alias("__c"),
+            null_if_not_resp(F.count(F.lit(1)).over(w)).alias("n_captures"),
+        )
         .withColumn(
             "is_revisit",
-            ~(
-                F.col("warc_date").eqNullSafe(F.col("__c.d"))
-                & F.col("url").eqNullSafe(F.col("__c.u"))
-                & F.col("warc_file").eqNullSafe(F.col("__c.f"))
-                & F.col("offset").eqNullSafe(F.col("__c.o"))
+            null_if_not_resp(
+                ~(
+                    F.col("warc_date").eqNullSafe(F.col("__c.d"))
+                    & F.col("url").eqNullSafe(F.col("__c.u"))
+                    & F.col("warc_file").eqNullSafe(F.col("__c.f"))
+                    & F.col("offset").eqNullSafe(F.col("__c.o"))
+                )
             ),
         )
         .withColumn("canon_url", F.col("__c.u"))
@@ -217,16 +231,6 @@ def revisit_resolve(index: DataFrame) -> DataFrame:
         .withColumn("canon_offset", F.col("__c.o"))
         .drop("__c")
     )
-    null_s = F.lit(None).cast("string")
-    passthrough = (
-        rest.withColumn("n_captures", F.lit(None).cast("bigint"))
-        .withColumn("is_revisit", F.lit(None).cast("boolean"))
-        .withColumn("canon_url", null_s)
-        .withColumn("canon_warc_date", null_s)
-        .withColumn("canon_warc_file", null_s)
-        .withColumn("canon_offset", F.lit(None).cast("long"))
-    )
-    return resolved.unionByName(passthrough)
 
 
 FETCH_SCHEMA = T.StructType([
