@@ -2266,23 +2266,23 @@ def oracle_sql() -> dict[str, str]:
         "q55_gopher_rules": f"""
             WITH base AS (
               SELECT doc_id, text,
-                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END
-                          AS BIGINT) AS n_words,
+                     CAST(len(list_filter(
+                       string_split_regex(text, '\\s+'), w -> w <> ''
+                     )) AS BIGINT) AS n_words,
                      list_filter(string_split(text, chr(10)),
                                  x -> length(trim(x)) > 0) AS lines,
-                     CASE WHEN length(trim(text)) = 0 THEN []
-                          ELSE string_split_regex(trim(text), '\\s+')
-                     END AS words
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS words
               FROM documents
             ), m AS (
               SELECT doc_id, n_words,
                      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
                        / greatest(n_words, 1) AS mwl,
-                     ( (length(text) - length(replace(text, '#', '')))
-                     + (length(text) - length(replace(text, '...', ''))) // 3
+                     (length(text) - length(replace(text, '#', '')))
+                       / CAST(greatest(n_words, 1) AS DOUBLE) AS hashr,
+                     ( (length(text) - length(replace(text, '...', ''))) // 3
                      + (length(text) - length(replace(text, '…', ''))) )
-                       / CAST(greatest(n_words, 1) AS DOUBLE) AS sym,
+                       / CAST(greatest(n_words, 1) AS DOUBLE) AS ellsym,
                      len(list_filter(lines,
                        x -> list_contains(['•','‣','▪','-','*'],
                                           substr(ltrim(x), 1, 1))))
@@ -2299,21 +2299,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_words,
                    round(mwl, 6) AS mean_word_len,
-                   round(sym, 6) AS symbol_ratio,
+                   round(hashr, 6) AS hash_ratio,
+                   round(ellsym, 6) AS ellipsis_sym_ratio,
                    round(bullet, 6) AS bullet_frac,
                    round(ell, 6) AS ellipsis_frac,
                    round(alpha, 6) AS alpha_word_frac,
                    CAST(stop_hits AS INT) AS stop_hits,
                    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
                    (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
-                   (sym <= 0.1) AS ok_symbol_ratio,
-                   (bullet < 0.9) AS ok_bullet_lines,
-                   (ell < 0.3) AS ok_ellipsis_lines,
+                   (hashr <= 0.1 AND ellsym <= 0.1) AS ok_symbol_ratio,
+                   (bullet <= 0.9) AS ok_bullet_lines,
+                   (ell <= 0.3) AS ok_ellipsis_lines,
                    (alpha >= 0.8) AS ok_alpha_words,
                    (stop_hits >= 2) AS ok_stop_words,
                    ( (n_words >= 50 AND n_words <= 100000)
                      AND (mwl >= 3.0 AND mwl <= 10.0)
-                     AND (sym <= 0.1) AND (bullet < 0.9) AND (ell < 0.3)
+                     AND (hashr <= 0.1 AND ellsym <= 0.1)
+                     AND (bullet <= 0.9) AND (ell <= 0.3)
                      AND (alpha >= 0.8) AND (stop_hits >= 2)
                    ) AS gopher_pass
             FROM m

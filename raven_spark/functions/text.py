@@ -234,14 +234,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _substr_count(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference
+    (codegen-friendly; the module-wide idiom)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
 def _marker_score(padded: Column, markers: list[str]) -> Column:
     score = F.lit(0)
     for mk in markers:
-        # occurrence count via length difference (codegen-friendly)
-        score = score + (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit(""))))
-            / F.lit(len(mk))
-        ).cast("int")
+        score = score + _substr_count(padded, mk)
     return score
 
 
@@ -282,11 +287,7 @@ def quality_cols(text: Column) -> dict[str, Column]:
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     stop_hits = F.lit(0)
     for sw in STOPWORDS:
-        mk = f" {sw} "
-        stop_hits = stop_hits + (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit(""))))
-            / F.lit(len(mk))
-        ).cast("int")
+        stop_hits = stop_hits + _substr_count(padded, f" {sw} ")
     mean_word_len = (n_alpha.cast("double") / safe_words)
     alpha_ratio = n_alpha.cast("double") / safe_chars
     punct_ratio = n_punct.cast("double") / safe_chars
@@ -314,26 +315,27 @@ GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_BULLETS = ["•", "‣", "▪", "-", "*"]
 
 
-def _substr_count(col: Column, needle: str) -> Column:
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("int")
-
-
 def gopher_rules_cols(text: Column) -> dict[str, Column]:
     """The published Gopher rule filter (Rae et al. 2021, appendix
     A1.1) as pure column algebra — the hard pass/fail counterpart of
-    ``quality_cols``'s soft score. One flag per rule plus the conjunct:
+    ``quality_cols``'s soft score. One flag per rule plus the conjunct,
+    with the paper's boundaries kept exact (documents are removed only
+    STRICTLY beyond each threshold, and the hash / ellipsis symbol
+    ratios are tested separately, not summed):
 
     - ``ok_word_count``     50 <= words <= 100,000
     - ``ok_mean_word_len``  3 <= mean characters/word <= 10
-    - ``ok_symbol_ratio``   (# + ellipsis) / words <= 0.1
-    - ``ok_bullet_lines``   < 90% of lines start with a bullet
-    - ``ok_ellipsis_lines`` < 30% of lines end with an ellipsis
+    - ``ok_symbol_ratio``   #/words <= 0.1 AND ellipsis/words <= 0.1
+    - ``ok_bullet_lines``   <= 90% of lines start with a bullet
+    - ``ok_ellipsis_lines`` <= 30% of lines end with an ellipsis
     - ``ok_alpha_words``    >= 80% of words contain a letter
-    - ``ok_stop_words``     >= 2 distinct of GOPHER_REQUIRED_WORDS
+    - ``ok_stop_words``     >= 2 of GOPHER_REQUIRED_WORDS present
     - ``gopher_pass``       all of the above
+
+    "Word" means a maximal run of non-whitespace: the split filters out
+    the empty tokens Spark's ``split`` emits at whitespace edges (plain
+    ``trim`` strips only spaces, so a trailing newline would otherwise
+    mint a phantom word and every per-word ratio would drift).
 
     Scale shape: zero shuffles, zero UDFs — every rule is split/filter/
     length algebra inside the scan projection (same class as
@@ -341,22 +343,17 @@ def gopher_rules_cols(text: Column) -> dict[str, Column]:
     whole-stage codegen and runs at scan speed over 100 TB. Ratios are
     rounded to 6 places (the suite's oracle-comparison convention).
     """
-    words = F.split(F.trim(text), r"\s+")
-    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(words)
-    )
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     # mean chars/word over non-whitespace chars (whole-doc aggregate,
     # not per-word mean — the cheaper equivalent for ws-split words)
     n_nonws = F.length(F.regexp_replace(text, r"\s", ""))
     mean_word_len = n_nonws.cast("double") / safe_words
 
-    n_symbols = (
-        _substr_count(text, "#")
-        + _substr_count(text, "...")
-        + _substr_count(text, "…")
-    )
-    symbol_ratio = n_symbols.cast("double") / safe_words
+    hash_ratio = _substr_count(text, "#").cast("double") / safe_words
+    ellipsis_sym = _substr_count(text, "...") + _substr_count(text, "…")
+    ellipsis_ratio = ellipsis_sym.cast("double") / safe_words
 
     lines = F.filter(
         F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
@@ -390,15 +387,16 @@ def gopher_rules_cols(text: Column) -> dict[str, Column]:
 
     ok_word_count = (n_words >= 50) & (n_words <= 100_000)
     ok_mean_word_len = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
-    ok_symbol_ratio = symbol_ratio <= 0.1
-    ok_bullet_lines = bullet_frac < 0.9
-    ok_ellipsis_lines = ellipsis_frac < 0.3
+    ok_symbol_ratio = (hash_ratio <= 0.1) & (ellipsis_ratio <= 0.1)
+    ok_bullet_lines = bullet_frac <= 0.9
+    ok_ellipsis_lines = ellipsis_frac <= 0.3
     ok_alpha_words = alpha_word_frac >= 0.8
     ok_stop_words = stop_hits >= 2
     return {
         "n_words": n_words.cast("bigint"),
         "mean_word_len": F.round(mean_word_len, 6),
-        "symbol_ratio": F.round(symbol_ratio, 6),
+        "hash_ratio": F.round(hash_ratio, 6),
+        "ellipsis_sym_ratio": F.round(ellipsis_ratio, 6),
         "bullet_frac": F.round(bullet_frac, 6),
         "ellipsis_frac": F.round(ellipsis_frac, 6),
         "alpha_word_frac": F.round(alpha_word_frac, 6),

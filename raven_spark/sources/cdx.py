@@ -170,11 +170,18 @@ def revisit_resolve(index: DataFrame) -> DataFrame:
       fields of a revisit record)
     - ``n_captures`` — group size (1 == unique payload)
 
-    Canonical pick is a total order — min over
-    (warc_date, url, warc_file, offset): WARC-Dates are fixed-width
-    ISO-8601 strings so lexicographic == chronological, and the
-    remaining fields break exact-timestamp ties deterministically
-    (partitioning-independent output, the engine-wide invariant).
+    Canonical pick is a total order — row_number over (parsed
+    WARC-Date, url, warc_file, offset): the date is PARSED to an
+    instant, not compared as a raw string, because real crawls carry
+    non-Z zone offsets ('+09:00' renders lexicographically after an
+    earlier '...Z' instant) and malformed/missing dates — unparseable
+    dates sort LAST (a dateless capture must never beat a dated one),
+    and the remaining fields break exact-instant ties. row_number
+    (not min-equality) guarantees EXACTLY one canonical per group even
+    when two index rows are byte-identical (duplicate captures inside
+    one multi-record gzip member share an extent), keeping the
+    store-bytes-once accounting n_captures - revisits == 1 exact.
+    Output is partitioning-independent, the engine-wide invariant.
 
     Scale shape: ONE exchange and ONE pass over the input subtree — an
     unordered aggregate window over ``(is_response, digest)`` (20-byte
@@ -194,42 +201,33 @@ def revisit_resolve(index: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     is_resp = F.col("warc_type").eqNullSafe(F.lit("response"))
+    parsed_ts = F.coalesce(
+        F.try_to_timestamp(F.col("warc_date")),
+        F.lit("9999-12-31 23:59:59").cast("timestamp"),
+    )
     w = Window.partitionBy(is_resp, "digest")
-    canon = F.min(
-        F.struct(
-            F.col("warc_date").alias("d"),
-            F.col("url").alias("u"),
-            F.col("warc_file").alias("f"),
-            F.col("offset").alias("o"),
-        )
-    ).over(w)
+    w_ord = w.orderBy(
+        parsed_ts, F.col("url"), F.col("warc_file"), F.col("offset")
+    )
     null_if_not_resp = lambda c: F.when(is_resp, c)  # noqa: E731
-    # both window expressions in ONE projection: chained withColumns
+    # all window expressions in ONE projection: chained withColumns
     # re-derive the computed partition key per call, which Catalyst
-    # cannot prove equal across Window nodes — it would plan two
-    # exchanges + sorts instead of one (verified via explain)
-    return (
-        index.select(
-            "*",
-            null_if_not_resp(canon).alias("__c"),
-            null_if_not_resp(F.count(F.lit(1)).over(w)).alias("n_captures"),
-        )
-        .withColumn(
-            "is_revisit",
-            null_if_not_resp(
-                ~(
-                    F.col("warc_date").eqNullSafe(F.col("__c.d"))
-                    & F.col("url").eqNullSafe(F.col("__c.u"))
-                    & F.col("warc_file").eqNullSafe(F.col("__c.f"))
-                    & F.col("offset").eqNullSafe(F.col("__c.o"))
-                )
-            ),
-        )
-        .withColumn("canon_url", F.col("__c.u"))
-        .withColumn("canon_warc_date", F.col("__c.d"))
-        .withColumn("canon_warc_file", F.col("__c.f"))
-        .withColumn("canon_offset", F.col("__c.o"))
-        .drop("__c")
+    # cannot prove equal across Window nodes — it would plan one
+    # exchange + sort PER column instead of one total (verified via
+    # explain). first(col) over w_ord is the canonical row's value at
+    # every row of the group.
+    return index.select(
+        "*",
+        null_if_not_resp(F.row_number().over(w_ord) > 1).alias("is_revisit"),
+        null_if_not_resp(F.count(F.lit(1)).over(w)).alias("n_captures"),
+        null_if_not_resp(F.first("url").over(w_ord)).alias("canon_url"),
+        null_if_not_resp(
+            F.first("warc_date").over(w_ord)
+        ).alias("canon_warc_date"),
+        null_if_not_resp(
+            F.first("warc_file").over(w_ord)
+        ).alias("canon_warc_file"),
+        null_if_not_resp(F.first("offset").over(w_ord)).alias("canon_offset"),
     )
 
 

@@ -260,3 +260,57 @@ def test_revisit_resolve_non_response_passthrough(spark):
     assert rows[("response", 100)]["is_revisit"] is True
     assert rows[("response", 100)]["canon_url"] == "https://a.example/"
     assert rows[("response", 100)]["canon_offset"] == 0
+
+
+def test_revisit_canonical_parses_dates_and_is_unique(spark):
+    """Review findings: (1) the canonical pick must compare WARC-Dates
+    as INSTANTS — a '+09:00' capture at an earlier instant beats a 'Z'
+    capture that sorts later lexicographically; missing/malformed dates
+    sort LAST; (2) byte-identical index rows (duplicate captures inside
+    one multi-record member share an extent) still yield EXACTLY one
+    canonical per digest group."""
+    from raven_spark.sources.cdx import revisit_resolve
+
+    schema = (
+        "url string, warc_date string, warc_type string, mime string, "
+        "http_status int, digest string, offset long, length long, "
+        "warc_file string, surt string"
+    )
+    idx = spark.createDataFrame(
+        [
+            # group A: +09:00 row is 03:00:00Z — EARLIER than 04:00:00Z
+            ("https://a.example/z", "2026-01-01T04:00:00Z", "response",
+             "text/html", 200, "DIGA", 0, 10, "f1", "s"),
+            ("https://a.example/jst", "2026-01-01T12:00:00+09:00",
+             "response", "text/html", 200, "DIGA", 10, 10, "f1", "s"),
+            # group B: malformed + missing dates lose to any parseable one
+            ("https://b.example/bad", "not-a-date", "response",
+             "text/html", 200, "DIGB", 20, 10, "f1", "s"),
+            ("https://b.example/none", None, "response",
+             "text/html", 200, "DIGB", 30, 10, "f1", "s"),
+            ("https://b.example/ok", "2030-01-01T00:00:00Z", "response",
+             "text/html", 200, "DIGB", 40, 10, "f1", "s"),
+            # group C: two byte-identical rows (shared member extent)
+            ("https://c.example/", "2026-01-01T00:00:00Z", "response",
+             "text/html", 200, "DIGC", 50, 10, "f1", "s"),
+            ("https://c.example/", "2026-01-01T00:00:00Z", "response",
+             "text/html", 200, "DIGC", 50, 10, "f1", "s"),
+        ],
+        schema,
+    )
+    res = revisit_resolve(idx).cache()
+    by_url = {
+        (r["url"], r["offset"]): r
+        for r in res.where("digest != 'DIGC'").collect()
+    }
+    assert by_url[("https://a.example/jst", 10)]["is_revisit"] is False
+    assert by_url[("https://a.example/z", 0)]["is_revisit"] is True
+    assert by_url[("https://a.example/z", 0)]["canon_url"] == (
+        "https://a.example/jst"
+    )
+    assert by_url[("https://b.example/ok", 40)]["is_revisit"] is False
+    assert by_url[("https://b.example/bad", 20)]["is_revisit"] is True
+    assert by_url[("https://b.example/none", 30)]["is_revisit"] is True
+    c = res.where("digest = 'DIGC'").collect()
+    assert sorted(r["is_revisit"] for r in c) == [False, True]
+    assert all(r["n_captures"] == 2 for r in c)

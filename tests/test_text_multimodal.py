@@ -174,3 +174,49 @@ def test_gopher_rules_null_and_empty(spark):
     assert out["empty"]["n_words"] == 0
     assert out["empty"]["gopher_pass"] is False
     assert out["null"]["gopher_pass"] is None  # NULL propagates, never True
+
+
+def test_gopher_rules_paper_fidelity(spark):
+    """Review-pass fixes, paper-exact semantics (Rae et al. 2021 A1.1):
+    hash and ellipsis symbol ratios are tested SEPARATELY (each <= 0.1),
+    removal is only STRICTLY beyond the 90%/30% line boundaries, and a
+    trailing newline must not mint a phantom word."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.text import gopher_rules_cols
+
+    words49 = " ".join(f"alpha{i}" for i in range(44)) + \
+        " the be to of and"
+    base100 = " ".join(f"w{i} word" for i in range(47)) + \
+        " the be to of and that"  # 100 words, stop words present
+    docs = [
+        # 49 words + trailing newline: n_words must be 49, not 50
+        ("newline_49", words49 + "\n"),
+        # whitespace-only text: zero words
+        ("ws_only", "\n\t \n"),
+        # 6 '#' + 6 '...' in 100 words: each ratio 0.06 <= 0.1 -> OK
+        ("split_symbols", base100 + " " + "#x " * 6 + "y... " * 6),
+        # exactly 9 of 10 lines bulleted: frac 0.9 -> kept (not > 0.9)
+        ("boundary_bullets",
+         "\n".join(["- item of the usual be to and kind"] * 9
+                   + ["closing line with that text have words"])),
+        # exactly 3 of 10 lines end in ellipsis: frac 0.3 -> kept
+        ("boundary_ellipsis",
+         "\n".join(["drifting off into the distance there ..."] * 3
+                   + ["a complete sentence of the usual be kind."] * 7)),
+    ]
+    df = spark.createDataFrame(docs, "name string, text string")
+    out = df.select(
+        "name",
+        *[c.alias(k) for k, c in gopher_rules_cols(F.col("text")).items()],
+    )
+    r = {row["name"]: row for row in out.collect()}
+    assert r["newline_49"]["n_words"] == 49
+    assert r["newline_49"]["ok_word_count"] is False
+    assert r["ws_only"]["n_words"] == 0
+    assert r["split_symbols"]["ok_symbol_ratio"] is True
+    assert abs(r["split_symbols"]["hash_ratio"] - 6 / 112.0) < 1e-6
+    assert r["boundary_bullets"]["ok_bullet_lines"] is True
+    assert r["boundary_bullets"]["bullet_frac"] == 0.9
+    assert r["boundary_ellipsis"]["ok_ellipsis_lines"] is True
+    assert r["boundary_ellipsis"]["ellipsis_frac"] == 0.3
