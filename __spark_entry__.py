@@ -1212,6 +1212,60 @@ def q55_gopher_rules(spark, sf_dir):
     return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+def q56_warc_dedup_roundtrip(spark, sf_dir):
+    """Deduplicating WARC export + revisit reconstruction round trip
+    (warc.py::assemble_warc_files_deduped / reconstruct_from_revisits):
+    documents → 40 shared-payload groups → deduped export (each
+    payload's bytes stored ONCE; other captures are ISO 28500 revisit
+    stubs) → record scan → window-based payload restoration. The oracle
+    is the identity corpus plus min-url group structure, so hash-green
+    means (a) the dedup decision is exactly one canonical per payload,
+    (b) revisit stubs name their original correctly, and (c) restored
+    payload bytes are byte-faithful — through the real container codec.
+    Scale shape: payload bytes cross the dedup window + assembly
+    exchanges on write and one restoration window on read; revisit rows
+    never carry payloads (a k-deep recrawl writes ~1/k the bytes)."""
+    from raven_spark.sources.warc import (
+        READ_SCHEMA,
+        _record_scan,
+        assemble_warc_files_deduped,
+        reconstruct_from_revisits,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://w.h"), (i % 7).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>doc payload "),
+                (i % 40).cast("string"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    files = assemble_warc_files_deduped(pages, n_files=8)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    records = files.select(
+        F.col("file_name").alias("path"), "content"
+    ).mapInPandas(_record_scan(("response", "revisit"), tz), READ_SCHEMA)
+    restored = reconstruct_from_revisits(records)
+    return restored.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "was_revisit",
+        "refers_to_uri",
+        "refers_to_date",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.decode(F.col("html"), "utf-8").alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1269,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_cdx_random_access": q53_cdx_random_access,
         "q54_warc_revisit": q54_warc_revisit,
         "q55_gopher_rules": q55_gopher_rules,
+        "q56_warc_dedup_roundtrip": q56_warc_dedup_roundtrip,
     }
 
 
@@ -2319,6 +2374,29 @@ def oracle_sql() -> dict[str, str]:
                      AND (alpha >= 0.8) AND (stop_hits >= 2)
                    ) AS gopher_pass
             FROM m
+        """,
+        "q56_warc_dedup_roundtrip": """
+            WITH caps AS (
+              SELECT doc_id,
+                     'https://w.h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body>doc payload ' || CAST(doc_id % 40 AS VARCHAR)
+                       || '</body></html>' AS payload
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, url, payload,
+                     min(url) OVER (PARTITION BY payload) AS canon_url
+              FROM caps
+            )
+            SELECT doc_id, url,
+                   url <> canon_url AS was_revisit,
+                   CASE WHEN url <> canon_url THEN canon_url END
+                     AS refers_to_uri,
+                   CASE WHEN url <> canon_url
+                        THEN '2026-01-02T03:04:05Z' END AS refers_to_date,
+                   CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+                   payload AS text
+            FROM g
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

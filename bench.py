@@ -75,6 +75,7 @@ HEADLINE = [
     "q53_cdx_random_access",
     "q54_warc_revisit",
     "q55_gopher_rules",
+    "q56_warc_dedup_roundtrip",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

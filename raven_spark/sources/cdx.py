@@ -35,9 +35,7 @@ a Spark-side extension of the P-family for archive-scale reads.
 
 from __future__ import annotations
 
-import base64
 import gzip
-import hashlib
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -49,6 +47,7 @@ from raven_spark.sources.warc import (
     iter_gzip_members_with_offsets,
     iter_records_with_extents,
     parse_http_response,
+    sha1_b32,
 )
 
 INDEX_SCHEMA = T.StructType([
@@ -64,10 +63,10 @@ INDEX_SCHEMA = T.StructType([
 ])
 
 
-def _sha1_b32(payload: bytes) -> str:
-    """CDX digest form: SHA-1, RFC 4648 Base32 (what CC's cdxj carries
-    as ``sha1:...``); the prefix is left to the caller's serializer."""
-    return base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+# CDX digest form: SHA-1, RFC 4648 Base32 (what CC's cdxj carries as
+# ``sha1:...``); one shared definition with the WARC writer's
+# WARC-Payload-Digest stamping.
+_sha1_b32 = sha1_b32
 
 
 def cdx_records(file_name: str, data: bytes) -> list[tuple]:

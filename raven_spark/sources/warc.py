@@ -96,6 +96,59 @@ def encode_response_record(
     return buf.getvalue()
 
 
+def sha1_b32(payload: bytes) -> str:
+    """The CDX/WARC digest form: SHA-1, RFC 4648 Base32 (what CC's cdxj
+    and WARC-Payload-Digest headers carry after the ``sha1:`` prefix)."""
+    import base64
+    import hashlib
+
+    return base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+
+
+def encode_revisit_record(
+    url: str,
+    date_iso: str,
+    refers_uri: str,
+    refers_date: str,
+    payload_digest_b32: str,
+    gzip_member: bool = True,
+) -> bytes:
+    """One WARC/1.0 ``revisit`` record (ISO 28500 §6.7.2,
+    identical-payload-digest profile): a capture whose payload bytes are
+    stored ONCE in the referenced original record — the deduplicated
+    form Common Crawl emits for recrawls. The block is empty
+    (Content-Length: 0); everything a reader needs to restore the
+    capture is in the headers: WARC-Refers-To-Target-URI /
+    WARC-Refers-To-Date name the original, WARC-Payload-Digest carries
+    the payload's sha1 so restoration can be verified. Record id is
+    UUIDv5 over (url, date, "revisit") — distinct from a response
+    record of the same (url, date), deterministic like everything else
+    in this writer."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nrevisit")
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: revisit\r\n"
+        + b"WARC-Profile: "
+        b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+        b"\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
+        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+        + f"WARC-Refers-To-Target-URI: {refers_uri}\r\n".encode("utf-8")
+        + f"WARC-Refers-To-Date: {refers_date}\r\n".encode("ascii")
+        + f"WARC-Payload-Digest: sha1:{payload_digest_b32}\r\n".encode("ascii")
+        + b"Content-Length: 0\r\n"
+        + _CRLF
+    )
+    record = head + _CRLF + _CRLF
+    if not gzip_member:
+        return record
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
 def _member_chunk_scan(
     data: bytes,
 ) -> Iterator[tuple[int, int | None, bytes]]:
@@ -339,6 +392,10 @@ READ_SCHEMA = T.StructType([
     T.StructField("content_type", T.StringType()),
     T.StructField("html", T.BinaryType()),
     T.StructField("warc_file", T.StringType()),
+    # revisit-record linkage (ISO 28500 §6.7.2) — null for other types
+    T.StructField("refers_to_uri", T.StringType()),
+    T.StructField("refers_to_date", T.StringType()),
+    T.StructField("payload_digest", T.StringType()),
 ])
 
 
@@ -378,6 +435,9 @@ def _record_scan(wanted: tuple[str, ...], tz: str):
                         _hh.get("content-type"),
                         body,
                         fpath,
+                        h.get("warc-refers-to-target-uri"),
+                        h.get("warc-refers-to-date"),
+                        h.get("warc-payload-digest"),
                     ))
             yield pd.DataFrame(
                 out, columns=[f.name for f in READ_SCHEMA.fields]
@@ -536,6 +596,139 @@ def assemble_warc_files(
     return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
 
 
+def assemble_warc_files_deduped(
+    df: DataFrame,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    content_type_col: str | None = None,
+    prefix: str = "part",
+) -> DataFrame:
+    """Deduplicating WARC export: each distinct payload's bytes are
+    written ONCE (in its earliest capture's ``response`` record); every
+    other capture becomes a ``revisit`` record referencing it — the
+    identical-payload-digest dedup Common Crawl ships its recrawls as.
+
+    Canonical pick: row_number over payloads keyed by
+    ``xxhash64(body)``, ordered by (UTC date string, url, bucket) —
+    fixed-width dates make lexicographic == chronological here because
+    this writer FORMATS them itself (the read-side resolver,
+    cdx.revisit_resolve, must parse foreign dates instead). Identical
+    duplicate rows order arbitrarily among themselves but encode
+    identical revisit records, so output bytes stay a pure function of
+    the input set.
+
+    Scale shape: payload bytes cross exactly TWO exchanges — the
+    dedup window (partitioned by the 8-byte body hash) and the bucket
+    assembly — vs one for the plain export; the window is what replaces
+    a 2x-source-scan self-join. Revisit rows carry no payload into the
+    output files: a 10-capture-deep recrawl corpus writes ~1/10 the
+    response bytes plus ~300-byte revisit stubs.
+    """
+    from pyspark.sql.window import Window
+
+    ct = (
+        F.coalesce(F.col(content_type_col), F.lit("text/html"))
+        if content_type_col
+        else F.lit("text/html")
+    )
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    utc_ts = F.to_utc_timestamp(F.col(ts_col), tz)
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(
+            F.date_format(utc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("1970-01-01T00:00:00Z"),
+        ).alias("__date"),
+        F.col(body_col).alias("__body"),
+        ct.alias("__ct"),
+        F.xxhash64(F.col(body_col)).alias("__bh"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
+        .cast("int").alias("bucket"),
+    )
+    w = Window.partitionBy("__bh").orderBy("__date", "url", "bucket")
+    src = src.select(
+        "*",
+        (F.row_number().over(w) > 1).alias("__revisit"),
+        F.first("url").over(w).alias("__ref_url"),
+        F.first("__date").over(w).alias("__ref_date"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        parts = []
+        for u, d, b, c, rv, ru, rd in zip(
+            pdf["url"], pdf["__date"], pdf["__body"], pdf["__ct"],
+            pdf["__revisit"], pdf["__ref_url"], pdf["__ref_date"],
+        ):
+            body = bytes(b) if b is not None else b""
+            if rv:
+                parts.append(
+                    encode_revisit_record(u, d, ru, rd, sha1_b32(body))
+                )
+            else:
+                parts.append(encode_response_record(u, d, body, c))
+        return pd.DataFrame({
+            "bucket": [bucket],
+            "file_name": [f"{prefix}-{bucket:05d}.warc.gz"],
+            "records": [len(parts)],
+            "content": [b"".join(parts)],
+        })
+
+    return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
+
+
+def reconstruct_from_revisits(records: DataFrame) -> DataFrame:
+    """Inverse of the deduplicating export: restore every capture's
+    payload from the ``response`` record its revisit points at.
+
+    Input: ``read_warc(..., warc_types=("response", "revisit"))`` rows.
+    Output: the same rows with ``html``/``http_status``/``content_type``
+    restored on revisit rows, plus ``was_revisit``.
+
+    Scale shape: ONE window over the capture identity — revisit rows
+    group with their original under key (coalesce(refers_to_uri, url),
+    coalesce(refers_to_date, own date string)) and take the group's
+    response values. Deliberately not a self-join of revisits against
+    responses: both sides would re-scan the WARC source (filter+join
+    over one source plans two source executions, same reasoning as
+    cdx.revisit_resolve), whereas the window shuffles each payload
+    once. The own-date string is re-derived with the writer's exact
+    format, so response rows group with themselves.
+    """
+    tz = records.sparkSession.conf.get("spark.sql.session.timeZone")
+    own_date = F.date_format(
+        F.to_utc_timestamp(F.col("warc_ts"), tz), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    is_resp = F.col("warc_type").eqNullSafe(F.lit("response"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        F.coalesce(F.col("refers_to_uri"), F.col("url")),
+        F.coalesce(F.col("refers_to_date"), own_date),
+    )
+    canon_of = lambda c: F.max(F.when(is_resp, F.col(c))).over(w)  # noqa: E731
+    restored = records.select(
+        "url",
+        "warc_ts",
+        "warc_type",
+        F.when(is_resp, F.col("http_status"))
+        .otherwise(canon_of("http_status")).alias("http_status"),
+        F.when(is_resp, F.col("content_type"))
+        .otherwise(canon_of("content_type")).alias("content_type"),
+        F.when(is_resp, F.col("html"))
+        .otherwise(canon_of("html")).alias("html"),
+        "warc_file",
+        "refers_to_uri",
+        "refers_to_date",
+        "payload_digest",
+        (~is_resp).alias("was_revisit"),
+    )
+    return restored
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -544,10 +737,13 @@ def write_warc(
     ts_col: str = "warc_ts",
     body_col: str = "html",
     content_type_col: str | None = None,
+    dedupe: bool = False,
 ) -> DataFrame:
     """Distributed WARC export: assemble file blobs, write each from the
     executor that built it, return the manifest (file_name, records,
     bytes) as a DataFrame — no file content ever visits the driver.
+    ``dedupe=True`` stores each distinct payload once and every other
+    capture as a revisit record (``assemble_warc_files_deduped``).
 
     Local/NFS paths are written directly; object-store exports on a real
     cluster route the same blobs through a cloud SDK in this function's
@@ -562,7 +758,8 @@ def write_warc(
             "object-store WARC export needs a cloud SDK on the executors; "
             "use a file:/ or mounted path here (see docstring)"
         )
-    files = assemble_warc_files(
+    assembler = assemble_warc_files_deduped if dedupe else assemble_warc_files
+    files = assembler(
         df, n_files, url_col, ts_col, body_col, content_type_col
     )
 

@@ -331,3 +331,115 @@ def test_warc_dates_are_true_utc_under_any_session_tz(spark, tmp_path):
             assert r["d"] == want, r["url"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_deduped_export_and_reconstruction(spark, tmp_path):
+    """Revisit-record dedup round trip (ISO 28500 identical-payload-
+    digest profile): duplicate payloads are stored once, every other
+    capture becomes a revisit stub, and reconstruction restores the full
+    corpus byte-identically."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from raven_spark.sources.warc import (
+        read_warc,
+        reconstruct_from_revisits,
+        sha1_b32,
+        write_warc,
+    )
+
+    import hashlib
+
+    def big_body(k: int) -> bytes:
+        # ~4 KB of deterministic incompressible bytes per payload so the
+        # size assertion reflects real dedup wins (a revisit stub is
+        # ~300 gzipped bytes — bigger than a toy payload, smaller than
+        # any real page)
+        chunks, seed = [], f"payload {k}".encode()
+        for i in range(128):
+            seed = hashlib.sha256(seed + bytes([i])).digest()
+            chunks.append(seed)
+        return b"<html><body>" + seed.hex().encode() + b"".join(chunks)
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    # 24 captures, 6 distinct payloads (doc % 6), later mirrors dup
+    rows = [
+        (
+            f"https://m{i // 6}.example/p/{i % 6}",
+            ts0 + dt.timedelta(hours=i // 6),
+            big_body(i % 6),
+        )
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    root = str(tmp_path / "dedup")
+    manifest = write_warc(df, root, n_files=3, dedupe=True).collect()
+    assert sum(m["records"] for m in manifest) == 24
+
+    back = read_warc(
+        spark, f"{root}/*.warc.gz", warc_types=("response", "revisit")
+    ).cache()
+    resp = back.where("warc_type = 'response'").collect()
+    revs = back.where("warc_type = 'revisit'").collect()
+    assert len(resp) == 6 and len(revs) == 18
+    # canonical is the earliest capture (hour 0 == mirror m0)
+    assert all(r["url"].startswith("https://m0.") for r in resp)
+    bodies = {r["url"]: bytes(r["html"]) for r in resp}
+    # revisit stubs carry no payload but name their original + digest
+    for r in revs:
+        assert bytes(r["html"]) == b""
+        assert r["refers_to_uri"] in bodies
+        assert r["refers_to_date"] == "2026-01-02T03:04:05Z"
+        assert r["payload_digest"] == "sha1:" + sha1_b32(
+            bodies[r["refers_to_uri"]]
+        )
+    # deduped files really are smaller than the plain export
+    plain_root = str(tmp_path / "plain")
+    plain = write_warc(df, plain_root, n_files=3).collect()
+    assert sum(m["bytes"] for m in manifest) < sum(
+        m["bytes"] for m in plain
+    )
+
+    restored = reconstruct_from_revisits(back)
+    got = {
+        (r["url"], r["warc_ts"]): r for r in restored.collect()
+    }
+    assert len(got) == 24
+    for url, ts, body in rows:
+        r = got[(url, ts)]
+        assert bytes(r["html"]) == body
+        assert r["http_status"] == 200
+        assert r["content_type"] == "text/html"
+        assert r["was_revisit"] is (not url.startswith("https://m0."))
+
+
+def test_deduped_export_bytes_partition_independent(spark, tmp_path):
+    """Deduped output bytes are a pure function of the input SET."""
+    import datetime as dt
+
+    from raven_spark.sources.warc import assemble_warc_files_deduped
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (
+            f"https://h{i % 3}.example/{i}",
+            ts0 + dt.timedelta(seconds=i % 4),
+            f"<html>{i % 5}</html>".encode(),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    a = {
+        r["file_name"]: bytes(r["content"])
+        for r in assemble_warc_files_deduped(df, 4).collect()
+    }
+    b = {
+        r["file_name"]: bytes(r["content"])
+        for r in assemble_warc_files_deduped(df.repartition(17), 4).collect()
+    }
+    assert a == b and len(a) == 4
