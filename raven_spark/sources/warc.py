@@ -427,6 +427,13 @@ def _record_scan(wanted: tuple[str, ...], tz: str):
                         if wtype == "response"
                         else (0, {}, rec["block"])
                     )
+                    # responses without a stamped WARC-Payload-Digest get
+                    # one computed over the payload (CC stamps it; this
+                    # repo's plain writer does not) so digest-keyed
+                    # consumers — revisit restoration — always have it
+                    digest = h.get("warc-payload-digest")
+                    if digest is None and wtype == "response":
+                        digest = "sha1:" + sha1_b32(body)
                     out.append((
                         h.get("warc-target-uri"),
                         to_session_wall(_warc_date(h.get("warc-date"))),
@@ -437,7 +444,7 @@ def _record_scan(wanted: tuple[str, ...], tz: str):
                         fpath,
                         h.get("warc-refers-to-target-uri"),
                         h.get("warc-refers-to-date"),
-                        h.get("warc-payload-digest"),
+                        digest,
                     ))
             yield pd.DataFrame(
                 out, columns=[f.name for f in READ_SCHEMA.fields]
@@ -544,6 +551,62 @@ def assemble_warc_files(
     100 TB pick n_files ≈ bytes/1 GB; each bucket is one task whose
     memory is one output file, the same bound the write itself needs.
     """
+    return _assemble(
+        df, n_files, url_col, ts_col, body_col, content_type_col, prefix,
+        dedupe=False,
+    )
+
+
+def assemble_warc_files_deduped(
+    df: DataFrame,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    content_type_col: str | None = None,
+    prefix: str = "part",
+) -> DataFrame:
+    """Deduplicating WARC export: each distinct payload's bytes are
+    written ONCE (in its earliest capture's ``response`` record); every
+    other capture becomes a ``revisit`` record referencing it — the
+    identical-payload-digest dedup Common Crawl ships its recrawls as.
+
+    Canonical pick: row_number over payloads keyed by the JVM-side
+    ``sha1(body)`` — the digest IS the dedup key, so two payloads merge
+    only when their sha1 collides (the same guarantee Common Crawl's own
+    digest dedup gives; a 64-bit xxhash key would silently merge
+    distinct payloads at 10^9+ scale and is attacker-forgeable) —
+    ordered by (UTC date string, url, bucket): fixed-width dates make
+    lexicographic == chronological here because this writer FORMATS
+    them itself (the read-side resolver, cdx.revisit_resolve, must
+    parse foreign dates instead).
+
+    Scale shape: CANONICAL payload bytes cross exactly two exchanges —
+    the dedup window (partitioned by the 20-byte digest) and the bucket
+    assembly; revisit rows have their body nulled BEFORE the assembly
+    shuffle (the stub only needs the digest), so a k-deep recrawl
+    corpus shuffles ~1/k + stubs into assembly, matching what the files
+    contain. The window is what replaces a 2x-source-scan self-join.
+    """
+    return _assemble(
+        df, n_files, url_col, ts_col, body_col, content_type_col, prefix,
+        dedupe=True,
+    )
+
+
+def _assemble(
+    df: DataFrame,
+    n_files: int,
+    url_col: str,
+    ts_col: str,
+    body_col: str,
+    content_type_col: str | None,
+    prefix: str,
+    dedupe: bool,
+) -> DataFrame:
+    """Shared assembly for the plain and deduplicating exports — one
+    projection, one build kernel, so date formatting / bucketing /
+    determinism rules cannot drift between the two paths."""
     ct = (
         F.coalesce(F.col(content_type_col), F.lit("text/html"))
         if content_type_col
@@ -569,106 +632,60 @@ def assemble_warc_files(
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
         .cast("int").alias("bucket"),
     )
+    if dedupe:
+        from pyspark.sql.window import Window
+
+        # coalesce to empty bytes first: a null-body row must get the
+        # digest of the b"" the encoder will actually write, and a null
+        # sha1 would crash the stub's hex->b32 conversion
+        src = src.withColumn(
+            "__digest", F.sha1(F.coalesce(F.col("__body"), F.lit(b"")))
+        )
+        w = Window.partitionBy("__digest").orderBy("__date", "url", "bucket")
+        src = src.select(
+            "*",
+            (F.row_number().over(w) > 1).alias("__revisit"),
+            F.first("url").over(w).alias("__ref_url"),
+            F.first("__date").over(w).alias("__ref_date"),
+        )
+        # a revisit stub carries no payload: null the body before the
+        # assembly exchange so duplicate bytes never shuffle twice
+        src = src.withColumn(
+            "__body", F.when(~F.col("__revisit"), F.col("__body"))
+        )
+    else:
+        src = (
+            src.withColumn("__digest", F.lit(None).cast("string"))
+            .withColumn("__revisit", F.lit(False))
+            .withColumn("__ref_url", F.lit(None).cast("string"))
+            .withColumn("__ref_date", F.lit(None).cast("string"))
+        )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
         # url alone is not a total order: recrawls carry the same url at
-        # different times — without the (date, body-hash) tiebreaks a
-        # stable sort would preserve shuffle-arrival order and the
-        # output bytes would depend on partitioning, breaking the
-        # pure-function-of-the-input-SET promise re-exports rely on
-        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
-        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
-        parts = [
-            encode_response_record(
-                u, d, bytes(b) if b is not None else b"", c
-            )
-            for u, d, b, c in zip(
-                pdf["url"], pdf["__date"], pdf["__body"], pdf["__ct"]
-            )
-        ]
-        return pd.DataFrame({
-            "bucket": [bucket],
-            "file_name": [f"{prefix}-{bucket:05d}.warc.gz"],
-            "records": [len(parts)],
-            "content": [b"".join(parts)],
-        })
-
-    return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
-
-
-def assemble_warc_files_deduped(
-    df: DataFrame,
-    n_files: int,
-    url_col: str = "url",
-    ts_col: str = "warc_ts",
-    body_col: str = "html",
-    content_type_col: str | None = None,
-    prefix: str = "part",
-) -> DataFrame:
-    """Deduplicating WARC export: each distinct payload's bytes are
-    written ONCE (in its earliest capture's ``response`` record); every
-    other capture becomes a ``revisit`` record referencing it — the
-    identical-payload-digest dedup Common Crawl ships its recrawls as.
-
-    Canonical pick: row_number over payloads keyed by
-    ``xxhash64(body)``, ordered by (UTC date string, url, bucket) —
-    fixed-width dates make lexicographic == chronological here because
-    this writer FORMATS them itself (the read-side resolver,
-    cdx.revisit_resolve, must parse foreign dates instead). Identical
-    duplicate rows order arbitrarily among themselves but encode
-    identical revisit records, so output bytes stay a pure function of
-    the input set.
-
-    Scale shape: payload bytes cross exactly TWO exchanges — the
-    dedup window (partitioned by the 8-byte body hash) and the bucket
-    assembly — vs one for the plain export; the window is what replaces
-    a 2x-source-scan self-join. Revisit rows carry no payload into the
-    output files: a 10-capture-deep recrawl corpus writes ~1/10 the
-    response bytes plus ~300-byte revisit stubs.
-    """
-    from pyspark.sql.window import Window
-
-    ct = (
-        F.coalesce(F.col(content_type_col), F.lit("text/html"))
-        if content_type_col
-        else F.lit("text/html")
-    )
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    utc_ts = F.to_utc_timestamp(F.col(ts_col), tz)
-    src = df.select(
-        F.col(url_col).alias("url"),
-        F.coalesce(
-            F.date_format(utc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-            F.lit("1970-01-01T00:00:00Z"),
-        ).alias("__date"),
-        F.col(body_col).alias("__body"),
-        ct.alias("__ct"),
-        F.xxhash64(F.col(body_col)).alias("__bh"),
-        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
-        .cast("int").alias("bucket"),
-    )
-    w = Window.partitionBy("__bh").orderBy("__date", "url", "bucket")
-    src = src.select(
-        "*",
-        (F.row_number().over(w) > 1).alias("__revisit"),
-        F.first("url").over(w).alias("__ref_url"),
-        F.first("__date").over(w).alias("__ref_date"),
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
+        # different times — without the (date, body-hash, revisit)
+        # tiebreaks a stable sort would preserve shuffle-arrival order
+        # and the output bytes would depend on partitioning, breaking
+        # the pure-function-of-the-input-SET promise re-exports rely
+        # on. __revisit is in the key because an exact-duplicate
+        # capture yields a response AND a stub tied on the other three.
+        pdf = pdf.sort_values(
+            ["url", "__date", "__bh", "__revisit"], kind="mergesort"
+        )
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
         parts = []
-        for u, d, b, c, rv, ru, rd in zip(
+        for u, d, b, c, rv, ru, rd, dg in zip(
             pdf["url"], pdf["__date"], pdf["__body"], pdf["__ct"],
             pdf["__revisit"], pdf["__ref_url"], pdf["__ref_date"],
+            pdf["__digest"],
         ):
-            body = bytes(b) if b is not None else b""
             if rv:
-                parts.append(
-                    encode_revisit_record(u, d, ru, rd, sha1_b32(body))
-                )
+                b32 = base64.b32encode(bytes.fromhex(dg)).decode("ascii")
+                parts.append(encode_revisit_record(u, d, ru, rd, b32))
             else:
+                body = bytes(b) if b is not None else b""
                 parts.append(encode_response_record(u, d, body, c))
         return pd.DataFrame({
             "bucket": [bucket],
@@ -686,45 +703,60 @@ def reconstruct_from_revisits(records: DataFrame) -> DataFrame:
 
     Input: ``read_warc(..., warc_types=("response", "revisit"))`` rows.
     Output: the same rows with ``html``/``http_status``/``content_type``
-    restored on revisit rows, plus ``was_revisit``.
+    restored on revisit rows, plus ``was_revisit`` and ``restored``
+    (false on an ORPHAN revisit — its original wasn't in the read set;
+    such rows keep null html rather than failing silently unmarked).
 
-    Scale shape: ONE window over the capture identity — revisit rows
-    group with their original under key (coalesce(refers_to_uri, url),
-    coalesce(refers_to_date, own date string)) and take the group's
-    response values. Deliberately not a self-join of revisits against
-    responses: both sides would re-scan the WARC source (filter+join
-    over one source plans two source executions, same reasoning as
-    cdx.revisit_resolve), whereas the window shuffles each payload
-    once. The own-date string is re-derived with the writer's exact
-    format, so response rows group with themselves.
+    Group identity is (coalesce(refers_to_uri, url), payload_digest) —
+    digest, NOT WARC-Refers-To-Date: the identical-payload-digest
+    profile's actual guarantee is that digest equality == payload
+    equality, while date-string matching breaks on every real-archive
+    wrinkle (sub-second foreign date forms, optional Refers-To-Date,
+    unparseable dates). The read scan guarantees responses carry a
+    digest (stamped or computed), so grouping is total. Restoration
+    takes the group's response values as ONE struct (min over
+    (html, status, content_type)) — never per-column maxima, which
+    could mix fields from different responses when a URI carries
+    several same-digest captures with differing metadata.
+
+    Scale shape: ONE window over the identity — deliberately not a
+    self-join of revisits against responses: both sides would re-scan
+    the WARC source (filter+join over one source plans two source
+    executions, same reasoning as cdx.revisit_resolve), whereas the
+    window shuffles each payload once.
     """
-    tz = records.sparkSession.conf.get("spark.sql.session.timeZone")
-    own_date = F.date_format(
-        F.to_utc_timestamp(F.col("warc_ts"), tz), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-    )
-    is_resp = F.col("warc_type").eqNullSafe(F.lit("response"))
     from pyspark.sql.window import Window
 
+    is_resp = F.col("warc_type").eqNullSafe(F.lit("response"))
     w = Window.partitionBy(
         F.coalesce(F.col("refers_to_uri"), F.col("url")),
-        F.coalesce(F.col("refers_to_date"), own_date),
+        F.col("payload_digest"),
     )
-    canon_of = lambda c: F.max(F.when(is_resp, F.col(c))).over(w)  # noqa: E731
+    canon = F.min(
+        F.when(
+            is_resp,
+            F.struct(
+                F.col("html").alias("h"),
+                F.col("http_status").alias("s"),
+                F.col("content_type").alias("c"),
+            ),
+        )
+    ).over(w)
     restored = records.select(
         "url",
         "warc_ts",
         "warc_type",
         F.when(is_resp, F.col("http_status"))
-        .otherwise(canon_of("http_status")).alias("http_status"),
+        .otherwise(canon["s"]).alias("http_status"),
         F.when(is_resp, F.col("content_type"))
-        .otherwise(canon_of("content_type")).alias("content_type"),
-        F.when(is_resp, F.col("html"))
-        .otherwise(canon_of("html")).alias("html"),
+        .otherwise(canon["c"]).alias("content_type"),
+        F.when(is_resp, F.col("html")).otherwise(canon["h"]).alias("html"),
         "warc_file",
         "refers_to_uri",
         "refers_to_date",
         "payload_digest",
         (~is_resp).alias("was_revisit"),
+        (is_resp | canon["h"].isNotNull()).alias("restored"),
     )
     return restored
 

@@ -443,3 +443,61 @@ def test_deduped_export_bytes_partition_independent(spark, tmp_path):
         for r in assemble_warc_files_deduped(df.repartition(17), 4).collect()
     }
     assert a == b and len(a) == 4
+
+
+def test_reconstruction_orphan_and_exact_duplicates(spark, tmp_path):
+    """Review findings: (a) an orphan revisit (original not in the read
+    set) is flagged restored=false instead of silently null; (b) an
+    EXACT duplicate capture (same url, ts, body) dedupes into one
+    response + one self-referencing stub with deterministic bytes
+    (the __revisit sort tiebreak)."""
+    import datetime as dt
+
+    from raven_spark.sources.warc import (
+        assemble_warc_files_deduped,
+        read_warc,
+        reconstruct_from_revisits,
+        write_warc,
+    )
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    dup = ("https://dup.example/", ts0, b"<html>same</html>")
+    df = spark.createDataFrame(
+        [dup, dup, ("https://other.example/", ts0, b"<html>other</html>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    a = {
+        r["file_name"]: bytes(r["content"])
+        for r in assemble_warc_files_deduped(df, 2).collect()
+    }
+    b = {
+        r["file_name"]: bytes(r["content"])
+        for r in assemble_warc_files_deduped(df.repartition(7), 2).collect()
+    }
+    assert a == b  # exact-duplicate tie is ordered by the revisit flag
+
+    root = str(tmp_path / "dup")
+    write_warc(df, root, n_files=2, dedupe=True).collect()
+    back = read_warc(
+        spark, f"{root}/*.warc.gz", warc_types=("response", "revisit")
+    )
+    restored = reconstruct_from_revisits(back)
+    rows = restored.where("url = 'https://dup.example/'").collect()
+    assert sorted(r["was_revisit"] for r in rows) == [False, True]
+    for r in rows:  # the stub restores its own payload back
+        assert bytes(r["html"]) == b"<html>same</html>"
+        assert r["restored"] is True
+
+    # orphan: read ONLY the file(s) holding revisit stubs whose original
+    # lives in the other file -> restored=false, html null, no crash
+    import glob
+
+    for f in sorted(glob.glob(f"{root}/*.warc.gz")):
+        only = read_warc(
+            spark, f, warc_types=("response", "revisit")
+        )
+        rec = reconstruct_from_revisits(only)
+        orphans = rec.where("was_revisit AND NOT restored").collect()
+        for o in orphans:
+            assert o["html"] is None
+            assert o["refers_to_uri"] is not None
