@@ -1266,6 +1266,36 @@ def q56_warc_dedup_roundtrip(spark, sf_dir):
     )
 
 
+def q57_wet_roundtrip(spark, sf_dir):
+    """WET container round trip (warc.py::assemble_wet_files / the
+    conversion-record codec): documents → extracted-text conversion
+    records (the text-only sibling CC publishes beside every WARC; most
+    corpus pipelines read WET at ~1/10 the bytes) → member-at-a-time
+    scan → UTF-8 decode → the original text. Identity oracle, so
+    hash-green == the WET codec is byte-faithful including non-ASCII.
+    Scale shape: one 8-byte-keyed assembly exchange, text crosses Arrow
+    once (same class as q52)."""
+    from raven_spark.sources.warc import READ_SCHEMA, _record_scan, assemble_wet_files
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        "text",
+    )
+    files = assemble_wet_files(pages, n_files=8)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    records = files.select(
+        F.col("file_name").alias("path"), "content"
+    ).mapInPandas(_record_scan(("conversion",), tz), READ_SCHEMA)
+    return records.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.decode(F.col("html"), "utf-8").alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1324,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_warc_revisit": q54_warc_revisit,
         "q55_gopher_rules": q55_gopher_rules,
         "q56_warc_dedup_roundtrip": q56_warc_dedup_roundtrip,
+        "q57_wet_roundtrip": q57_wet_roundtrip,
     }
 
 
@@ -2397,6 +2428,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
                    payload AS text
             FROM g
+        """,
+        "q57_wet_roundtrip": """
+            SELECT doc_id,
+                   'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents WHERE text IS NOT NULL
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -76,6 +76,7 @@ HEADLINE = [
     "q54_warc_revisit",
     "q55_gopher_rules",
     "q56_warc_dedup_roundtrip",
+    "q57_wet_roundtrip",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

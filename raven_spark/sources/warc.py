@@ -149,6 +149,43 @@ def encode_revisit_record(
     return buf.getvalue()
 
 
+def encode_conversion_record(
+    url: str,
+    date_iso: str,
+    text_bytes: bytes,
+    gzip_member: bool = True,
+) -> bytes:
+    """One WARC/1.0 ``conversion`` record carrying extracted plain text —
+    the record type Common Crawl's WET files are made of (ISO 28500
+    §6.8: content "created as the result of a transformation"). The
+    WARC-Refers-To header names the response record this text was
+    extracted from: record ids here are name-based (UUIDv5 over
+    url+date, see ``encode_response_record``), so the reference is
+    computable without reading the WARC side — a WET export pairs with
+    its WARC export by construction. The conversion record's own id
+    salts the name with "conversion" so the pair never collides."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nconversion")
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: conversion\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
+        + f"WARC-Refers-To: <urn:uuid:{refers}>\r\n".encode("ascii")
+        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(text_bytes)}\r\n".encode("ascii")
+        + _CRLF
+    )
+    record = head + text_bytes + _CRLF + _CRLF
+    if not gzip_member:
+        return record
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
 def _member_chunk_scan(
     data: bytes,
 ) -> Iterator[tuple[int, int | None, bytes]]:
@@ -594,6 +631,41 @@ def assemble_warc_files_deduped(
     )
 
 
+def _export_src(
+    df: DataFrame,
+    n_files: int,
+    url_col: str,
+    ts_col: str,
+    body_expr,
+    ct_expr,
+) -> DataFrame:
+    """The export projection every WARC-family writer shares:
+    (url, __date, __body, __ct, __bh, bucket).
+
+    WARC-Date must be the true UTC instant: date_format alone renders
+    SESSION-timezone wall time, so a non-UTC session (this is public
+    library API — only the repo's own session factory pins UTC) would
+    stamp wrong times under the literal 'Z' AND make output bytes
+    depend on session config. to_utc_timestamp(ts, session_tz) shifts
+    the wall time so the session-tz rendering IS the UTC rendering.
+    Bucket = pmod(xxhash64(url), n_files): an 8-byte assembly shuffle
+    key; __bh is the in-bucket sort tiebreak."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    utc_ts = F.to_utc_timestamp(F.col(ts_col), tz)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(
+            F.date_format(utc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("1970-01-01T00:00:00Z"),
+        ).alias("__date"),
+        body_expr.alias("__body"),
+        ct_expr.alias("__ct"),
+        F.xxhash64(body_expr).alias("__bh"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
+        .cast("int").alias("bucket"),
+    )
+
+
 def _assemble(
     df: DataFrame,
     n_files: int,
@@ -612,26 +684,7 @@ def _assemble(
         if content_type_col
         else F.lit("text/html")
     )
-    # WARC-Date must be the true UTC instant: date_format alone renders
-    # SESSION-timezone wall time, so a non-UTC session (this is public
-    # library API — only the repo's own session factory pins UTC) would
-    # stamp wrong times under the literal 'Z' AND make output bytes
-    # depend on session config. to_utc_timestamp(ts, session_tz) shifts
-    # the wall time so the session-tz rendering IS the UTC rendering.
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    utc_ts = F.to_utc_timestamp(F.col(ts_col), tz)
-    src = df.select(
-        F.col(url_col).alias("url"),
-        F.coalesce(
-            F.date_format(utc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-            F.lit("1970-01-01T00:00:00Z"),
-        ).alias("__date"),
-        F.col(body_col).alias("__body"),
-        ct.alias("__ct"),
-        F.xxhash64(F.col(body_col)).alias("__bh"),
-        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
-        .cast("int").alias("bucket"),
-    )
+    src = _export_src(df, n_files, url_col, ts_col, F.col(body_col), ct)
     if dedupe:
         from pyspark.sql.window import Window
 
@@ -695,6 +748,58 @@ def _assemble(
         })
 
     return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
+
+
+def assemble_wet_files(
+    df: DataFrame,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    prefix: str = "wet-part",
+) -> DataFrame:
+    """Pages → WET file blobs: one ``conversion`` record of extracted
+    plain text per page — the text-only sibling Common Crawl publishes
+    beside every WARC (most corpus pipelines read WET, not WARC: ~1/10
+    the bytes, no HTML parse). Same bucket/date/determinism rules as
+    the WARC assemblers (shared ``_export_src``); each record's
+    WARC-Refers-To names the response record a parallel
+    ``assemble_warc_files`` export writes for the same row, so the pair
+    cross-references by construction."""
+    src = _export_src(
+        df, n_files, url_col, ts_col,
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"),
+        F.lit("text/plain"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        parts = [
+            encode_conversion_record(u, d, bytes(b))
+            for u, d, b in zip(pdf["url"], pdf["__date"], pdf["__body"])
+        ]
+        return pd.DataFrame({
+            "bucket": [bucket],
+            "file_name": [f"{prefix}-{bucket:05d}.warc.wet.gz"],
+            "records": [len(parts)],
+            "content": [b"".join(parts)],
+        })
+
+    return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files → (url, warc_ts, text, warc_file): the ``conversion``
+    records' plain-text payloads, decoded as the UTF-8 WET writes.
+    Same one-file-per-task scan as ``read_warc``."""
+    records = read_warc(spark, path, warc_types=("conversion",))
+    return records.select(
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "utf-8").alias("text"),
+        "warc_file",
+    )
 
 
 def reconstruct_from_revisits(records: DataFrame) -> DataFrame:
@@ -782,18 +887,46 @@ def write_warc(
     writer (not installed in this sandbox — the seam is the single
     ``_put`` below, mirroring the catalog's ``_put_uri``).
     """
-    import os
+    _local_target(out_dir)  # reject object stores before any plan work
+    assembler = assemble_warc_files_deduped if dedupe else assemble_warc_files
+    files = assembler(
+        df, n_files, url_col, ts_col, body_col, content_type_col
+    )
+    return _write_file_blobs(files, out_dir)
 
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed WET export (``assemble_wet_files`` + the same
+    executor-side atomic writer as ``write_warc``)."""
+    _local_target(out_dir)
+    return _write_file_blobs(
+        assemble_wet_files(df, n_files, url_col, ts_col, text_col), out_dir
+    )
+
+
+def _local_target(out_dir: str) -> str:
     target = out_dir[len("file:"):] if out_dir.startswith("file:") else out_dir
     if "://" in target:
         raise NotImplementedError(
             "object-store WARC export needs a cloud SDK on the executors; "
             "use a file:/ or mounted path here (see docstring)"
         )
-    assembler = assemble_warc_files_deduped if dedupe else assemble_warc_files
-    files = assembler(
-        df, n_files, url_col, ts_col, body_col, content_type_col
-    )
+    return target
+
+
+def _write_file_blobs(files: DataFrame, out_dir: str) -> DataFrame:
+    """(file_name, records, content) blobs → files on disk, written from
+    the executors that hold them; returns the manifest DataFrame."""
+    import os
+
+    target = _local_target(out_dir)
 
     manifest_schema = T.StructType([
         T.StructField("file_name", T.StringType()),

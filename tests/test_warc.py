@@ -501,3 +501,67 @@ def test_reconstruction_orphan_and_exact_duplicates(spark, tmp_path):
         for o in orphans:
             assert o["html"] is None
             assert o["refers_to_uri"] is not None
+
+
+def test_wet_export_import_round_trip(spark, tmp_path):
+    """WET (extracted-text conversion records): export → import yields
+    the exact text; records cross-reference the paired WARC export's
+    response record ids by construction; bytes are partitioning-
+    independent like every other exporter here."""
+    import datetime as dt
+    import uuid as uuid_mod
+
+    from raven_spark.sources.warc import (
+        assemble_wet_files,
+        iter_warc_records,
+        read_wet,
+        write_wet,
+    )
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (
+            f"https://w{i % 4}.example/p/{i}",
+            ts0 + dt.timedelta(seconds=i),
+            f"extracted text of page {i} — naïve café é{i}",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    root = str(tmp_path / "wet")
+    manifest = write_wet(df, root, n_files=3).collect()
+    assert sum(m["records"] for m in manifest) == 30
+    assert all(m["file_name"].endswith(".warc.wet.gz") for m in manifest)
+
+    back = read_wet(spark, f"{root}/*.warc.wet.gz")
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 30
+    for url, ts, text in rows:
+        assert got[url]["text"] == text
+        assert got[url]["warc_ts"] == ts
+
+    # WARC-Refers-To == UUIDv5(url\ndate) — the paired response's id
+    blobs = {
+        r["file_name"]: bytes(r["content"])
+        for r in assemble_wet_files(df, 3).collect()
+    }
+    seen_refers = 0
+    for blob in blobs.values():
+        for rec in iter_warc_records(blob):
+            h = rec["headers"]
+            assert h["warc-type"] == "conversion"
+            assert h["content-type"] == "text/plain"
+            want = uuid_mod.uuid5(
+                uuid_mod.NAMESPACE_URL,
+                f"{h['warc-target-uri']}\n{h['warc-date']}",
+            )
+            assert h["warc-refers-to"] == f"<urn:uuid:{want}>"
+            seen_refers += 1
+    assert seen_refers == 30
+
+    # partition-independence
+    a = {r["file_name"]: bytes(r["content"])
+         for r in assemble_wet_files(df, 2).collect()}
+    b = {r["file_name"]: bytes(r["content"])
+         for r in assemble_wet_files(df.repartition(11), 2).collect()}
+    assert a == b
