@@ -1296,6 +1296,60 @@ def q57_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q58_wat_links(spark, sf_dir):
+    """WAT container round trip feeding the link graph (warc.py::
+    assemble_wat_files / read_wat's envelope parse): documents → q36's
+    deterministic outlink formula as an array column → metadata records
+    with CC-style JSON envelopes → member scan + JVM from_json →
+    exploded (src, dst) edges. Hash-green == the WAT codec preserves
+    link lists exactly (order included) — the contract that lets
+    PageRank/host-reputation run off WAT without ever reading payload
+    bytes. Scale shape: one 8-byte assembly exchange; the envelope
+    parse is codegen'd from_json, Python only frames records."""
+    from raven_spark.sources.warc import (
+        READ_SCHEMA,
+        _WAT_ENVELOPE_SCHEMA,
+        _record_scan,
+        assemble_wat_files,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    links = F.filter(
+        F.transform(
+            F.array(F.lit(1), F.lit(2), F.lit(3)),
+            lambda j: F.pmod(F.col("doc_id") * 37 + j * 1009, F.lit(n)),
+        ),
+        lambda dst: dst != F.col("doc_id"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://d.example/p/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.transform(
+            links,
+            lambda dst: F.concat(F.lit("https://d.example/p/"), dst),
+        ).alias("links"),
+    )
+    files = assemble_wat_files(pages, n_files=8)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    records = files.select(
+        F.col("file_name").alias("path"), "content"
+    ).mapInPandas(_record_scan(("metadata",), tz), READ_SCHEMA)
+    env = F.from_json(
+        F.decode(F.col("html"), "utf-8"), _WAT_ENVELOPE_SCHEMA
+    )["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    out = records.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("src"),
+        F.explode(
+            F.transform(env["HTML-Metadata"]["Links"], lambda x: x["url"])
+        ).alias("dst_url"),
+    )
+    return out.select(
+        "src",
+        F.regexp_extract("dst_url", r"/p/(\d+)$", 1).cast("long").alias("dst"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1355,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_gopher_rules": q55_gopher_rules,
         "q56_warc_dedup_roundtrip": q56_warc_dedup_roundtrip,
         "q57_wet_roundtrip": q57_wet_roundtrip,
+        "q58_wat_links": q58_wat_links,
     }
 
 
@@ -2435,6 +2490,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    text
             FROM documents WHERE text IS NOT NULL
+        """,
+        "q58_wat_links": """
+            WITH n AS (SELECT count(*) AS n FROM documents)
+            SELECT d.doc_id AS src,
+                   (d.doc_id * 37 + j.j * 1009) % n.n AS dst
+            FROM documents d
+            CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            CROSS JOIN n
+            WHERE (d.doc_id * 37 + j.j * 1009) % n.n <> d.doc_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

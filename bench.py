@@ -77,6 +77,7 @@ HEADLINE = [
     "q55_gopher_rules",
     "q56_warc_dedup_roundtrip",
     "q57_wet_roundtrip",
+    "q58_wat_links",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -186,6 +186,41 @@ def encode_conversion_record(
     return buf.getvalue()
 
 
+def encode_metadata_record(
+    url: str,
+    date_iso: str,
+    json_bytes: bytes,
+    gzip_member: bool = True,
+) -> bytes:
+    """One WARC/1.0 ``metadata`` record carrying a JSON envelope — the
+    record type Common Crawl's WAT files are made of (per-capture
+    metadata: HTTP headers, outlinks, title — everything a link-graph
+    or header-analytics pipeline needs WITHOUT the payload bytes).
+    WARC-Refers-To names the source response record via the same
+    UUIDv5(url, date) construction as WET, so WARC/WAT/WET triplets
+    cross-reference with no join."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nmetadata")
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: metadata\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
+        + f"WARC-Refers-To: <urn:uuid:{refers}>\r\n".encode("ascii")
+        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+        + b"Content-Type: application/json\r\n"
+        + f"Content-Length: {len(json_bytes)}\r\n".encode("ascii")
+        + _CRLF
+    )
+    record = head + json_bytes + _CRLF + _CRLF
+    if not gzip_member:
+        return record
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
 def _member_chunk_scan(
     data: bytes,
 ) -> Iterator[tuple[int, int | None, bytes]]:
@@ -638,6 +673,7 @@ def _export_src(
     ts_col: str,
     body_expr,
     ct_expr,
+    extra: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """The export projection every WARC-family writer shares:
     (url, __date, __body, __ct, __bh, bucket).
@@ -663,6 +699,7 @@ def _export_src(
         F.xxhash64(body_expr).alias("__bh"),
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
         .cast("int").alias("bucket"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 
@@ -789,6 +826,128 @@ def assemble_wet_files(
     return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
 
 
+def assemble_wat_files(
+    df: DataFrame,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    links_col: str = "links",
+    status_col: str | None = None,
+    content_type_col: str | None = None,
+    prefix: str = "wat-part",
+) -> DataFrame:
+    """Pages → WAT file blobs: one ``metadata`` record per capture with
+    a CC-style JSON envelope (HTTP status/content-type + outlink list)
+    — the link-graph sibling of WET: a 100 TB crawl's WAT is the input
+    to PageRank/host-reputation without ever touching payload bytes.
+    ``links_col`` is an ``array<string>`` column (e.g.
+    ``extract_links_udf(html)`` or the frontier's discovered edges).
+
+    JSON is canonical (sorted keys, compact separators) so output bytes
+    stay a pure function of the input set like every exporter here;
+    link ORDER within a record is preserved from the input array (it is
+    data — document order of the anchors)."""
+    import json
+
+    src = _export_src(
+        df, n_files, url_col, ts_col,
+        # carry the link array through the assembly shuffle as one
+        # JSON string column (Arrow-friendly; the envelope is built in
+        # the bucket task so the record shape stays in ONE place)
+        F.to_json(F.coalesce(
+            F.col(links_col), F.array().cast("array<string>")
+        )),
+        (F.coalesce(F.col(content_type_col), F.lit("text/html"))
+         if content_type_col else F.lit("text/html")),
+        extra={
+            "__status": (
+                F.coalesce(F.col(status_col), F.lit(200))
+                if status_col else F.lit(200)
+            ).cast("int"),
+        },
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        parts = []
+        for u, d, lj, c, st in zip(
+            pdf["url"], pdf["__date"], pdf["__body"], pdf["__ct"],
+            pdf["__status"],
+        ):
+            links = json.loads(lj) if lj else []
+            envelope = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": u,
+                        "WARC-Date": d,
+                        "WARC-Type": "response",
+                    },
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "Response-Message": {"Status": int(st)},
+                            "Headers": {"Content-Type": c},
+                            "HTML-Metadata": {
+                                "Links": [{"url": l} for l in links],
+                            },
+                        },
+                    },
+                },
+            }
+            body = json.dumps(
+                envelope, sort_keys=True, separators=(",", ":")
+            ).encode("utf-8")
+            parts.append(encode_metadata_record(u, d, body))
+        return pd.DataFrame({
+            "bucket": [bucket],
+            "file_name": [f"{prefix}-{bucket:05d}.warc.wat.gz"],
+            "records": [len(parts)],
+            "content": [b"".join(parts)],
+        })
+
+    return src.groupBy("bucket").applyInPandas(build, _FILE_SCHEMA)
+
+
+_WAT_ENVELOPE_SCHEMA = T.StructType([T.StructField("Envelope", T.StructType([
+    T.StructField("Payload-Metadata", T.StructType([
+        T.StructField("HTTP-Response-Metadata", T.StructType([
+            T.StructField("Response-Message", T.StructType([
+                T.StructField("Status", T.IntegerType()),
+            ])),
+            T.StructField("Headers", T.StructType([
+                T.StructField("Content-Type", T.StringType()),
+            ])),
+            T.StructField("HTML-Metadata", T.StructType([
+                T.StructField("Links", T.ArrayType(T.StructType([
+                    T.StructField("url", T.StringType()),
+                ]))),
+            ])),
+        ])),
+    ])),
+]))])
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT files → (url, warc_ts, http_status, content_type, links,
+    warc_file): metadata records' JSON envelopes parsed JVM-side
+    (``from_json`` against the envelope schema — the Python scan only
+    frames records; envelope decoding stays in codegen)."""
+    records = read_warc(spark, path, warc_types=("metadata",))
+    env = F.from_json(
+        F.decode(F.col("html"), "utf-8"), _WAT_ENVELOPE_SCHEMA
+    )["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    return records.select(
+        "url",
+        "warc_ts",
+        env["Response-Message"]["Status"].alias("http_status"),
+        env["Headers"]["Content-Type"].alias("content_type"),
+        F.transform(
+            env["HTML-Metadata"]["Links"], lambda x: x["url"]
+        ).alias("links"),
+        "warc_file",
+    )
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """WET files → (url, warc_ts, text, warc_file): the ``conversion``
     records' plain-text payloads, decoded as the UTF-8 WET writes.
@@ -908,6 +1067,28 @@ def write_wet(
     _local_target(out_dir)
     return _write_file_blobs(
         assemble_wet_files(df, n_files, url_col, ts_col, text_col), out_dir
+    )
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    links_col: str = "links",
+    status_col: str | None = None,
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Distributed WAT export (``assemble_wat_files`` + the shared
+    atomic writer)."""
+    _local_target(out_dir)
+    return _write_file_blobs(
+        assemble_wat_files(
+            df, n_files, url_col, ts_col, links_col, status_col,
+            content_type_col,
+        ),
+        out_dir,
     )
 
 

@@ -565,3 +565,73 @@ def test_wet_export_import_round_trip(spark, tmp_path):
     b = {r["file_name"]: bytes(r["content"])
          for r in assemble_wet_files(df.repartition(11), 2).collect()}
     assert a == b
+
+
+def test_wat_export_import_round_trip(spark, tmp_path):
+    """WAT (metadata/link-envelope records): export → import preserves
+    outlinks in document order plus status/content-type; the WARC/WAT/
+    WET triplet cross-references by record-id construction; bytes are
+    partitioning-independent."""
+    import datetime as dt
+    import json
+
+    from raven_spark.sources.warc import (
+        assemble_wat_files,
+        iter_warc_records,
+        read_wat,
+        write_wat,
+    )
+
+    ts0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (
+            f"https://w{i % 3}.example/p/{i}",
+            ts0 + dt.timedelta(seconds=i),
+            [f"https://w{(i + k) % 3}.example/p/{(i * 7 + k) % 20}"
+             for k in range(1, 1 + i % 4)],  # 0-3 links, order matters
+            200 + (i % 2) * 104,
+            "text/html; charset=utf-8",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, links array<string>, "
+        "status int, ct string",
+    )
+    root = str(tmp_path / "wat")
+    manifest = write_wat(
+        df, root, n_files=2, status_col="status", content_type_col="ct"
+    ).collect()
+    assert sum(m["records"] for m in manifest) == 20
+    assert all(m["file_name"].endswith(".warc.wat.gz") for m in manifest)
+
+    back = read_wat(spark, f"{root}/*.warc.wat.gz")
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 20
+    for url, ts, links, status, ct in rows:
+        g = got[url]
+        assert list(g["links"]) == links  # order preserved
+        assert g["http_status"] == status
+        assert g["content_type"] == ct
+        assert g["warc_ts"] == ts
+
+    # envelope is canonical JSON and the record type is metadata
+    blob = bytes(
+        assemble_wat_files(df, 1, status_col="status",
+                           content_type_col="ct").collect()[0]["content"]
+    )
+    recs = list(iter_warc_records(blob))
+    assert len(recs) == 20
+    h = recs[0]["headers"]
+    assert h["warc-type"] == "metadata"
+    assert h["content-type"] == "application/json"
+    env = json.loads(recs[0]["block"])
+    assert "Envelope" in env
+
+    # partition-independence
+    a = {r["file_name"]: bytes(r["content"])
+         for r in assemble_wat_files(df, 2).collect()}
+    b = {r["file_name"]: bytes(r["content"])
+         for r in assemble_wat_files(df.repartition(9), 2).collect()}
+    assert a == b
