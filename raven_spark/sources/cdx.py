@@ -151,6 +151,58 @@ def cdx_index_from_files(spark: SparkSession, path: str) -> DataFrame:
     return cdx_index(spark.read.format("binaryFile").load(path))
 
 
+def write_cdx(
+    index: DataFrame,
+    out_dir: str,
+    prefix_len: int = 4,
+) -> None:
+    """Persist a CDX index as parquet PARTITIONED by SURT prefix and
+    sorted by full SURT within files — the layout that turns "give me
+    every capture under example.com" into a partition-pruned, row-group-
+    skippable range read (the module-doc promise made concrete).
+
+    Why partition by a PREFIX, not the registrable domain: partition
+    values must be low-cardinality (10^7 domains would mean 10^7
+    directories); a ``prefix_len``-char SURT prefix caps partitions at
+    ~36^k while still clustering each domain into exactly one partition
+    (SURT keys sort host-reversed, so one domain == one contiguous key
+    range == one prefix bucket unless it straddles — the full sort
+    within files gives parquet min/max stats for the residual pruning).
+    Scale: the index is ~100 bytes/record, so even 10^11 captures sort
+    ~10 TB — a routine exchange keyed by (prefix, surt).
+    """
+    out = index.withColumn(
+        "surt_prefix", F.substring(F.col("surt"), 1, prefix_len)
+    )
+    (
+        out.repartition(F.col("surt_prefix"))
+        .sortWithinPartitions("surt_prefix", "surt", "warc_file", "offset")
+        .write.mode("overwrite")
+        .partitionBy("surt_prefix")
+        .parquet(out_dir)
+    )
+
+
+def read_cdx(
+    spark: SparkSession,
+    path: str,
+    surt_starts_with: str | None = None,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Read a ``write_cdx`` layout; ``surt_starts_with`` narrows to one
+    domain/prefix range and reaches the scan as BOTH a partition filter
+    (startswith on surt_prefix — prunes directories whether the query
+    key is shorter or longer than the stored prefix) and a data filter
+    (on the sorted surt column, skipping row groups via min/max stats)
+    — plan-asserted in tests. ``prefix_len`` must match the writer's."""
+    df = spark.read.parquet(path)
+    if surt_starts_with is not None:
+        df = df.where(
+            F.col("surt_prefix").startswith(surt_starts_with[:prefix_len])
+        ).where(F.col("surt").startswith(surt_starts_with))
+    return df
+
+
 def revisit_resolve(index: DataFrame) -> DataFrame:
     """Payload-digest deduplication over a CDX index — the WARC
     "revisit" convention (ISO 28500 §6.7; what Common Crawl's dedup

@@ -314,3 +314,39 @@ def test_revisit_canonical_parses_dates_and_is_unique(spark):
     c = res.where("digest = 'DIGC'").collect()
     assert sorted(r["is_revisit"] for r in c) == [False, True]
     assert all(r["n_captures"] == 2 for r in c)
+
+
+def test_write_read_cdx_partition_pruning(spark, tmp_path):
+    """The persisted CDX layout delivers the module-doc promise: a
+    per-domain lookup reaches the scan as a PARTITION filter (directory
+    pruning on surt_prefix) plus a data filter on the sorted surt
+    column — asserted in the physical plan, and the pruned read returns
+    exactly the manual filter's rows."""
+    from raven_spark.sources.cdx import read_cdx, write_cdx
+
+    out = str(tmp_path / "warcs")
+    write_warc(_pages(spark, 60), out, n_files=4).collect()
+    idx = cdx_index_from_files(spark, f"{out}/*.warc.gz")
+    cdx_dir = str(tmp_path / "cdx")
+    write_cdx(idx, cdx_dir, prefix_len=4)
+
+    # one host -> surt 'example,host3)/p/N'
+    key = "example,host3)"
+    got = read_cdx(spark, cdx_dir, surt_starts_with=key)
+    want = idx.where(F.col("surt").startswith(key))
+    assert got.count() == want.count() == 12  # 60 pages, 5 hosts
+    assert (
+        got.select("url").exceptAll(want.select("url")).count() == 0
+    )
+    # toString() truncates long FileScan lines; "formatted" prints the
+    # PartitionFilters section in full
+    qe = got._jdf.queryExecution()
+    jvm = spark._jvm
+    plan = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "StartsWith(surt_prefix" in plan  # directory pruning
+    assert "StringStartsWith(surt,example,host3)" in plan  # rowgroup skip
+    # unfiltered read returns everything
+    assert read_cdx(spark, cdx_dir).count() == 60

@@ -635,3 +635,67 @@ def test_wat_export_import_round_trip(spark, tmp_path):
     b = {r["file_name"]: bytes(r["content"])
          for r in assemble_wat_files(df.repartition(9), 2).collect()}
     assert a == b
+
+
+def test_codec_fuzz_round_trip():
+    """Property: ANY body bytes (CRLF runs, 'WARC/' look-alikes, empty,
+    gzip magic) and IRI-ish URLs survive encode → member scan → HTTP
+    parse byte-identically, for all three record framings (gzip member,
+    plain, whole-file mix)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raven_spark.sources.warc import (
+        encode_conversion_record,
+        encode_response_record,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    body_st = st.binary(min_size=0, max_size=400)
+    # header values are whitespace-trimmed per the header grammar, so a
+    # URL with trailing whitespace cannot round-trip through ANY WARC
+    # writer — the engine canonicalizes (percent-encodes) URLs before
+    # export; the codec contract is header-representable URLs
+    url_st = (
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), blacklist_characters="\r\n"
+            ),
+            min_size=1,
+            max_size=60,
+        )
+        .map(lambda s: "https://e.x/" + s)
+        .filter(lambda u: u == u.strip())
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(url_st, body_st), min_size=1, max_size=6),
+           st.booleans())
+    def check(pairs, use_gzip):
+        date = "2026-01-02T03:04:05Z"
+        blob = b"".join(
+            encode_response_record(u, date, b, gzip_member=use_gzip)
+            for u, b in pairs
+        )
+        recs = list(iter_warc_records(blob))
+        assert len(recs) == len(pairs)
+        for (u, b), rec in zip(pairs, recs):
+            assert rec["headers"]["warc-target-uri"] == u
+            status, _hh, body = parse_http_response(rec["block"])
+            assert status == 200 and body == b
+
+        # conversion records interleave cleanly with responses
+        mixed = b"".join(
+            encode_response_record(u, date, b, gzip_member=use_gzip)
+            + encode_conversion_record(u, date, b, gzip_member=use_gzip)
+            for u, b in pairs
+        )
+        recs2 = list(iter_warc_records(mixed))
+        assert [r["headers"]["warc-type"] for r in recs2] == (
+            ["response", "conversion"] * len(pairs)
+        )
+        for (u, b), conv in zip(pairs, recs2[1::2]):
+            assert conv["block"] == b
+
+    check()
