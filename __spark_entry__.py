@@ -1350,6 +1350,44 @@ def q58_wat_links(spark, sf_dir):
     )
 
 
+def q59_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4;
+    operators/pipeline.py::ccnet_buckets over unigram_logprob's score):
+    per-language 1/3 and 2/3 score cutoffs by exact interpolated
+    percentile AGGREGATE (never an ntile sort of a whole language —
+    the dominant language IS the corpus), broadcast back, bucket
+    assignment as a codegen'd comparison. Null-scored docs (empty
+    text) bucket to null. The oracle replays the unigram distribution
+    (q48's replay) + quantile_cont cutoffs + the same comparisons."""
+    from raven_spark.operators.pipeline import ccnet_buckets, unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
+    out = ccnet_buckets(scored, score_col="avg_logprob", group_col="lang")
+    return out.select("doc_id", "lang", "avg_logprob", "ppl_bucket")
+
+
+def q60_mixture_sample(spark, sf_dir):
+    """Training-mixture resampling (operators/sampling.py::
+    mixture_sample): thin each language so the kept corpus follows the
+    target weights en/zh/es/fr = .25/.30/.20/.25 at the largest
+    no-upsampling total T = min(n_g/w_g); 'de' is unweighted and drops
+    entirely. Membership is the Knuth coin (SQL-replayable) against
+    integer thresholds derived ON the O(groups) count aggregate; the
+    corpus itself never shuffles (broadcast joins + codegen filter)."""
+    from raven_spark.operators.sampling import knuth_coin, mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d,
+        "lang",
+        {"en": 0.25, "zh": 0.30, "es": 0.20, "fr": 0.25},
+        key_cols="doc_id",
+        coin=knuth_coin("doc_id"),
+    )
+    return out.select("doc_id", "lang", "kept")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1410,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_warc_dedup_roundtrip": q56_warc_dedup_roundtrip,
         "q57_wet_roundtrip": q57_wet_roundtrip,
         "q58_wat_links": q58_wat_links,
+        "q59_ccnet_buckets": q59_ccnet_buckets,
+        "q60_mixture_sample": q60_mixture_sample,
     }
 
 
@@ -2499,6 +2539,58 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1), (2), (3)) j(j)
             CROSS JOIN n
             WHERE (d.doc_id * 37 + j.j * 1009) % n.n <> d.doc_id
+        """,
+        "q59_ccnet_buckets": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ), freq AS (
+              SELECT w, count(*) AS c FROM words GROUP BY w
+            ), tot AS (
+              SELECT sum(c) AS t FROM freq
+            ), scored AS (
+              SELECT doc_id, round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS s
+              FROM words JOIN freq USING (w), tot
+              GROUP BY doc_id
+            ), fulldocs AS (
+              SELECT d.doc_id, d.lang, s.s AS avg_logprob
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ), cuts AS (
+              SELECT lang,
+                     quantile_cont(avg_logprob, 2.0/3.0) AS c_head,
+                     quantile_cont(avg_logprob, 1.0/3.0) AS c_mid
+              FROM fulldocs WHERE avg_logprob IS NOT NULL GROUP BY lang
+            )
+            SELECT f.doc_id, f.lang, f.avg_logprob,
+                   CASE WHEN f.avg_logprob IS NULL THEN NULL
+                        WHEN f.avg_logprob >= c.c_head THEN 'head'
+                        WHEN f.avg_logprob >= c.c_mid THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM fulldocs f LEFT JOIN cuts c USING (lang)
+        """,
+        "q60_mixture_sample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w(lang, w) AS (
+              VALUES ('en', 0.25), ('zh', 0.30), ('es', 0.20), ('fr', 0.25)
+            ), t AS (
+              SELECT min(n / w) AS t FROM counts JOIN w USING (lang)
+              WHERE w > 0
+            ), r AS (
+              SELECT c.lang,
+                     CAST(round(t.t * w.w / c.n * 1000000, 0) AS BIGINT)
+                       AS thresh
+              FROM counts c JOIN w USING (lang) CROSS JOIN t
+              WHERE w.w > 0
+            )
+            SELECT d.doc_id, d.lang,
+                   COALESCE(
+                     ((d.doc_id % 1000000007) * 2654435761) % 1000000
+                       < r.thresh,
+                     FALSE) AS kept
+            FROM documents d LEFT JOIN r USING (lang)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

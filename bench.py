@@ -78,6 +78,8 @@ HEADLINE = [
     "q56_warc_dedup_roundtrip",
     "q57_wet_roundtrip",
     "q58_wat_links",
+    "q59_ccnet_buckets",
+    "q60_mixture_sample",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -499,3 +499,53 @@ def corpus_stats(
         *[F.round(F.element_at("__p", i + 1), 6).alias(f"p{int(p * 100)}_tokens")
           for i, p in enumerate(percentiles)],
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    score_col: str = "avg_logprob",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    out_col: str = "ppl_bucket",
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): within
+    each language, rank documents by LM score and cut the corpus into
+    thirds — "head" trains high-quality models, "tail" is usually
+    dropped. Pair with ``unigram_logprob`` for the score (higher =
+    more fluent here, so head = top third).
+
+    Scale shape: NOT an ntile over a per-language sort (one reducer
+    sorts an entire language — the dominant language IS the corpus).
+    Instead: per-group score CUTOFFS at the 1/3 and 2/3 quantiles (one
+    aggregate over (group, score) pairs), broadcast-joined back (groups
+    are languages — O(100) rows), bucket assignment as a codegen'd
+    comparison. This is how CCNet itself does it (cutoffs from a
+    sample, assignment map-side). ``sample_fraction < 1`` computes the
+    cutoffs from a deterministic ``hash_sample`` of the scores — at
+    10^9+ docs/language exact percentile materializes a language's
+    score list in one task, so sampling is the 100 TB switch; the
+    assignment pass is unchanged either way.
+
+    Output: input columns + ``out_col`` in ('head', 'middle', 'tail';
+    null where the score is null, e.g. empty docs).
+    """
+    scored = df.where(F.col(score_col).isNotNull())
+    if sample_fraction < 1.0:
+        from raven_spark.operators.sampling import hash_sample
+
+        scored = hash_sample(scored, id_col, sample_fraction, salt="ccnet")
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), [2.0 / 3.0, 1.0 / 3.0]).alias(
+            "__cuts"
+        )
+    )
+    out = df.join(F.broadcast(cuts), group_col, "left")
+    score = F.col(score_col)
+    bucket = (
+        F.when(score.isNull() | F.col("__cuts").isNull(), F.lit(None))
+        .when(score >= F.col("__cuts")[0], F.lit("head"))
+        .when(score >= F.col("__cuts")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn(out_col, bucket).drop("__cuts")

@@ -96,3 +96,65 @@ def stratified_cap(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_cols: "str | list[str]",
+    salt: str = "",
+    coin: "F.Column | None" = None,
+    flag_col: str = "kept",
+) -> DataFrame:
+    """Deterministic mixture resampling: thin each group so the KEPT
+    corpus follows ``weights`` (the data-mixing step before training —
+    "20% code, 30% web, …" — GPT-3/LLaMA-style source weighting). The
+    kept total is the LARGEST achievable without upsampling: T =
+    min over groups of n_g / w_g, and each group keeps T*w_g rows in
+    expectation via the same deterministic Bernoulli coin as
+    ``hash_sample`` (content-keyed: stable under reruns, partitioning,
+    and cluster size). Groups absent from ``weights`` (or weighted 0)
+    are dropped.
+
+    Scale shape: one count aggregate over the group key (groups are
+    mixture components — O(10-100) rows), the feasibility min and the
+    per-group thresholds computed ON that tiny aggregate, broadcast
+    back, then a zero-shuffle coin filter. The corpus itself never
+    shuffles.
+
+    Output: input columns + ``flag_col`` (boolean; filter on it or use
+    the convenience return of only-kept rows via ``.where(flag_col)``).
+    Thresholds are integer (coin-denominator) values, so membership is
+    exact rational arithmetic — SQL-replayable with ``knuth_coin``.
+    """
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(weights.items())],
+            f"{group_col} string, __w double",
+        )
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.join(wdf, group_col, "inner").where(F.col("__w") > 0)
+    t_total = rates.agg(
+        F.min(F.col("__n") / F.col("__w")).alias("__t")
+    )
+    rates = rates.crossJoin(F.broadcast(t_total)).select(
+        group_col,
+        F.round(
+            F.col("__t") * F.col("__w") / F.col("__n") * F.lit(_DENOM), 0
+        ).cast("bigint").alias("__thresh"),
+    )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if coin is None:
+        coin = F.pmod(
+            F.xxhash64(*[F.col(c) for c in keys], F.lit(salt)), F.lit(_DENOM)
+        )
+    out = df.join(F.broadcast(rates), group_col, "left")
+    return out.withColumn(
+        flag_col,
+        F.when(F.col("__thresh").isNull(), F.lit(False)).otherwise(
+            coin < F.col("__thresh")
+        ),
+    ).drop("__thresh")

@@ -250,3 +250,32 @@ def test_corpus_stats(spark):
     assert out["a"]["p50_tokens"] == 2.0      # tokens 1,2,3 -> median 2
     assert out["a"]["p90_tokens"] == 2.8      # linear interpolation
     assert out["b"]["p50_tokens"] == 0.0      # empty text -> 0 tokens
+
+
+def test_ccnet_buckets_thirds_and_nulls(spark):
+    """Head/middle/tail per group: thirds by score with interpolated
+    cutoffs; null scores bucket to null; a sampled-cutoff run still
+    assigns every row."""
+    from raven_spark.operators.pipeline import ccnet_buckets
+
+    rows = [(i, "en", float(i)) for i in range(90)] + [
+        (100, "en", None),
+        (200, "de", 1.0),  # single-doc group: cutoffs degenerate -> head
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = {r["doc_id"]: r["b"] for r in ccnet_buckets(
+        df, score_col="s", group_col="lang", out_col="b"
+    ).select("doc_id", "b").collect()}
+    assert out[89] == "head" and out[60] == "head"
+    assert out[45] == "middle"
+    assert out[5] == "tail" and out[29] == "tail"
+    assert out[100] is None
+    assert out[200] == "head"
+    # boundaries: 2/3 quantile of 0..89 = 59.33.. -> 59 is middle, 60 head
+    assert out[59] == "middle" and out[30] == "middle"
+    # sampled-cutoff path still labels all rows
+    sampled = ccnet_buckets(
+        df, score_col="s", group_col="lang", out_col="b", sample_fraction=0.5
+    )
+    got = sampled.where("s is not null").where("b is null").count()
+    assert got == 0

@@ -70,3 +70,54 @@ def test_stratified_cap_rank_col(spark):
 def test_cap_small_stratum_passthrough(spark):
     d = _docs(spark, n=30).filter("source = 'src0'")
     assert stratified_cap(d, "source", 100, "doc_id").count() == d.count()
+
+
+def test_mixture_sample_weights_and_determinism(spark):
+    """Kept corpus follows the target mixture at the largest feasible
+    total (no upsampling): T = min(n_g/w_g); each group keeps ~T*w_g
+    rows; unweighted groups drop; membership is content-deterministic
+    (partitioning-independent)."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "a") for i in range(4000)]
+        + [(i + 10_000, "b") for i in range(1000)]
+        + [(i + 20_000, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    # b is the binding group: T = 1000/0.2 = 5000 -> keep a: 2500 of
+    # 4000, b: all 1000, c: 500 of 500 (w_c = 0.1 -> 500 exactly)
+    out = mixture_sample(
+        df, "grp", {"a": 0.5, "b": 0.2, "c": 0.1}, key_cols="doc_id"
+    ).cache()
+    kept = {r["grp"]: r["n"] for r in
+            out.where("kept").groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert kept["b"] == 1000          # binding group keeps everything
+    assert kept["c"] == 500           # thresh == denominator keeps all
+    assert abs(kept["a"] - 2500) < 150  # Bernoulli, 4000 coins at p=.625
+    # mixture of the kept set ~ target ratios
+    total = sum(kept.values())
+    assert abs(kept["a"] / total - 0.5 / 0.8) < 0.05
+    # determinism under partitioning
+    out2 = mixture_sample(
+        df.repartition(13), "grp", {"a": 0.5, "b": 0.2, "c": 0.1},
+        key_cols="doc_id",
+    )
+    assert (
+        out.where("kept").select("doc_id")
+        .exceptAll(out2.where("kept").select("doc_id")).count() == 0
+    )
+
+
+def test_mixture_sample_drops_unweighted_groups(spark):
+    from raven_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, grp string"
+    )
+    out = mixture_sample(df, "grp", {"x": 1.0}, key_cols="doc_id")
+    rows = {(r["doc_id"]): r["kept"] for r in out.collect()}
+    assert rows[3] is False            # 'y' has no weight -> dropped
+    assert rows[1] is True and rows[2] is True  # x keeps all (T=2/1.0)
