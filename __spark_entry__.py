@@ -1388,6 +1388,47 @@ def q60_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "kept")
 
 
+def q61_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl scheduling (operators/snapshots.py::
+    recrawl_schedule — Cho & Garcia-Molina's Poisson-change estimator
+    over snapshot_stats' churn profile): multi-capture pages are
+    synthesized with three churn behaviors (url_id%3: static /
+    every-capture / every-other-capture content), then each URL gets
+    lambda = -ln(1 - X/n)/I and a clamped 1/lambda revisit interval —
+    static URLs schedule at max, churny ones near min. Pure column
+    algebra over one per-URL aggregate; the oracle replays the
+    construction, the estimator, and the clamps."""
+    from raven_spark.operators.snapshots import recrawl_schedule, snapshot_stats
+
+    d = _t(spark, sf_dir, "documents")
+    epoch = 1767225600  # 2026-01-01T00:00:00Z
+    i = F.col("doc_id")
+    url_id = F.pmod(i, F.lit(100))
+    k = F.floor(i / F.lit(100))
+    version = (
+        F.when(F.pmod(url_id, F.lit(3)) == 0, F.lit(0))
+        .when(F.pmod(url_id, F.lit(3)) == 1, k)
+        .otherwise(F.floor(k / F.lit(2)))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://r.example/p/"), url_id.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(epoch) + i).alias("warc_ts"),
+        F.concat(F.lit("content v"), version.cast("string")).alias("text"),
+    )
+    out = recrawl_schedule(
+        snapshot_stats(pages), min_interval_s=10,
+        max_interval_s=30 * 86400, default_interval_s=7 * 86400,
+    )
+    return out.select(
+        "url",
+        "n_versions",
+        "n_content_versions",
+        "change_rate",
+        "interval_s",
+        F.unix_timestamp("next_fetch_ts").cast("bigint").alias("next_fetch_epoch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1450,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_wat_links": q58_wat_links,
         "q59_ccnet_buckets": q59_ccnet_buckets,
         "q60_mixture_sample": q60_mixture_sample,
+        "q61_recrawl_schedule": q61_recrawl_schedule,
     }
 
 
@@ -2591,6 +2633,46 @@ def oracle_sql() -> dict[str, str]:
                        < r.thresh,
                      FALSE) AS kept
             FROM documents d LEFT JOIN r USING (lang)
+        """,
+        "q61_recrawl_schedule": """
+            WITH pages AS (
+              SELECT 'https://r.example/p/' || CAST(doc_id % 100 AS VARCHAR) AS url,
+                     1767225600 + doc_id AS ts,
+                     CASE WHEN doc_id % 100 % 3 = 0 THEN 0
+                          WHEN doc_id % 100 % 3 = 1 THEN doc_id // 100
+                          ELSE (doc_id // 100) // 2 END AS version
+              FROM documents
+            ), stats AS (
+              SELECT url, count(*) AS n_versions,
+                     min(ts) AS first_s, max(ts) AS last_s,
+                     count(DISTINCT version) AS n_content_versions
+              FROM pages GROUP BY url
+            ), calc AS (
+              SELECT url, n_versions, n_content_versions, last_s,
+                     CAST(n_versions - 1 AS DOUBLE) AS rec,
+                     CAST(n_content_versions - 1 AS DOUBLE) AS x,
+                     CAST(last_s - first_s AS DOUBLE) AS span
+              FROM stats
+            ), iv AS (
+              SELECT url, n_versions, n_content_versions, last_s, rec, x,
+                     CASE WHEN rec <= 0 OR span / rec <= 0 THEN 604800.0
+                          WHEN x <= 0 THEN 2592000.0
+                          ELSE least(greatest(
+                            (span / rec)
+                              / (-ln(1.0 - least(x / rec, (rec - 0.5) / rec))),
+                            10.0), 2592000.0)
+                     END AS interval_d
+              FROM calc
+            )
+            SELECT url,
+                   n_versions,
+                   n_content_versions,
+                   round(CASE WHEN rec > 0 THEN x / rec ELSE 0.0 END, 6)
+                     AS change_rate,
+                   CAST(floor(interval_d) AS BIGINT) AS interval_s,
+                   last_s + CAST(floor(interval_d) AS BIGINT)
+                     AS next_fetch_epoch
+            FROM iv
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -80,6 +80,7 @@ HEADLINE = [
     "q58_wat_links",
     "q59_ccnet_buckets",
     "q60_mixture_sample",
+    "q61_recrawl_schedule",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -136,3 +136,58 @@ def snapshot_stats(
             ).alias("change_rate"),
         )
     )
+
+
+def recrawl_schedule(
+    stats: DataFrame,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 86400,
+    default_interval_s: int = 7 * 86400,
+) -> DataFrame:
+    """Adaptive revisit scheduling from the churn profile — the
+    consumer ``snapshot_stats`` exists for (Cho & Garcia-Molina 2003's
+    Poisson-change estimator, the standard incremental-crawler policy):
+
+        X changed recrawls out of n, mean inter-capture interval I
+        lambda ≈ -ln(1 - X/n) / I      (X capped at n - 0.5: the
+                                        all-changed case estimates from
+                                        the censored observation, never
+                                        ln(0))
+        interval = clamp(1 / lambda, min, max)
+
+    Never-changed URLs (X = 0) schedule at ``max_interval_s``;
+    single-capture URLs (no recrawl evidence) at
+    ``default_interval_s``. Output: stats columns + ``interval_s``
+    (integer seconds) + ``next_fetch_ts`` (last_seen + interval) —
+    join against the frontier on url to drive recrawl admission.
+
+    Pure column algebra over the stats aggregate (one row per URL, no
+    additional shuffle); every branch is deterministic and
+    SQL-replayable.
+    """
+    recrawls = (F.col("n_versions") - F.lit(1)).cast("double")
+    x = (F.col("n_content_versions") - F.lit(1)).cast("double")
+    span_s = (
+        F.unix_timestamp("last_seen") - F.unix_timestamp("first_seen")
+    ).cast("double")
+    avg_iv = span_s / recrawls
+    r = F.least(x / recrawls, (recrawls - F.lit(0.5)) / recrawls)
+    # 1/lambda computed as I / -ln(1-r) directly (not the reciprocal of
+    # a quotient — same value, but IEEE division is not associative and
+    # the oracle must replay bit-exactly)
+    inv_lam = avg_iv / -F.log(F.lit(1.0) - r)
+    interval = (
+        F.when((recrawls <= 0) | (avg_iv <= 0), F.lit(float(default_interval_s)))
+        .when(x <= 0, F.lit(float(max_interval_s)))
+        .otherwise(
+            F.least(
+                F.greatest(inv_lam, F.lit(float(min_interval_s))),
+                F.lit(float(max_interval_s)),
+            )
+        )
+    )
+    out = stats.withColumn("interval_s", F.floor(interval).cast("bigint"))
+    return out.withColumn(
+        "next_fetch_ts",
+        F.timestamp_add("SECOND", F.col("interval_s"), F.col("last_seen")),
+    )

@@ -134,3 +134,54 @@ def test_latest_snapshot_only_304_url_still_present(spark):
     assert a["warc_ts"] == TS(20)  # latest of the 304s
     b = out["https://b.example/q"]
     assert b["n_versions"] == 1 and b["text"] == "real"
+
+
+def test_recrawl_schedule_branches(spark):
+    """Poisson-change scheduling branches: never-changed -> max
+    interval; single capture -> default; all-changed -> censor-capped
+    estimate clamped at min; partial churn -> 1/lambda; next_fetch_ts =
+    last_seen + interval."""
+    import datetime as dt
+    import math
+
+    from raven_spark.operators.snapshots import recrawl_schedule
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def row(url, n, nc, span_s):
+        return (url, n, t0, t0 + dt.timedelta(seconds=span_s), nc, 0.0)
+
+    stats = spark.createDataFrame(
+        [
+            row("u_static", 5, 1, 400),    # X=0
+            row("u_single", 1, 1, 0),      # no recrawls
+            row("u_always", 5, 5, 400),    # X=n=4 -> capped
+            row("u_half", 5, 3, 400),      # X=2, n=4, I=100
+        ],
+        "url string, n_versions long, first_seen timestamp, "
+        "last_seen timestamp, n_content_versions long, change_rate double",
+    )
+    out = {
+        r["url"]: r
+        for r in recrawl_schedule(
+            stats, min_interval_s=10, max_interval_s=1000_000,
+            default_interval_s=777,
+        ).collect()
+    }
+    assert out["u_static"]["interval_s"] == 1000_000
+    assert out["u_single"]["interval_s"] == 777
+    # X=n capped at (n-.5)/n = .875; lambda = -ln(.125)/100; 1/lambda
+    want_always = math.floor(100.0 / -math.log(1 - 0.875))
+    assert out["u_always"]["interval_s"] == want_always
+    want_half = math.floor(100.0 / -math.log(1 - 0.5))
+    assert out["u_half"]["interval_s"] == want_half
+    assert out["u_half"]["next_fetch_ts"] == (
+        t0 + dt.timedelta(seconds=400 + want_half)
+    )
+    # min clamp
+    tight = recrawl_schedule(
+        stats, min_interval_s=100_000, max_interval_s=1000_000,
+        default_interval_s=777,
+    )
+    got = {r["url"]: r["interval_s"] for r in tight.collect()}
+    assert got["u_always"] == 100_000 and got["u_half"] == 100_000
