@@ -294,3 +294,35 @@ def test_warc_pages_stream_matches_batch_table(spark, tmp_path):
         assert g["text"] == w["text"] and g["text"]  # non-empty extraction
         assert g["lang"] == w["lang"]
         assert g["warc_ts"] == w["warc_ts"]
+
+
+def test_cdx_index_stream_matches_batch(spark, tmp_path):
+    """Streaming CDX build is row-identical to the batch index over the
+    same files (shared cdx_records kernel + JVM-side SURT)."""
+    from raven_spark.sources.cdx import cdx_index_from_files
+    from raven_spark.sources.warc import write_warc
+    from raven_spark.streaming.ingest import cdx_index_stream
+
+    root = str(tmp_path / "warc")
+    write_warc(
+        _warc_fixture_pages(spark, 24), root, n_files=3,
+        content_type_col="content_type",
+    ).collect()
+
+    stream = cdx_index_stream(spark, f"{root}/*.warc.gz",
+                              max_files_per_trigger=1)
+    _run_to_memory(stream, "cdx_stream_sink", "append")
+    got = {
+        (r["warc_file"], r["offset"]): r
+        for r in spark.table("cdx_stream_sink").collect()
+    }
+    want = {
+        (r["warc_file"], r["offset"]): r
+        for r in cdx_index_from_files(spark, f"{root}/*.warc.gz").collect()
+    }
+    assert set(got) == set(want) and len(want) == 24
+    for k, w in want.items():
+        g = got[k]
+        assert (g["url"], g["digest"], g["length"], g["surt"]) == (
+            w["url"], w["digest"], w["length"], w["surt"]
+        )
