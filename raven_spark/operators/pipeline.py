@@ -531,15 +531,31 @@ def ccnet_buckets(
     null where the score is null, e.g. empty docs).
     """
     scored = df.where(F.col(score_col).isNotNull())
+
+    def cuts_of(rows: DataFrame) -> DataFrame:
+        return rows.groupBy(group_col).agg(
+            F.percentile(F.col(score_col), [2.0 / 3.0, 1.0 / 3.0]).alias(
+                "__cuts"
+            )
+        )
+
     if sample_fraction < 1.0:
         from raven_spark.operators.sampling import hash_sample
 
-        scored = hash_sample(scored, id_col, sample_fraction, salt="ccnet")
-    cuts = scored.groupBy(group_col).agg(
-        F.percentile(F.col(score_col), [2.0 / 3.0, 1.0 / 3.0]).alias(
-            "__cuts"
+        cuts = cuts_of(
+            hash_sample(scored, id_col, sample_fraction, salt="ccnet")
         )
-    )
+        # a small group can be sampled out entirely — without a
+        # fallback every one of its docs would bucket to null (whole
+        # languages silently dropped). Groups absent from the sampled
+        # cutoffs get EXACT cutoffs: they are exactly the groups small
+        # enough that exact is cheap.
+        missed = scored.join(
+            cuts.select(group_col), group_col, "left_anti"
+        )
+        cuts = cuts.unionByName(cuts_of(missed))
+    else:
+        cuts = cuts_of(scored)
     out = df.join(F.broadcast(cuts), group_col, "left")
     score = F.col(score_col)
     bucket = (

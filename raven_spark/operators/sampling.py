@@ -136,6 +136,22 @@ def mixture_sample(
         )
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # a weighted group with ZERO rows makes the target mixture
+    # unsatisfiable at any T > 0 — silently dropping it would return a
+    # corpus that ignores the contract (e.g. 100% of the other group),
+    # so fail loudly. The check is one action over the O(groups)
+    # aggregate, not the corpus.
+    positive = {k for k, v in weights.items() if v > 0}
+    present = {
+        r[group_col]
+        for r in counts.select(group_col).collect()
+    }
+    missing = sorted(positive - present)
+    if missing:
+        raise ValueError(
+            "mixture_sample: weighted groups absent from the data "
+            f"(target mixture unsatisfiable): {missing}"
+        )
     rates = counts.join(wdf, group_col, "inner").where(F.col("__w") > 0)
     t_total = rates.agg(
         F.min(F.col("__n") / F.col("__w")).alias("__t")

@@ -170,14 +170,27 @@ def recrawl_schedule(
     span_s = (
         F.unix_timestamp("last_seen") - F.unix_timestamp("first_seen")
     ).cast("double")
-    avg_iv = span_s / recrawls
-    r = F.least(x / recrawls, (recrawls - F.lit(0.5)) / recrawls)
+    # try_divide: the recrawls==0 branch never USES these, but ANSI
+    # mode evaluates both sides of the branch predicate — a plain
+    # division by zero would throw instead of routing to the default
+    avg_iv = F.try_divide(span_s, recrawls)
+    r = F.least(
+        F.try_divide(x, recrawls),
+        F.try_divide(recrawls - F.lit(0.5), recrawls),
+    )
     # 1/lambda computed as I / -ln(1-r) directly (not the reciprocal of
     # a quotient — same value, but IEEE division is not associative and
     # the oracle must replay bit-exactly)
-    inv_lam = avg_iv / -F.log(F.lit(1.0) - r)
+    inv_lam = F.try_divide(avg_iv, -F.log(F.lit(1.0) - r))
     interval = (
-        F.when((recrawls <= 0) | (avg_iv <= 0), F.lit(float(default_interval_s)))
+        # avg_iv.isNull() catches URLs whose captures ALL had
+        # unparseable WARC dates (null first/last_seen): without it the
+        # null propagates past every branch and the URL would silently
+        # never be rescheduled instead of getting the default interval
+        F.when(
+            (recrawls <= 0) | (avg_iv <= 0) | avg_iv.isNull(),
+            F.lit(float(default_interval_s)),
+        )
         .when(x <= 0, F.lit(float(max_interval_s)))
         .otherwise(
             F.least(

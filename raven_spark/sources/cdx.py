@@ -187,16 +187,25 @@ def read_cdx(
     spark: SparkSession,
     path: str,
     surt_starts_with: str | None = None,
-    prefix_len: int = 4,
+    prefix_len: int | None = None,
 ) -> DataFrame:
     """Read a ``write_cdx`` layout; ``surt_starts_with`` narrows to one
     domain/prefix range and reaches the scan as BOTH a partition filter
     (startswith on surt_prefix — prunes directories whether the query
     key is shorter or longer than the stored prefix) and a data filter
     (on the sorted surt column, skipping row groups via min/max stats)
-    — plan-asserted in tests. ``prefix_len`` must match the writer's."""
+    — plan-asserted in tests.
+
+    ``prefix_len`` defaults to the layout's OWN stored length (probed
+    from one partition value — a 1-row job against pruned metadata):
+    a mismatched hardcoded length would silently prune every partition
+    and read as "domain has no captures", which is the one failure mode
+    an index must never have."""
     df = spark.read.parquet(path)
     if surt_starts_with is not None:
+        if prefix_len is None:
+            row = df.select(F.length("surt_prefix").alias("n")).first()
+            prefix_len = int(row["n"]) if row else len(surt_starts_with)
         df = df.where(
             F.col("surt_prefix").startswith(surt_starts_with[:prefix_len])
         ).where(F.col("surt").startswith(surt_starts_with))

@@ -73,23 +73,40 @@ def encode_response_record(
     ).encode("utf-8")
     block = http_head + body
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
-    head = (
-        b"WARC/1.0\r\n"
-        + b"WARC-Type: response\r\n"
-        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
-        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
-        # URIs should be ASCII but real frontiers carry IRIs; UTF-8 the
-        # header line (the parser decodes header values as UTF-8)
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + b"Content-Type: application/http; msgtype=response\r\n"
-        + f"Content-Length: {len(block)}\r\n".encode("ascii")
-        + _CRLF
+    return _encode_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+            ("WARC-Date", date_iso),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        block,
+        gzip_member,
     )
+
+
+def _encode_record(
+    headers: list[tuple[str, str]],
+    block: bytes,
+    gzip_member: bool,
+) -> bytes:
+    """Shared WARC record scaffolding for every encoder: ordered header
+    lines (callers own the per-type header set/order — the bytes of
+    existing exports are a compatibility surface), Content-Length from
+    the block, the record's two trailing CRLFs, and the deterministic
+    gzip-member wrapper. Header lines encode as UTF-8 — URIs should be
+    ASCII but real frontiers carry IRIs, and the parser decodes header
+    values the same way (ASCII-only lines are byte-identical either
+    way). mtime=0 pins the gzip timestamp so re-exports are
+    byte-identical (same reason parquet writes are dictionary-pinned).
+    """
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
+    ) + f"Content-Length: {len(block)}\r\n".encode("ascii") + _CRLF
     record = head + block + _CRLF + _CRLF
     if not gzip_member:
         return record
-    # mtime=0: gzip headers carry a timestamp; pin it so re-exports are
-    # byte-identical (same reason parquet writes are dictionary-pinned)
     buf = io.BytesIO()
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
         gz.write(record)
@@ -125,28 +142,22 @@ def encode_revisit_record(
     record of the same (url, date), deterministic like everything else
     in this writer."""
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nrevisit")
-    head = (
-        b"WARC/1.0\r\n"
-        + b"WARC-Type: revisit\r\n"
-        + b"WARC-Profile: "
-        b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
-        b"\r\n"
-        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
-        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + f"WARC-Refers-To-Target-URI: {refers_uri}\r\n".encode("utf-8")
-        + f"WARC-Refers-To-Date: {refers_date}\r\n".encode("ascii")
-        + f"WARC-Payload-Digest: sha1:{payload_digest_b32}\r\n".encode("ascii")
-        + b"Content-Length: 0\r\n"
-        + _CRLF
+    return _encode_record(
+        [
+            ("WARC-Type", "revisit"),
+            ("WARC-Profile",
+             "http://netpreserve.org/warc/1.0/revisit/"
+             "identical-payload-digest"),
+            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+            ("WARC-Date", date_iso),
+            ("WARC-Target-URI", url),
+            ("WARC-Refers-To-Target-URI", refers_uri),
+            ("WARC-Refers-To-Date", refers_date),
+            ("WARC-Payload-Digest", f"sha1:{payload_digest_b32}"),
+        ],
+        b"",
+        gzip_member,
     )
-    record = head + _CRLF + _CRLF
-    if not gzip_member:
-        return record
-    buf = io.BytesIO()
-    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-        gz.write(record)
-    return buf.getvalue()
 
 
 def encode_conversion_record(
@@ -166,24 +177,18 @@ def encode_conversion_record(
     salts the name with "conversion" so the pair never collides."""
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nconversion")
     refers = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
-    head = (
-        b"WARC/1.0\r\n"
-        + b"WARC-Type: conversion\r\n"
-        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
-        + f"WARC-Refers-To: <urn:uuid:{refers}>\r\n".encode("ascii")
-        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + b"Content-Type: text/plain\r\n"
-        + f"Content-Length: {len(text_bytes)}\r\n".encode("ascii")
-        + _CRLF
+    return _encode_record(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+            ("WARC-Refers-To", f"<urn:uuid:{refers}>"),
+            ("WARC-Date", date_iso),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "text/plain"),
+        ],
+        text_bytes,
+        gzip_member,
     )
-    record = head + text_bytes + _CRLF + _CRLF
-    if not gzip_member:
-        return record
-    buf = io.BytesIO()
-    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-        gz.write(record)
-    return buf.getvalue()
 
 
 def encode_metadata_record(
@@ -201,24 +206,18 @@ def encode_metadata_record(
     cross-reference with no join."""
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}\nmetadata")
     refers = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date_iso}")
-    head = (
-        b"WARC/1.0\r\n"
-        + b"WARC-Type: metadata\r\n"
-        + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
-        + f"WARC-Refers-To: <urn:uuid:{refers}>\r\n".encode("ascii")
-        + f"WARC-Date: {date_iso}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + b"Content-Type: application/json\r\n"
-        + f"Content-Length: {len(json_bytes)}\r\n".encode("ascii")
-        + _CRLF
+    return _encode_record(
+        [
+            ("WARC-Type", "metadata"),
+            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+            ("WARC-Refers-To", f"<urn:uuid:{refers}>"),
+            ("WARC-Date", date_iso),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/json"),
+        ],
+        json_bytes,
+        gzip_member,
     )
-    record = head + json_bytes + _CRLF + _CRLF
-    if not gzip_member:
-        return record
-    buf = io.BytesIO()
-    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-        gz.write(record)
-    return buf.getvalue()
 
 
 def _member_chunk_scan(
@@ -755,14 +754,16 @@ def _assemble(
         import base64
 
         # url alone is not a total order: recrawls carry the same url at
-        # different times — without the (date, body-hash, revisit)
-        # tiebreaks a stable sort would preserve shuffle-arrival order
-        # and the output bytes would depend on partitioning, breaking
-        # the pure-function-of-the-input-SET promise re-exports rely
-        # on. __revisit is in the key because an exact-duplicate
-        # capture yields a response AND a stub tied on the other three.
+        # different times — without the (date, body-hash, content-type,
+        # revisit) tiebreaks a stable sort would preserve shuffle-arrival
+        # order and the output bytes would depend on partitioning,
+        # breaking the pure-function-of-the-input-SET promise re-exports
+        # rely on. __ct is in the key because __bh hashes the BODY only
+        # (same body under two content-types must still order); __revisit
+        # because an exact-duplicate capture yields a response AND a
+        # stub tied on everything else.
         pdf = pdf.sort_values(
-            ["url", "__date", "__bh", "__revisit"], kind="mergesort"
+            ["url", "__date", "__bh", "__ct", "__revisit"], kind="mergesort"
         )
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
         parts = []
@@ -868,7 +869,11 @@ def assemble_wat_files(
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["url", "__date", "__bh"], kind="mergesort")
+        # __bh hashes only the links JSON: __ct/__status join the key so
+        # same-links captures with different metadata still total-order
+        pdf = pdf.sort_values(
+            ["url", "__date", "__bh", "__ct", "__status"], kind="mergesort"
+        )
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
         parts = []
         for u, d, lj, c, st in zip(

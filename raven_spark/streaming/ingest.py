@@ -149,8 +149,20 @@ def read_warc_stream(
     like the batch table."""
     from raven_spark.sources.warc import READ_SCHEMA, _record_scan
 
-    # Streaming sources require an explicit schema; binaryFile's is
-    # fixed by the format (path, modificationTime, length, content).
+    files = _binary_file_stream(spark, root, max_files_per_trigger)
+    wanted = tuple(w.lower() for w in warc_types)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return files.select("path", "content").mapInPandas(
+        _record_scan(wanted, tz), READ_SCHEMA
+    )
+
+
+def _binary_file_stream(
+    spark: SparkSession, root: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """binaryFile stream source shared by the WARC/CDX ingest readers.
+    Streaming sources require an explicit schema; binaryFile's is fixed
+    by the format (path, modificationTime, length, content)."""
     binary_file_schema = T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("modificationTime", T.TimestampType()),
@@ -160,12 +172,7 @@ def read_warc_stream(
     reader = spark.readStream.format("binaryFile").schema(binary_file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(root)
-    wanted = tuple(w.lower() for w in warc_types)
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    return files.select("path", "content").mapInPandas(
-        _record_scan(wanted, tz), READ_SCHEMA
-    )
+    return reader.load(root)
 
 
 def cdx_index_stream(
@@ -176,45 +183,16 @@ def cdx_index_stream(
     """Streaming CDX build: index new WARC files as they land — the
     archive's random-access layer kept current with the crawl instead
     of rebuilt by a batch sweep (CC's own pipeline appends cdxj
-    per-file as WARCs close). Same one-pass kernel as the batch
-    ``cdx_index`` (``cdx_records`` per file inside mapInPandas), same
-    file == task == micro-batch-unit granularity; SURT stays JVM-side
-    so streamed index rows are row-identical to batch-built ones
-    (parity-tested). Sink the result into the ``write_cdx`` layout
-    per micro-batch (foreachBatch) for the pruning reads."""
-    import pandas as pd
+    per-file as WARCs close). The index transformation IS the batch
+    ``cdx_index`` applied to a stream source — one kernel, so stream/
+    batch row-identity holds by construction (and is parity-tested);
+    this function only owns the reader setup. Sink the result into the
+    ``write_cdx`` layout per micro-batch (foreachBatch) for the
+    pruning reads."""
+    from raven_spark.sources.cdx import cdx_index
 
-    from raven_spark.functions.urls import canonicalize_udf, surt_col
-    from raven_spark.sources.cdx import INDEX_SCHEMA, cdx_records
-
-    binary_file_schema = T.StructType([
-        T.StructField("path", T.StringType()),
-        T.StructField("modificationTime", T.TimestampType()),
-        T.StructField("length", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    reader = spark.readStream.format("binaryFile").schema(binary_file_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(root)
-
-    def scan(pdfs):
-        for pdf in pdfs:
-            out = []
-            for name, content in zip(pdf["path"], pdf["content"]):
-                out.extend(cdx_records(str(name), bytes(content)))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in INDEX_SCHEMA.fields]
-            )
-
-    idx = files.select("path", "content").mapInPandas(scan, INDEX_SCHEMA)
-    return idx.withColumn(
-        "surt",
-        F.when(
-            F.col("url").isNotNull(),
-            surt_col(canonicalize_udf(F.col("url"))),
-        ),
-    )
+    files = _binary_file_stream(spark, root, max_files_per_trigger)
+    return cdx_index(files)
 
 
 def warc_pages_stream(

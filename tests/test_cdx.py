@@ -350,3 +350,20 @@ def test_write_read_cdx_partition_pruning(spark, tmp_path):
     assert "StringStartsWith(surt,example,host3)" in plan  # rowgroup skip
     # unfiltered read returns everything
     assert read_cdx(spark, cdx_dir).count() == 60
+
+
+def test_read_cdx_derives_stored_prefix_length(spark, tmp_path):
+    """A layout written with a non-default prefix length still prunes
+    correctly: read_cdx probes the stored length instead of trusting a
+    hardcoded one (a mismatch would silently read as 'no captures')."""
+    from raven_spark.sources.cdx import read_cdx, write_cdx
+
+    out = str(tmp_path / "warcs")
+    write_warc(_pages(spark, 30), out, n_files=2).collect()
+    idx = cdx_index_from_files(spark, f"{out}/*.warc.gz")
+    cdx_dir = str(tmp_path / "cdx2")
+    write_cdx(idx, cdx_dir, prefix_len=2)  # stores 2-char prefixes
+    got = read_cdx(spark, cdx_dir, surt_starts_with="example,host2)")
+    assert got.count() == idx.where(
+        F.col("surt").startswith("example,host2)")
+    ).count() > 0

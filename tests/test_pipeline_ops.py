@@ -279,3 +279,20 @@ def test_ccnet_buckets_thirds_and_nulls(spark):
     )
     got = sampled.where("s is not null").where("b is null").count()
     assert got == 0
+
+
+def test_ccnet_buckets_sampled_out_group_falls_back(spark):
+    """A group small enough to vanish from the sampled cutoffs still
+    buckets every doc (exact fallback cutoffs), never a null language."""
+    from raven_spark.operators.pipeline import ccnet_buckets
+
+    rows = [(i, "en", float(i)) for i in range(300)] + [
+        (1000 + j, "is", float(j)) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = ccnet_buckets(
+        df, score_col="s", group_col="lang", out_col="b",
+        sample_fraction=0.05,
+    )
+    assert out.where("s is not null and b is null").count() == 0
+    assert out.where("lang = 'is' and b is not null").count() == 3

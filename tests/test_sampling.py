@@ -121,3 +121,13 @@ def test_mixture_sample_drops_unweighted_groups(spark):
     rows = {(r["doc_id"]): r["kept"] for r in out.collect()}
     assert rows[3] is False            # 'y' has no weight -> dropped
     assert rows[1] is True and rows[2] is True  # x keeps all (T=2/1.0)
+
+
+def test_mixture_sample_raises_on_absent_weighted_group(spark):
+    import pytest
+
+    from raven_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, grp string")
+    with pytest.raises(ValueError, match="fr"):
+        mixture_sample(df, "grp", {"en": 0.5, "fr": 0.5}, key_cols="doc_id")

@@ -185,3 +185,18 @@ def test_recrawl_schedule_branches(spark):
     )
     got = {r["url"]: r["interval_s"] for r in tight.collect()}
     assert got["u_always"] == 100_000 and got["u_half"] == 100_000
+
+
+def test_recrawl_schedule_null_dates_get_default(spark):
+    """Captures with unparseable WARC dates (null first/last_seen) get
+    the DEFAULT interval, not a silent null that unschedules the URL."""
+    from raven_spark.operators.snapshots import recrawl_schedule
+
+    stats = spark.createDataFrame(
+        [("u", 5, None, None, 3, 0.5)],
+        "url string, n_versions long, first_seen timestamp, "
+        "last_seen timestamp, n_content_versions long, change_rate double",
+    )
+    [r] = recrawl_schedule(stats, default_interval_s=777).collect()
+    assert r["interval_s"] == 777
+    assert r["next_fetch_ts"] is None  # no last_seen to anchor to

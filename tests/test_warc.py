@@ -699,3 +699,50 @@ def test_codec_fuzz_round_trip():
             assert conv["block"] == b
 
     check()
+
+
+def test_wat_export_deterministic_under_metadata_ties(spark):
+    """Same url/ts/links but different status/content-type must still
+    order deterministically (review: __bh hashes only the links JSON)."""
+    import datetime as dt
+
+    from raven_spark.sources.warc import assemble_wat_files
+
+    t = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        ("https://t.example/", t, ["https://t.example/a"], 200, "text/html"),
+        ("https://t.example/", t, ["https://t.example/a"], 404, "text/css"),
+    ] * 3
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, links array<string>, "
+        "status int, ct string",
+    )
+    a = {r["file_name"]: bytes(r["content"]) for r in assemble_wat_files(
+        df, 1, status_col="status", content_type_col="ct").collect()}
+    b = {r["file_name"]: bytes(r["content"]) for r in assemble_wat_files(
+        df.repartition(5), 1, status_col="status",
+        content_type_col="ct").collect()}
+    assert a == b
+
+
+def test_warc_export_deterministic_under_content_type_ties(spark):
+    """Same url/ts/body under two content-types orders deterministically
+    (review: __bh hashes the body only)."""
+    import datetime as dt
+
+    from raven_spark.sources.warc import assemble_warc_files
+
+    t = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        ("https://t.example/", t, b"<p>x</p>", "text/html"),
+        ("https://t.example/", t, b"<p>x</p>", "text/plain"),
+    ] * 2
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, ct string"
+    )
+    a = {r["file_name"]: bytes(r["content"]) for r in assemble_warc_files(
+        df, 1, content_type_col="ct").collect()}
+    b = {r["file_name"]: bytes(r["content"]) for r in assemble_warc_files(
+        df.repartition(5), 1, content_type_col="ct").collect()}
+    assert a == b
