@@ -1429,6 +1429,81 @@ def q61_recrawl_schedule(spark, sf_dir):
     )
 
 
+def _c4_line_text(d: DataFrame) -> DataFrame:
+    """Synthesize line-structured pages from the flat word soup,
+    deterministically and SQL-replayably: ' slow ' becomes a terminal
+    '.'+newline, ' fast ' a bare newline (non-terminal line ends),
+    ' big ' a '!'+newline; doc_id residues inject the C4 tripwires
+    (lorem ipsum, a braced code line, a javascript line, a badword
+    line). Literal (non-regex) replace — left-to-right non-overlapping
+    in both engines."""
+    built = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit(" slow "), F.lit(".\n")),
+            F.lit(" fast "),
+            F.lit("\n"),
+        ),
+        F.lit(" big "),
+        F.lit("!\n"),
+    )
+    built = F.concat(
+        built,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nLorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nif (x) { enable(); }"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nPlease enable javascript to continue today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nThis page badword appears right here."),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", built.alias("text"))
+
+
+def q62_c4_filters(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020 §2.2; operators/pipeline.py::
+    c4_filters): line-level terminal-punctuation / min-words / javascript
+    / policy-phrase filters and page-level sentence-count / lorem-ipsum /
+    curly-brace / badword gates, all as codegen'd higher-order column
+    algebra — zero shuffles, zero UDFs. Pages are synthesized from the
+    word soup by _c4_line_text (replayed verbatim in the oracle); the
+    oracle replays every predicate with DuckDB list lambdas."""
+    from raven_spark.operators.pipeline import c4_filters
+
+    pages = _c4_line_text(_t(spark, sf_dir, "documents"))
+    out = c4_filters(pages, badwords=("badword",))
+    return out.select(
+        "doc_id",
+        "clean_text",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        "has_badword",
+        "c4_keep",
+    )
+
+
+def q63_line_dedup(spark, sf_dir):
+    """Corpus-global duplicated-unit removal (CCNet §2.1 paragraph dedup
+    over the whole dump; operators/pipeline.py::line_dedup_corpus):
+    3-word windows stand in for lines over the flat soup (40-word
+    vocabulary -> real cross-doc collisions); any unit present in >= 2
+    distinct docs is dropped from every doc, docs reassembled in order.
+    Unit text never shuffles — only (id, pos, xxhash64) triples; the
+    oracle counts by unit-text equality (hash-collision-free at sf)."""
+    from raven_spark.operators.pipeline import line_dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = line_dedup_corpus(d, min_docs=2, window_words=3)
+    return out.select("doc_id", "clean_text", "n_units", "n_dup_units")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1492,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_ccnet_buckets": q59_ccnet_buckets,
         "q60_mixture_sample": q60_mixture_sample,
         "q61_recrawl_schedule": q61_recrawl_schedule,
+        "q62_c4_filters": q62_c4_filters,
+        "q63_line_dedup": q63_line_dedup,
     }
 
 
@@ -2673,6 +2750,108 @@ def oracle_sql() -> dict[str, str]:
                    last_s + CAST(floor(interval_d) AS BIGINT)
                      AS next_fetch_epoch
             FROM iv
+        """,
+        "q62_c4_filters": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     replace(replace(replace(text,
+                       ' slow ', '.' || chr(10)),
+                       ' fast ', chr(10)),
+                       ' big ', '!' || chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'if (x) { enable(); }' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'Please enable javascript to continue today.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN chr(10) || 'This page badword appears right here.'
+                          ELSE '' END AS t2
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, t2,
+                     list_filter(
+                       list_transform(string_split(t2, chr(10)), l -> trim(l)),
+                       l -> length(l) > 0) AS ls
+              FROM built
+            ), kept AS (
+              SELECT doc_id, t2, ls,
+                     list_filter(ls, l ->
+                       right(l, 1) IN ('.', '!', '?', '"')
+                       AND len(string_split_regex(l, '\s+')) >= 3
+                       AND NOT list_contains(
+                             string_split_regex(lower(l), '[^a-z0-9]+'),
+                             'javascript')
+                       AND NOT contains(lower(l), 'terms of use')
+                       AND NOT contains(lower(l), 'privacy policy')
+                       AND NOT contains(lower(l), 'cookie policy')
+                       AND NOT contains(lower(l), 'uses cookies')
+                       AND NOT contains(lower(l), 'use of cookies')
+                       AND NOT contains(lower(l), 'use cookies')
+                     ) AS ks
+              FROM lines
+            ), flags AS (
+              SELECT doc_id,
+                     -- array_to_string of an EMPTY list is NULL in DuckDB;
+                     -- Spark's array_join gives '' — coalesce to match
+                     coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+                     CAST(len(ls) AS INT) AS n_lines,
+                     CAST(len(ks) AS INT) AS n_lines_kept,
+                     CAST(len(regexp_extract_all(
+                       coalesce(array_to_string(ks, chr(10)), ''), '[.!?]')) AS INT)
+                       AS n_sentences,
+                     contains(lower(t2), 'lorem ipsum') AS has_lorem_ipsum,
+                     contains(t2, '{') AS has_brace,
+                     list_has_any(
+                       string_split_regex(lower(t2), '[^a-z0-9]+'),
+                       ['badword']) AS has_badword
+              FROM kept
+            )
+            SELECT doc_id, clean_text, n_lines, n_lines_kept, n_sentences,
+                   has_lorem_ipsum, has_brace, has_badword,
+                   (n_sentences >= 5 AND NOT has_lorem_ipsum
+                    AND NOT has_brace AND NOT has_badword) AS c4_keep
+            FROM flags
+        """,
+        "q63_line_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                       '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(CAST(ceil(len(ws) / 3.0) AS INT), 1)),
+                       i -> array_to_string(ws[(i-1)*3+1 : least(i*3, len(ws))], ' ')
+                     ) AS wins
+              FROM w
+            ), u AS (
+              SELECT doc_id,
+                     unnest(list_transform(wins, (x, i) ->
+                       struct_pack(unit := x, pos := i))) AS s
+              FROM g
+            ), uu AS (
+              SELECT doc_id, s.unit AS unit, s.pos AS pos FROM u
+            ), dup AS (
+              SELECT unit FROM uu GROUP BY unit
+              HAVING count(DISTINCT doc_id) >= 2
+            ), stats AS (
+              SELECT uu.doc_id,
+                     count(*) AS n_units,
+                     sum(CASE WHEN dup.unit IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+                     array_to_string(
+                       list(uu.unit ORDER BY uu.pos)
+                         FILTER (WHERE dup.unit IS NULL), ' ') AS ct
+              FROM uu LEFT JOIN dup ON uu.unit = dup.unit
+              GROUP BY uu.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ct, '') AS clean_text,
+                   CAST(coalesce(n_units, 0) AS INT) AS n_units,
+                   CAST(coalesce(n_dup, 0) AS INT) AS n_dup_units
+            FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

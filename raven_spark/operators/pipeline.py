@@ -565,3 +565,175 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.withColumn(out_col, bucket).drop("__cuts")
+
+
+def _line_word_count(line: Column) -> Column:
+    """Whitespace word count of an already-trimmed line ('' -> 1 — callers
+    exclude empty lines first; identical to the oracle's
+    len(string_split(regexp_replace(l,'\\s+',' ','g'), ' '))."""
+    return F.size(F.split(line, r"\s+"))
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple[str, ...] = (),
+    drop_line_words: tuple[str, ...] = ("javascript",),
+    drop_line_phrases: tuple[str, ...] = (
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "use of cookies",
+        "use cookies",
+    ),
+) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", §2.2) — the line- and page-level heuristics that
+    turned Common Crawl into C4, as pure column algebra:
+
+    line level (a line is kept iff ALL hold, evaluated on the trimmed line):
+      - ends in a terminal punctuation mark ('.', '!', '?', '"')
+      - has >= ``min_words_per_line`` words (paper: 3)
+      - contains none of ``drop_line_words`` as a word token (paper: the
+        word "javascript", from pages asking to enable it)
+      - contains none of ``drop_line_phrases`` as a substring (paper's
+        boilerplate-policy phrases: "terms of use", "privacy policy", ...)
+    page level (flags; ``c4_keep`` is their conjunction):
+      - >= ``min_sentences`` sentences in the CLEANED text, sentences
+        counted by terminal punctuation (paper: 5)
+      - no "lorem ipsum" (case-insensitive, raw text)
+      - no curly brace '{' (raw text — code, not prose)
+      - no ``badwords`` token hit (lowercase word-token match; stand-in
+        seam for the paper's "List of Dirty, Naughty ..." blocklist)
+
+    Output: input row + (out_col, n_lines, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_brace, has_badword, c4_keep). Dropping rows /
+    swapping text is left to the caller so audits can see WHY a page
+    dropped (same posture as clean_corpus).
+
+    Scale shape: zero shuffles, zero UDFs — split/filter/transform higher-
+    order functions fused into the scan (whole-stage codegen); the DuckDB
+    oracle (q62) replays every predicate verbatim. The reference engine
+    stops at persistence (no corpus ops); this is task-brief LLM-pipeline
+    tier, same as gopher_rules_cols.
+    """
+    # NULL text behaves as the empty page (0 lines, keep=false) — every
+    # downstream column stays non-null so the keep conjunction never
+    # NULL-propagates (the q51 NULL-text review lesson, applied up front).
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    lines = F.filter(trimmed, lambda l: F.length(l) > 0)
+
+    def line_ok(l: Column) -> Column:
+        ok = F.substring(l, -1, 1).isin(".", "!", "?", '"')
+        ok = ok & (_line_word_count(l) >= F.lit(min_words_per_line))
+        low = F.lower(l)
+        if drop_line_words:
+            toks = F.split(low, "[^a-z0-9]+")
+            for w in drop_line_words:
+                ok = ok & ~F.array_contains(toks, w)
+        for p in drop_line_phrases:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    out = (
+        df.withColumn("__lines", lines)
+        .withColumn("__kept", kept)
+        .withColumn(out_col, F.array_join(F.col("__kept"), "\n"))
+    )
+    clean = F.col(out_col)
+    low_all = F.lower(text)
+    if badwords:
+        bad_toks = F.split(low_all, "[^a-z0-9]+")
+        has_bad = F.arrays_overlap(bad_toks, F.array(*[F.lit(w) for w in badwords]))
+    else:
+        has_bad = F.lit(False)
+    return (
+        out.withColumn("n_lines", F.size("__lines"))
+        .withColumn("n_lines_kept", F.size("__kept"))
+        .withColumn("n_sentences", F.regexp_count(clean, F.lit(r"[.!?]")))
+        .withColumn("has_lorem_ipsum", low_all.contains("lorem ipsum"))
+        .withColumn("has_brace", text.contains("{"))
+        .withColumn("has_badword", has_bad)
+        .withColumn(
+            "c4_keep",
+            (F.col("n_sentences") >= F.lit(min_sentences))
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & ~F.col("has_badword"),
+        )
+        .drop("__lines", "__kept")
+    )
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    window_words: int | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-GLOBAL duplicated-unit removal (CCNet, Wenzek et al. 2020
+    §2.1 — paragraph-level dedup over the whole dump; RefinedWeb runs the
+    same pass at line level): a unit (line, or w-word window when
+    ``window_words`` is set — the flat-text stand-in, same parameter as
+    host_boilerplate) is DROPPED from every document when it occurs in
+    >= ``min_docs`` distinct documents anywhere in the corpus. This is the
+    global sibling of host_boilerplate (which only counts within a host
+    group and only measures); it removes navigation chrome, cookie
+    banners, and mirrored boilerplate that recurs across hosts.
+
+    Output: input row + (out_col, n_units, n_dup_units) where out_col is
+    the document reassembled IN ORDER from its non-duplicated units.
+
+    Scale shape: unit text never shuffles — the exploded side carries only
+    (id, pos, xxhash64(unit)) 20-byte rows; the distinct-doc count is a
+    map-side-combinable groupBy on the 8-byte hash; duplicated POSITIONS
+    come back per doc as one collect_set row and the final join is keyed
+    on the 8-byte id. Reassembly filters the doc's own unit array by
+    index (no re-shuffle of text). At 10^10 docs the dup-hash side is the
+    boilerplate population — orders of magnitude smaller than the corpus.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if window_words is not None:
+        units = _word_windows_col(text, window_words)
+        sep = " "
+    else:
+        units = F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        )
+        sep = "\n"
+    base = df.withColumn("__units", units)
+    exploded = base.select(
+        F.col(id_col).alias("__id"), F.posexplode("__units").alias("__pos", "__u")
+    ).select("__id", "__pos", F.xxhash64("__u").alias("__h"))
+    dup = (
+        exploded.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= F.lit(min_docs))
+        .select("__h")
+    )
+    dup_pos = (
+        exploded.join(dup, "__h")
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__dup_pos"))
+    )
+    joined = base.join(dup_pos, base[id_col] == dup_pos["__id"], "left").drop("__id")
+    dp = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("__units"), lambda u, i: ~F.array_contains(dp, i))
+    return (
+        joined.withColumn(out_col, F.array_join(kept, sep))
+        .withColumn("n_units", F.size("__units"))
+        .withColumn("n_dup_units", F.size(dp))
+        .drop("__units", "__dup_pos")
+    )

@@ -296,3 +296,105 @@ def test_ccnet_buckets_sampled_out_group_falls_back(spark):
     )
     assert out.where("s is not null and b is null").count() == 0
     assert out.where("lang = 'is' and b is not null").count() == 3
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    from raven_spark.operators.pipeline import c4_filters
+
+    rows = [
+        # 10 lines; drops: 2-word line, no-terminal-punct line, the
+        # javascript line (word match), the privacy-policy phrase line.
+        (1, "This is a good long sentence one.\nShort.\n"
+            "Another full sentence right here!\nno terminal punct line\n"
+            "Please enable JavaScript to continue.\n"
+            "We value your privacy policy terms.\n"
+            "A third proper sentence stands here.\n"
+            "A fourth proper sentence stands here.\n"
+            "A fifth proper sentence stands here.\n"
+            'A sixth quoted sentence ends so."'),
+        (2, "Lorem Ipsum dolor sit amet sentence one.\n"
+            "Two more words here today fine.\nAnd a third one right here.\n"
+            "And a fourth one right here.\nAnd a fifth one right here."),
+        (3, "var x = { a: 1 };\nGood sentence one is here today.\n"
+            "Good sentence two is here today.\nGood sentence three is here today.\n"
+            "Good sentence four is here today.\nGood sentence five is here today."),
+        (4, None),
+        (5, "One badword here in a sentence fine.\n"
+            "Second sentence is here today now.\nThird sentence is here today now.\n"
+            "Fourth sentence is here today now.\nFifth sentence is here today now."),
+        # only 4 sentences after cleaning -> dropped by min_sentences
+        (6, "Sentence number one is right here.\nSentence number two is right here.\n"
+            "Sentence number three is right here.\nSentence number four is right here."),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_filters(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            badwords=("badword",),
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_lines"] == 10 and r1["n_lines_kept"] == 6
+    assert r1["n_sentences"] == 6  # 5 ./! lines + the '.' inside '."'
+    assert r1["c4_keep"] is True
+    kept_lines = r1["clean_text"].split("\n")
+    assert "Short." not in kept_lines
+    assert all("javascript" not in ln.lower() for ln in kept_lines)
+    assert all("privacy policy" not in ln.lower() for ln in kept_lines)
+    assert not out[2]["c4_keep"] and out[2]["has_lorem_ipsum"]
+    assert not out[3]["c4_keep"] and out[3]["has_brace"]
+    # NULL text behaves as the empty page: all-false flags, keep=false
+    r4 = out[4]
+    assert r4["n_lines"] == 0 and r4["clean_text"] == "" and r4["c4_keep"] is False
+    assert r4["has_lorem_ipsum"] is False and r4["has_badword"] is False
+    assert not out[5]["c4_keep"] and out[5]["has_badword"]
+    assert not out[6]["c4_keep"] and out[6]["n_sentences"] == 4
+
+
+def test_c4_filters_badword_is_token_match(spark):
+    from raven_spark.operators.pipeline import c4_filters
+
+    rows = [(1, "The scunthorpe problem is a classic sentence.\n" * 5)]
+    out = c4_filters(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        badwords=("thorpe",),  # substring of a token must NOT hit
+    ).first()
+    assert out["has_badword"] is False and out["c4_keep"] is True
+
+
+def test_line_dedup_corpus_drops_cross_doc_units_in_order(spark):
+    from raven_spark.operators.pipeline import line_dedup_corpus
+
+    rows = [
+        (1, "unique alpha content line\nCopyright Example Corp\nmore unique body text"),
+        (2, "Copyright Example Corp\nsecond doc own words\nCookie banner accept all"),
+        (3, "Cookie banner accept all\nCopyright Example Corp\nthird doc original stuff"),
+        (4, None),
+        (5, "  \n\nCopyright Example Corp\n"),
+        # repeated WITHIN one doc only -> n_distinct_docs == 1 -> kept
+        (6, "solo repeated line\nsolo repeated line\nsolo body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_corpus(df, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha content line\nmore unique body text"
+    assert out[2]["clean_text"] == "second doc own words"
+    assert (out[3]["n_units"], out[3]["n_dup_units"]) == (3, 2)
+    assert out[4]["clean_text"] == "" and out[4]["n_units"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_dup_units"] == 1
+    assert out[6]["clean_text"].count("solo repeated line") == 2  # intra-doc kept
+    # partitioning independence
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in line_dedup_corpus(df.repartition(7), min_docs=2).collect()}
+    assert out2 == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_line_dedup_corpus_window_mode(spark):
+    from raven_spark.operators.pipeline import line_dedup_corpus
+
+    rows = [(1, "a b c d a b"), (2, "a b x y"), (3, "z z z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup_corpus(df, min_docs=2, window_words=2).collect()}
+    assert out[1]["clean_text"] == "c d"        # both 'a b' positions removed
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["clean_text"] == "z z z z"    # single-doc unit survives
