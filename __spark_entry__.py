@@ -1504,6 +1504,42 @@ def q63_line_dedup(spark, sf_dir):
     return out.select("doc_id", "clean_text", "n_units", "n_dup_units")
 
 
+def q64_url_filter(spark, sf_dir):
+    """Crawl-side URL filtering (FineWeb/RefinedWeb §3.1; UT1-style
+    domain categories; functions/urls.py::url_filter): subdomain-
+    inclusive domain-blocklist match via the host dot-suffix array +
+    URL badword token scan, zero shuffles on the literal-blocklist path
+    (the list ships as a plan literal; the distributed-blocklist path
+    is pytest-covered). Hosts/paths synthesized from doc_id residues so
+    every branch (exact block, subdomain block, token-boundary miss,
+    badword hit, clean) is exercised; the oracle replays the suffix
+    semantics as host = d OR host LIKE '%.d'."""
+    from raven_spark.functions.urls import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("sub.shop.example"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("www.news.example"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("tracker.example"))
+        .otherwise(F.lit("cdn.media.example"))
+    )
+    path = F.when(
+        F.col("doc_id") % 9 == 0, F.lit("/download/badword/file")
+    ).otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url_canon")
+    )
+    out = url_filter(
+        urls,
+        blocked_domains=("tracker.example", "media.example"),
+        badwords=("badword",),
+    )
+    return out.select(
+        "doc_id", "url_canon", "blocked_domain", "url_badword", "url_allowed"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1569,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_recrawl_schedule": q61_recrawl_schedule,
         "q62_c4_filters": q62_c4_filters,
         "q63_line_dedup": q63_line_dedup,
+        "q64_url_filter": q64_url_filter,
     }
 
 
@@ -2852,6 +2889,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_units, 0) AS INT) AS n_units,
                    CAST(coalesce(n_dup, 0) AS INT) AS n_dup_units
             FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+        """,
+        "q64_url_filter": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'ads.tracker.example'
+                       WHEN 1 THEN 'sub.shop.example'
+                       WHEN 2 THEN 'www.news.example'
+                       WHEN 3 THEN 'tracker.example'
+                       ELSE 'cdn.media.example' END AS host,
+                     CASE WHEN doc_id % 9 = 0 THEN '/download/badword/file'
+                          ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     'https://' || host || path AS url_canon,
+                     (host = 'tracker.example'
+                      OR host LIKE '%.tracker.example'
+                      OR host = 'media.example'
+                      OR host LIKE '%.media.example') AS blocked_domain,
+                     list_has_any(
+                       string_split_regex(lower('https://' || host || path),
+                                          '[^a-z0-9]+'),
+                       ['badword']) AS url_badword
+              FROM u
+            )
+            SELECT doc_id, url_canon, blocked_domain, url_badword,
+                   (NOT blocked_domain AND NOT url_badword) AS url_allowed
+            FROM f
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

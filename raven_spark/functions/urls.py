@@ -382,3 +382,95 @@ def trap_score_col(url_canon: Column) -> Column:
         F.lit(0.2),
     ).otherwise(F.lit(0.0))
     return F.round(F.least(deep + repeated + digits + session, F.lit(1.0)), 6)
+
+
+def host_suffixes_col(host: Column, max_labels: int = 8) -> Column:
+    """All dot-suffixes of a DNS name, shortest first:
+    'a.b.example.com' -> ['com', 'example.com', 'b.example.com',
+    'a.b.example.com'] (capped at ``max_labels`` longest suffixes —
+    registrable domains are <= 4-5 labels in practice). Domain-blocklist
+    membership then reduces to "any suffix in the blocked set", which is
+    how UT1-style category lists define a block ('example.com' blocks
+    every subdomain). IPv6 literals have no label semantics: one-element
+    list (exact-match only)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        F.startswith(host, F.lit("[")), F.array(host)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+            lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."),
+        )
+    )
+
+
+def url_filter(
+    df,
+    blocked_domains: tuple[str, ...] = (),
+    badwords: tuple[str, ...] = (),
+    url_col: str = "url_canon",
+    host_col_name: str | None = None,
+    blocked_df=None,
+    id_col: str = "url_hash",
+):
+    """Crawl-side URL filtering (the FineWeb/RefinedWeb §3.1 "URL
+    filtering" stage; UT1-blacklist-style domain categories): flags every
+    row with
+
+    - ``blocked_domain``: the URL's host, or ANY parent domain of it, is
+      in the blocklist (subdomain-inclusive match via host_suffixes_col)
+    - ``url_badword``: the lowercased URL contains a blocklisted word as
+      an alphanumeric token (path/query/host all count — 'badword' in
+      '/download/badword/x' hits; substrings inside longer tokens do not)
+    - ``url_allowed``: neither flag — the frontier-admission verdict
+
+    Two blocklist paths, chosen by size:
+    - ``blocked_domains`` (tuple): the list ships as a literal array in
+      the plan — zero shuffles, zero joins, fused into the scan. Right
+      for config-sized lists (up to ~10^4 domains).
+    - ``blocked_df`` (DataFrame with a ``domain`` column): UT1-scale
+      lists (millions of rows) stay distributed — suffixes explode to
+      (id, suffix) pairs, a semi join marks blocked ids, one left join
+      keyed on the 8-byte ``id_col`` brings the flag back. The suffix
+      side is O(rows x labels) 2-column tuples; URL text never re-
+      shuffles. Spark broadcasts the blocklist side automatically while
+      it fits, and falls back to a shuffle join beyond that.
+
+    Flags, not a split — same auditability posture as clean_corpus
+    (compose with robots_flag / trap_score_col at frontier admission).
+    """
+    url = F.col(url_col)
+    host = F.col(host_col_name) if host_col_name else host_col(url)
+    sfx = host_suffixes_col(host)
+    if blocked_df is not None:
+        exploded = df.select(
+            F.col(id_col).alias("__id"), F.explode(sfx).alias("__sfx")
+        )
+        blocked_ids = (
+            exploded.join(
+                blocked_df.select(F.col("domain").alias("__sfx")), "__sfx", "leftsemi"
+            )
+            .select("__id")
+            .distinct()
+            .withColumn("__blocked", F.lit(True))
+        )
+        out = df.join(
+            blocked_ids, df[id_col] == blocked_ids["__id"], "left"
+        ).drop("__id")
+        out = out.withColumn(
+            "blocked_domain", F.coalesce(F.col("__blocked"), F.lit(False))
+        ).drop("__blocked")
+    elif blocked_domains:
+        lit_blocked = F.array(*[F.lit(d) for d in blocked_domains])
+        out = df.withColumn("blocked_domain", F.arrays_overlap(sfx, lit_blocked))
+    else:
+        out = df.withColumn("blocked_domain", F.lit(False))
+    if badwords:
+        toks = F.split(F.lower(url), "[^a-z0-9]+")
+        bad = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in badwords]))
+    else:
+        bad = F.lit(False)
+    return out.withColumn("url_badword", bad).withColumn(
+        "url_allowed", ~F.col("blocked_domain") & ~F.col("url_badword")
+    )

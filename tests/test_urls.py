@@ -191,3 +191,47 @@ def test_trap_score_col(spark):
     assert got["https://a.example/x/x/x"] == 0.3
     # deep (9 segs -> +0.3 cap) + repeated (a,b 3x+) = 0.6
     assert got["https://a.example/a/b/a/b/a/b/c/d/e"] == 0.6
+
+
+def test_host_suffixes_col(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import host_suffixes_col
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("com",), ("[2001:db8::1]",)], "h string"
+    )
+    got = {r["h"]: r["s"] for r in
+           df.select("h", host_suffixes_col(F.col("h")).alias("s")).collect()}
+    assert got["a.b.example.com"] == [
+        "com", "example.com", "b.example.com", "a.b.example.com"]
+    assert got["com"] == ["com"]
+    assert got["[2001:db8::1]"] == ["[2001:db8::1]"]  # no label semantics
+
+
+def test_url_filter_literal_and_df_paths_agree(spark):
+    from raven_spark.functions.urls import url_filter, with_url_identity
+
+    urls = [
+        "https://ads.tracker.example/x",        # subdomain of blocked
+        "https://tracker.example/y",            # exact blocked
+        "https://nottracker.example/z",         # NOT blocked (token boundary)
+        "https://shop.example/download/badword/file",  # badword token
+        "https://shop.example/download/badwordy/file", # substring: no hit
+        "https://clean.example/ok",
+    ]
+    df = with_url_identity(spark.createDataFrame([(u,) for u in urls], "url string"))
+    blocked = ("tracker.example",)
+    lit_out = {r["url_canon"]: (r["blocked_domain"], r["url_badword"], r["url_allowed"])
+               for r in url_filter(df, blocked, badwords=("badword",)).collect()}
+    assert lit_out["https://ads.tracker.example/x"] == (True, False, False)
+    assert lit_out["https://tracker.example/y"] == (True, False, False)
+    assert lit_out["https://nottracker.example/z"] == (False, False, True)
+    assert lit_out["https://shop.example/download/badword/file"][1] is True
+    assert lit_out["https://shop.example/download/badwordy/file"] == (False, False, True)
+    assert lit_out["https://clean.example/ok"] == (False, False, True)
+    # distributed-blocklist path gives the identical verdicts
+    bdf = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    df_out = {r["url_canon"]: (r["blocked_domain"], r["url_badword"], r["url_allowed"])
+              for r in url_filter(df, badwords=("badword",), blocked_df=bdf).collect()}
+    assert df_out == lit_out
