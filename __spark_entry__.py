@@ -1540,6 +1540,27 @@ def q64_url_filter(spark, sf_dir):
     )
 
 
+def q65_dup_spans(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr;
+    operators/dedup.py::dup_span_dedup): 5-token windows counted corpus-
+    globally; every occurrence of a duplicated window except the
+    lexicographically-first (doc_id, start) is removed and docs are
+    reassembled from surviving tokens. The 40-word soup vocabulary
+    yields real cross-doc 5-gram collisions at sf. Token text never
+    shuffles — (id, pos, xxhash64) triples only; the canonical pick is
+    a min(struct) AGGREGATE (no row_number over a hot hash). The oracle
+    replays windows by gram-text equality + the same min-(id,start)
+    exclusion."""
+    from raven_spark.operators.dedup import dup_span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = dup_span_dedup(d, span_words=5, keep_first=True)
+    return out.select(
+        "doc_id", "clean_text", "n_tokens", "n_dup_starts", "n_covered",
+        "dup_token_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1606,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_c4_filters": q62_c4_filters,
         "q63_line_dedup": q63_line_dedup,
         "q64_url_filter": q64_url_filter,
+        "q65_dup_spans": q65_dup_spans,
     }
 
 
@@ -2918,6 +2940,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url_canon, blocked_domain, url_badword,
                    (NOT blocked_domain AND NOT url_badword) AS url_allowed
             FROM f
+        """,
+        "q65_dup_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(coalesce(text, ''))),
+                       '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, ws,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 4, 0)),
+                       i -> struct_pack(s := i - 1,
+                                        gram := array_to_string(ws[i : i+4], ' '))
+                     ) AS gs
+              FROM w
+            ), u AS (
+              SELECT doc_id, unnest(gs) AS t FROM g
+            ), uu AS (
+              SELECT doc_id, t.s AS s, t.gram AS gram FROM u
+            ), dup AS (
+              SELECT gram FROM uu GROUP BY gram HAVING count(*) >= 2
+            ), firsts AS (
+              SELECT gram, min(struct_pack(doc_id := doc_id, s := s)) AS f
+              FROM uu JOIN dup USING (gram) GROUP BY gram
+            ), removable AS (
+              SELECT uu.doc_id, uu.s
+              FROM uu JOIN firsts USING (gram)
+              WHERE NOT (uu.doc_id = firsts.f.doc_id AND uu.s = firsts.f.s)
+            ), covered AS (
+              SELECT DISTINCT doc_id, s + j AS idx
+              FROM removable, LATERAL unnest(generate_series(0, 4)) AS o(j)
+            ), tt AS (
+              SELECT doc_id, t.pos AS pos, t.w AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(ws, (x, i) ->
+                             struct_pack(pos := i - 1, w := x))) AS t
+                    FROM w) q
+            ), stats AS (
+              SELECT tt.doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN c.idx IS NOT NULL THEN 1 ELSE 0 END) AS n_cov,
+                     coalesce(array_to_string(
+                       list(tt.tok ORDER BY tt.pos)
+                         FILTER (WHERE c.idx IS NULL), ' '), '') AS ct
+              FROM tt LEFT JOIN covered c
+                ON tt.doc_id = c.doc_id AND tt.pos = c.idx
+              GROUP BY tt.doc_id
+            ), nstarts AS (
+              SELECT doc_id, count(*) AS n_starts FROM removable GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   s.ct AS clean_text,
+                   CAST(s.n_tokens AS INT) AS n_tokens,
+                   CAST(coalesce(n.n_starts, 0) AS INT) AS n_dup_starts,
+                   CAST(s.n_cov AS INT) AS n_covered,
+                   round(CAST(s.n_cov AS DOUBLE)
+                         / greatest(s.n_tokens, 1), 6) AS dup_token_frac
+            FROM stats s LEFT JOIN nstarts n ON s.doc_id = n.doc_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

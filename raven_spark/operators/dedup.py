@@ -331,3 +331,110 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- exact-substring span dedup (Lee et al. 2022) ----------------------------
+
+
+def dup_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr): any
+    ``span_words``-token span occurring >= ``min_count`` times ANYWHERE in
+    the corpus (across documents or within one) is removed from every
+    occurrence except — with ``keep_first`` (the paper's "all but one") —
+    the lexicographically-first one by (doc id, start). A token is removed
+    iff a removable duplicated span covers it; the doc is reassembled from
+    surviving tokens in order.
+
+    The paper builds a corpus-wide suffix array on one large machine;
+    that is the one structure that cannot shard cheaply. The distributed
+    equivalent uses the standard fixed-length-window reduction: a
+    duplicated substring of length >= L contains a duplicated L-token
+    window at its start, and the union of duplicated L-windows covers the
+    same tokens up to L-1 boundary tokens — so flag L-windows by corpus-
+    global count and remove their cover. Same guarantee class, shuffle-
+    friendly shape.
+
+    Scale shape: per-position span hashes leave the map stage as 8-byte
+    xxhash64 values ((id, pos, hash) triples; token text never shuffles);
+    the occurrence count is a map-side-combinable groupBy on the hash;
+    duplicate START positions come back per doc as one collect_set row
+    joined on the 8-byte id, and the cover test filters the doc's own
+    token array in place. Hashing a span by concat is O(L) per position —
+    at L=50 that is the dominant map cost; a Rabin-Karp rolling hash over
+    per-word hashes would make it O(1) amortized and slots in here
+    without changing any downstream shape.
+
+    Output: input row + (out_col, n_tokens, n_dup_starts, n_covered,
+    dup_token_frac). ``n_covered``/``dup_token_frac`` measure removed
+    tokens; Lee et al. report ~3% of C4 removed at L=50.
+    """
+    words = F.split(norm_text_col(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n = F.size(words)
+    k = F.greatest(n - F.lit(span_words - 1), F.lit(0))
+    gram_hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, span_words))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.withColumn("__words", words).withColumn("__gh", gram_hashes)
+    occ = base.select(
+        F.col(id_col).alias("__id"), F.posexplode("__gh").alias("__s", "__h")
+    )
+    dup = (
+        occ.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= F.lit(min_count))
+        .select("__h")
+    )
+    flagged = occ.join(dup, "__h")
+    if keep_first:
+        # the one kept occurrence per span = min (id, start) — an AGGREGATE,
+        # not a row_number window: a pathological span duplicated 10^6 times
+        # (empty boilerplate) partial-aggregates map-side instead of full-
+        # ranking one hash partition; the join back reuses the __h keys
+        first = flagged.groupBy("__h").agg(
+            F.min(F.struct(F.col("__id"), F.col("__s"))).alias("__f")
+        )
+        flagged = (
+            flagged.join(first, "__h")
+            .filter(
+                ~(
+                    (F.col("__id") == F.col("__f.__id"))
+                    & (F.col("__s") == F.col("__f.__s"))
+                )
+            )
+            .drop("__f")
+        )
+    starts = flagged.groupBy("__id").agg(F.collect_set("__s").alias("__starts"))
+    joined = base.join(starts, base[id_col] == starts["__id"], "left").drop("__id")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__words"),
+        lambda w, i: ~F.exists(st, lambda s: (i >= s) & (i < s + F.lit(span_words))),
+    )
+    return (
+        joined.withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_tokens", F.size("__words"))
+        .withColumn("n_dup_starts", F.size(st))
+        .withColumn("n_covered", F.size("__words") - F.size(kept))
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .drop("__words", "__gh", "__starts")
+    )

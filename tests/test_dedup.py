@@ -126,3 +126,34 @@ def test_embedding_neardup(spark):
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
     assert (0, 3) not in pairs  # label block separates
+
+
+def test_dup_span_dedup_keep_first_and_cover(spark):
+    from raven_spark.operators.dedup import dup_span_dedup
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro words here {span} tail one"),
+        (2, f"other start {span} closing two"),
+        (3, f"{span} {span} pure repeat"),   # within-doc repeat counts too
+        (4, "completely unrelated text piece"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dup_span_dedup(df, span_words=5, keep_first=True).collect()}
+    # the lexicographically-first occurrence (doc 1) survives
+    assert span in out[1]["clean_text"] and out[1]["n_covered"] == 0
+    assert out[2]["clean_text"] == "other start closing two"
+    assert out[2]["n_covered"] == 5
+    assert out[3]["clean_text"] == "pure repeat" and out[3]["n_covered"] == 10
+    assert out[4]["n_dup_starts"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 1
+    # remove-all variant strips every occurrence including the first
+    out_all = {r["doc_id"]: r for r in
+               dup_span_dedup(df, span_words=5, keep_first=False).collect()}
+    assert out_all[1]["clean_text"] == "intro words here tail one"
+    # partitioning independence (canonical pick is an aggregate, not order)
+    out_p = {r["doc_id"]: r["clean_text"] for r in
+             dup_span_dedup(df.repartition(7), span_words=5, keep_first=True).collect()}
+    assert out_p == {k: v["clean_text"] for k, v in out.items()}
