@@ -509,10 +509,13 @@ def q27_sessionize(spark, sf_dir):
 
 def q28_robots_gate(spark, sf_dir):
     """Robots gating via the REAL operator (politeness.robots_flag):
-    longest-matching-prefix wins, tie -> allow, no rules row -> allowed.
-    Candidates synthesized from documents; rules cover deny-all, deny-with-
-    allow-carveout, and rule-less hosts. Oracle replays the same longest-
-    prefix arithmetic with DuckDB list lambdas."""
+    RFC 9309 longest-matching-pattern wins (wildcards counted at raw
+    length), tie -> allow, no rules row -> allowed. Candidates
+    synthesized from documents; rules cover deny-all, deny-with-allow-
+    carveout, rule-less hosts, a '*' glob deny with an anchored allow
+    tie at /p/1, and a '$'-anchored exact-path deny. Oracle replays the
+    prefix arithmetic with DuckDB list lambdas and the wildcard
+    patterns explicitly with their raw lengths."""
     from raven_spark.operators.politeness import robots_flag
 
     d = _t(spark, sf_dir, "documents")
@@ -530,7 +533,12 @@ def q28_robots_gate(spark, sf_dir):
     )
     rules = spark.createDataFrame(
         [("h0.example", ["/private/pub/"], ["/private/"], 2),
-         ("h1.example", [], ["/"], None)],
+         ("h1.example", [], ["/"], None),
+         # RFC 9309 wildcard rules: glob deny with an anchored allow
+         # carveout (tie at /p/1 exactly -> allow), and a '$'-anchored
+         # deny that blocks one exact path
+         ("h2.example", ["/p/1$"], ["/p/1*"], None),
+         ("h3.example", [], ["/p/33$"], None)],
         "host string, allow array<string>, deny array<string>, crawl_delay_s int",
     )
     flagged = robots_flag(cand, rules)
@@ -1768,12 +1776,24 @@ WITH cand AS (
 ), rules AS (
   SELECT * FROM (VALUES
     ('h0.example', ['/private/pub/'], ['/private/']),
-    ('h1.example', []::VARCHAR[], ['/'])
+    ('h1.example', []::VARCHAR[], ['/']),
+    ('h2.example', ['/p/1$'], ['/p/1*']),
+    ('h3.example', []::VARCHAR[], ['/p/33$'])
   ) AS t(host, allow, deny)
 ), scored AS (
+  -- prefix rules replay generically; the h2/h3 wildcard patterns
+  -- ('/p/1*' glob, '/p/1$' and '/p/33$' end anchors) replay explicitly
+  -- with their raw pattern lengths (RFC 9309 specificity)
   SELECT c.host, r.deny,
-    coalesce(list_max(list_transform(list_filter(r.deny,  p -> starts_with(c.path, p)), p -> length(p))), -1) AS dlen,
-    coalesce(list_max(list_transform(list_filter(r.allow, p -> starts_with(c.path, p)), p -> length(p))), -1) AS alen
+    CASE c.host
+      WHEN 'h2.example' THEN CASE WHEN c.path LIKE '/p/1%' THEN 5 ELSE -1 END
+      WHEN 'h3.example' THEN CASE WHEN c.path = '/p/33' THEN 6 ELSE -1 END
+      ELSE coalesce(list_max(list_transform(list_filter(r.deny,  p -> starts_with(c.path, p)), p -> length(p))), -1)
+    END AS dlen,
+    CASE c.host
+      WHEN 'h2.example' THEN CASE WHEN c.path = '/p/1' THEN 5 ELSE -1 END
+      ELSE coalesce(list_max(list_transform(list_filter(r.allow, p -> starts_with(c.path, p)), p -> length(p))), -1)
+    END AS alen
   FROM cand c LEFT JOIN rules r USING (host)
 )
 SELECT host,

@@ -235,15 +235,55 @@ def fetch_robots(
     return hosts.select("host").distinct().mapInPandas(run, ROBOTS_SCHEMA)
 
 
+def _rule_match_len(path: Column, p: Column) -> Column:
+    """Match length of one robots rule pattern against a path: the raw
+    pattern length when it matches, -1 when it doesn't (RFC 9309 §2.2.2
+    "most specific match" = longest pattern in octets).
+
+    Two evaluation paths, chosen per pattern:
+    - plain prefix (no '*', no trailing '$'): startswith — the common
+      case, no regex compile.
+    - RFC 9309 wildcards: '*' matches any span, a trailing '$' anchors
+      the match at path end ('$' anywhere else is a literal). Compiled
+      per-row into an anchored-prefix regex: split on '*', regex-escape
+      each literal segment, rejoin with '.*' (greedy regex backtracking
+      IS glob semantics), prefix '^', suffix '$' when anchored. The
+      limit=-1 split keeps trailing empty segments so 'a*$' becomes
+      '^a.*$', not '^a$'.
+    """
+    anchor = F.endswith(p, F.lit("$"))
+    body = F.when(anchor, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    is_glob = body.contains("*") | anchor
+    segs = F.split(body, r"\*", -1)
+    esc = F.transform(
+        segs, lambda s: F.regexp_replace(s, r"([^a-zA-Z0-9])", r"\\$1")
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.array_join(esc, ".*"),
+        F.when(anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(
+        is_glob,
+        F.when(F.regexp_like(path, rx), F.length(p)).otherwise(F.lit(-1)),
+    ).otherwise(
+        F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1))
+    )
+
+
 def robots_flag(candidates: DataFrame, robots: DataFrame | None, flag_col: str = "robots_ok") -> DataFrame:
     """Adds boolean ``robots_ok`` after robots rules — a FLAG, not a split,
     so the round plan can materialize one DataFrame and branch with cheap
     cache-local filters (no upstream recompute per branch).
 
     The rules table is tiny relative to the frontier -> broadcast hash
-    join, zero shuffle on the candidate side. Path precedence: the longest
-    matching prefix among allow+deny wins; tie -> allow (Google semantics);
-    no rule rows for a host -> allowed.
+    join, zero shuffle on the candidate side. Path precedence: RFC 9309
+    §2.2.2 — the longest matching pattern among allow+deny wins (raw
+    pattern length, wildcards counted); tie -> allow (RFC: "least
+    restrictive", = Google semantics); no rule rows for a host ->
+    allowed. Patterns support the RFC's '*' wildcard and trailing-'$'
+    end anchor (_rule_match_len); plain prefixes — the overwhelming
+    majority in the wild — keep the regex-free startswith path.
     """
     if robots is None:
         return candidates.withColumn(flag_col, F.lit(True))
@@ -251,12 +291,7 @@ def robots_flag(candidates: DataFrame, robots: DataFrame | None, flag_col: str =
     path = F.regexp_extract(F.col("url_canon"), r"^[a-z]+://[^/]+(/.*)$", 1)
     joined = candidates.join(F.broadcast(robots), on="host", how="left")
     longest = lambda arr: F.coalesce(  # noqa: E731
-        F.array_max(
-            F.transform(
-                F.filter(arr, lambda p: path.startswith(p)),
-                lambda p: F.length(p),
-            )
-        ),
+        F.array_max(F.transform(arr, lambda p: _rule_match_len(path, p))),
         F.lit(-1),
     )
     deny_len = longest(F.col("deny"))

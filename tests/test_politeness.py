@@ -121,3 +121,44 @@ def test_fetch_robots_over_http_seam(spark):
     flagged = {r["url_hash"]: r["robots_ok"]
                for r in robots_flag(cand, fetch_robots(hosts, opener=opener)).collect()}
     assert flagged == {1: False, 2: True, 3: True}
+
+
+def test_robots_flag_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.2/§5.1 wildcard vectors (also Google's published
+    examples): '*' spans, trailing-'$' end anchor, literal mid-pattern
+    '$', longest-raw-pattern precedence with allow on ties."""
+    from raven_spark.operators.politeness import robots_flag
+
+    cases = [
+        # (allow, deny, path, expected robots_ok)
+        ([], ["/fish*"], "/fish", False),
+        ([], ["/fish*"], "/fishheads/yummy.html", False),
+        ([], ["/fish*"], "/Fish.asp", True),
+        ([], ["/fish*"], "/desert/fish", True),
+        ([], ["/*.php"], "/folder/filename.php", False),
+        ([], ["/*.php"], "/", True),
+        ([], ["/*.php"], "/windows.PHP", True),
+        ([], ["/*.php$"], "/filename.php", False),
+        ([], ["/*.php$"], "/filename.php?parameters", True),
+        ([], ["/*.php$"], "/filename.php5", True),
+        ([], ["/fish*.php"], "/fishheads/catfish.php?parameters", False),
+        (["/p"], ["/"], "/page", True),          # longest match wins
+        (["/folder"], ["/folder"], "/folder/page", True),  # tie -> allow
+        (["/page"], ["/*.htm"], "/page.htm", False),       # 6 > 5 -> deny
+        (["/$"], ["/"], "/", True),
+        (["/$"], ["/"], "/page", False),
+        ([], ["/a$b"], "/a$b/x", False),         # mid-pattern '$' literal
+        ([], ["/a$b"], "/ab", True),
+    ]
+    for allow, deny, path, want in cases:
+        rules = spark.createDataFrame(
+            [("h.example", allow, deny, None)],
+            "host string, allow array<string>, deny array<string>,"
+            " crawl_delay_s int",
+        )
+        cand = spark.createDataFrame(
+            [(f"https://h.example{path}", "h.example")],
+            "url_canon string, host string",
+        )
+        got = robots_flag(cand, rules).first()["robots_ok"]
+        assert got is want, (allow, deny, path, got, want)
