@@ -1569,6 +1569,58 @@ def q65_dup_spans(spark, sf_dir):
     )
 
 
+def q66_sitemap_entries(spark, sf_dir):
+    """Full sitemap entry parse (sitemaps.org; operators/sitemaps.py::
+    sitemap_entries + changefreq_interval_col): per-<url> lastmod /
+    changefreq / priority with the declared-changefreq revisit hint —
+    the host-declared prior that blends with q61's observed-churn
+    estimator via least(). Bodies synthesized from doc_id residues
+    (valid lastmod dates, 4 changefreq values + absent, entity-escaped
+    loc); pure column algebra, zero shuffles; the oracle replays the
+    same block/tag regexes and the changefreq map."""
+    from raven_spark.operators.sitemaps import (
+        changefreq_interval_col,
+        sitemap_entries,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sm = F.concat(F.lit("https://s"), F.pmod(i, F.lit(20)).cast("string"),
+                  F.lit(".example/sitemap.xml"))
+    cf = (
+        F.when(F.pmod(i, F.lit(5)) == 0, F.lit("daily"))
+        .when(F.pmod(i, F.lit(5)) == 1, F.lit("weekly"))
+        .when(F.pmod(i, F.lit(5)) == 2, F.lit("monthly"))
+        .when(F.pmod(i, F.lit(5)) == 3, F.lit("never"))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<urlset><url><loc>https://s"),
+        F.pmod(i, F.lit(20)).cast("string"),
+        F.lit(".example/p/"), i.cast("string"), F.lit("</loc><lastmod>2026-"),
+        F.lpad((F.pmod(i, F.lit(9)) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.pmod(i, F.lit(28)) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+        F.when(cf == "", F.lit("")).otherwise(
+            F.concat(F.lit("<changefreq>"), cf, F.lit("</changefreq>"))
+        ),
+        F.lit("<priority>0."), F.pmod(i, F.lit(10)).cast("string"),
+        F.lit("</priority></url><url><loc>https://s"),
+        F.pmod(i, F.lit(20)).cast("string"),
+        F.lit(".example/q/"), i.cast("string"),
+        F.lit("&amp;x</loc></url></urlset>"),
+    )
+    sitemaps = d.select(sm.alias("url"), body.alias("body"))
+    out = sitemap_entries(sitemaps).withColumn(
+        "hint_s", changefreq_interval_col(F.col("changefreq"))
+    )
+    return out.select(
+        "sitemap_url", "loc", "lastmod", "lastmod_date", "changefreq",
+        "priority", "hint_s",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1636,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_line_dedup": q63_line_dedup,
         "q64_url_filter": q64_url_filter,
         "q65_dup_spans": q65_dup_spans,
+        "q66_sitemap_entries": q66_sitemap_entries,
     }
 
 
@@ -3018,6 +3071,62 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.n_cov AS DOUBLE)
                          / greatest(s.n_tokens, 1), 6) AS dup_token_frac
             FROM stats s LEFT JOIN nstarts n ON s.doc_id = n.doc_id
+        """,
+        "q66_sitemap_entries": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     'https://s' || (doc_id % 20) || '.example/sitemap.xml'
+                       AS sitemap_url,
+                     CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       WHEN 2 THEN 'monthly' WHEN 3 THEN 'never' ELSE '' END
+                       AS cf,
+                     '<urlset><url><loc>https://s' || (doc_id % 20)
+                     || '.example/p/' || doc_id || '</loc><lastmod>2026-'
+                     || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     || '</lastmod>'
+                     || CASE WHEN doc_id % 5 >= 4 THEN ''
+                          ELSE '<changefreq>'
+                               || CASE doc_id % 5 WHEN 0 THEN 'daily'
+                                    WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly'
+                                    ELSE 'never' END
+                               || '</changefreq>' END
+                     || '<priority>0.' || (doc_id % 10)
+                     || '</priority></url><url><loc>https://s' || (doc_id % 20)
+                     || '.example/q/' || doc_id
+                     || '&amp;x</loc></url></urlset>' AS body
+              FROM documents
+            ), blocks AS (
+              SELECT sitemap_url,
+                     unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1))
+                       AS b
+              FROM built
+            ), fields AS (
+              SELECT sitemap_url,
+                     regexp_extract(b, '<loc>\s*([^<]+?)\s*</loc>', 1) AS rawloc,
+                     nullif(regexp_extract(b,
+                       '<lastmod>\s*([^<]+?)\s*</lastmod>', 1), '') AS lastmod,
+                     nullif(regexp_extract(b,
+                       '<changefreq>\s*([^<]+?)\s*</changefreq>', 1), '')
+                       AS changefreq,
+                     nullif(regexp_extract(b,
+                       '<priority>\s*([^<]+?)\s*</priority>', 1), '') AS rawprio
+              FROM blocks
+            )
+            SELECT sitemap_url,
+                   replace(replace(replace(replace(replace(rawloc,
+                     '&apos;', chr(39)), '&quot;', '"'),
+                     '&gt;', '>'), '&lt;', '<'), '&amp;', '&') AS loc,
+                   lastmod,
+                   try_cast(substr(lastmod, 1, 10) AS DATE) AS lastmod_date,
+                   changefreq,
+                   try_cast(rawprio AS DOUBLE) AS priority,
+                   CASE lower(changefreq)
+                     WHEN 'always' THEN 60 WHEN 'hourly' THEN 3600
+                     WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+                     WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+                     WHEN 'never' THEN 31536000 END AS hint_s
+            FROM fields WHERE rawloc <> ''
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

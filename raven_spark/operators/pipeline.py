@@ -183,6 +183,8 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     ngram_n: int = 5,
     min_overlap: int = 1,
+    bloom_fpp: float | None = None,
+    bench_grams_hint: int | None = None,
 ) -> DataFrame:
     """N-gram decontamination check: for each corpus doc, how many of its
     distinct word n-grams appear anywhere in the benchmark set.
@@ -198,6 +200,16 @@ def benchmark_contamination(
     shuffle-free on the corpus side (aggregate output is small only per
     doc — it re-joins on id; at corpus scale both sides of that join are
     id-partitioned by the same aggregate exchange).
+
+    ``bloom_fpp`` enables the extreme-bench-size path (the seen.py
+    posture): the bench gram set ships as a broadcast Bloom FILTER
+    (~10 bits/gram vs 8 bytes/gram for the join table) and the exact
+    broadcast join runs only on the maybe-hit survivors. No false
+    negatives (Bloom property) and the exact join kills false
+    positives, so the RESULT is bit-identical to the plain path — only
+    the probe volume changes: ~(overlap + fpp x grams) rows instead of
+    every gram. ``bench_grams_hint`` sizes the filter without the one
+    count() job over the (bench-sized, tiny) gram set.
     """
     bench_grams = (
         benchmark.select(
@@ -210,6 +222,16 @@ def benchmark_contamination(
         F.col(id_col).alias("id"),
         F.explode(_word_ngrams_distinct(F.col(text_col), ngram_n)).alias("g"),
     ).select("id", F.xxhash64("g").alias("g_h"))
+    if bloom_fpp is not None:
+        from raven_spark.operators.seen import bloom_prune, build_bloom
+
+        expected = bench_grams_hint or bench_grams.count()
+        sidecar = build_bloom(bench_grams, "g_h", max(int(expected), 1), bloom_fpp)
+        doc_grams = (
+            bloom_prune(doc_grams, sidecar, hash_col="g_h", flag_col="__maybe")
+            .filter(F.col("__maybe"))
+            .drop("__maybe")
+        )
     overlap = (
         doc_grams.join(F.broadcast(bench_grams), "g_h")
         .groupBy("id")

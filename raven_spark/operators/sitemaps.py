@@ -23,7 +23,7 @@ the HTTP layer (Content-Encoding), not here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _LOC = r"<loc>\s*([^<]+?)\s*</loc>"
@@ -186,3 +186,78 @@ def discover_sitemap_pages(
     child_bodies = fetch_sitemaps(children, opener=opener, timeout_s=timeout_s)
     all_bodies = bodies.unionByName(child_bodies)
     return sitemap_frontier(all_bodies, "url", "body", salt_buckets=salt_buckets)
+
+
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_TAG = {
+    "loc": r"<loc>\s*([^<]+?)\s*</loc>",
+    "lastmod": r"<lastmod>\s*([^<]+?)\s*</lastmod>",
+    "changefreq": r"<changefreq>\s*([^<]+?)\s*</changefreq>",
+    "priority": r"<priority>\s*([^<]+?)\s*</priority>",
+}
+
+# sitemaps.org changefreq -> revisit-interval hint (seconds); 'always'
+# floors at a minute, 'never' caps at a year (the protocol says the value
+# is a HINT, so the caps are policy, not spec)
+CHANGEFREQ_SECONDS = {
+    "always": 60,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+    "never": 31536000,
+}
+
+
+def sitemap_entries(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Full per-entry sitemap parse (sitemaps.org protocol): one row per
+    ``<url>`` block with (sitemap_url, loc, lastmod, lastmod_date,
+    changefreq, priority). sitemap_locs feeds the frontier (every loc,
+    fast path); this feeds RECRAWL — lastmod/changefreq are the host's
+    own declared change profile, the natural prior to blend with the
+    observed-churn estimator (snapshots.recrawl_schedule).
+
+    Same deliberate pattern-parse scope as sitemap_locs (entries are
+    flat tags inside a ``<url>`` block; '(?s)' because blocks span
+    lines). lastmod keeps the raw W3C datetime string; lastmod_date is
+    the parsed DATE of its first 10 chars (the protocol's date core —
+    enough for revisit decisions, and engine/oracle-parity trivial).
+    priority parses via try_cast (malformed -> null). All pure column
+    algebra: one regexp_extract_all + explode + per-tag regexp_extract,
+    zero Python, zero shuffles."""
+    blocks = F.regexp_extract_all(F.col(body_col), F.lit(_URL_BLOCK), 1)
+    out = df.select(
+        F.col(url_col).alias("sitemap_url"), F.explode(blocks).alias("__b")
+    )
+    tag = lambda name: F.regexp_extract(F.col("__b"), _TAG[name], 1)  # noqa: E731
+    nullif_empty = lambda c: F.when(c != "", c)  # noqa: E731
+    unescaped = tag("loc")
+    for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
+                    ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    lastmod = nullif_empty(tag("lastmod"))
+    return out.select(
+        "sitemap_url",
+        unescaped.alias("loc"),
+        lastmod.alias("lastmod"),
+        F.try_to_timestamp(
+            F.substring(lastmod, 1, 10), F.lit("yyyy-MM-dd")
+        ).cast("date").alias("lastmod_date"),
+        nullif_empty(tag("changefreq")).alias("changefreq"),
+        nullif_empty(tag("priority")).try_cast("double").alias("priority"),
+    ).filter(F.col("loc") != "")
+
+
+def changefreq_interval_col(changefreq: Column) -> Column:
+    """Declared-changefreq revisit-interval hint in seconds (null for
+    absent/unknown values). Blend with the observed-churn estimator as
+    ``least(estimated, hint)`` — a declared faster cadence can only
+    tighten the schedule; an estimator that has SEEN churn never loosens
+    to a lazy 'yearly' declaration."""
+    m = F.create_map(
+        *[F.lit(x) for kv in CHANGEFREQ_SECONDS.items() for x in kv]
+    )
+    return m[F.lower(changefreq)]

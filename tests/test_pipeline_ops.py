@@ -398,3 +398,34 @@ def test_line_dedup_corpus_window_mode(spark):
     assert out[1]["clean_text"] == "c d"        # both 'a b' positions removed
     assert out[2]["clean_text"] == "x y"
     assert out[3]["clean_text"] == "z z z z"    # single-doc unit survives
+
+
+def test_benchmark_contamination_bloom_sidecar_is_exact(spark):
+    """The Bloom path prunes probe volume but must be RESULT-identical:
+    no false negatives by the Bloom property, false positives killed by
+    the exact verify join."""
+    from raven_spark.operators.pipeline import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro quick brown fox jumps over ending words"),
+         (2, "totally different content with no shared grams at all"),
+         (3, "the quick brown fox jumps over the lazy dog verbatim copy"),
+         (4, "short")],
+        "doc_id long, text string",
+    )
+    plain = {r["id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+             for r in benchmark_contamination(corpus, bench).collect()}
+    bloomed = {r["id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+               for r in benchmark_contamination(
+                   corpus, bench, bloom_fpp=0.01).collect()}
+    assert bloomed == plain
+    assert plain[3][2] is True and plain[2][2] is False
+    # hint path skips the sizing count and still agrees
+    hinted = {r["id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+              for r in benchmark_contamination(
+                  corpus, bench, bloom_fpp=0.01, bench_grams_hint=64).collect()}
+    assert hinted == plain

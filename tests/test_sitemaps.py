@@ -259,3 +259,40 @@ def test_bootstrap_extra_urls_df_distributed_path(spark, tmp_path):
     assert {r["url_canon"] for r in f0b.select("url_canon").collect()} >= {
         "https://h1.example/p/8", "https://h3.example/p/1",
     }
+
+
+def test_sitemap_entries_full_parse(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sitemaps import (
+        changefreq_interval_col,
+        sitemap_entries,
+    )
+
+    body = (
+        '<?xml version="1.0"?><urlset>\n'
+        "<url><loc>https://s.example/a&amp;b</loc>"
+        "<lastmod>2026-03-04T10:00:00+09:00</lastmod>\n"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>\n"
+        "<url><loc>https://s.example/plain</loc></url>\n"
+        "<url><loc>https://s.example/bad</loc><lastmod>not-a-date</lastmod>"
+        "<priority>high</priority></url>\n"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://s.example/sitemap.xml", body)], "url string, body string"
+    )
+    out = {r["loc"]: r for r in
+           sitemap_entries(df).withColumn(
+               "hint_s", changefreq_interval_col(F.col("changefreq"))).collect()}
+    full = out["https://s.example/a&b"]  # entity-unescaped
+    assert str(full["lastmod_date"]) == "2026-03-04"
+    assert full["lastmod"].startswith("2026-03-04T")
+    assert full["priority"] == 0.8
+    assert full["hint_s"] == 86400  # case-insensitive changefreq
+    plain = out["https://s.example/plain"]
+    assert plain["lastmod"] is None and plain["changefreq"] is None
+    assert plain["priority"] is None and plain["hint_s"] is None
+    bad = out["https://s.example/bad"]
+    assert bad["lastmod"] == "not-a-date" and bad["lastmod_date"] is None
+    assert bad["priority"] is None  # malformed -> null, never an error
