@@ -1,0 +1,85 @@
+"""Frontier admission — the crawl-side gate that composes every
+pre-fetch signal into ONE verdict column, before plan_round ever sees
+the delta:
+
+- URL filtering (functions/urls.py::url_filter): domain blocklist with
+  subdomain-suffix semantics + URL badword tokens (FineWeb/RefinedWeb
+  §3.1's URL-filter stage)
+- crawler-trap scoring (functions/urls.py::trap_score_col): Heritrix-
+  class heuristics, thresholded
+- recrawl due-ness (operators/snapshots.py::recrawl_schedule): a URL
+  whose next_fetch_ts lies in the future is not admitted this round
+
+robots gating deliberately stays INSIDE plan_round (it is fetch-time
+policy, owned by the host being crawled and joined per round against
+the live rules table); admission is crawl-operator policy over the
+delta, applied once per URL discovery. Each signal keeps its own
+column so a dropped URL's reason is auditable (the clean_corpus
+posture), and the composed `admit` is what bootstrap/engine filters
+on. Flags-not-splits + one scan: zero shuffles beyond url_filter's
+optional distributed-blocklist join and the schedule left join (both
+keyed small sides).
+
+The reference crawler admits its whole config-expanded task list
+(parser.rs — no discovery, no filtering); this is crawl-tier
+task-brief scope composing the session's scale operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raven_spark.functions.urls import trap_score_col, url_filter
+
+
+def frontier_admission(
+    cand: DataFrame,
+    blocked_domains: tuple[str, ...] = (),
+    badwords: tuple[str, ...] = (),
+    blocked_df: DataFrame | None = None,
+    max_trap_score: float | None = None,
+    schedule: DataFrame | None = None,
+    now_ts=None,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Adds (blocked_domain, url_badword, trap_score, due, admit) to a
+    frontier delta carrying ``url_canon``.
+
+    ``schedule`` is a (url, next_fetch_ts) table — recrawl_schedule
+    output (optionally already least()-blended with the sitemap
+    changefreq hint); ``now_ts`` is the round's admission instant
+    (column or literal). URLs absent from the schedule are due (first
+    fetch); URLs scheduled in the future are held back with
+    ``due=false`` — they stay in the frontier for a later round rather
+    than dropping.
+    """
+    out = url_filter(
+        cand,
+        blocked_domains=blocked_domains,
+        badwords=badwords,
+        blocked_df=blocked_df,
+        url_col=url_col,
+    )
+    out = out.withColumn("trap_score", trap_score_col(F.col(url_col)))
+    trap_ok = (
+        F.lit(True)
+        if max_trap_score is None
+        else F.col("trap_score") <= F.lit(float(max_trap_score))
+    )
+    if schedule is not None:
+        sched = schedule.select(
+            F.col("url").alias("__sched_url"),
+            F.col("next_fetch_ts").alias("__next_ts"),
+        )
+        out = out.join(
+            sched, out[url_col] == sched["__sched_url"], "left"
+        ).drop("__sched_url")
+        now = F.lit(now_ts) if not hasattr(now_ts, "_jc") else now_ts
+        due = F.col("__next_ts").isNull() | (F.col("__next_ts") <= now)
+        out = out.withColumn("due", due).drop("__next_ts")
+    else:
+        out = out.withColumn("due", F.lit(True))
+    return out.withColumn(
+        "admit", F.col("url_allowed") & trap_ok & F.col("due")
+    )

@@ -1,0 +1,54 @@
+"""Frontier admission compositor (operators/admission.py): URL filter x
+trap threshold x recrawl due-ness -> one auditable admit verdict."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_frontier_admission_composes_all_signals(spark):
+    from raven_spark.operators.admission import frontier_admission
+
+    now = 1_767_225_600  # 2026-01-01T00:00:00Z
+    urls = [
+        # (url, expected admit, reason under test)
+        ("https://ok.example/page", True, "clean"),
+        ("https://ads.blocked.example/x", False, "domain blocklist"),
+        ("https://ok.example/a/badword/b", False, "url badword"),
+        ("https://ok.example/a/a/a/a/b/c/d/e?sid=1", False, "trap score"),
+        ("https://ok.example/scheduled-future", False, "not due yet"),
+        ("https://ok.example/scheduled-past", True, "due"),
+    ]
+    cand = spark.createDataFrame([(u,) for u, _, _ in urls], "url_canon string")
+    schedule = spark.createDataFrame(
+        [("https://ok.example/scheduled-future", now + 9999),
+         ("https://ok.example/scheduled-past", now - 1)],
+        "url string, ts long",
+    ).select("url", F.timestamp_seconds("ts").alias("next_fetch_ts"))
+    out = frontier_admission(
+        cand,
+        blocked_domains=("blocked.example",),
+        badwords=("badword",),
+        max_trap_score=0.5,
+        schedule=schedule,
+        now_ts=F.timestamp_seconds(F.lit(now)),
+    )
+    got = {r["url_canon"]: r for r in out.collect()}
+    for u, want, why in urls:
+        assert got[u]["admit"] is want, (u, why, dict(got[u].asDict()))
+    # per-reason audit columns carry the WHY
+    assert got["https://ads.blocked.example/x"]["blocked_domain"] is True
+    assert got["https://ok.example/a/badword/b"]["url_badword"] is True
+    assert got["https://ok.example/a/a/a/a/b/c/d/e?sid=1"]["trap_score"] > 0.5
+    assert got["https://ok.example/scheduled-future"]["due"] is False
+    assert got["https://ok.example/scheduled-past"]["due"] is True
+
+
+def test_frontier_admission_defaults_admit_everything(spark):
+    from raven_spark.operators.admission import frontier_admission
+
+    cand = spark.createDataFrame(
+        [("https://anything.example/x",)], "url_canon string"
+    )
+    out = frontier_admission(cand).first()
+    assert out["admit"] is True and out["due"] is True
