@@ -81,6 +81,11 @@ HEADLINE = [
     "q59_ccnet_buckets",
     "q60_mixture_sample",
     "q61_recrawl_schedule",
+    "q62_c4_filters",
+    "q63_line_dedup",
+    "q64_url_filter",
+    "q65_dup_spans",
+    "q66_sitemap_entries",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

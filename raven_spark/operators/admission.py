@@ -27,7 +27,7 @@ task-brief scope composing the session's scale operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from raven_spark.functions.urls import trap_score_col, url_filter
@@ -68,6 +68,10 @@ def frontier_admission(
         else F.col("trap_score") <= F.lit(float(max_trap_score))
     )
     if schedule is not None:
+        if now_ts is None:
+            # without an admission instant, every scheduled URL's
+            # due-ness would NULL-propagate straight into admit
+            raise ValueError("frontier_admission: schedule requires now_ts")
         sched = schedule.select(
             F.col("url").alias("__sched_url"),
             F.col("next_fetch_ts").alias("__next_ts"),
@@ -75,7 +79,7 @@ def frontier_admission(
         out = out.join(
             sched, out[url_col] == sched["__sched_url"], "left"
         ).drop("__sched_url")
-        now = F.lit(now_ts) if not hasattr(now_ts, "_jc") else now_ts
+        now = now_ts if isinstance(now_ts, Column) else F.lit(now_ts)
         due = F.col("__next_ts").isNull() | (F.col("__next_ts") <= now)
         out = out.withColumn("due", due).drop("__next_ts")
     else:

@@ -52,3 +52,16 @@ def test_frontier_admission_defaults_admit_everything(spark):
     )
     out = frontier_admission(cand).first()
     assert out["admit"] is True and out["due"] is True
+
+
+def test_frontier_admission_schedule_requires_now(spark):
+    import pytest
+
+    from raven_spark.operators.admission import frontier_admission
+
+    cand = spark.createDataFrame([("https://a.example/x",)], "url_canon string")
+    sched = spark.createDataFrame(
+        [("https://a.example/x",)], "url string"
+    ).select("url", F.current_timestamp().alias("next_fetch_ts"))
+    with pytest.raises(ValueError, match="now_ts"):
+        frontier_admission(cand, schedule=sched)
