@@ -49,8 +49,11 @@ def frontier_admission(
     ``schedule`` is a (url, next_fetch_ts) table — recrawl_schedule
     output (optionally already least()-blended with the sitemap
     changefreq hint); ``now_ts`` is the round's admission instant
-    (column or literal). URLs absent from the schedule are due (first
-    fetch); URLs scheduled in the future are held back with
+    (column or literal), REQUIRED with ``schedule`` and rejected
+    without it (ValueError either way — a missing instant would
+    NULL-propagate due-ness into admit, an ignored one would silently
+    admit held-back URLs). URLs absent from the schedule are due
+    (first fetch); URLs scheduled in the future are held back with
     ``due=false`` — they stay in the frontier for a later round rather
     than dropping.
     """
@@ -83,6 +86,10 @@ def frontier_admission(
         due = F.col("__next_ts").isNull() | (F.col("__next_ts") <= now)
         out = out.withColumn("due", due).drop("__next_ts")
     else:
+        if now_ts is not None:
+            # symmetric guard: an instant with no schedule means the
+            # caller THINKS due-ness is being enforced — it isn't
+            raise ValueError("frontier_admission: now_ts requires schedule")
         out = out.withColumn("due", F.lit(True))
     return out.withColumn(
         "admit", F.col("url_allowed") & trap_ok & F.col("due")

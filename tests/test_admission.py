@@ -65,3 +65,13 @@ def test_frontier_admission_schedule_requires_now(spark):
     ).select("url", F.current_timestamp().alias("next_fetch_ts"))
     with pytest.raises(ValueError, match="now_ts"):
         frontier_admission(cand, schedule=sched)
+
+
+def test_frontier_admission_now_without_schedule_rejected(spark):
+    import pytest
+
+    from raven_spark.operators.admission import frontier_admission
+
+    cand = spark.createDataFrame([("https://a.example/x",)], "url_canon string")
+    with pytest.raises(ValueError, match="requires schedule"):
+        frontier_admission(cand, now_ts=0)
