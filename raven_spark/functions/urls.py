@@ -385,24 +385,27 @@ def trap_score_col(url_canon: Column) -> Column:
 
 
 def host_suffixes_col(host: Column, max_labels: int = 8) -> Column:
-    """All dot-suffixes of a DNS name, shortest first:
+    """Dot-suffixes of a DNS name, shortest first:
     'a.b.example.com' -> ['com', 'example.com', 'b.example.com',
-    'a.b.example.com'] (capped at ``max_labels`` longest suffixes —
-    registrable domains are <= 4-5 labels in practice). Domain-blocklist
+    'a.b.example.com']. Blocklist entries are short (registrable domains,
+    <= 4-5 labels in practice), so the SHORT suffixes are the ones that
+    match; hosts deeper than ``max_labels`` emit their ``max_labels``
+    shortest suffixes PLUS the full host, so an exact-host blocklist
+    entry still matches no matter how deep the name is. Domain-blocklist
     membership then reduces to "any suffix in the blocked set", which is
     how UT1-style category lists define a block ('example.com' blocks
     every subdomain). IPv6 literals have no label semantics: one-element
     list (exact-match only)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    return F.when(
-        F.startswith(host, F.lit("[")), F.array(host)
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
-            lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."),
-        )
+    sfx = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."),
     )
+    capped = F.when(
+        n > F.lit(max_labels), F.concat(sfx, F.array(host))
+    ).otherwise(sfx)
+    return F.when(F.startswith(host, F.lit("[")), F.array(host)).otherwise(capped)
 
 
 def url_filter(
@@ -425,17 +428,23 @@ def url_filter(
       '/download/badword/x' hits; substrings inside longer tokens do not)
     - ``url_allowed``: neither flag — the frontier-admission verdict
 
-    Two blocklist paths, chosen by size:
+    Two blocklist paths, chosen by size (COMBINABLE — passing both ORs
+    the verdicts, for a UT1 base list plus an ad-hoc config tuple):
     - ``blocked_domains`` (tuple): the list ships as a literal array in
       the plan — zero shuffles, zero joins, fused into the scan. Right
       for config-sized lists (up to ~10^4 domains).
     - ``blocked_df`` (DataFrame with a ``domain`` column): UT1-scale
       lists (millions of rows) stay distributed — suffixes explode to
       (id, suffix) pairs, a semi join marks blocked ids, one left join
-      keyed on the 8-byte ``id_col`` brings the flag back. The suffix
-      side is O(rows x labels) 2-column tuples; URL text never re-
-      shuffles. Spark broadcasts the blocklist side automatically while
-      it fits, and falls back to a shuffle join beyond that.
+      keyed on the 8-byte ``id_col`` brings the flag back (the input
+      MUST carry that column on this path). The suffix side is
+      O(rows x labels) 2-column tuples; URL text never re-shuffles.
+      Spark broadcasts the blocklist side automatically while it fits,
+      and falls back to a shuffle join beyond that.
+
+    Blocklist entries are normalized (lowercase, trailing dot stripped)
+    before matching — canonical hosts are always lowercase, so a
+    mixed-case UT1 entry would otherwise be a silent no-op.
 
     Flags, not a split — same auditability posture as clean_corpus
     (compose with robots_flag / trap_score_col at frontier admission).
@@ -443,13 +452,15 @@ def url_filter(
     url = F.col(url_col)
     host = F.col(host_col_name) if host_col_name else host_col(url)
     sfx = host_suffixes_col(host)
+    blocked_flag = F.lit(False)
     if blocked_df is not None:
         exploded = df.select(
             F.col(id_col).alias("__id"), F.explode(sfx).alias("__sfx")
         )
+        norm_dom = F.lower(F.rtrim(F.col("domain"), F.lit(".")))
         blocked_ids = (
             exploded.join(
-                blocked_df.select(F.col("domain").alias("__sfx")), "__sfx", "leftsemi"
+                blocked_df.select(norm_dom.alias("__sfx")), "__sfx", "leftsemi"
             )
             .select("__id")
             .distinct()
@@ -458,14 +469,17 @@ def url_filter(
         out = df.join(
             blocked_ids, df[id_col] == blocked_ids["__id"], "left"
         ).drop("__id")
-        out = out.withColumn(
-            "blocked_domain", F.coalesce(F.col("__blocked"), F.lit(False))
-        ).drop("__blocked")
-    elif blocked_domains:
-        lit_blocked = F.array(*[F.lit(d) for d in blocked_domains])
-        out = df.withColumn("blocked_domain", F.arrays_overlap(sfx, lit_blocked))
+        blocked_flag = F.coalesce(F.col("__blocked"), F.lit(False))
     else:
-        out = df.withColumn("blocked_domain", F.lit(False))
+        out = df
+    if blocked_domains:
+        lit_blocked = F.array(
+            *[F.lit(d.lower().rstrip(".")) for d in blocked_domains]
+        )
+        blocked_flag = blocked_flag | F.arrays_overlap(sfx, lit_blocked)
+    out = out.withColumn("blocked_domain", blocked_flag)
+    if blocked_df is not None:
+        out = out.drop("__blocked")
     if badwords:
         toks = F.split(F.lower(url), "[^a-z0-9]+")
         bad = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in badwords]))

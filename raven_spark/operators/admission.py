@@ -42,9 +42,12 @@ def frontier_admission(
     schedule: DataFrame | None = None,
     now_ts=None,
     url_col: str = "url_canon",
+    id_col: str = "url_hash",
 ) -> DataFrame:
     """Adds (blocked_domain, url_badword, trap_score, due, admit) to a
-    frontier delta carrying ``url_canon``.
+    frontier delta carrying ``url_canon`` (plus ``id_col`` — url_hash,
+    as with_url_identity provides — when the distributed ``blocked_df``
+    path is used; the literal paths need only the URL).
 
     ``schedule`` is a (url, next_fetch_ts) table — recrawl_schedule
     output (optionally already least()-blended with the sitemap
@@ -63,6 +66,7 @@ def frontier_admission(
         badwords=badwords,
         blocked_df=blocked_df,
         url_col=url_col,
+        id_col=id_col,
     )
     out = out.withColumn("trap_score", trap_score_col(F.col(url_col)))
     trap_ok = (

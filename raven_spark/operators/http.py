@@ -519,3 +519,21 @@ def with_conditional_headers(
     if stale:
         frontier = frontier.drop(*stale)
     return frontier.join(latest, on=hash_col, how="left")
+
+
+def supports_max_bytes(opener) -> bool:
+    """True when an (injected) opener accepts a ``max_bytes`` kwarg —
+    declared explicitly or via ``**kwargs``. Callers that bound bodies
+    (robots/sitemap fetchers) use this to decide whether the cap is
+    enforced AT THE SOCKET by the opener or only by their post-read
+    slice; an opener taking ``**kwargs`` that ignores the hint is
+    harmless (the slice still applies), so VAR_KEYWORD counts."""
+    import inspect
+
+    try:
+        params = inspect.signature(opener).parameters
+    except (TypeError, ValueError):
+        return False
+    if "max_bytes" in params:
+        return True
+    return any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())

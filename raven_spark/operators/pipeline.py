@@ -562,20 +562,35 @@ def ccnet_buckets(
         )
 
     if sample_fraction < 1.0:
-        from raven_spark.operators.sampling import hash_sample
+        from raven_spark.operators.sampling import sample_flag
 
-        cuts = cuts_of(
-            hash_sample(scored, id_col, sample_fraction, salt="ccnet")
-        )
-        # a small group can be sampled out entirely — without a
-        # fallback every one of its docs would bucket to null (whole
-        # languages silently dropped). Groups absent from the sampled
-        # cutoffs get EXACT cutoffs: they are exactly the groups small
-        # enough that exact is cheap.
-        missed = scored.join(
-            cuts.select(group_col), group_col, "left_anti"
-        )
-        cuts = cuts.unionByName(cuts_of(missed))
+        # ONE corpus scan: percentile over the sampled rows only
+        # (F.when(flag) nulls the rest; percentile ignores nulls) and
+        # sampled-out detection ride the same aggregate — the previous
+        # shape paid a second full scan (anti-join probe) even when no
+        # group was missed, and recomputed the unpersisted aggregate.
+        # localCheckpoint pins the O(groups) result.
+        flag = sample_flag([id_col], sample_fraction, salt="ccnet")
+        cuts = scored.groupBy(group_col).agg(
+            F.percentile(
+                F.when(flag, F.col(score_col)), [2.0 / 3.0, 1.0 / 3.0]
+            ).alias("__cuts"),
+            F.max(flag.cast("int")).alias("__any_samp"),
+        ).localCheckpoint()
+        missed_keys = cuts.filter(F.col("__any_samp") == 0).select(group_col)
+        if missed_keys.isEmpty():
+            cuts = cuts.drop("__any_samp")
+        else:
+            # a small group can be sampled out entirely — without a
+            # fallback every one of its docs would bucket to null
+            # (whole languages silently dropped). Missed groups get
+            # EXACT cutoffs: they are exactly the groups small enough
+            # that exact is cheap, and only their rows re-scan.
+            kept = cuts.filter(F.col("__any_samp") > 0).drop("__any_samp")
+            missed_rows = scored.join(
+                F.broadcast(missed_keys), group_col, "leftsemi"
+            )
+            cuts = kept.unionByName(cuts_of(missed_rows))
     else:
         cuts = cuts_of(scored)
     out = df.join(F.broadcast(cuts), group_col, "left")
@@ -599,7 +614,6 @@ def _line_word_count(line: Column) -> Column:
 def c4_filters(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "clean_text",
     min_words_per_line: int = 3,
     min_sentences: int = 5,

@@ -177,7 +177,6 @@ def fetch_robots(
     — pass concurrency=1 to serialize, pooling buys nothing across
     distinct hosts anyway).
     """
-    import inspect
 
     import pandas as pd
 
@@ -192,10 +191,9 @@ def fetch_robots(
     # enforce ~500 KiB; rules past the cap are ignored) so a hostile host
     # can't balloon the worker. Injected openers without the kwarg fall
     # back to a post-read slice.
-    try:
-        bounded = "max_bytes" in inspect.signature(opener).parameters
-    except (TypeError, ValueError):
-        bounded = False
+    from raven_spark.operators.http import supports_max_bytes
+
+    bounded = supports_max_bytes(opener)
 
     def fetch_one(host):
         text = None
@@ -206,7 +204,14 @@ def fetch_robots(
                 headers={}, body=None, timeout_s=timeout_s, **kw,
             )
             if status == 200 and raw:
+                truncated = len(raw) >= max_bytes
                 text = raw[:max_bytes].decode("utf-8", errors="replace")
+                if truncated and "\n" in text:
+                    # RFC 9309 §2.4: content past the cap is IGNORED — a
+                    # line cut mid-rule must not parse as a different,
+                    # shorter rule ('Disallow: /private-archive' cut to
+                    # 'Disallow: /p' would deny half the site)
+                    text = text.rsplit("\n", 1)[0]
         except (TimeoutError, OSError):
             pass  # unreachable -> allow-all
         allow, deny, delay = parse_robots_txt(text, agent)

@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 _LOC = r"<loc>\s*([^<]+?)\s*</loc>"
 
 
+def _unescape_xml(col: Column) -> Column:
+    """Protocol entity unescape for URL text. &amp; LAST: unescaping it
+    first would double-unescape sequences like '&amp;lt;' (a URL
+    literally containing '&lt;') into '<'."""
+    for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
+                    ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def sitemap_locs(
     df: DataFrame, url_col: str = "url", body_col: str = "body"
 ) -> DataFrame:
@@ -48,13 +58,7 @@ def sitemap_locs(
         kind.alias("kind"),
         F.explode(locs).alias("loc"),
     )
-    # &amp; LAST: unescaping it first would double-unescape sequences
-    # like '&amp;lt;' (a URL literally containing '&lt;') into '<'
-    unescaped = F.col("loc")
-    for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
-                    ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
-        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
-    return out.withColumn("loc", unescaped)
+    return out.withColumn("loc", _unescape_xml(F.col("loc")))
 
 
 def sitemap_frontier(
@@ -113,8 +117,6 @@ def fetch_sitemaps(
     cap in the Python worker; injected openers without the kwarg fall
     back to a post-read slice (caps downstream memory only). A cut
     mid-``<loc>`` just leaves an incomplete tag the extractor ignores."""
-    import inspect
-
     import pandas as pd
 
     if opener is None:
@@ -122,10 +124,9 @@ def fetch_sitemaps(
 
         opener = default_opener
 
-    try:
-        bounded = "max_bytes" in inspect.signature(opener).parameters
-    except (TypeError, ValueError):  # builtins / odd callables
-        bounded = False
+    from raven_spark.operators.http import supports_max_bytes
+
+    bounded = supports_max_bytes(opener)
 
     def fetch_one(url):
         try:
@@ -190,7 +191,7 @@ def discover_sitemap_pages(
 
 _URL_BLOCK = r"(?s)<url>(.*?)</url>"
 _TAG = {
-    "loc": r"<loc>\s*([^<]+?)\s*</loc>",
+    "loc": _LOC,
     "lastmod": r"<lastmod>\s*([^<]+?)\s*</lastmod>",
     "changefreq": r"<changefreq>\s*([^<]+?)\s*</changefreq>",
     "priority": r"<priority>\s*([^<]+?)\s*</priority>",
@@ -234,10 +235,7 @@ def sitemap_entries(
     )
     tag = lambda name: F.regexp_extract(F.col("__b"), _TAG[name], 1)  # noqa: E731
     nullif_empty = lambda c: F.when(c != "", c)  # noqa: E731
-    unescaped = tag("loc")
-    for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
-                    ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
-        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    unescaped = _unescape_xml(tag("loc"))
     lastmod = nullif_empty(tag("lastmod"))
     return out.select(
         "sitemap_url",

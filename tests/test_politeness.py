@@ -162,3 +162,20 @@ def test_robots_flag_rfc9309_wildcards(spark):
         )
         got = robots_flag(cand, rules).first()["robots_ok"]
         assert got is want, (allow, deny, path, got, want)
+
+
+def test_fetch_robots_truncation_drops_partial_final_line(spark):
+    """RFC 9309 §2.4: content past the size cap is IGNORED — a rule cut
+    mid-value must not parse as a different, shorter rule ('Disallow:
+    /private-archive' cut to 'Disallow: /p' would deny half the site)."""
+    from raven_spark.operators.politeness import fetch_robots
+
+    robots = b"User-agent: *\nDisallow: /secret/\nDisallow: /private-archive\n"
+    cap = robots.index(b"/private-archive") + 2  # cuts to 'Disallow: /p'
+
+    def opener(url, method="GET", headers=None, body=None, timeout_s=1, **kw):
+        return 200, {}, robots, "text/plain"
+
+    hosts = spark.createDataFrame([("h.example",)], "host string")
+    rules = fetch_robots(hosts, opener=opener, max_bytes=cap).first()
+    assert rules["deny"] == ["/secret/"]  # complete line kept, cut line dropped

@@ -235,3 +235,36 @@ def test_url_filter_literal_and_df_paths_agree(spark):
     df_out = {r["url_canon"]: (r["blocked_domain"], r["url_badword"], r["url_allowed"])
               for r in url_filter(df, badwords=("badword",), blocked_df=bdf).collect()}
     assert df_out == lit_out
+
+
+def test_host_suffixes_deep_host_keeps_full_host(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import host_suffixes_col
+
+    deep = "a.b.c.d.e.f.g.h.example.com"  # 10 labels > max_labels=8
+    got = spark.createDataFrame([(deep,)], "h string").select(
+        host_suffixes_col(F.col("h")).alias("s")).first()["s"]
+    assert deep in got          # exact-host blocklist entries still match
+    assert "example.com" in got and "com" in got
+    assert len(got) == 9        # 8 shortest + the full host
+
+
+def test_url_filter_normalizes_blocklist_entries(spark):
+    from raven_spark.functions.urls import url_filter, with_url_identity
+
+    df = with_url_identity(spark.createDataFrame(
+        [("https://sub.example.com/x",), ("https://other.example/y",)],
+        "url string"))
+    # mixed case + trailing dot entries must still match canonical hosts
+    lit = url_filter(df, blocked_domains=("Example.COM.",))
+    got = {r["url_canon"]: r["blocked_domain"] for r in lit.collect()}
+    assert got["https://sub.example.com/x"] is True
+    assert got["https://other.example/y"] is False
+    bdf = spark.createDataFrame([("Example.COM.",)], "domain string")
+    got2 = {r["url_canon"]: r["blocked_domain"]
+            for r in url_filter(df, blocked_df=bdf).collect()}
+    assert got2 == got
+    # both paths together OR their verdicts
+    both = url_filter(df, blocked_domains=("other.example",), blocked_df=bdf)
+    assert all(r["blocked_domain"] for r in both.collect())
