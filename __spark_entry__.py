@@ -1621,6 +1621,36 @@ def q66_sitemap_entries(spark, sf_dir):
     )
 
 
+def q67_tfidf_topk(spark, sf_dir):
+    """Top-k TF-IDF keyword extraction (operators/pipeline.py::
+    tfidf_topk): per-doc term counts (map-side combinable), distinct-
+    pair document frequencies, idf = ln(N) - ln(df) (decomposed the
+    same way in the oracle so the float ops match bit-for-bit), per-doc
+    top-3 via a literal-bound row_number (WindowGroupLimit prunes
+    map-side). Ties break on term asc."""
+    from raven_spark.operators.pipeline import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3)
+
+
+def q68_bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram fluency (operators/pipeline.py::
+    bigram_logprob — Jelinek-Mercer smoothing over the corpus's own
+    counts; one order closer to CCNet's KenLM than q48): two hash-
+    keyed count aggregates + three 8-byte joins per position, word
+    text never shuffles. The oracle replays the identical expression
+    shape (left-assoc (lam*c2)/c1 + ((1-lam)*c1)/T, lam written as
+    1.0-0.9 so the float literal matches) with avg+round(6) absorbing
+    summation-order noise, the q48 precedent."""
+    from raven_spark.operators.pipeline import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, lam=0.9).select(
+        "doc_id", "n_bigrams", "avg_logprob2"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1689,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_url_filter": q64_url_filter,
         "q65_dup_spans": q65_dup_spans,
         "q66_sitemap_entries": q66_sitemap_entries,
+        "q67_tfidf_topk": q67_tfidf_topk,
+        "q68_bigram_logprob": q68_bigram_logprob,
     }
 
 
@@ -3127,6 +3159,80 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
                      WHEN 'never' THEN 31536000 END AS hint_s
             FROM fields WHERE rawloc <> ''
+        """,
+        "q67_tfidf_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ), t AS (
+              SELECT doc_id AS id, unnest(ws) AS term FROM w
+            ), n AS (
+              SELECT count(DISTINCT id) AS n_docs FROM t
+            ), tf AS (
+              SELECT id, term, count(*) AS tf FROM t GROUP BY id, term
+            ), df_t AS (
+              SELECT term, count(DISTINCT id) AS df FROM t GROUP BY term
+            ), scored AS (
+              SELECT id, term, tf, df,
+                     tf * (ln(CAST(n_docs AS DOUBLE))
+                           - ln(CAST(df AS DOUBLE))) AS x
+              FROM tf JOIN df_t USING (term), n
+            ), ranked AS (
+              SELECT id, term, tf, df, x,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY x DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT id, term, tf, df, round(x, 6) AS tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "q68_bigram_logprob": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ), uni AS (
+              SELECT word, count(*) AS c1
+              FROM (SELECT unnest(ws) AS word FROM w) q GROUP BY word
+            ), tot AS (
+              SELECT sum(c1) AS t FROM uni
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> struct_pack(p := ws[i], c := ws[i+1])) AS gs
+              FROM w
+            ), u2 AS (
+              SELECT doc_id, unnest(gs) AS s FROM g
+            ), pairs AS (
+              SELECT doc_id, s.p AS p, s.c AS c FROM u2
+            ), big AS (
+              SELECT p, c, count(*) AS c2 FROM pairs GROUP BY p, c
+            ), lp AS (
+              SELECT pairs.doc_id,
+                     -- CASTs force IEEE-double arithmetic: DuckDB's bare
+                     -- 0.9 is DECIMAL (1.0-0.9 would be an EXACT 0.1,
+                     -- not Spark's 0.09999999999999998)
+                     ln(CAST(0.9 AS DOUBLE) * b.c2 / up.c1
+                        + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                          * uc.c1 / t.t) AS l
+              FROM pairs
+              JOIN big b ON pairs.p = b.p AND pairs.c = b.c
+              JOIN uni up ON pairs.p = up.word
+              JOIN uni uc ON pairs.c = uc.word
+              CROSS JOIN tot t
+            ), agg AS (
+              SELECT doc_id, count(*) AS nb, round(avg(l), 6) AS s
+              FROM lp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+                   s AS avg_logprob2
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

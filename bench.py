@@ -86,6 +86,8 @@ HEADLINE = [
     "q64_url_filter",
     "q65_dup_spans",
     "q66_sitemap_entries",
+    "q67_tfidf_topk",
+    "q68_bigram_logprob",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

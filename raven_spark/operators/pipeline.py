@@ -773,3 +773,149 @@ def line_dedup_corpus(
         .withColumn("n_dup_units", F.size(dp))
         .drop("__units", "__dup_pos")
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (Salton & Buckley's weighting —
+    the standard corpus keyword-extraction pass; feeds topic tagging,
+    near-dup explanation, and per-source vocabulary profiling):
+
+        tf(t, d)  = count of t in d
+        idf(t)    = ln(N / df_t),  df_t = docs containing t
+        tfidf     = tf x idf, ranked per doc, ties broken by term asc
+
+    Scale shape: the (id, term) aggregate is map-side combinable; the
+    document-frequency aggregate runs on DISTINCT (term, id) pairs; the
+    per-doc top-k window partitions on the doc id with a LITERAL rank
+    bound, so Catalyst's WindowGroupLimit prunes map-side and no doc
+    ranks more rows than its own vocabulary. Term text does ride these
+    shuffles (the output needs the strings); at 100 TB the standard
+    move is a dictionary pass first — hash-aggregate terms to 8-byte
+    ids, run this plan on ids, join the strings back onto the O(docs x
+    k) result. N (corpus doc count) is one scalar, same posture as
+    unigram_logprob's total.
+
+    Output: (id, term, tf, df, tfidf, rank), rank 1..k per doc.
+    """
+    import math
+
+    terms = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"),
+        )
+    )
+    n_docs = terms.select("id").distinct().count() or 1
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * (F.lit(float(math.log(n_docs))) - F.log(F.col("df").cast("double"))),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(
+            "id", "term", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"), "rank",
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    out_col: str = "avg_logprob2",
+) -> DataFrame:
+    """Interpolated-bigram fluency score — one order closer to CCNet's
+    5-gram KenLM than unigram_logprob: each document scores the mean
+    over positions i >= 2 of
+
+        ln( lam * c2(w[i-1] w[i]) / c1(w[i-1])  +  (1-lam) * c1(w[i]) / T )
+
+    (Jelinek-Mercer interpolation with the corpus's own counts; T is the
+    corpus token total). Word order now matters: shuffled prose scores
+    below the same words in order, which the unigram score cannot see.
+
+    Same shape as unigram_logprob, one order up: two hash-keyed count
+    aggregates (unigrams, bigrams), three 8-byte-hash joins per position
+    (bigram, previous word, current word — word text never shuffles),
+    one per-doc mean. Docs with < 2 words have no bigram positions and
+    score null.
+
+    Output: every input row's id + n_bigrams + ``out_col`` (6 dp).
+    """
+    norm = norm_text_col(F.col(text_col))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    pairs = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 2),
+                        lambda i: F.struct(
+                            F.element_at(words, (i + 1).cast("int")).alias("p"),
+                            F.element_at(words, (i + 2).cast("int")).alias("c"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<p:string,c:string>>")),
+            ).alias("__pos", "__pc"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64("__pc.p").alias("__ph"),
+            F.xxhash64("__pc.c").alias("__ch"),
+            F.xxhash64("__pc.p", "__pc.c").alias("__bh"),
+        )
+    )
+    uni = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("__w"))
+        .select(F.xxhash64("__w").alias("__wh"))
+        .groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    big = pairs.groupBy("__bh").agg(F.count(F.lit(1)).alias("__c2"))
+    total = uni.agg(F.sum("__c1")).first()[0] or 1
+    scored = (
+        pairs.join(big, "__bh")
+        .join(uni.select(F.col("__wh").alias("__ph"), F.col("__c1").alias("__cp")), "__ph")
+        .join(uni.select(F.col("__wh").alias("__ch"), F.col("__c1").alias("__cc")), "__ch")
+        .withColumn(
+            "__lp",
+            F.log(
+                F.lit(float(lam)) * F.col("__c2") / F.col("__cp")
+                + F.lit(1.0 - float(lam)) * F.col("__cc") / F.lit(float(total))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias(out_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+    )

@@ -429,3 +429,52 @@ def test_benchmark_contamination_bloom_sidecar_is_exact(spark):
               for r in benchmark_contamination(
                   corpus, bench, bloom_fpp=0.01, bench_grams_hint=64).collect()}
     assert hinted == plain
+
+
+def test_tfidf_topk_values_and_ranking(spark):
+    import math
+
+    from raven_spark.operators.pipeline import tfidf_topk
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana cherry cherry cherry"),
+        (3, "apple durian durian"),
+        (4, "   "),  # whitespace-only: excluded from N and output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, k=2)
+    rows_out = {(r["id"], r["rank"]): r for r in out.collect()}
+    # N=3; df: apple 2, banana 2, cherry 2, durian 1
+    # doc1: apple tf2*ln(3/2)=0.810930, banana/cherry tf1*ln(3/2)
+    r11 = rows_out[(1, 1)]
+    assert r11["term"] == "apple" and r11["tf"] == 2 and r11["df"] == 2
+    assert abs(r11["tfidf"] - 2 * math.log(3 / 2)) < 1e-6
+    # tie between banana and cherry at rank 2 -> term asc
+    assert rows_out[(1, 2)]["term"] == "banana"
+    # doc3: durian tf2*ln(3/1) beats apple tf1*ln(3/2)
+    assert rows_out[(3, 1)]["term"] == "durian"
+    assert abs(rows_out[(3, 1)]["tfidf"] - 2 * math.log(3)) < 1e-6
+    assert (4, 1) not in rows_out
+    assert max(r for (_, r) in rows_out) <= 2
+
+
+def test_bigram_logprob_orders_and_nulls(spark):
+    from raven_spark.operators.pipeline import bigram_logprob
+
+    base = "the cat sat on the mat"
+    rows = [
+        (1, base),
+        (2, base),                      # same prose: same score
+        (3, "mat the on sat cat the"),  # same words, shuffled order
+        (4, "single"),                  # < 2 words -> null
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df, lam=0.9).collect()}
+    assert out[1]["avg_logprob2"] == out[2]["avg_logprob2"]
+    # the bigram model sees word order: shuffled prose scores lower
+    assert out[3]["avg_logprob2"] < out[1]["avg_logprob2"]
+    assert out[1]["n_bigrams"] == 5
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_logprob2"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob2"] is None
