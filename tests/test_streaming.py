@@ -326,3 +326,38 @@ def test_cdx_index_stream_matches_batch(spark, tmp_path):
         assert (g["url"], g["digest"], g["length"], g["surt"]) == (
             w["url"], w["digest"], w["length"], w["surt"]
         )
+
+
+def test_subtract_seen_on_stream_matches_batch(spark, tmp_path):
+    """The engine's seen-set subtraction works VERBATIM on a streaming
+    frontier: the Bloom probe is mapInPandas (stream-capable), the exact
+    remainder is a stream-static left_anti join, and the definitely-new
+    union is a streaming union — no streaming-specific operator needed.
+    Parity vs the batch plan on identical input."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.seen import build_bloom, subtract_seen
+
+    cand = spark.range(0, 400).select(
+        F.concat(F.lit("https://s.example/p/"), F.col("id").cast("string"))
+        .alias("url_canon"),
+        F.xxhash64(F.concat(F.lit("https://s.example/p/"),
+                            F.col("id").cast("string"))).alias("url_hash"),
+    )
+    seen = cand.filter(F.pmod(F.xxhash64("url_canon"), F.lit(3)) == 0) \
+        .select("url_hash")
+    bloom = build_bloom(seen, "url_hash", expected_n=1000, fpp=0.01)
+    want = sorted(
+        r["url_canon"] for r in subtract_seen(cand, seen, bloom).collect()
+    )
+
+    src = str(tmp_path / "cand")
+    cand.write.parquet(src)
+    stream = spark.readStream.schema("url_canon string, url_hash long") \
+        .parquet(src)
+    out = subtract_seen(stream, seen, bloom)
+    _run_to_memory(out, "stream_subtract_sink", "append")
+    got = sorted(
+        r["url_canon"] for r in spark.table("stream_subtract_sink").collect()
+    )
+    assert got == want and 0 < len(got) < 400
