@@ -1651,6 +1651,36 @@ def q68_bigram_logprob(spark, sf_dir):
     )
 
 
+def q69_anchor_profile(spark, sf_dir):
+    """Anchor-text extraction + per-target term profile (operators/
+    graph.py::anchor_texts/anchor_profile — the focused-crawl priority
+    signal: anchor text is the linking page's description of the
+    TARGET): <a> elements and their inner text extracted as pure
+    column regex algebra (both quote styles, tags stripped, whitespace
+    collapsed), then per-href top-2 terms with anchor/source counts.
+    HTML synthesized from doc_id residues; the oracle replays the
+    identical regexes and aggregation in DuckDB."""
+    from raven_spark.operators.graph import anchor_profile, anchor_texts
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div><a href="https://t.example/p/'),
+        F.pmod(i, F.lit(50)).cast("string"),
+        F.lit('">visit page '),
+        F.pmod(i, F.lit(7)).cast("string"),
+        F.lit("</a> filler <a href='https://t.example/q/"),
+        F.pmod(i, F.lit(30)).cast("string"),
+        F.lit("'><b>read</b>  more</a></div>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://s"), F.pmod(i, F.lit(100)).cast("string"),
+                 F.lit(".example/")).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_profile(anchor_texts(pages), k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1721,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_sitemap_entries": q66_sitemap_entries,
         "q67_tfidf_topk": q67_tfidf_topk,
         "q68_bigram_logprob": q68_bigram_logprob,
+        "q69_anchor_profile": q69_anchor_profile,
     }
 
 
@@ -3233,6 +3264,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
                    s AS avg_logprob2
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "q69_anchor_profile": r"""
+            WITH pages AS (
+              SELECT 'https://s' || (doc_id % 100) || '.example/' AS src_url,
+                     '<div><a href="https://t.example/p/' || (doc_id % 50)
+                     || '">visit page ' || (doc_id % 7)
+                     || '</a> filler <a href=' || chr(39)
+                     || 'https://t.example/q/' || (doc_id % 30)
+                     || chr(39) || '><b>read</b>  more</a></div>' AS html
+              FROM documents
+            ), elems AS (
+              SELECT src_url,
+                     unnest(regexp_extract_all(html,
+                       '(?is)<a\s[^>]*?href\s*=\s*(?:"[^"]*"|' || chr(39)
+                       || '[^' || chr(39) || ']*' || chr(39) || ')[^>]*>.*?</a>',
+                       0)) AS a
+              FROM pages
+            ), anch AS (
+              SELECT src_url,
+                     CASE WHEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1)
+                          ELSE regexp_extract(a,
+                            '(?is)href\s*=\s*' || chr(39) || '([^' || chr(39)
+                            || ']*)' || chr(39), 1)
+                     END AS href,
+                     trim(regexp_replace(regexp_replace(
+                       regexp_extract(a, '(?is)^<a[^>]*>(.*)</a>$', 1),
+                       '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor_text
+              FROM elems
+            ), anchors AS (
+              SELECT * FROM anch WHERE href <> ''
+            ), words AS (
+              SELECT href, src_url,
+                     unnest(list_filter(string_split(
+                       regexp_replace(lower(trim(anchor_text)), '\s+', ' ', 'g'),
+                       ' '), w -> length(w) > 0)) AS term
+              FROM anchors
+            ), counts AS (
+              SELECT href, term, count(*) AS term_count
+              FROM words GROUP BY href, term
+            ), totals AS (
+              SELECT href, count(*) AS n_anchors,
+                     count(DISTINCT src_url) AS n_sources
+              FROM anchors GROUP BY href
+            ), ranked AS (
+              SELECT href, term, term_count,
+                     row_number() OVER (PARTITION BY href
+                       ORDER BY term_count DESC, term ASC) AS rank
+              FROM counts
+            )
+            SELECT r.href, r.term, r.term_count, CAST(r.rank AS INT) AS rank,
+                   t.n_anchors, t.n_sources
+            FROM ranked r JOIN totals t ON r.href = t.href
+            WHERE r.rank <= 2
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

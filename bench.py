@@ -88,6 +88,7 @@ HEADLINE = [
     "q66_sitemap_entries",
     "q67_tfidf_topk",
     "q68_bigram_logprob",
+    "q69_anchor_profile",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

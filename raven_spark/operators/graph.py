@@ -30,7 +30,7 @@ Design for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,3 +100,83 @@ def pagerank(
         if checkpoint_every and (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
             pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+_A_ELEM = r"(?is)<a\s[^>]*?href\s*=\s*(?:\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"
+
+
+def anchor_texts(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_url, href, anchor_text) per <a> element — the classic link
+    signal: anchor text is the linking page's own description of the
+    TARGET, the input to focused-crawl frontier priority and target-page
+    keyword profiles (it predates and outlives PageRank as a relevance
+    feature). Pure column algebra: one regexp_extract_all for the <a>
+    elements, per-element extracts for the href (double- or single-
+    quoted) and the inner text (tags stripped, whitespace collapsed) —
+    zero Python, SQL-replayable, unlike the fetch path's Python href
+    scanner (functions/text.py::extract_links) which stays the crawl-
+    side fast path. html may be a string or binary column (cast)."""
+    html = F.col(html_col).cast("string")
+    elems = F.regexp_extract_all(html, F.lit(_A_ELEM), 0)
+    out = df.select(
+        F.col(url_col).alias("src_url"), F.explode(elems).alias("__a")
+    )
+    href_d = F.regexp_extract(F.col("__a"), r'(?is)href\s*=\s*"([^"]*)"', 1)
+    href_s = F.regexp_extract(F.col("__a"), r"(?is)href\s*=\s*'([^']*)'", 1)
+    inner = F.regexp_extract(F.col("__a"), r"(?is)^<a[^>]*>(.*)</a>$", 1)
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(inner, r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    return out.select(
+        "src_url",
+        F.when(href_d != "", href_d).otherwise(href_s).alias("href"),
+        text.alias("anchor_text"),
+    ).filter(F.col("href") != "")
+
+
+def anchor_profile(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Per-TARGET anchor-term profile: for each href, the top-k anchor
+    words across every page that links to it (count desc, term asc
+    tiebreak) plus how many anchors/distinct sources describe it. The
+    aggregate the frontier can join for priority (a target many sources
+    describe with query-relevant words is worth fetching sooner — the
+    focused-crawling signal).
+
+    Scale shape: word explode -> (href, term) map-side-combinable
+    count; n_anchors/n_sources one aggregate; per-href top-k via a
+    LITERAL-bound row_number (WindowGroupLimit). Term text rides the
+    shuffle (the profile needs the strings) — same documented
+    dictionary-encode posture as tfidf_topk at 100 TB."""
+    from raven_spark.operators.dedup import norm_text_col
+
+    words = anchors.select(
+        "href",
+        "src_url",
+        F.explode(
+            F.filter(
+                F.split(norm_text_col(F.col("anchor_text")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("term"),
+    )
+    counts = words.groupBy("href", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    totals = anchors.groupBy("href").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_url").alias("n_sources"),
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    topk = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+    return topk.join(totals, "href").select(
+        "href", "term", "term_count", "rank", "n_anchors", "n_sources"
+    )

@@ -52,3 +52,39 @@ def test_pagerank_partition_invariant(spark):
     a = pagerank(_edges(spark, pairs), iterations=4, checkpoint_every=2)
     b = pagerank(_edges(spark, pairs).repartition(13), iterations=4, checkpoint_every=3)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_anchor_texts_extraction(spark):
+    from raven_spark.operators.graph import anchor_texts
+
+    html = (
+        '<p>intro</p><a href="https://t.example/a">Visit  the\npage</a>'
+        "<a href='https://t.example/b'><b>Read</b> more <i>now</i></a>"
+        '<a class="x" href="https://t.example/c"></a>'
+        '<a name="no-href-anchor">not a link</a>'
+    )
+    df = spark.createDataFrame([("https://s.example/", html)],
+                               "url string, html string")
+    rows = {r["href"]: r["anchor_text"] for r in anchor_texts(df).collect()}
+    assert rows["https://t.example/a"] == "Visit the page"  # ws collapsed
+    assert rows["https://t.example/b"] == "Read more now"   # tags stripped
+    assert rows["https://t.example/c"] == ""                # empty anchor kept
+    assert len(rows) == 3                                   # no-href skipped
+
+
+def test_anchor_profile_topk(spark):
+    from raven_spark.operators.graph import anchor_profile, anchor_texts
+
+    pages = [
+        ("https://s1.example/", '<a href="https://t.example/x">great spark guide</a>'),
+        ("https://s2.example/", '<a href="https://t.example/x">spark tutorial</a>'),
+        ("https://s2.example/", '<a href="https://t.example/x">spark</a>'),
+        ("https://s3.example/", '<a href="https://t.example/y">unrelated words</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    prof = anchor_profile(anchor_texts(df), k=2)
+    x = {r["rank"]: r for r in prof.filter("href = 'https://t.example/x'").collect()}
+    assert x[1]["term"] == "spark" and x[1]["term_count"] == 3
+    assert x[1]["n_anchors"] == 3 and x[1]["n_sources"] == 2
+    assert x[2]["term_count"] == 1  # tie among guide/great/tutorial -> asc
+    assert x[2]["term"] == "great"
