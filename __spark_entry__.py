@@ -3277,16 +3277,16 @@ def oracle_sql() -> dict[str, str]:
             ), elems AS (
               SELECT src_url,
                      unnest(regexp_extract_all(html,
-                       '(?is)<a\s[^>]*?href\s*=\s*(?:"[^"]*"|' || chr(39)
+                       '(?is)<a\s(?:[^>]*?\s)?href\s*=\s*(?:"[^"]*"|' || chr(39)
                        || '[^' || chr(39) || ']*' || chr(39) || ')[^>]*>.*?</a>',
                        0)) AS a
               FROM pages
             ), anch AS (
               SELECT src_url,
-                     CASE WHEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1) <> ''
-                          THEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1)
+                     CASE WHEN regexp_extract(a, '(?is)\shref\s*=\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(a, '(?is)\shref\s*=\s*"([^"]*)"', 1)
                           ELSE regexp_extract(a,
-                            '(?is)href\s*=\s*' || chr(39) || '([^' || chr(39)
+                            '(?is)\shref\s*=\s*' || chr(39) || '([^' || chr(39)
                             || ']*)' || chr(39), 1)
                      END AS href,
                      trim(regexp_replace(regexp_replace(

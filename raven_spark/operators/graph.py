@@ -102,7 +102,10 @@ def pagerank(
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
-_A_ELEM = r"(?is)<a\s[^>]*?href\s*=\s*(?:\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"
+# the \s before href is the attribute-name boundary: without it
+# 'data-href="..."' would match via its 'href' substring and feed a
+# wrong target into the profile
+_A_ELEM = r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*(?:\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"
 
 
 def anchor_texts(
@@ -123,8 +126,8 @@ def anchor_texts(
     out = df.select(
         F.col(url_col).alias("src_url"), F.explode(elems).alias("__a")
     )
-    href_d = F.regexp_extract(F.col("__a"), r'(?is)href\s*=\s*"([^"]*)"', 1)
-    href_s = F.regexp_extract(F.col("__a"), r"(?is)href\s*=\s*'([^']*)'", 1)
+    href_d = F.regexp_extract(F.col("__a"), r'(?is)\shref\s*=\s*"([^"]*)"', 1)
+    href_s = F.regexp_extract(F.col("__a"), r"(?is)\shref\s*=\s*'([^']*)'", 1)
     inner = F.regexp_extract(F.col("__a"), r"(?is)^<a[^>]*>(.*)</a>$", 1)
     text = F.trim(
         F.regexp_replace(

@@ -522,18 +522,17 @@ def with_conditional_headers(
 
 
 def supports_max_bytes(opener) -> bool:
-    """True when an (injected) opener accepts a ``max_bytes`` kwarg —
-    declared explicitly or via ``**kwargs``. Callers that bound bodies
-    (robots/sitemap fetchers) use this to decide whether the cap is
-    enforced AT THE SOCKET by the opener or only by their post-read
-    slice; an opener taking ``**kwargs`` that ignores the hint is
-    harmless (the slice still applies), so VAR_KEYWORD counts."""
+    """True when an (injected) opener DECLARES a ``max_bytes`` kwarg.
+    Callers that bound bodies (robots/sitemap fetchers) use this to
+    decide whether the cap is enforced AT THE SOCKET by the opener or
+    only by their post-read slice. Deliberately does NOT count bare
+    ``**kwargs``: a forwarding opener would pass the surprise kwarg to
+    an inner fetch that may not accept it (TypeError escaping the
+    fetch loop), while treating it as unbounded merely costs the
+    socket-level cap — the slice still applies."""
     import inspect
 
     try:
-        params = inspect.signature(opener).parameters
+        return "max_bytes" in inspect.signature(opener).parameters
     except (TypeError, ValueError):
         return False
-    if "max_bytes" in params:
-        return True
-    return any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())

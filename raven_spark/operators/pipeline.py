@@ -569,14 +569,17 @@ def ccnet_buckets(
         # sampled-out detection ride the same aggregate — the previous
         # shape paid a second full scan (anti-join probe) even when no
         # group was missed, and recomputed the unpersisted aggregate.
-        # localCheckpoint pins the O(groups) result.
+        # persist (not localCheckpoint: lineage survives executor loss,
+        # the recompute path dynamic-allocation clusters need) caches
+        # the O(groups) result; the isEmpty branch decision below is
+        # the action that populates it.
         flag = sample_flag([id_col], sample_fraction, salt="ccnet")
         cuts = scored.groupBy(group_col).agg(
             F.percentile(
                 F.when(flag, F.col(score_col)), [2.0 / 3.0, 1.0 / 3.0]
             ).alias("__cuts"),
             F.max(flag.cast("int")).alias("__any_samp"),
-        ).localCheckpoint()
+        ).persist()
         missed_keys = cuts.filter(F.col("__any_samp") == 0).select(group_col)
         if missed_keys.isEmpty():
             cuts = cuts.drop("__any_samp")
@@ -811,13 +814,15 @@ def tfidf_topk(
             F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"),
         )
     )
-    n_docs = terms.select("id").distinct().count() or 1
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # N from the base table (no explode, no distinct shuffle); df from
+    # the tf aggregate, which already holds exactly one row per distinct
+    # (id, term) pair — reusing its exchange instead of re-exploding
+    # and re-shuffling every token
+    n_docs = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0).count() or 1
     )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf",
         F.col("tf").cast("double")
@@ -868,7 +873,7 @@ def bigram_logprob(
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col),
-            F.posexplode(
+            F.explode(
                 F.when(
                     n >= 2,
                     F.transform(
@@ -879,7 +884,7 @@ def bigram_logprob(
                         ),
                     ),
                 ).otherwise(F.array().cast("array<struct<p:string,c:string>>")),
-            ).alias("__pos", "__pc"),
+            ).alias("__pc"),
         )
         .select(
             F.col(id_col),

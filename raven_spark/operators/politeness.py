@@ -206,12 +206,14 @@ def fetch_robots(
             if status == 200 and raw:
                 truncated = len(raw) >= max_bytes
                 text = raw[:max_bytes].decode("utf-8", errors="replace")
-                if truncated and "\n" in text:
+                if truncated:
                     # RFC 9309 §2.4: content past the cap is IGNORED — a
                     # line cut mid-rule must not parse as a different,
                     # shorter rule ('Disallow: /private-archive' cut to
-                    # 'Disallow: /p' would deny half the site)
-                    text = text.rsplit("\n", 1)[0]
+                    # 'Disallow: /p' would deny half the site). A single
+                    # line exceeding the whole cap leaves nothing
+                    # parseable -> allow-all, the unfetchable convention.
+                    text = text.rsplit("\n", 1)[0] if "\n" in text else ""
         except (TimeoutError, OSError):
             pass  # unreachable -> allow-all
         allow, deny, delay = parse_robots_txt(text, agent)

@@ -62,6 +62,7 @@ def test_anchor_texts_extraction(spark):
         "<a href='https://t.example/b'><b>Read</b> more <i>now</i></a>"
         '<a class="x" href="https://t.example/c"></a>'
         '<a name="no-href-anchor">not a link</a>'
+        '<a data-href="https://wrong.example/">only data-href</a>'
     )
     df = spark.createDataFrame([("https://s.example/", html)],
                                "url string, html string")
