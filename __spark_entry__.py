@@ -1681,6 +1681,36 @@ def q69_anchor_profile(spark, sf_dir):
     return anchor_profile(anchor_texts(pages), k=2)
 
 
+def q70_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999; operators/graph.py::
+    hits) over q36's deterministic synthetic link graph — the
+    complement of PageRank for crawl prioritization (hub scores rank
+    listing pages whose outlinks are worth expanding). L1-normalized
+    with per-iteration 12-dp rounding (the replayable-iteration
+    convention); the oracle unrolls the identical two iterations in
+    SQL. One hash join + one map-side-combinable sum per half-step;
+    normalization is a 1-row broadcast aggregate, never a per-
+    iteration driver value."""
+    from raven_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 37 + F.col("j") * 1009, F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return hits(
+        edges, nodes=d.select(F.col("doc_id").alias("node")), iterations=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1752,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_tfidf_topk": q67_tfidf_topk,
         "q68_bigram_logprob": q68_bigram_logprob,
         "q69_anchor_profile": q69_anchor_profile,
+        "q70_hits": q70_hits,
     }
 
 
@@ -3318,6 +3349,52 @@ def oracle_sql() -> dict[str, str]:
                    t.n_anchors, t.n_sources
             FROM ranked r JOIN totals t ON r.href = t.href
             WHERE r.rank <= 2
+        """,
+        "q70_hits": r"""
+            WITH d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*) AS n FROM d),
+            edges AS (
+              SELECT src, (src*37 + j*1009) % nn.n AS dst
+              FROM (SELECT doc_id AS src, unnest([1,2,3]) AS j FROM d) q,
+                   nn
+              WHERE (src*37 + j*1009) % nn.n <> src
+            ),
+            h0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS h FROM d),
+            a1s AS (SELECT dst AS node, sum(h) AS s
+                    FROM edges JOIN h0 ON edges.src = h0.node GROUP BY dst),
+            a1r AS (SELECT d.doc_id AS node, coalesce(s, 0.0) AS a
+                    FROM d LEFT JOIN a1s ON d.doc_id = a1s.node),
+            a1t AS (SELECT sum(a) AS t FROM a1r),
+            a1 AS (SELECT node,
+                          round(a / (CASE WHEN t > 0 THEN t ELSE 1.0 END), 12) AS a
+                   FROM a1r, a1t),
+            h1s AS (SELECT src AS node, sum(a) AS s
+                    FROM edges JOIN a1 ON edges.dst = a1.node GROUP BY src),
+            h1r AS (SELECT d.doc_id AS node, coalesce(s, 0.0) AS h
+                    FROM d LEFT JOIN h1s ON d.doc_id = h1s.node),
+            h1t AS (SELECT sum(h) AS t FROM h1r),
+            h1 AS (SELECT node,
+                          round(h / (CASE WHEN t > 0 THEN t ELSE 1.0 END), 12) AS h
+                   FROM h1r, h1t),
+            a2s AS (SELECT dst AS node, sum(h) AS s
+                    FROM edges JOIN h1 ON edges.src = h1.node GROUP BY dst),
+            a2r AS (SELECT d.doc_id AS node, coalesce(s, 0.0) AS a
+                    FROM d LEFT JOIN a2s ON d.doc_id = a2s.node),
+            a2t AS (SELECT sum(a) AS t FROM a2r),
+            a2 AS (SELECT node,
+                          round(a / (CASE WHEN t > 0 THEN t ELSE 1.0 END), 12) AS a
+                   FROM a2r, a2t),
+            h2s AS (SELECT src AS node, sum(a) AS s
+                    FROM edges JOIN a2 ON edges.dst = a2.node GROUP BY src),
+            h2r AS (SELECT d.doc_id AS node, coalesce(s, 0.0) AS h
+                    FROM d LEFT JOIN h2s ON d.doc_id = h2s.node),
+            h2t AS (SELECT sum(h) AS t FROM h2r),
+            h2 AS (SELECT node,
+                          round(h / (CASE WHEN t > 0 THEN t ELSE 1.0 END), 12) AS h
+                   FROM h2r, h2t)
+            SELECT a2.node, round(a2.a, 6) AS authority,
+                   round(h2.h, 6) AS hub
+            FROM a2 JOIN h2 ON a2.node = h2.node
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

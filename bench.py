@@ -89,6 +89,7 @@ HEADLINE = [
     "q67_tfidf_topk",
     "q68_bigram_logprob",
     "q69_anchor_profile",
+    "q70_hits",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

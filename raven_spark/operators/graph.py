@@ -183,3 +183,93 @@ def anchor_profile(anchors: DataFrame, k: int = 3) -> DataFrame:
     return topk.join(totals, "href").select(
         "href", "term", "term_count", "rank", "n_anchors", "n_sources"
     )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    iter_dp: int = 12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM — the other classic
+    link-analysis signal: an AUTHORITY is pointed to by good hubs, a HUB
+    points to good authorities; for a crawl, hub scores rank index/
+    listing pages whose outlinks are worth expanding, the complement of
+    PageRank's global-importance prior):
+
+        a_{k+1}(v) = round(norm1( sum_{(u,v)} h_k(u) ), iter_dp)
+        h_{k+1}(u) = round(norm1( sum_{(u,v)} a_{k+1}(v) ), iter_dp)
+
+    starting from all-ones, with L1 normalization (sum = 1) — chosen
+    over the paper's L2 because it is exactly replayable in SQL (no
+    sqrt of a sum of squares accumulating engine-specific rounding) and
+    differs only by a positive scalar per iteration, which preserves
+    rankings. The per-iteration iter_dp rounding makes runs bit-
+    replayable across partitionings/engines, the pagerank convention.
+
+    Scale shape mirrors pagerank: each half-step is one hash join on
+    the edge key + one map-side-combinable sum; normalization is a
+    1-row aggregate broadcast back (never a driver value per
+    iteration); localCheckpoint lineage cuts every
+    ``checkpoint_every`` iterations.
+
+    Returns (node, authority, hub) rounded to 6 dp.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    e = edges.select(src, dst)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("__tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(
+                F.col(col) / F.when(F.col("__tot") > 0, F.col("__tot"))
+                .otherwise(F.lit(1.0)),
+                iter_dp,
+            ).alias(col),
+        )
+
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = nodes.select("node", F.lit(1.0).alias("a"))
+    for k in range(iterations):
+        asum = (
+            e.join(h, e[src] == h["node"])
+            .groupBy(dst)
+            .agg(F.sum("h").alias("__s"))
+        )
+        a = _norm(
+            nodes.join(asum, nodes["node"] == asum[dst], "left").select(
+                "node", F.coalesce("__s", F.lit(0.0)).alias("a")
+            ),
+            "a",
+        )
+        hsum = (
+            e.join(a, e[dst] == a["node"])
+            .groupBy(src)
+            .agg(F.sum("a").alias("__s"))
+        )
+        h = _norm(
+            nodes.join(hsum, nodes["node"] == hsum[src], "left").select(
+                "node", F.coalesce("__s", F.lit(0.0)).alias("h")
+            ),
+            "h",
+        )
+        if checkpoint_every and (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
+            a = a.localCheckpoint(eager=False)
+            h = h.localCheckpoint(eager=False)
+    return (
+        a.join(h, "node")
+        .select(
+            "node",
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+    )

@@ -106,6 +106,7 @@ def mixture_sample(
     salt: str = "",
     coin: "F.Column | None" = None,
     flag_col: str = "kept",
+    size_col: "str | None" = None,
 ) -> DataFrame:
     """Deterministic mixture resampling: thin each group so the KEPT
     corpus follows ``weights`` (the data-mixing step before training —
@@ -127,6 +128,16 @@ def mixture_sample(
     the convenience return of only-kept rows via ``.where(flag_col)``).
     Thresholds are integer (coin-denominator) values, so membership is
     exact rational arithmetic — SQL-replayable with ``knuth_coin``.
+
+    ``size_col`` switches the mixture from document counts to MASS
+    (pass a token-count column): real training mixtures weight by
+    tokens, not documents (GPT-3 Table 2.2 weights are token
+    fractions), and with heterogeneous doc lengths the two differ
+    materially. Group mass m_g = sum(size), T = min(m_g / w_g), each
+    group keeps rows with probability T*w_g/m_g — so the kept TOKEN
+    mass per group is T*w_g in expectation while the coin stays
+    per-document (membership still content-deterministic and
+    SQL-replayable; a group whose mass is zero counts as absent).
     """
     spark = df.sparkSession
     wdf = F.broadcast(
@@ -135,7 +146,11 @@ def mixture_sample(
             f"{group_col} string, __w double",
         )
     )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    mass = (
+        F.count(F.lit(1)) if size_col is None
+        else F.coalesce(F.sum(F.col(size_col)), F.lit(0)).cast("double")
+    )
+    counts = df.groupBy(group_col).agg(mass.alias("__n"))
     # a weighted group with ZERO rows makes the target mixture
     # unsatisfiable at any T > 0 — silently dropping it would return a
     # corpus that ignores the contract (e.g. 100% of the other group),
@@ -144,7 +159,7 @@ def mixture_sample(
     positive = {k for k, v in weights.items() if v > 0}
     present = {
         r[group_col]
-        for r in counts.select(group_col).collect()
+        for r in counts.where(F.col("__n") > 0).select(group_col).collect()
     }
     missing = sorted(positive - present)
     if missing:

@@ -89,3 +89,36 @@ def test_anchor_profile_topk(spark):
     assert x[1]["n_anchors"] == 3 and x[1]["n_sources"] == 2
     assert x[2]["term_count"] == 1  # tie among guide/great/tutorial -> asc
     assert x[2]["term"] == "great"
+
+
+def test_hits_star_graph(spark):
+    """One hub pointing at 3 authorities (star): the hub gets all hub
+    mass, the authorities split authority mass equally; a fixed point
+    from iteration 1, so 1 and 4 iterations agree."""
+    from raven_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    assert out[0]["hub"] == 1.0 and out[0]["authority"] == 0.0
+    for v in (1, 2, 3):
+        assert abs(out[v]["authority"] - 1 / 3) < 1e-6
+        assert out[v]["hub"] == 0.0
+    again = {r["node"]: (r["authority"], r["hub"])
+             for r in hits(edges, iterations=4).collect()}
+    assert again == {k: (v["authority"], v["hub"]) for k, v in out.items()}
+
+
+def test_hits_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.graph import hits
+
+    edges = spark.range(0, 300).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") * 17 + 31, F.lit(100)).alias("dst"),
+    ).filter("src != dst")
+    a = sorted(map(tuple, hits(edges, iterations=3).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(11), iterations=3).collect()))
+    assert a == b

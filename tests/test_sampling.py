@@ -131,3 +131,52 @@ def test_mixture_sample_raises_on_absent_weighted_group(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, grp string")
     with pytest.raises(ValueError, match="fr"):
         mixture_sample(df, "grp", {"en": 0.5, "fr": 0.5}, key_cols="doc_id")
+
+
+def test_mixture_sample_by_token_mass(spark):
+    """size_col weights the mixture by TOKEN mass: with en docs 10x the
+    length of zh docs and equal 50/50 target weights, the kept token
+    masses converge to equality even though the kept doc counts are
+    wildly different."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sampling import mixture_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        F.when(F.col("id") % 2 == 0, 1000).otherwise(100).alias("n_tokens"),
+    )
+    out = mixture_sample(
+        df, "lang", {"en": 0.5, "zh": 0.5}, key_cols="doc_id",
+        size_col="n_tokens",
+    ).where("kept")
+    mass = {r["lang"]: r["m"] for r in
+            out.groupBy("lang").agg(F.sum("n_tokens").alias("m")).collect()}
+    # zh is the binding group (mass 200k vs en 2M): all zh kept, en
+    # thinned to ~200k tokens
+    assert mass["zh"] == 200_000
+    assert 0.85 * 200_000 < mass["en"] < 1.15 * 200_000
+    # determinism under repartitioning
+    again = mixture_sample(
+        df.repartition(13), "lang", {"en": 0.5, "zh": 0.5},
+        key_cols="doc_id", size_col="n_tokens",
+    ).where("kept")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+
+
+def test_mixture_sample_zero_mass_group_is_absent(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sampling import mixture_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        F.when(F.col("id") % 2 == 0, 50).otherwise(0).alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="zh"):
+        mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5},
+                       key_cols="doc_id", size_col="n_tokens")
