@@ -688,6 +688,24 @@ def q35_contamination(spark, sf_dir):
     return benchmark_contamination(corpus, bench, ngram_n=5, min_overlap=1)
 
 
+def _synthetic_link_edges(d, n):
+    """The deterministic synthetic link graph shared by q36 and q70:
+    doc i links to (i*37 + j*1009) mod N for j in 1..3, self-loops
+    dropped (the in-repo stand-in for crawl-discovered edges; both
+    oracles replay the same formula)."""
+    return (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 37 + F.col("j") * 1009, F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+
+
 def q36_link_pagerank(spark, sf_dir):
     """Link-graph frontier prioritization (operators/graph.py): damped
     PageRank (3 synchronous steps, per-iteration 12-dp rounding for
@@ -700,17 +718,7 @@ def q36_link_pagerank(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     n = d.count()
-    edges = (
-        d.select(
-            F.col("doc_id").alias("src"),
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-        )
-        .select(
-            "src",
-            F.pmod(F.col("src") * 37 + F.col("j") * 1009, F.lit(n)).alias("dst"),
-        )
-        .filter(F.col("dst") != F.col("src"))
-    )
+    edges = _synthetic_link_edges(d, n)
     pr = pagerank(
         edges, nodes=d.select(F.col("doc_id").alias("node")), iterations=3
     )
@@ -1695,17 +1703,7 @@ def q70_hits(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     n = d.count()
-    edges = (
-        d.select(
-            F.col("doc_id").alias("src"),
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-        )
-        .select(
-            "src",
-            F.pmod(F.col("src") * 37 + F.col("j") * 1009, F.lit(n)).alias("dst"),
-        )
-        .filter(F.col("dst") != F.col("src"))
-    )
+    edges = _synthetic_link_edges(d, n)
     return hits(
         edges, nodes=d.select(F.col("doc_id").alias("node")), iterations=2
     )

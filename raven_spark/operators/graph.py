@@ -192,7 +192,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 2,
     iter_dp: int = 12,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999, JACM — the other classic
     link-analysis signal: an AUTHORITY is pointed to by good hubs, a HUB
@@ -213,8 +213,10 @@ def hits(
     Scale shape mirrors pagerank: each half-step is one hash join on
     the edge key + one map-side-combinable sum; normalization is a
     1-row aggregate broadcast back (never a driver value per
-    iteration); localCheckpoint lineage cuts every
-    ``checkpoint_every`` iterations.
+    iteration). Lineage cuts default to EVERY iteration (not
+    pagerank's 5): _norm references its input twice (total + rescale),
+    so the uncut logical plan quadruples per iteration — the cut keeps
+    analysis cost linear in ``iterations``.
 
     Returns (node, authority, hub) rounded to 6 dp.
     """
@@ -237,8 +239,10 @@ def hits(
             ).alias(col),
         )
 
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
     h = nodes.select("node", F.lit(1.0).alias("h"))
-    a = nodes.select("node", F.lit(1.0).alias("a"))
+    a = h  # overwritten in the first half-step; the recurrence starts from h
     for k in range(iterations):
         asum = (
             e.join(h, e[src] == h["node"])
