@@ -1709,6 +1709,55 @@ def q70_hits(spark, sf_dir):
     )
 
 
+def q71_registered_domain(spark, sf_dir):
+    """Pay-level-domain extraction under public-suffix-list semantics
+    (publicsuffix.org algorithm; functions/urls.py::registered_domain_col):
+    longest-rule match over exact / wildcard / exception rule classes
+    plus the implicit '*' prevailing rule, pure column algebra — rule
+    sets ship as plan literals (the real PSL is ~9k rules), zero
+    shuffles, zero UDFs. Hosts synthesized from doc_id residues so every
+    rule class is exercised (exact single- and multi-label, '*.ck'
+    wildcard, '!www.ck'-style exception, unknown TLD, public-suffix-only
+    host); ``domain_key`` is the politeness/rollup grouping key
+    (registrable domain, host fallback). The oracle replays the PSL
+    algorithm generically with DuckDB list lambdas — not the residue
+    synthesis shortcut."""
+    from raven_spark.functions.urls import (
+        public_suffix_col,
+        registered_domain_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 7
+    host = (
+        F.when(m == 0, F.concat(F.lit("a"), (F.col("doc_id") % 5).cast("string"),
+                                F.lit(".shop.example.com")))
+        .when(m == 1, F.concat(F.lit("x"), (F.col("doc_id") % 3).cast("string"),
+                               F.lit(".example.co.uk")))
+        .when(m == 2, F.lit("co.uk"))
+        .when(m == 3, F.concat(F.lit("w"), (F.col("doc_id") % 4).cast("string"),
+                               F.lit(".foo.ck")))
+        .when(m == 4, F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"),
+                               F.lit(".www.ck")))
+        .when(m == 5, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("p"), (F.col("doc_id") % 6).cast("string"),
+                            F.lit(".city.kawasaki.jp")))
+    )
+    S = ("com", "co.uk", "kawasaki.jp")
+    W = ("*.ck", "kawasaki.jp")
+    E = ("!www.ck", "city.kawasaki.jp")
+    hosts = d.select("doc_id", host.alias("host"))
+    return hosts.select(
+        "doc_id",
+        "host",
+        public_suffix_col(F.col("host"), S, W, E).alias("public_suffix"),
+        registered_domain_col(F.col("host"), S, W, E).alias("registered_domain"),
+        F.coalesce(
+            registered_domain_col(F.col("host"), S, W, E), F.col("host")
+        ).alias("domain_key"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1781,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_bigram_logprob": q68_bigram_logprob,
         "q69_anchor_profile": q69_anchor_profile,
         "q70_hits": q70_hits,
+        "q71_registered_domain": q71_registered_domain,
     }
 
 
@@ -3393,6 +3443,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT a2.node, round(a2.a, 6) AS authority,
                    round(h2.h, 6) AS hub
             FROM a2 JOIN h2 ON a2.node = h2.node
+        """,
+        "q71_registered_domain": r"""
+            -- generic PSL replay (longest matching rule; wildcard base /
+            -- exception classes; implicit '*'), NOT the residue shortcut:
+            -- labs = host labels, sfx(i) = i-label dot-suffix,
+            -- public(i) = (exact(s_i) OR i=1 OR wild(s_{i-1})) AND NOT exc(s_i)
+            WITH hosts AS (
+              SELECT doc_id,
+                     CASE doc_id % 7
+                       WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.shop.example.com'
+                       WHEN 1 THEN 'x' || CAST(doc_id % 3 AS VARCHAR) || '.example.co.uk'
+                       WHEN 2 THEN 'co.uk'
+                       WHEN 3 THEN 'w' || CAST(doc_id % 4 AS VARCHAR) || '.foo.ck'
+                       WHEN 4 THEN 's' || CAST(doc_id % 2 AS VARCHAR) || '.www.ck'
+                       WHEN 5 THEN 'localhost'
+                       ELSE 'p' || CAST(doc_id % 6 AS VARCHAR) || '.city.kawasaki.jp'
+                     END AS host
+              FROM documents
+            ), lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS labs,
+                     len(string_split(host, '.')) AS n
+              FROM hosts
+            ), best AS (
+              SELECT doc_id, host, labs, n,
+                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
+                       CASE WHEN (
+                         list_contains(['com','co.uk','kawasaki.jp'],
+                                       array_to_string(labs[n-i+1:n], '.'))
+                         OR i = 1
+                         OR (i > 1 AND list_contains(['ck','kawasaki.jp'],
+                                       array_to_string(labs[n-i+2:n], '.')))
+                       ) AND NOT list_contains(['www.ck','city.kawasaki.jp'],
+                                       array_to_string(labs[n-i+1:n], '.'))
+                       THEN i ELSE 0 END)) AS b
+              FROM lab
+            )
+            SELECT doc_id, host,
+                   CASE WHEN b > 0
+                        THEN array_to_string(labs[n-b+1:n], '.') END AS public_suffix,
+                   CASE WHEN n > b AND b > 0
+                        THEN array_to_string(labs[n-b:n], '.') END AS registered_domain,
+                   coalesce(CASE WHEN n > b AND b > 0
+                        THEN array_to_string(labs[n-b:n], '.') END, host) AS domain_key
+            FROM best
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -488,3 +488,110 @@ def url_filter(
     return out.withColumn("url_badword", bad).withColumn(
         "url_allowed", ~F.col("blocked_domain") & ~F.col("url_badword")
     )
+
+
+def _label_suffix(labels: Column, n: Column, i) -> Column:
+    """The i-label dot-suffix of a label array ('a.b.c', i=2 -> 'b.c')."""
+    return F.array_join(F.slice(labels, n - i + 1, i), ".")
+
+
+def _psl_best_col(
+    host: Column,
+    suffixes: tuple[str, ...],
+    wildcards: tuple[str, ...],
+    exceptions: tuple[str, ...],
+    max_labels: int,
+):
+    """(labels, n, best) where best = label count of the LONGEST matching
+    public-suffix rule for ``host`` (0 only when an exception kills even
+    the implicit '*' TLD rule — not a thing in the real PSL)."""
+
+    def _lits(items, strip):
+        if not items:
+            return F.array().cast("array<string>")
+        return F.array(*[F.lit(s.lower().strip(strip)) for s in items])
+
+    exact_arr = _lits(suffixes, ".")
+    wild_arr = _lits(wildcards, "*. ")
+    exc_arr = _lits(exceptions, "!. ")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def _public(i: Column) -> Column:
+        s_i = _label_suffix(labels, n, i)
+        base = F.array_contains(exact_arr, s_i) | (i == 1)
+        wild = (i > 1) & F.array_contains(
+            wild_arr, _label_suffix(labels, n, i - 1)
+        )
+        return (base | wild) & ~F.array_contains(exc_arr, s_i)
+
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        F.lit(0),
+        lambda acc, i: F.when(_public(i), F.greatest(acc, i)).otherwise(acc),
+    )
+    return labels, n, best
+
+
+def registered_domain_col(
+    host: Column,
+    suffixes: tuple[str, ...] = (),
+    wildcards: tuple[str, ...] = (),
+    exceptions: tuple[str, ...] = (),
+    max_labels: int = 8,
+) -> Column:
+    """Registrable domain (pay-level domain) of a canonical host under
+    public-suffix-list semantics (publicsuffix.org's algorithm): the
+    public suffix is the LONGEST matching rule, and the registrable
+    domain is that suffix plus exactly one more label.
+
+    Rule classes, mirroring the PSL format:
+    - ``suffixes``:   exact rules ('com', 'co.uk', 'kawasaki.jp')
+    - ``wildcards``:  the BASE of '*.x' rules — pass 'ck' for '*.ck'
+                      (any (k+1)-label suffix whose k-label parent is in
+                      the set is public)
+    - ``exceptions``: '!' rules ('www.ck' for '!www.ck') — the named
+                      suffix is NOT public despite a covering wildcard
+    - the PSL's implicit prevailing rule '*' applies: with no matching
+      rule the TLD itself is the public suffix, so an empty config
+      degrades to 'registrable = last two labels'.
+
+    Returns NULL when the host IS a public suffix (nothing registrable —
+    PSL convention), for IPv6 bracket literals (no label semantics), and
+    for single-label hosts; politeness/rollup callers should
+    ``coalesce(registered_domain, host)`` so those rows still group.
+
+    Why this exists at 10^10 URLs: per-HOST politeness under-throttles
+    platforms that spread one origin across subdomains ({a,b,c}.shop.example
+    is one server farm), and domain-level rollups (FineWeb-style URL
+    stats, UT1 blocklists) are keyed by registrable domain, not host.
+    Pure column algebra — the rule sets ship as plan literals (the real
+    PSL is ~9k rules, well inside literal-array territory), zero
+    shuffles, zero UDFs; scoring is per-row over at most ``max_labels``
+    suffixes (PSL rules are <= 5 labels in practice; document-deep hosts
+    only ever match short rules).
+    """
+    labels, n, best = _psl_best_col(host, suffixes, wildcards, exceptions, max_labels)
+    pld = F.when(
+        (n > best) & (best > 0), _label_suffix(labels, n, best + 1)
+    ).otherwise(F.lit(None).cast("string"))
+    return F.when(F.startswith(host, F.lit("[")), F.lit(None).cast("string")) \
+        .otherwise(pld)
+
+
+def public_suffix_col(
+    host: Column,
+    suffixes: tuple[str, ...] = (),
+    wildcards: tuple[str, ...] = (),
+    exceptions: tuple[str, ...] = (),
+    max_labels: int = 8,
+) -> Column:
+    """The public suffix itself (longest matching PSL rule; implicit '*'
+    -> the TLD). NULL for IPv6 literals. Same rule-set contract as
+    registered_domain_col."""
+    labels, n, best = _psl_best_col(host, suffixes, wildcards, exceptions, max_labels)
+    ps = F.when(best > 0, _label_suffix(labels, n, best)).otherwise(
+        F.lit(None).cast("string")
+    )
+    return F.when(F.startswith(host, F.lit("[")), F.lit(None).cast("string")) \
+        .otherwise(ps)

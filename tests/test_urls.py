@@ -268,3 +268,56 @@ def test_url_filter_normalizes_blocklist_entries(spark):
     # both paths together OR their verdicts
     both = url_filter(df, blocked_domains=("other.example",), blocked_df=bdf)
     assert all(r["blocked_domain"] for r in both.collect())
+
+
+def test_registered_domain_psl_semantics(spark):
+    """PSL algorithm parity: exact multi-label rules, wildcard rules,
+    exception rules, the implicit '*' prevailing rule, public-suffix
+    hosts -> NULL, IPv6 literals -> NULL."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import (
+        public_suffix_col,
+        registered_domain_col,
+    )
+
+    S = ("com", "co.uk", "kawasaki.jp")
+    W = ("*.ck", "kawasaki.jp")  # '*.ck' form and bare-base form both accepted
+    E = ("!www.ck", "city.kawasaki.jp")
+    expect = {
+        # host: (public_suffix, registered_domain)
+        "a.b.example.com": ("com", "example.com"),
+        "example.co.uk": ("co.uk", "example.co.uk"),
+        "co.uk": ("co.uk", None),           # host IS a public suffix
+        "foo.bar.ck": ("bar.ck", "foo.bar.ck"),   # wildcard *.ck
+        "www.ck": ("ck", "www.ck"),         # exception demotes to TLD rule
+        "sub.www.ck": ("ck", "www.ck"),
+        "localhost": ("localhost", None),   # implicit '*': TLD is public
+        "unknowntld": ("unknowntld", None),
+        "x.unknowntld": ("unknowntld", "x.unknowntld"),
+        "[2001:db8::1]": (None, None),      # no label semantics
+        "deep.kawasaki.jp": ("deep.kawasaki.jp", None),  # *.kawasaki.jp
+        "city.kawasaki.jp": ("kawasaki.jp", "city.kawasaki.jp"),  # exception
+        "x.city.kawasaki.jp": ("kawasaki.jp", "city.kawasaki.jp"),
+    }
+    df = spark.createDataFrame([(h,) for h in expect], "h string")
+    got = {
+        r["h"]: (r["ps"], r["pld"])
+        for r in df.select(
+            "h",
+            public_suffix_col(F.col("h"), S, W, E).alias("ps"),
+            registered_domain_col(F.col("h"), S, W, E).alias("pld"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_registered_domain_empty_rules_degrade_to_last_two_labels(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import registered_domain_col
+
+    df = spark.createDataFrame([("a.b.example.net",), ("example.net",)], "h string")
+    got = {r["h"]: r["d"] for r in
+           df.select("h", registered_domain_col(F.col("h")).alias("d")).collect()}
+    assert got == {"a.b.example.net": "example.net", "example.net": "example.net"}
