@@ -1747,14 +1747,16 @@ def q71_registered_domain(spark, sf_dir):
     W = ("*.ck", "kawasaki.jp")
     E = ("!www.ck", "city.kawasaki.jp")
     hosts = d.select("doc_id", host.alias("host"))
+    # build the PSL expression tree once per output column and derive
+    # domain_key from the materialized registered_domain (the rule-set
+    # literals would otherwise be embedded in the plan a third time)
     return hosts.select(
         "doc_id",
         "host",
         public_suffix_col(F.col("host"), S, W, E).alias("public_suffix"),
         registered_domain_col(F.col("host"), S, W, E).alias("registered_domain"),
-        F.coalesce(
-            registered_domain_col(F.col("host"), S, W, E), F.col("host")
-        ).alias("domain_key"),
+    ).withColumn(
+        "domain_key", F.coalesce(F.col("registered_domain"), F.col("host"))
     )
 
 
@@ -3445,10 +3447,11 @@ def oracle_sql() -> dict[str, str]:
             FROM a2 JOIN h2 ON a2.node = h2.node
         """,
         "q71_registered_domain": r"""
-            -- generic PSL replay (longest matching rule; wildcard base /
-            -- exception classes; implicit '*'), NOT the residue shortcut:
-            -- labs = host labels, sfx(i) = i-label dot-suffix,
-            -- public(i) = (exact(s_i) OR i=1 OR wild(s_{i-1})) AND NOT exc(s_i)
+            -- generic PSL replay (exception rules PREVAIL and yield the
+            -- rule minus its leftmost label; else longest match among
+            -- exact rules, wildcard expansions, and the implicit '*'),
+            -- NOT the residue shortcut. labs = host labels, s_i = the
+            -- i-label dot-suffix; b = exc_b > 0 ? exc_b - 1 : base_b.
             WITH hosts AS (
               SELECT doc_id,
                      CASE doc_id % 7
@@ -3465,8 +3468,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, host, string_split(host, '.') AS labs,
                      len(string_split(host, '.')) AS n
               FROM hosts
-            ), best AS (
+            ), scored AS (
               SELECT doc_id, host, labs, n,
+                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
+                       CASE WHEN list_contains(['www.ck','city.kawasaki.jp'],
+                                       array_to_string(labs[n-i+1:n], '.'))
+                       THEN i ELSE 0 END)) AS exc_b,
                      list_max(list_transform(range(1, least(n, 8) + 1), i ->
                        CASE WHEN (
                          list_contains(['com','co.uk','kawasaki.jp'],
@@ -3474,10 +3481,12 @@ def oracle_sql() -> dict[str, str]:
                          OR i = 1
                          OR (i > 1 AND list_contains(['ck','kawasaki.jp'],
                                        array_to_string(labs[n-i+2:n], '.')))
-                       ) AND NOT list_contains(['www.ck','city.kawasaki.jp'],
-                                       array_to_string(labs[n-i+1:n], '.'))
-                       THEN i ELSE 0 END)) AS b
+                       ) THEN i ELSE 0 END)) AS base_b
               FROM lab
+            ), best AS (
+              SELECT doc_id, host, labs, n,
+                     CASE WHEN exc_b > 0 THEN exc_b - 1 ELSE base_b END AS b
+              FROM scored
             )
             SELECT doc_id, host,
                    CASE WHEN b > 0

@@ -400,7 +400,7 @@ def host_suffixes_col(host: Column, max_labels: int = 8) -> Column:
     n = F.size(labels)
     sfx = F.transform(
         F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
-        lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."),
+        lambda i: _label_suffix(labels, n, i),
     )
     capped = F.when(
         n > F.lit(max_labels), F.concat(sfx, F.array(host))
@@ -502,9 +502,13 @@ def _psl_best_col(
     exceptions: tuple[str, ...],
     max_labels: int,
 ):
-    """(labels, n, best) where best = label count of the LONGEST matching
-    public-suffix rule for ``host`` (0 only when an exception kills even
-    the implicit '*' TLD rule — not a thing in the real PSL)."""
+    """(labels, n, best) where best = label count of the public suffix
+    under publicsuffix.org's algorithm: a matching exception rule
+    PREVAILS and the public suffix is that rule minus its leftmost label;
+    otherwise the LONGEST match among exact rules, wildcard expansions,
+    and the implicit '*' prevailing rule (best = 0 only for a
+    single-label exception match — not a thing in the real PSL, where
+    every exception demotes to a covering multi-label rule)."""
 
     def _lits(items, strip):
         if not items:
@@ -517,19 +521,28 @@ def _psl_best_col(
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
-    def _public(i: Column) -> Column:
+    def _base(i: Column) -> Column:
         s_i = _label_suffix(labels, n, i)
-        base = F.array_contains(exact_arr, s_i) | (i == 1)
-        wild = (i > 1) & F.array_contains(
-            wild_arr, _label_suffix(labels, n, i - 1)
+        return (
+            F.array_contains(exact_arr, s_i)
+            | (i == 1)
+            | ((i > 1) & F.array_contains(
+                wild_arr, _label_suffix(labels, n, i - 1)))
         )
-        return (base | wild) & ~F.array_contains(exc_arr, s_i)
 
-    best = F.aggregate(
-        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
-        F.lit(0),
-        lambda acc, i: F.when(_public(i), F.greatest(acc, i)).otherwise(acc),
+    def _exc(i: Column) -> Column:
+        return F.array_contains(exc_arr, _label_suffix(labels, n, i))
+
+    idx = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
+    exc_best = F.aggregate(
+        idx, F.lit(0),
+        lambda acc, i: F.when(_exc(i), F.greatest(acc, i)).otherwise(acc),
     )
+    base_best = F.aggregate(
+        idx, F.lit(0),
+        lambda acc, i: F.when(_base(i), F.greatest(acc, i)).otherwise(acc),
+    )
+    best = F.when(exc_best > 0, exc_best - 1).otherwise(base_best)
     return labels, n, best
 
 
@@ -550,8 +563,10 @@ def registered_domain_col(
     - ``wildcards``:  the BASE of '*.x' rules — pass 'ck' for '*.ck'
                       (any (k+1)-label suffix whose k-label parent is in
                       the set is public)
-    - ``exceptions``: '!' rules ('www.ck' for '!www.ck') — the named
-                      suffix is NOT public despite a covering wildcard
+    - ``exceptions``: '!' rules ('www.ck' for '!www.ck') — a matching
+                      exception PREVAILS over every other rule and the
+                      public suffix is the exception minus its leftmost
+                      label (so '!www.ck' makes 'www.ck' registrable)
     - the PSL's implicit prevailing rule '*' applies: with no matching
       rule the TLD itself is the public suffix, so an empty config
       degrades to 'registrable = last two labels'.

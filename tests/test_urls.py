@@ -312,6 +312,37 @@ def test_registered_domain_psl_semantics(spark):
     assert got == expect
 
 
+def test_registered_domain_exception_prevails_without_parent_rule(spark):
+    """publicsuffix.org algorithm: an exception rule PREVAILS and the
+    public suffix is the rule minus its leftmost label — even when that
+    parent suffix is not itself a listed rule (regression: the first cut
+    only un-public'd the exception and leaned on a shorter rule
+    happening to exist, which every real-PSL config guarantees but
+    arbitrary rule tuples do not)."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import (
+        public_suffix_col,
+        registered_domain_col,
+    )
+
+    W = ("*.foo.bar",)
+    E = ("!x.foo.bar",)
+    df = spark.createDataFrame([("x.foo.bar",), ("y.x.foo.bar",)], "h string")
+    got = {
+        r["h"]: (r["ps"], r["pld"])
+        for r in df.select(
+            "h",
+            public_suffix_col(F.col("h"), (), W, E).alias("ps"),
+            registered_domain_col(F.col("h"), (), W, E).alias("pld"),
+        ).collect()
+    }
+    assert got == {
+        "x.foo.bar": ("foo.bar", "x.foo.bar"),
+        "y.x.foo.bar": ("foo.bar", "x.foo.bar"),
+    }
+
+
 def test_registered_domain_empty_rules_degrade_to_last_two_labels(spark):
     from pyspark.sql import functions as F
 
