@@ -1709,27 +1709,19 @@ def q70_hits(spark, sf_dir):
     )
 
 
-def q71_registered_domain(spark, sf_dir):
-    """Pay-level-domain extraction under public-suffix-list semantics
-    (publicsuffix.org algorithm; functions/urls.py::registered_domain_col):
-    longest-rule match over exact / wildcard / exception rule classes
-    plus the implicit '*' prevailing rule, pure column algebra — rule
-    sets ship as plan literals (the real PSL is ~9k rules), zero
-    shuffles, zero UDFs. Hosts synthesized from doc_id residues so every
-    rule class is exercised (exact single- and multi-label, '*.ck'
-    wildcard, '!www.ck'-style exception, unknown TLD, public-suffix-only
-    host); ``domain_key`` is the politeness/rollup grouping key
-    (registrable domain, host fallback). The oracle replays the PSL
-    algorithm generically with DuckDB list lambdas — not the residue
-    synthesis shortcut."""
-    from raven_spark.functions.urls import (
-        public_suffix_col,
-        registered_domain_col,
-    )
+# PSL rule set + synthetic host scheme shared by q71/q72: every rule
+# class exercised (exact single- and multi-label, '*.ck' wildcard,
+# '!www.ck'-style exception, unknown TLD, public-suffix-only host)
+_PSL_RULES = (
+    ("com", "co.uk", "kawasaki.jp"),          # exact
+    ("*.ck", "kawasaki.jp"),                  # wildcard bases
+    ("!www.ck", "city.kawasaki.jp"),          # exceptions
+)
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+def _synthetic_host_col():
     m = F.col("doc_id") % 7
-    host = (
+    return (
         F.when(m == 0, F.concat(F.lit("a"), (F.col("doc_id") % 5).cast("string"),
                                 F.lit(".shop.example.com")))
         .when(m == 1, F.concat(F.lit("x"), (F.col("doc_id") % 3).cast("string"),
@@ -1743,10 +1735,66 @@ def q71_registered_domain(spark, sf_dir):
         .otherwise(F.concat(F.lit("p"), (F.col("doc_id") % 6).cast("string"),
                             F.lit(".city.kawasaki.jp")))
     )
-    S = ("com", "co.uk", "kawasaki.jp")
-    W = ("*.ck", "kawasaki.jp")
-    E = ("!www.ck", "city.kawasaki.jp")
-    hosts = d.select("doc_id", host.alias("host"))
+
+
+_SYNTH_HOST_SQL = """CASE doc_id % 7
+                       WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.shop.example.com'
+                       WHEN 1 THEN 'x' || CAST(doc_id % 3 AS VARCHAR) || '.example.co.uk'
+                       WHEN 2 THEN 'co.uk'
+                       WHEN 3 THEN 'w' || CAST(doc_id % 4 AS VARCHAR) || '.foo.ck'
+                       WHEN 4 THEN 's' || CAST(doc_id % 2 AS VARCHAR) || '.www.ck'
+                       WHEN 5 THEN 'localhost'
+                       ELSE 'p' || CAST(doc_id % 6 AS VARCHAR) || '.city.kawasaki.jp'
+                     END"""
+
+# generic exception-prevails PSL replay over the synthetic hosts:
+# b = exc_b > 0 ? exc_b - 1 : base_b (see q71's oracle comments)
+_PSL_KEY_SQL = f"""lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS labs,
+                     len(string_split(host, '.')) AS n
+              FROM hosts
+            ), scored AS (
+              SELECT doc_id, host, labs, n,
+                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
+                       CASE WHEN list_contains(['www.ck','city.kawasaki.jp'],
+                                       array_to_string(labs[n-i+1:n], '.'))
+                       THEN i ELSE 0 END)) AS exc_b,
+                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
+                       CASE WHEN (
+                         list_contains(['com','co.uk','kawasaki.jp'],
+                                       array_to_string(labs[n-i+1:n], '.'))
+                         OR i = 1
+                         OR (i > 1 AND list_contains(['ck','kawasaki.jp'],
+                                       array_to_string(labs[n-i+2:n], '.')))
+                       ) THEN i ELSE 0 END)) AS base_b
+              FROM lab
+            ), best AS (
+              SELECT doc_id, host, labs, n,
+                     CASE WHEN exc_b > 0 THEN exc_b - 1 ELSE base_b END AS b
+              FROM scored
+            )"""
+
+
+def q71_registered_domain(spark, sf_dir):
+    """Pay-level-domain extraction under public-suffix-list semantics
+    (publicsuffix.org algorithm; functions/urls.py::registered_domain_col):
+    exception rules prevail (yielding the rule minus its leftmost
+    label), else the longest match over exact / wildcard rule classes
+    plus the implicit '*' prevailing rule — pure column algebra; rule
+    sets ship as plan literals (the real PSL is ~9k rules), zero
+    shuffles, zero UDFs. Hosts synthesized from doc_id residues so every
+    rule class is exercised; ``domain_key`` is the politeness/rollup
+    grouping key (registrable domain, host fallback). The oracle replays
+    the PSL algorithm generically with DuckDB list lambdas — not the
+    residue synthesis shortcut."""
+    from raven_spark.functions.urls import (
+        public_suffix_col,
+        registered_domain_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    S, W, E = _PSL_RULES
+    hosts = d.select("doc_id", _synthetic_host_col().alias("host"))
     # build the PSL expression tree once per output column and derive
     # domain_key from the materialized registered_domain (the rule-set
     # literals would otherwise be embedded in the plan a third time)
@@ -1758,6 +1806,53 @@ def q71_registered_domain(spark, sf_dir):
     ).withColumn(
         "domain_key", F.coalesce(F.col("registered_domain"), F.col("host"))
     )
+
+
+def q72_domain_rollup(spark, sf_dir):
+    """Per-registrable-domain corpus rollup (operators/reputation.py::
+    domain_rollup — the FineWeb-style domain stats table): docs, host
+    fan-out, dup rate via 8-byte content hashes, token mass + corpus
+    share, mean quality, keyed on q71's ``domain_key`` (registrable
+    domain, host fallback) so subdomain farms roll up to one row. One
+    hash aggregate over the corpus (distincts ride xxhash64 — text and
+    hostnames never shuffle) + a 1-row broadcast total. Quality proxy
+    here is least(n_chars/1000, 1) as in q42; production passes
+    functions.text.quality_score."""
+    from raven_spark.functions.urls import registered_domain_col
+    from raven_spark.operators.reputation import domain_rollup
+
+    S, W, E = _PSL_RULES
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)).alias("q"),
+    ).withColumn("host", _synthetic_host_col())
+    docs = d.withColumn(
+        "domain_key",
+        F.coalesce(
+            registered_domain_col(F.col("host"), S, W, E), F.col("host")
+        ),
+    )
+    return domain_rollup(docs, quality_col="q")
+
+
+def q73_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; operators/
+    similarity.py::bitext_margin_pairs): embeddings split by vec_id
+    parity into a synthetic source/target language pair; for every
+    source vector the best target by RATIO margin — cosine normalized
+    by the mean of both sides' top-k neighborhood cosines, which kills
+    hubness (a target that is everyone's neighbor stops winning). Exact
+    all-pairs at oracle scale; the 10^9-vector path swaps pair
+    generation for the module's LSH/IVF candidate buckets with the same
+    margin scoring verbatim. The oracle replays cosine (q18's explicit
+    double fold), the 12/9/6-dp rounding ladder, k-NN tie-breaks, and
+    the final (margin, cosine, tgt_id) pick."""
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_pairs(src, tgt, k=4, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1833,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_anchor_profile": q69_anchor_profile,
         "q70_hits": q70_hits,
         "q71_registered_domain": q71_registered_domain,
+        "q72_domain_rollup": q72_domain_rollup,
+        "q73_bitext_margin": q73_bitext_margin,
     }
 
 
@@ -3446,48 +3543,16 @@ def oracle_sql() -> dict[str, str]:
                    round(h2.h, 6) AS hub
             FROM a2 JOIN h2 ON a2.node = h2.node
         """,
-        "q71_registered_domain": r"""
+        "q71_registered_domain": f"""
             -- generic PSL replay (exception rules PREVAIL and yield the
             -- rule minus its leftmost label; else longest match among
             -- exact rules, wildcard expansions, and the implicit '*'),
             -- NOT the residue shortcut. labs = host labels, s_i = the
             -- i-label dot-suffix; b = exc_b > 0 ? exc_b - 1 : base_b.
             WITH hosts AS (
-              SELECT doc_id,
-                     CASE doc_id % 7
-                       WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.shop.example.com'
-                       WHEN 1 THEN 'x' || CAST(doc_id % 3 AS VARCHAR) || '.example.co.uk'
-                       WHEN 2 THEN 'co.uk'
-                       WHEN 3 THEN 'w' || CAST(doc_id % 4 AS VARCHAR) || '.foo.ck'
-                       WHEN 4 THEN 's' || CAST(doc_id % 2 AS VARCHAR) || '.www.ck'
-                       WHEN 5 THEN 'localhost'
-                       ELSE 'p' || CAST(doc_id % 6 AS VARCHAR) || '.city.kawasaki.jp'
-                     END AS host
+              SELECT doc_id, {_SYNTH_HOST_SQL} AS host
               FROM documents
-            ), lab AS (
-              SELECT doc_id, host, string_split(host, '.') AS labs,
-                     len(string_split(host, '.')) AS n
-              FROM hosts
-            ), scored AS (
-              SELECT doc_id, host, labs, n,
-                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
-                       CASE WHEN list_contains(['www.ck','city.kawasaki.jp'],
-                                       array_to_string(labs[n-i+1:n], '.'))
-                       THEN i ELSE 0 END)) AS exc_b,
-                     list_max(list_transform(range(1, least(n, 8) + 1), i ->
-                       CASE WHEN (
-                         list_contains(['com','co.uk','kawasaki.jp'],
-                                       array_to_string(labs[n-i+1:n], '.'))
-                         OR i = 1
-                         OR (i > 1 AND list_contains(['ck','kawasaki.jp'],
-                                       array_to_string(labs[n-i+2:n], '.')))
-                       ) THEN i ELSE 0 END)) AS base_b
-              FROM lab
-            ), best AS (
-              SELECT doc_id, host, labs, n,
-                     CASE WHEN exc_b > 0 THEN exc_b - 1 ELSE base_b END AS b
-              FROM scored
-            )
+            ), {_PSL_KEY_SQL}
             SELECT doc_id, host,
                    CASE WHEN b > 0
                         THEN array_to_string(labs[n-b+1:n], '.') END AS public_suffix,
@@ -3496,6 +3561,80 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CASE WHEN n > b AND b > 0
                         THEN array_to_string(labs[n-b:n], '.') END, host) AS domain_key
             FROM best
+        """,
+        "q72_domain_rollup": f"""
+            WITH hosts AS (
+              SELECT doc_id, {_SYNTH_HOST_SQL} AS host
+              FROM documents
+            ), {_PSL_KEY_SQL}, keyed AS (
+              SELECT doc_id, host,
+                     coalesce(CASE WHEN n > b AND b > 0
+                          THEN array_to_string(labs[n-b:n], '.') END, host) AS domain_key
+              FROM best
+            ), base AS (
+              SELECT k.domain_key, k.host, d.text,
+                     CASE WHEN length(trim(d.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                     END AS t,
+                     LEAST(d.n_chars / 1000.0, 1.0) AS q
+              FROM keyed k JOIN documents d USING (doc_id)
+            ), per_dom AS (
+              SELECT domain_key, COUNT(*) AS n_docs,
+                     COUNT(DISTINCT host) AS n_hosts,
+                     COUNT(DISTINCT text) AS n_unique,
+                     CAST(SUM(t) AS BIGINT) AS total_tokens,
+                     AVG(q) AS avg_q
+              FROM base GROUP BY domain_key
+            ), tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS ct FROM per_dom)
+            SELECT domain_key, n_docs, n_hosts, n_unique,
+                   round(1.0 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+                   total_tokens,
+                   round(CAST(total_tokens AS DOUBLE) / ct, 9) AS token_share,
+                   round(avg_q, 6) AS avg_quality
+            FROM per_dom, tot
+        """,
+        "q73_bitext_margin": """
+            -- margin = cos / ((avg_k fwd + avg_k bwd) / 2); cosine is
+            -- q18's explicit double fold; rounding ladder 12 (cosine) /
+            -- 9 (k-NN averages) / 6 (margin) shared with the Spark side
+            WITH src AS (
+              SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE vec_id % 2 = 0
+            ), tgt AS (
+              SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE vec_id % 2 = 1
+            ), pairs AS (
+              SELECT src_id, tgt_id,
+                     round(
+                       list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(sv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))))
+                     , 12) AS cosine
+              FROM src, tgt
+            ), asrc AS (
+              SELECT src_id, round(AVG(cosine), 9) AS a FROM (
+                SELECT src_id, cosine,
+                       row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS r
+                FROM pairs
+              ) WHERE r <= 4 GROUP BY src_id
+            ), atgt AS (
+              SELECT tgt_id, round(AVG(cosine), 9) AS a FROM (
+                SELECT tgt_id, cosine,
+                       row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS r
+                FROM pairs
+              ) WHERE r <= 4 GROUP BY tgt_id
+            ), scored AS (
+              SELECT p.src_id, p.tgt_id, p.cosine,
+                     round(p.cosine / ((s.a + t.a) / 2.0), 6) AS margin
+              FROM pairs p JOIN asrc s USING (src_id) JOIN atgt t USING (tgt_id)
+            )
+            SELECT src_id, tgt_id, cosine, margin FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY src_id
+                  ORDER BY margin DESC, cosine DESC, tgt_id ASC) AS rb
+              FROM scored
+            ) WHERE rb = 1
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

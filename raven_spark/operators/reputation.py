@@ -90,6 +90,78 @@ def host_reputation(
     )
 
 
+def domain_rollup(
+    df: DataFrame,
+    domain_col: str = "domain_key",
+    host_col: str = "host",
+    text_col: str = "text",
+    quality_col: str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus rollup (the FineWeb-style domain
+    stats table: per-domain doc counts, host fan-out, dup rate, token
+    mass and corpus share, mean quality).
+
+    Host-level reputation (``host_reputation``) under-counts platforms
+    that spread one origin across subdomains; this rolls the same
+    signals up to the registrable domain (``functions.urls.
+    registered_domain_col``'s ``domain_key`` convention: registrable
+    domain, host fallback), which is the key UT1 blocklists and
+    FineWeb's URL stats use.
+
+    Output: domain_key, n_docs, n_hosts (distinct hosts under the
+    domain), n_unique (distinct content hashes), dup_rate, total_tokens
+    (sum of ``token_col``; whitespace-token count of ``text_col`` when
+    absent), token_share (of the corpus total, 9 dp), avg_quality (6 dp).
+
+    Scale shape: one hash aggregate keyed on the domain — counts and
+    sums are map-side partial; the two exact distincts ride 8-byte
+    hashes (host is re-keyed through xxhash64 so long hostnames never
+    widen the expand), text never shuffles. Output is O(registrable
+    domains) (~10^7 at 10^10 pages), broadcastable back onto a frontier.
+    The corpus token total is a second 1-row aggregate broadcast-joined
+    on, so the big side shuffles exactly once.
+    """
+    toks = (
+        F.col(token_col).cast("bigint")
+        if token_col
+        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("bigint")
+    )
+    q = F.col(quality_col) if quality_col else F.lit(0.0)
+    base = df.select(
+        F.col(domain_col).alias("domain_key"),
+        F.xxhash64(F.col(host_col)).alias("__hh"),
+        F.xxhash64(F.col(text_col)).alias("__th"),
+        toks.alias("__t"),
+        q.cast("double").alias("__q"),
+    )
+    per_dom = base.groupBy("domain_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__hh").alias("n_hosts"),
+        F.countDistinct("__th").alias("n_unique"),
+        F.sum("__t").alias("total_tokens"),
+        F.avg("__q").alias("avg_quality"),
+    )
+    total = per_dom.agg(F.sum("total_tokens").alias("__corpus_tokens"))
+    return (
+        per_dom.crossJoin(F.broadcast(total))
+        .select(
+            "domain_key",
+            "n_docs",
+            "n_hosts",
+            "n_unique",
+            F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("__corpus_tokens"), 9
+            ).alias("token_share"),
+            F.round("avg_quality", 6).alias("avg_quality"),
+        )
+    )
+
+
 def apply_host_priority(
     frontier: DataFrame,
     reputation: DataFrame,

@@ -163,3 +163,93 @@ def ivf_topk(
     assigned = df.withColumn("cell", ivf_assign_udf(n_anchors, dim, seed)(F.col(vec_col)))
     cand = assigned.filter(F.col("cell").isin([int(c) for c in probe_cells]))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings"): for
+    every source-language embedding, the best target-language candidate
+    scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       ((avg_k cos(x, NN_k(x; tgt)) +
+                         avg_k cos(y, NN_k(y; src))) / 2)
+
+    which normalizes away hubness: a target that is "everyone's
+    neighbor" has a large denominator and stops winning on raw cosine.
+
+    Output: src_id, tgt_id, cosine (12 dp), margin (6 dp) — one row per
+    source id (forward mining; run with src/tgt swapped and intersect
+    for the paper's "intersection" strategy).
+
+    Determinism/parity conventions (shared with the q73 oracle): cosine
+    is the explicit double fold of ``cosine_col`` rounded to 12 dp;
+    k-NN selection breaks cosine ties on neighbor id ascending; the two
+    k-NN averages round to 9 dp before the ratio; the final pick orders
+    by (margin desc, cosine desc, tgt_id asc).
+
+    Scale shape: this exact form scores ALL src x tgt pairs — correct
+    at evaluation scale and as the oracle-duty baseline. At 10^9
+    vectors the pair generation swaps for the module's LSH/IVF
+    candidate sets (mine candidates per bucket, then the same margin
+    scoring verbatim — the standard LASER-mining shape); the margin
+    math downstream of candidate generation is unchanged, which is why
+    it lives here as its own stage. Everything after the pair build
+    shuffles 8-byte ids + one double, never vectors.
+    """
+    from pyspark.sql import Window
+
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv"))
+    pairs = s.crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine_col(F.col("__sv"), F.col("__tv"), dim), 12).alias("cosine"),
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id").asc()
+    )
+    # literal-bound row_number -> WindowGroupLimit prunes each k-NN pass
+    # map-side before the per-id sort
+    avg_src = (
+        pairs.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= F.lit(int(k)))
+        .groupBy("src_id")
+        .agg(F.round(F.avg("cosine"), 9).alias("__asrc"))
+    )
+    avg_tgt = (
+        pairs.withColumn("__r", F.row_number().over(wt))
+        .filter(F.col("__r") <= F.lit(int(k)))
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg("cosine"), 9).alias("__atgt"))
+    )
+    scored = (
+        pairs.join(avg_src, "src_id")
+        .join(avg_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine")
+                / ((F.col("__asrc") + F.col("__atgt")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        scored.withColumn("__b", F.row_number().over(wbest))
+        .filter(F.col("__b") == 1)
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )

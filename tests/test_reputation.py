@@ -68,3 +68,40 @@ def test_apply_host_priority(spark, corpus):
     # no shuffle added: the reputation join is broadcast
     plan = apply_host_priority(frontier, rep)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_rollup_aggregates(spark):
+    from raven_spark.operators.reputation import domain_rollup
+
+    df = spark.createDataFrame(
+        [
+            # example.com: 2 hosts, 3 docs, one duplicate body
+            ("example.com", "a.example.com", "one two three", 0.5),
+            ("example.com", "b.example.com", "one two three", 0.7),
+            ("example.com", "b.example.com", "four five", 0.9),
+            # solo.net: 1 host, 1 doc
+            ("solo.net", "solo.net", "six", 1.0),
+        ],
+        "domain_key string, host string, text string, q double",
+    )
+    out = {r["domain_key"]: r for r in domain_rollup(df, quality_col="q").collect()}
+    e = out["example.com"]
+    assert (e["n_docs"], e["n_hosts"], e["n_unique"]) == (3, 2, 2)
+    assert e["dup_rate"] == round(1 - 2 / 3, 6)
+    assert e["total_tokens"] == 8  # 3 + 3 + 2
+    assert e["token_share"] == round(8 / 9, 9)
+    assert e["avg_quality"] == 0.7
+    s = out["solo.net"]
+    assert (s["n_docs"], s["n_hosts"], s["total_tokens"]) == (1, 1, 1)
+    assert s["token_share"] == round(1 / 9, 9)
+
+
+def test_domain_rollup_partition_invariance(corpus):
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.reputation import domain_rollup
+
+    base = corpus.withColumn("domain_key", F.col("host"))
+    one = sorted(map(tuple, domain_rollup(base.coalesce(1), quality_col="q").collect()))
+    many = sorted(map(tuple, domain_rollup(base.repartition(11), quality_col="q").collect()))
+    assert one == many

@@ -104,3 +104,51 @@ def test_ivf_topk_recall_planted(spark):
         for r in ivf_topk(df, q.tolist(), k=10, n_anchors=8, nprobe=3).collect()
     }
     assert len(exact & approx) >= 7
+
+
+def test_bitext_margin_prefers_specific_match_over_hub(spark):
+    """The Artetxe & Schwenk ratio margin's point: a 'hub' target close
+    to EVERY source is normalized by its own (high) neighborhood
+    average, so dedicated matches keep winning and the hub's margin is
+    depressed (margin(s0, hub) < 1 < margin(s0, t1) here, while both
+    cosines are positive and the hub is every source's #2)."""
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    # 4-dim toy: hub = normalized all-ones (cos ~0.5+ with everything);
+    # t_i = axis-aligned match for s_i with a small common component
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    src = spark.createDataFrame(
+        [(0, v(1, 0.2, 0.2, 0.2)), (2, v(0.2, 1, 0.2, 0.2)),
+         (4, v(0.2, 0.2, 1, 0.2)), (6, v(0.2, 0.2, 0.2, 1))],
+        "vec_id bigint, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, v(1, 0.1, 0.1, 0.1)), (3, v(0.1, 1, 0.1, 0.1)),
+         (5, v(0.1, 0.1, 1, 0.1)), (7, v(1, 1, 1, 1))],  # 7 = hub
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["src_id"]: r for r in
+           bitext_margin_pairs(src, tgt, k=2, dim=4).collect()}
+    # every source appears exactly once (forward mining)
+    assert sorted(out) == [0, 2, 4, 6]
+    # s0/s2/s4 pick their dedicated targets, not the hub
+    assert out[0]["tgt_id"] == 1
+    assert out[2]["tgt_id"] == 3
+    assert out[4]["tgt_id"] == 5
+    # margins are the ratio score: > 1 means better than your neighborhood
+    assert out[0]["margin"] > 1.0
+
+
+def test_bitext_margin_partition_invariance(spark):
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    one = sorted(map(tuple, bitext_margin_pairs(
+        src.coalesce(1), tgt.coalesce(1), k=4).collect()))
+    many = sorted(map(tuple, bitext_margin_pairs(
+        src.repartition(7), tgt.repartition(5), k=4).collect()))
+    assert one == many and len(one) == src.count()
