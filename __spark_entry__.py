@@ -1855,6 +1855,25 @@ def q73_bitext_margin(spark, sf_dir):
     return bitext_margin_pairs(src, tgt, k=4, dim=64)
 
 
+def q74_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/pipeline.py::bm25_topk —
+    Robertson & Zaragoza 2009 with Lucene's non-negative idf): three
+    fixed in-vocabulary queries against the documents table, 10 best
+    docs each. The tf aggregate's exchange is reused by the df rollup,
+    doc length rides the scan, avgdl is a 1-row broadcast, query terms
+    broadcast-join; ranking ties break on the 6-dp rounded score then
+    doc id so Spark and the oracle pick identical rows."""
+    from raven_spark.operators.pipeline import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "hash join table"),
+         (2, "fast scan filter sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk(d, q, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1930,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_registered_domain": q71_registered_domain,
         "q72_domain_rollup": q72_domain_rollup,
         "q73_bitext_margin": q73_bitext_margin,
+        "q74_bm25_topk": q74_bm25_topk,
     }
 
 
@@ -3635,6 +3655,46 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY margin DESC, cosine DESC, tgt_id ASC) AS rb
               FROM scored
             ) WHERE rb = 1
+        """,
+        "q74_bm25_topk": r"""
+            -- BM25 with Lucene idf = ln(1 + (N - df + .5)/(df + .5));
+            -- k1=1.2, b=0.75; dl constant per doc (MIN == Spark's first);
+            -- rank on the 6-dp ROUNDED score then id (sum order varies
+            -- at 1e-16 between engines)
+            WITH base AS (
+              SELECT doc_id AS id,
+                     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM base
+            ), tok AS (
+              SELECT id, len(toks) AS dl, unnest(toks) AS term FROM base
+            ), tf AS (
+              SELECT id, term, COUNT(*) AS tf, MIN(dl) AS dl
+              FROM tok GROUP BY id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), qt AS (
+              SELECT query_id,
+                     unnest(list_distinct(string_split(
+                       regexp_replace(lower(trim(q)), '\s+', ' ', 'g'), ' '))) AS term
+              FROM (VALUES (0, 'spark window agg'), (1, 'hash join table'),
+                           (2, 'fast scan filter sort')) AS v(query_id, q)
+            ), contrib AS (
+              SELECT q.query_id, t.id,
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+              FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term), stats s
+            ), scored AS (
+              SELECT query_id, id, round(SUM(c), 6) AS score
+              FROM contrib GROUP BY query_id, id
+            )
+            SELECT query_id, id, score, CAST(rk AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, id ASC) AS rk
+              FROM scored
+            ) WHERE rk <= 10
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

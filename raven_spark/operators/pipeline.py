@@ -841,6 +841,103 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009, the Okapi
+    weighting with Lucene's non-negative idf) — the corpus-side query
+    capability that complements ``tfidf_topk``'s keyword extraction:
+    given a small query table, the k best documents per query.
+
+        idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(q, d) = sum over DISTINCT terms t in q of
+                      idf(t) * tf(t,d) * (k1+1)
+                            / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+
+    Distinct query terms (the standard bag-of-words simplification for
+    short queries; repeat a term in the query table to weight it).
+
+    Scale shape: the (id, term) tf aggregate is map-side combinable;
+    the QUERY-TERM broadcast prune lands directly on it, so everything
+    downstream — document frequencies included — sees only the postings
+    of the queried terms, never the corpus vocabulary (df over the
+    pruned postings equals df over the corpus for those terms). |d|
+    comes straight off the scan (no extra shuffle) and avgdl is a 1-row
+    broadcast, so the only per-corpus exchanges are the tf aggregate
+    and the final per-(query, doc) sum. The top-k window is
+    literal-bound row_number -> WindowGroupLimit prunes map-side.
+    Ranking ties break on the 6-dp ROUNDED score (the per-term sum's
+    addition order is engine-dependent at 1e-16; ranking on the rounded
+    value keeps Spark and the SQL oracle picking identical rows), then
+    doc id ascending.
+
+    Output: (query_id, id, score, rank), rank 1..k per query.
+    """
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        F.split(norm_text_col(F.col(text_col)), " ").alias("__toks"),
+    )
+    n_docs = base.count() or 1
+    toks = base.select("id", F.size("__toks").alias("dl"),
+                       F.explode("__toks").alias("term"))
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    avgdl = base.select(F.avg(F.size("__toks")).alias("avgdl"))
+    qpairs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(norm_text_col(F.col(query_col)), " "))
+        ).alias("term"),
+    ).distinct()
+    # prune the corpus postings to queried terms BEFORE anything else:
+    # df and the scoring join then touch O(query-term postings), not
+    # O(corpus vocabulary)
+    tfq = tf.join(F.broadcast(qpairs.select("term").distinct()), "term")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = F.broadcast(qpairs)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        tfq.join(qterms, "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "__c",
+            idf
+            * F.col("tf").cast("double") * F.lit(float(k1) + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + F.lit(float(k1))
+                * (F.lit(1.0 - float(b))
+                   + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "id").agg(
+        F.round(F.sum("__c"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -478,3 +478,65 @@ def test_bigram_logprob_orders_and_nulls(spark):
     assert out[1]["n_bigrams"] == 5
     assert out[4]["n_bigrams"] == 0 and out[4]["avg_logprob2"] is None
     assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob2"] is None
+
+
+def test_bm25_topk_against_pure_python(spark):
+    """Differential: bm25_topk vs a pure-Python BM25 (Lucene idf,
+    k1=1.2, b=0.75) on a tiny corpus with repeated terms, a doc-length
+    spread, and a query term that misses every document."""
+    import math
+    from collections import Counter
+
+    from raven_spark.operators.pipeline import bm25_topk
+
+    docs = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "apple apple apple apple durian",
+        4: "elderberry",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry missingterm")],
+        "query_id int, query string",
+    )
+    got = {
+        (r["query_id"], r["id"]): (r["score"], r["rank"])
+        for r in bm25_topk(df, q, k=3).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = Counter(term for t in toks.values() for term in set(t))
+    expect = {}
+    for qid, qtext in [(0, "apple banana"), (1, "cherry missingterm")]:
+        scores = {}
+        for i, t in toks.items():
+            tf = Counter(t)
+            s = 0.0
+            for term in dict.fromkeys(qtext.split()):
+                if tf[term] == 0:
+                    continue
+                idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                s += idf * tf[term] * 2.2 / (
+                    tf[term] + 1.2 * (0.25 + 0.75 * len(t) / avgdl)
+                )
+            if s > 0.0:
+                scores[i] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (i, s) in enumerate(ranked, 1):
+            expect[(qid, i)] = (s, rk)
+    assert got == expect
+    # the all-miss doc (4) never appears; missingterm contributes nothing
+    assert not any(i == 4 for (_, i) in got)
+
+
+def test_bm25_topk_partition_invariance(spark):
+    from raven_spark.operators.pipeline import bm25_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame([(0, "spark table join")], "query_id int, query string")
+    one = sorted(map(tuple, bm25_topk(df.coalesce(1), q, k=5).collect()))
+    many = sorted(map(tuple, bm25_topk(df.repartition(9), q, k=5).collect()))
+    assert one == many and len(one) == 5
