@@ -1874,6 +1874,21 @@ def q74_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=10)
 
 
+def q75_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    top-50 raw documents by hashed-n-gram importance log-weight against
+    an in-table target slice (doc_id % 17 == 0). Both bucket models are
+    map-side-combinable 8-byte-key aggregates; the O(D)=16384-row
+    log-ratio table broadcasts; per-doc scoring shuffles one 16-byte row
+    per doc; selection is TakeOrdered. Ranking on the 6-dp rounded
+    weight, ties on doc_id, so Spark and DuckDB pick identical rows."""
+    from raven_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    return dsir_select(d, target, k=50, n_buckets=1 << 14, alpha=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1950,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_domain_rollup": q72_domain_rollup,
         "q73_bitext_margin": q73_bitext_margin,
         "q74_bm25_topk": q74_bm25_topk,
+        "q75_dsir_select": q75_dsir_select,
     }
 
 
@@ -3695,6 +3711,61 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id ORDER BY score DESC, id ASC) AS rk
               FROM scored
             ) WHERE rk <= 10
+        """,
+        "q75_dsir_select": r"""
+            -- DSIR: add-1-smoothed hashed-ngram models (D=16384), target
+            -- = doc_id % 17 == 0, raw = all docs; log w = sum over
+            -- feature occurrences of ln p_t(b) - ln p_r(b); rank on the
+            -- 6-dp rounded weight (sum order varies at 1e-15), id ties
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents
+            ), words AS (
+              SELECT doc_id, string_split(norm, ' ') AS ws
+              FROM docs WHERE length(norm) > 0
+            ), feats AS (
+              SELECT doc_id, unnest(ws) AS f FROM words
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i+1])) AS f
+              FROM words
+            ), bucketed AS (
+              SELECT doc_id,
+                     (list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(f) + 1),
+                            i -> CAST(unicode(substring(f, CAST(i AS INT), 1)) AS BIGINT))),
+                        (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                      * 2654435761) % 16384 AS bucket
+              FROM feats
+            ), rawc AS (
+              SELECT bucket, COUNT(*) AS cr FROM bucketed GROUP BY bucket
+            ), tgtc AS (
+              SELECT bucket, COUNT(*) AS ct FROM bucketed
+              WHERE doc_id % 17 = 0 GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+                     (SELECT SUM(ct) FROM tgtc) AS tt
+            ), ratio AS (
+              SELECT r.bucket,
+                     ln(coalesce(t.ct, 0) + 1.0) - ln(tt + 16384.0)
+                     - ln(r.cr + 1.0) + ln(tr + 16384.0) AS lr
+              FROM rawc r LEFT JOIN tgtc t USING (bucket), tot
+            ), perdoc AS (
+              SELECT b.doc_id, COUNT(*) AS n_feats,
+                     round(SUM(ratio.lr), 6) AS log_weight
+              FROM bucketed b JOIN ratio USING (bucket)
+              GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_feats, log_weight,
+                   log_weight AS sel_score, CAST(rk AS INT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                  ORDER BY log_weight DESC, doc_id ASC) AS rk
+              FROM perdoc
+            ) WHERE rk <= 50
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
