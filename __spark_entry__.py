@@ -1889,6 +1889,20 @@ def q75_dsir_select(spark, sf_dir):
     return dsir_select(d, target, k=50, n_buckets=1 << 14, alpha=1.0)
 
 
+def q76_semdedup(spark, sf_dir):
+    """SemDedup (operators/dedup.py::semdedup — Abbas et al. 2023):
+    cluster embeddings to 8 deterministic anchors (lowest vec_ids) by
+    rounded cosine, then mark later same-cluster vectors within 0.35
+    cosine as duplicates. Clusters bound the pair join (the scale
+    contract); assignment is one broadcast crossJoin + max_by. The 0.35
+    threshold is tuned to this table's isotropic synthetic embeddings
+    (max pairwise cosine ~0.45) so the dup set is non-trivial."""
+    from raven_spark.operators.dedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, n_clusters=8, threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1966,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bitext_margin": q73_bitext_margin,
         "q74_bm25_topk": q74_bm25_topk,
         "q75_dsir_select": q75_dsir_select,
+        "q76_semdedup": q76_semdedup,
     }
 
 
@@ -3766,6 +3781,53 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY log_weight DESC, doc_id ASC) AS rk
               FROM perdoc
             ) WHERE rk <= 50
+        """,
+        "q76_semdedup": """
+            -- SemDedup: assign to the 8 lowest-id anchor vectors by
+            -- 6-dp-rounded cosine (ties -> lowest anchor id); within a
+            -- cluster, a vector is a dup iff an EARLIER id is >= 0.35
+            -- cosine away. Dot products fold index-ordered in double
+            -- (q19's convention) so both engines round identically.
+            WITH v AS (
+              SELECT vec_id, embedding FROM embeddings
+            ), anch AS (
+              SELECT vec_id AS aid, embedding AS avec
+              FROM v ORDER BY vec_id LIMIT 8
+            ), sims AS (
+              SELECT v.vec_id, a.aid,
+                     round(
+                       list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(v.embedding[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))))
+                     , 6) AS cs
+              FROM v CROSS JOIN anch a
+            ), assign AS (
+              SELECT vec_id, aid AS cluster FROM (
+                SELECT vec_id, aid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, aid ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ), dups AS (
+              SELECT DISTINCT y.vec_id AS dup_id
+              FROM assign x
+              JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              JOIN v vx ON vx.vec_id = x.vec_id
+              JOIN v vy ON vy.vec_id = y.vec_id
+              WHERE round(
+                      list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(vx.embedding[i] AS DOUBLE) * CAST(vy.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(vx.embedding[i] AS DOUBLE) * CAST(vx.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(vy.embedding[i] AS DOUBLE) * CAST(vy.embedding[i] AS DOUBLE)))))
+                    , 6) >= 0.35
+            )
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                   (d.dup_id IS NULL) AS keep
+            FROM assign a LEFT JOIN dups d ON a.vec_id = d.dup_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -333,6 +333,81 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and pruning near-duplicates WITHIN clusters —
+    the clusters bound the pair computation, so the corpus never goes
+    all-pairs (the paper's point, and the scale contract here).
+
+    Stages:
+      1. anchors — default: the ``n_clusters`` lowest-id vectors
+         (deterministic, so the SQL oracle replays assignment exactly).
+         Pass ``anchors`` = (aid bigint, avec array<float>) to use real
+         centroids (e.g. a k-means/IVF pass — similarity.ivf_assign_udf
+         is the production assignment at 10^9 vectors: broadcast numpy
+         anchors inside an Arrow batch matmul, zero shuffle).
+      2. assignment — crossJoin(broadcast(anchors)) + max_by: cosine to
+         each anchor (cosine_col's index-ordered double fold, rounded to
+         6 dp; ties -> lowest anchor id). Partial aggregation collapses
+         to one row per vector before the exchange, so the only
+         assignment shuffle carries O(n) rows.
+      3. prune — self-join on the cluster key (8-byte shuffle key),
+         ``a.id < b.id``, cosine >= threshold marks the LATER id as a
+         duplicate ("all-but-first", the span-dedup convention). Pair
+         cost is sum of squared cluster sizes — pick n_clusters ~ sqrt(n)
+         upward, or feed real centroids, to keep clusters bounded.
+
+    Output: (``id_col``, cluster bigint, keep boolean) for every input
+    row — keep=false iff an earlier same-cluster vector is within
+    ``threshold`` cosine.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if anchors is None:
+        anchors = base.orderBy("id").limit(int(n_clusters)).select(
+            F.col("id").alias("aid"), F.col("v").alias("avec")
+        )
+    cs = F.round(cosine_col(F.col("v"), F.col("avec"), dim), 6)
+    assign = (
+        base.crossJoin(F.broadcast(anchors))
+        .withColumn("__cs", cs)
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("aid"), F.struct(F.col("__cs"), (-F.col("aid")).alias("na"))
+            ).alias("cluster"),
+            F.first("v").alias("v"),
+        )
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pair_cs = F.round(cosine_col(F.col("a.v"), F.col("b.v"), dim), 6)
+    dup_ids = (
+        a.join(
+            b,
+            [F.col("a.cluster") == F.col("b.cluster"), F.col("a.id") < F.col("b.id")],
+        )
+        .filter(pair_cs >= F.lit(float(threshold)))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assign.join(dup_ids, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # --- exact-substring span dedup (Lee et al. 2022) ----------------------------
 
 

@@ -157,3 +157,68 @@ def test_dup_span_dedup_keep_first_and_cover(spark):
     out_p = {r["doc_id"]: r["clean_text"] for r in
              dup_span_dedup(df.repartition(7), span_words=5, keep_first=True).collect()}
     assert out_p == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_semdedup_planted_clusters_vs_numpy(spark):
+    """Differential vs a numpy twin on planted clusters: two tight
+    directions with exact near-dups, plus an isotropic straggler. The
+    lowest-id anchors (0 and 1) sit one per direction by construction."""
+    import numpy as np
+
+    from raven_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    a_dir = np.array([1.0, 0.0, 0.0, 0.0])
+    b_dir = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = {
+        0: a_dir,                                  # anchor 0 (cluster A)
+        1: b_dir,                                  # anchor 1 (cluster B)
+        2: a_dir + 0.01 * rng.normal(size=4),      # near-dup of 0
+        3: b_dir + 0.01 * rng.normal(size=4),      # near-dup of 1
+        4: b_dir + 0.01 * rng.normal(size=4),      # near-dup of 1 and 3
+        5: np.array([0.5, 0.5, 0.7, 0.1]),         # cluster-ambiguous, no dup
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semdedup(df, dim=4, n_clusters=2, threshold=0.95).collect()}
+
+    def cos(x, y):
+        x32 = np.asarray(x, dtype=np.float32).astype(np.float64)
+        y32 = np.asarray(y, dtype=np.float32).astype(np.float64)
+        return round(float(x32 @ y32 / (np.linalg.norm(x32) * np.linalg.norm(y32))), 6)
+
+    expect = {}
+    for i, v in vecs.items():
+        sims = sorted(((cos(v, vecs[a]), -a) for a in (0, 1)), reverse=True)
+        expect[i] = -sims[0][1]
+    for i, (cl, _) in out.items():
+        assert cl == expect[i], i
+    dup = {
+        i for i in vecs
+        for j in vecs
+        if j < i and expect[j] == expect[i] and cos(vecs[i], vecs[j]) >= 0.95
+    }
+    assert {i for i, (_, k) in out.items() if not k} == dup
+    assert dup == {2, 3, 4}  # the planted near-dups, never the anchors
+
+
+def test_semdedup_anchor_override_and_partitions(spark):
+    import numpy as np
+
+    from raven_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = sorted(map(tuple, semdedup(df, dim=8, n_clusters=4, threshold=0.9).collect()))
+    many = sorted(map(tuple, semdedup(df.repartition(9), dim=8, n_clusters=4,
+                                      threshold=0.9).collect()))
+    assert base == many and len(base) == 40
+    # explicit anchors change the clustering but keep the contract
+    anchors = spark.createDataFrame(
+        [(100, rows[7][1]), (200, rows[13][1])], "aid bigint, avec array<float>"
+    )
+    out = semdedup(df, dim=8, n_clusters=99, threshold=0.9, anchors=anchors).collect()
+    assert {r["cluster"] for r in out} <= {100, 200}
+    assert len(out) == 40
