@@ -3677,7 +3677,8 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE r <= 4 GROUP BY tgt_id
             ), scored AS (
               SELECT p.src_id, p.tgt_id, p.cosine,
-                     round(p.cosine / ((s.a + t.a) / 2.0), 6) AS margin
+                     round(CASE WHEN (s.a + t.a) = 0 THEN 0.0
+                           ELSE p.cosine / ((s.a + t.a) / 2.0) END, 6) AS margin
               FROM pairs p JOIN asrc s USING (src_id) JOIN atgt t USING (tgt_id)
             )
             SELECT src_id, tgt_id, cosine, margin FROM (
@@ -3706,14 +3707,19 @@ def oracle_sql() -> dict[str, str]:
             ), dfreq AS (
               SELECT term, COUNT(*) AS df FROM tf GROUP BY term
             ), qt AS (
-              SELECT query_id,
-                     unnest(list_distinct(string_split(
-                       regexp_replace(lower(trim(q)), '\s+', ' ', 'g'), ' '))) AS term
-              FROM (VALUES (0, 'spark window agg'), (1, 'hash join table'),
-                           (2, 'fast scan filter sort')) AS v(query_id, q)
+              -- repeats (within a query string or across rows of one
+              -- query_id) become integer term weights, mirroring the
+              -- Spark side's query aggregate
+              SELECT query_id, term, COUNT(*) AS qw FROM (
+                SELECT query_id,
+                       unnest(string_split(
+                         regexp_replace(lower(trim(q)), '\s+', ' ', 'g'), ' ')) AS term
+                FROM (VALUES (0, 'spark window agg'), (1, 'hash join table'),
+                             (2, 'fast scan filter sort')) AS v(query_id, q)
+              ) GROUP BY query_id, term
             ), contrib AS (
               SELECT q.query_id, t.id,
-                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     q.qw * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
                      * t.tf * (1.2 + 1.0)
                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
               FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term), stats s

@@ -90,6 +90,12 @@ HEADLINE = [
     "q68_bigram_logprob",
     "q69_anchor_profile",
     "q70_hits",
+    "q71_registered_domain",
+    "q72_domain_rollup",
+    "q73_bitext_margin",
+    "q74_bm25_topk",
+    "q75_dsir_select",
+    "q76_semdedup",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -42,8 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from raven_spark.operators.quality_model import _features, feature_bucket_col
-
-_DENOM = 1_000_000  # Gumbel coin resolution (sampling.knuth_coin convention)
+from raven_spark.operators.sampling import _DENOM, knuth_coin
 
 
 def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
@@ -134,14 +133,10 @@ def dsir_logweights(
 def gumbel_coin_col(key: F.Column) -> F.Column:
     """Deterministic standard-Gumbel noise from the Knuth coin of an
     integer key: g = -ln(-ln(u)), u = (coin + 0.5) / 1e6 in (0, 1).
-    SQL-replayable; the +0.5 keeps u strictly inside the unit interval."""
-    u = (
-        F.pmod(
-            F.pmod(key.cast("bigint"), F.lit(1_000_000_007)) * F.lit(2654435761),
-            F.lit(_DENOM),
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(_DENOM))
+    SQL-replayable (``sampling.knuth_coin`` is the single source of the
+    coin convention); the +0.5 keeps u strictly inside the unit
+    interval."""
+    u = (knuth_coin(key).cast("double") + F.lit(0.5)) / F.lit(float(_DENOM))
     return -F.log(-F.log(u))
 
 

@@ -862,18 +862,21 @@ def bm25_topk(
                       idf(t) * tf(t,d) * (k1+1)
                             / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
 
-    Distinct query terms (the standard bag-of-words simplification for
-    short queries; repeat a term in the query table to weight it).
+    Query terms carry integer weights: repeating a term — within one
+    query string or across rows sharing a query_id — multiplies its
+    contribution by the occurrence count (the query-side aggregate
+    counts repeats; per-term score scales by that count).
 
     Scale shape: the (id, term) tf aggregate is map-side combinable;
     the QUERY-TERM broadcast prune lands directly on it, so everything
     downstream — document frequencies included — sees only the postings
     of the queried terms, never the corpus vocabulary (df over the
     pruned postings equals df over the corpus for those terms). |d|
-    comes straight off the scan (no extra shuffle) and avgdl is a 1-row
-    broadcast, so the only per-corpus exchanges are the tf aggregate
-    and the final per-(query, doc) sum. The top-k window is
-    literal-bound row_number -> WindowGroupLimit prunes map-side.
+    comes straight off the scan (no extra shuffle); N and avgdl ride
+    the same lazy 1-row broadcast aggregate (no eager driver job), so
+    the only per-corpus exchanges are the tf aggregate and the final
+    per-(query, doc) sum. The top-k window is literal-bound
+    row_number -> WindowGroupLimit prunes map-side.
     Ranking ties break on the 6-dp ROUNDED score (the per-term sum's
     addition order is engine-dependent at 1e-16; ranking on the rounded
     value keeps Spark and the SQL oracle picking identical rows), then
@@ -885,19 +888,23 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         F.split(norm_text_col(F.col(text_col)), " ").alias("__toks"),
     )
-    n_docs = base.count() or 1
     toks = base.select("id", F.size("__toks").alias("dl"),
                        F.explode("__toks").alias("term"))
     tf = toks.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    avgdl = base.select(F.avg(F.size("__toks")).alias("avgdl"))
-    qpairs = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(
-            F.array_distinct(F.split(norm_text_col(F.col(query_col)), " "))
-        ).alias("term"),
-    ).distinct()
+    stats = base.select(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    qpairs = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(norm_text_col(F.col(query_col)), " ")).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("__qw"))
+    )
     # prune the corpus postings to queried terms BEFORE anything else:
     # df and the scoring join then touch O(query-term postings), not
     # O(corpus vocabulary)
@@ -906,16 +913,17 @@ def bm25_topk(
     qterms = F.broadcast(qpairs)
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     contrib = (
         tfq.join(qterms, "term")
         .join(dfreq, "term")
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "__c",
-            idf
+            F.col("__qw").cast("double")
+            * idf
             * F.col("tf").cast("double") * F.lit(float(k1) + 1.0)
             / (
                 F.col("tf").cast("double")

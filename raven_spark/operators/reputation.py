@@ -130,10 +130,14 @@ def domain_rollup(
         .cast("bigint")
     )
     q = F.col(quality_col) if quality_col else F.lit(0.0)
+    # NULL-guard the hashes: xxhash64(NULL) is the (non-NULL) seed
+    # constant, which would make every NULL host/text count as one
+    # shared "distinct" value; COUNT(DISTINCT x) in SQL excludes NULLs,
+    # and countDistinct skips NULL inputs, so the guard keeps parity.
     base = df.select(
         F.col(domain_col).alias("domain_key"),
-        F.xxhash64(F.col(host_col)).alias("__hh"),
-        F.xxhash64(F.col(text_col)).alias("__th"),
+        F.when(F.col(host_col).isNotNull(), F.xxhash64(F.col(host_col))).alias("__hh"),
+        F.when(F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col))).alias("__th"),
         toks.alias("__t"),
         q.cast("double").alias("__q"),
     )

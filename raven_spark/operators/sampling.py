@@ -38,13 +38,17 @@ _DENOM = 1_000_000  # fraction resolution: 1e-6
 KNUTH_32 = 2654435761  # Knuth multiplicative constant (public; TAOCP vol 3)
 
 
-def knuth_coin(key_col: str, denom: int = _DENOM) -> "F.Column":
+def knuth_coin(key_col: "str | F.Column", denom: int = _DENOM) -> "F.Column":
     """The ANSI-SQL-replayable coin (same convention as pipeline.split_col):
     ((key mod 1e9+7) * K) mod denom — overflow-free for all bigints, so
     DuckDB oracles can replay membership exactly. Weaker mixing than
-    xxhash64 (use only on already-arbitrary integer ids)."""
+    xxhash64 (use only on already-arbitrary integer ids). Takes a column
+    name or a Column expression; this is the ONE definition of the coin
+    convention — derive from it (dsir.gumbel_coin_col) rather than
+    re-hardcoding the constants."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.pmod(
-        F.pmod(F.col(key_col).cast("bigint"), F.lit(1_000_000_007)) * F.lit(KNUTH_32),
+        F.pmod(key.cast("bigint"), F.lit(1_000_000_007)) * F.lit(KNUTH_32),
         F.lit(denom),
     )
 

@@ -192,8 +192,9 @@ def bitext_margin_pairs(
     Determinism/parity conventions (shared with the q73 oracle): cosine
     is the explicit double fold of ``cosine_col`` rounded to 12 dp;
     k-NN selection breaks cosine ties on neighbor id ascending; the two
-    k-NN averages round to 9 dp before the ratio; the final pick orders
-    by (margin desc, cosine desc, tgt_id asc).
+    k-NN averages round to 9 dp before the ratio; a zero denominator
+    (both averages cancel exactly) defines margin = 0.0; the final pick
+    orders by (margin desc, cosine desc, tgt_id asc).
 
     Scale shape: this exact form scores ALL src x tgt pairs — correct
     at evaluation scale and as the oracle-duty baseline. At 10^9
@@ -233,14 +234,20 @@ def bitext_margin_pairs(
         .groupBy("tgt_id")
         .agg(F.round(F.avg("cosine"), 9).alias("__atgt"))
     )
+    # degenerate denominator (both k-NN averages sum to exactly 0 —
+    # reachable with orthogonal/one-hot embeddings): margin is defined
+    # as 0.0 rather than the engine-dependent 0/0 (Spark NULL vs IEEE
+    # NaN), keeping the pick deterministic and SQL-replayable
+    denom = (F.col("__asrc") + F.col("__atgt")) / F.lit(2.0)
     scored = (
         pairs.join(avg_src, "src_id")
         .join(avg_tgt, "tgt_id")
         .withColumn(
             "margin",
             F.round(
-                F.col("cosine")
-                / ((F.col("__asrc") + F.col("__atgt")) / F.lit(2.0)),
+                F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+                    F.col("cosine") / denom
+                ),
                 6,
             ),
         )

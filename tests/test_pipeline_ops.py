@@ -540,3 +540,48 @@ def test_bm25_topk_partition_invariance(spark):
     one = sorted(map(tuple, bm25_topk(df.coalesce(1), q, k=5).collect()))
     many = sorted(map(tuple, bm25_topk(df.repartition(9), q, k=5).collect()))
     assert one == many and len(one) == 5
+
+
+def test_bm25_topk_repeated_query_term_weights(spark):
+    """Repeating a term in the query string multiplies its contribution
+    by the occurrence count (the docstring's weighting recipe — it used
+    to be silently collapsed by a distinct); laziness: plan construction
+    runs no eager corpus count."""
+    import math
+    from collections import Counter
+
+    from raven_spark.operators.pipeline import bm25_topk
+
+    docs = {1: "apple banana", 2: "banana banana cherry", 3: "apple apple"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "apple banana")],
+        "query_id int, query string",
+    )
+    got = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_topk(df, q, k=3).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = Counter(term for t in toks.values() for term in set(t))
+
+    def contrib(term, i):
+        tf = Counter(toks[i])[term]
+        if tf == 0:
+            return 0.0
+        idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl))
+
+    for i in docs:
+        weighted = round(2 * contrib("apple", i) + contrib("banana", i), 6)
+        flat = round(contrib("apple", i) + contrib("banana", i), 6)
+        if weighted:
+            assert got[(0, i)] == weighted
+        if flat:
+            assert got[(1, i)] == flat
+    # the doubled term strictly outranks where it matters: doc 3 (pure
+    # apple) beats doc 2 (banana-heavy) under q0 but not necessarily q1
+    assert got[(0, 3)] > got[(0, 2)]

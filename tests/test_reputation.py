@@ -105,3 +105,25 @@ def test_domain_rollup_partition_invariance(corpus):
     one = sorted(map(tuple, domain_rollup(base.coalesce(1), quality_col="q").collect()))
     many = sorted(map(tuple, domain_rollup(base.repartition(11), quality_col="q").collect()))
     assert one == many
+
+
+def test_domain_rollup_null_text_and_host_excluded_from_distincts(spark):
+    """xxhash64(NULL) is the non-NULL seed constant; without the NULL
+    guard a NULL-text doc would count as one shared 'unique content'
+    value and a NULL host as a real host, diverging from SQL's
+    COUNT(DISTINCT x) which excludes NULLs."""
+    from raven_spark.operators.reputation import domain_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("d.com", "a.d.com", "one two", 0.5),
+            ("d.com", "a.d.com", None, 0.5),  # NULL text: not a unique body
+            ("d.com", None, "three", 0.5),  # NULL host: not a host
+            ("d.com", None, None, 0.5),
+        ],
+        "domain_key string, host string, text string, q double",
+    )
+    row = domain_rollup(df, quality_col="q").collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_hosts"] == 1  # only a.d.com
+    assert row["n_unique"] == 2  # 'one two', 'three'

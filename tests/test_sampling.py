@@ -180,3 +180,16 @@ def test_mixture_sample_zero_mass_group_is_absent(spark):
     with pytest.raises(ValueError, match="zh"):
         mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5},
                        key_cols="doc_id", size_col="n_tokens")
+
+
+def test_knuth_coin_accepts_column_expression(spark):
+    """knuth_coin is the single definition of the coin convention; it
+    takes a name or a Column (dsir.gumbel_coin_col derives from it)."""
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sampling import knuth_coin
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    a = [r[0] for r in df.select(knuth_coin("k")).collect()]
+    b = [r[0] for r in df.select(knuth_coin(F.col("k"))).collect()]
+    assert a == b

@@ -152,3 +152,26 @@ def test_bitext_margin_partition_invariance(spark):
     many = sorted(map(tuple, bitext_margin_pairs(
         src.repartition(7), tgt.repartition(5), k=4).collect()))
     assert one == many and len(one) == src.count()
+
+
+def test_bitext_margin_zero_denominator_defines_margin_zero(spark):
+    """Orthogonal one-hot embeddings: every cosine is exactly 0, so both
+    k-NN averages are 0 and the ratio is 0/0 — the convention defines
+    margin = 0.0 (deterministic, SQL-replayable) instead of an
+    engine-dependent NULL/NaN."""
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = bitext_margin_pairs(src, tgt, k=2, dim=4).collect()
+    assert sorted(r["src_id"] for r in rows) == [0, 2]
+    for r in rows:
+        assert r["margin"] == 0.0  # not None
+        assert r["cosine"] == 0.0
+        assert r["tgt_id"] == 1  # tie-break: lowest tgt_id
