@@ -1903,6 +1903,27 @@ def q76_semdedup(spark, sf_dir):
     return semdedup(e, n_clusters=8, threshold=0.35)
 
 
+def q77_soft_dedup(spark, sf_dir):
+    """SoftDeDup-style duplicate down-weighting (operators/dedup.py::
+    soft_dedup_weights): every doc kept, training weight 1/n for an
+    n-way exact-duplicate cluster. One 8-byte-hash-keyed map-side-
+    combinable count + one hash join; text never shuffles."""
+    from raven_spark.operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+def q78_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking dedup (operators/dedup.py::
+    cdc_chunk_dedup): word-level CDC boundaries from a SQL-replayable
+    hash coin (expected chunk 8 words), corpus-wide chunk counts,
+    per-doc duplicated-chunk fraction. Chunking is pure column algebra
+    fused into the scan; only 8-byte chunk hashes shuffle."""
+    from raven_spark.operators.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(_t(spark, sf_dir, "documents"), avg_chunk_words=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1981,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_bm25_topk": q74_bm25_topk,
         "q75_dsir_select": q75_dsir_select,
         "q76_semdedup": q76_semdedup,
+        "q77_soft_dedup": q77_soft_dedup,
+        "q78_cdc_chunks": q78_cdc_chunks,
     }
 
 
@@ -3834,6 +3857,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
                    (d.dup_id IS NULL) AS keep
             FROM assign a LEFT JOIN dups d ON a.vec_id = d.dup_id
+        """,
+        "q77_soft_dedup": r"""
+            -- SoftDeDup down-weighting: weight = 1/n over the exact
+            -- normalized-text cluster; NULL/empty texts coalesce to ''
+            -- and cluster together (the engine's documented identity).
+            WITH norm AS (
+              SELECT doc_id,
+                     coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                              '') AS n
+              FROM documents
+            ), c AS (
+              SELECT n, count(*) AS dup_count FROM norm GROUP BY n
+            )
+            SELECT norm.doc_id, c.dup_count,
+                   round(1.0 / c.dup_count, 9) AS weight
+            FROM norm JOIN c USING (n)
+        """,
+        "q78_cdc_chunks": r"""
+            -- Content-defined chunking: a word ENDS a chunk when the
+            -- q51 hash coin (poly-31 fold mod 1e9+7, Knuth mix) lands
+            -- on 0 mod 8; the final word closes the last chunk. A chunk
+            -- is duplicated when its string occurs >= 2x corpus-wide
+            -- (multiplicity included).
+            WITH norm AS (
+              SELECT doc_id,
+                     coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                              '') AS n
+              FROM documents
+            ), words AS (
+              SELECT doc_id, string_split(n, ' ') AS ws, length(n) AS ln FROM norm
+            ), bounds AS (
+              SELECT doc_id, ws, ln,
+                     list_filter(range(1, len(ws) + 1),
+                       i -> (list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(range(1, length(ws[i]) + 1),
+                                   j -> CAST(unicode(substring(ws[i], CAST(j AS INT), 1)) AS BIGINT))),
+                               (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                             * 2654435761) % 8 = 0) AS bpos
+              FROM words
+            ), ends AS (
+              SELECT doc_id, ws, ln,
+                     CASE WHEN coalesce(bpos[-1], 0) < len(ws)
+                          THEN list_append(bpos, len(ws)) ELSE bpos END AS e
+              FROM bounds
+            ), chunks AS (
+              SELECT doc_id,
+                     CASE WHEN ln = 0 THEN []
+                     ELSE list_transform(range(1, len(e) + 1),
+                       k -> array_to_string(
+                              ws[CASE WHEN k = 1 THEN 1 ELSE e[k-1] + 1 END : e[k]],
+                              ' '))
+                     END AS cs
+              FROM ends
+            ), ch AS (
+              SELECT doc_id, unnest(cs) AS c FROM chunks
+            ), cnt AS (
+              SELECT c, count(*) AS cn FROM ch GROUP BY c
+            ), per_doc AS (
+              SELECT ch.doc_id, count(*) AS n_chunks,
+                     sum(CASE WHEN cnt.cn >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+              FROM ch JOIN cnt USING (c) GROUP BY ch.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+                   round(coalesce(p.n_dup_chunks, 0) * 1.0
+                         / greatest(coalesce(p.n_chunks, 0), 1), 6) AS dup_chunk_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -513,3 +513,136 @@ def dup_span_dedup(
         )
         .drop("__words", "__gh", "__starts")
     )
+
+
+# --- soft dedup (down-weighting) -------------------------------------------------
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate DOWN-WEIGHTING instead of removal (the SoftDeDup idea:
+    keep every copy but scale its training weight by 1/n for an n-way
+    exact-duplicate cluster, so the corpus distribution is preserved
+    while duplicated content stops dominating the gradient).
+
+    Identity is the engine-wide dedup transform (``norm_text_col``);
+    NULL and empty texts coalesce to "" and cluster together (matching
+    SQL's COUNT(*) OVER (PARTITION BY norm), which groups NULLs).
+
+    Output: (id_col, dup_count, weight) — weight = round(1/n, 9), one
+    row per input document.
+
+    Scale shape: one map-side-combinable count aggregate keyed on the
+    8-byte xxhash64 of the identity text plus one hash join back; text
+    never shuffles (collision class as ``exact_dedup``). A window over
+    the hash would be one exchange instead of two but gives up the
+    partial aggregate — at web scale a boilerplate cluster duplicated
+    10^6 times must combine map-side, not land on one reducer rank.
+    """
+    key = F.xxhash64(F.coalesce(norm_text_col(F.col(text_col)), F.lit("")))
+    base = df.select(F.col(id_col), key.alias("__k"))
+    counts = base.groupBy("__k").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        base.join(counts, "__k")
+        .select(
+            id_col,
+            "dup_count",
+            F.round(F.lit(1.0) / F.col("dup_count"), 9).alias("weight"),
+        )
+    )
+
+
+# --- content-defined chunk dedup -------------------------------------------------
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_chunk_words: int = 8,
+) -> DataFrame:
+    """Content-defined chunking dedup at the WORD level: cut each
+    document at content-determined boundaries (a word ends a chunk when
+    its SQL-replayable hash coin lands on 0, expected chunk length
+    ``avg_chunk_words``), then count every chunk corpus-wide and report
+    each document's duplicated-chunk fraction. The storage-dedup CDC
+    idea applied to corpus text: because boundaries depend only on
+    CONTENT, an insertion or deletion re-aligns within one chunk instead
+    of shifting every downstream window — the property fixed-stride
+    shingles (``dup_ngram_frac``) lack.
+
+    A chunk is "duplicated" when its normalized string occurs >= 2 times
+    corpus-wide, multiplicity included (a chunk repeated twice inside one
+    document counts, matching the storage-dedup notion of a shared
+    block).
+
+    Output: (id_col, n_chunks, n_dup_chunks, dup_chunk_frac) — every
+    input document appears (empty text -> 0 chunks, frac 0.0).
+
+    Scale shape: chunking is pure column algebra fused into the scan
+    (boundary positions via filter over a word-index sequence, chunks
+    via dynamic-slice transform — no explode until chunks exist); the
+    corpus count shuffles only the 8-byte xxhash64 of each chunk
+    (collision class as ``exact_dedup``), map-side combinable; the
+    count join reuses the hash partitioning; the per-doc rollup keys on
+    the id. Chunk text never shuffles.
+    """
+    from raven_spark.operators.quality_model import feature_bucket_col
+
+    norm = norm_text_col(F.col(text_col))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    # 1-based word positions that END a chunk (coin hit), plus the final
+    # word if it didn't land on a boundary
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: feature_bucket_col(F.element_at(words, i), avg_chunk_words)
+        == F.lit(0),
+    )
+    ends = F.when(
+        F.coalesce(F.try_element_at(bpos, F.lit(-1)), F.lit(0)) < n,
+        F.concat(bpos, F.array(n)),
+    ).otherwise(bpos)
+    starts = F.transform(
+        ends,
+        lambda e, j: F.when(j == 0, F.lit(1)).otherwise(
+            F.element_at(ends, j) + F.lit(1)
+        ),
+    )
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.array_join(F.slice(words, s, e - s + 1), " ")
+    )
+    chunks = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(chunks)
+
+    docs = df.select(F.col(id_col), chunks.alias("__chunks"))
+    ch = docs.select(id_col, F.explode("__chunks").alias("__c")).select(
+        id_col, F.xxhash64("__c").alias("__h")
+    )
+    counts = ch.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        ch.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__n") >= 2).cast("bigint")).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.coalesce("n_dup_chunks", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_chunks", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

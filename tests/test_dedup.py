@@ -222,3 +222,70 @@ def test_semdedup_anchor_override_and_partitions(spark):
     out = semdedup(df, dim=8, n_clusters=99, threshold=0.9, anchors=anchors).collect()
     assert {r["cluster"] for r in out} <= {100, 200}
     assert len(out) == 40
+
+
+def test_soft_dedup_weights(docs, spark):
+    from raven_spark.operators.dedup import soft_dedup_weights
+
+    out = {r["doc_id"]: (r["dup_count"], r["weight"]) for r in soft_dedup_weights(docs).collect()}
+    assert len(out) == 7  # every doc kept — down-weighting, not removal
+    for i in (0, 1, 2, 6):  # 4-way exact cluster
+        assert out[i] == (4, 0.25)
+    for i in (3, 4, 5):
+        assert out[i] == (1, 1.0)
+    # cluster-weight invariant: sum(weight) == number of distinct texts
+    total = sum(w for _, w in out.values())
+    assert abs(total - 4.0) < 1e-9
+
+    # NULL and empty texts cluster together (documented identity)
+    nulls = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "   "), (13, "x")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r["dup_count"] for r in soft_dedup_weights(nulls).collect()}
+    assert out2 == {10: 3, 11: 3, 12: 3, 13: 1}
+
+
+def test_cdc_chunk_dedup_counts_and_realignment(spark):
+    from raven_spark.operators.dedup import cdc_chunk_dedup
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    rows = [
+        (0, shared),
+        (1, shared),                       # exact duplicate -> all chunks dup
+        (2, "PREFIXWORD " + shared),       # insertion: CDC re-aligns after 1 chunk
+        (3, "entirely different words with no overlap whatsoever here"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(df, avg_chunk_words=4).collect()}
+
+    assert len(out) == 6  # every doc present, incl. null/empty
+    assert out[4]["n_chunks"] == 0 and out[4]["dup_chunk_frac"] == 0.0
+    assert out[5]["n_chunks"] == 0 and out[5]["dup_chunk_frac"] == 0.0
+
+    # exact duplicates share every chunk
+    assert out[0]["n_chunks"] == out[1]["n_chunks"] >= 2
+    assert out[0]["dup_chunk_frac"] == 1.0 and out[1]["dup_chunk_frac"] == 1.0
+
+    # CDC property: a prefix insertion only corrupts the FIRST chunk —
+    # boundaries depend on content, so later chunks re-align and stay
+    # duplicated (a fixed-stride shingle would shift every window)
+    assert out[2]["n_dup_chunks"] >= out[2]["n_chunks"] - 1 > 0
+
+    # unrelated doc shares nothing
+    assert out[3]["dup_chunk_frac"] == 0.0
+
+
+def test_cdc_chunks_partition_invariance(spark):
+    from raven_spark.operators.dedup import cdc_chunk_dedup
+
+    words = ["w%d" % (i % 37) for i in range(300)]
+    rows = [(i, " ".join(words[i % 7 :][: 40 + i % 23])) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, cdc_chunk_dedup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, cdc_chunk_dedup(df.repartition(13)).collect()))
+    assert a == b
