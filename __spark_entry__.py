@@ -1924,6 +1924,24 @@ def q78_cdc_chunks(spark, sf_dir):
     return cdc_chunk_dedup(_t(spark, sf_dir, "documents"), avg_chunk_words=8)
 
 
+def q79_phrase_search(spark, sf_dir):
+    """Exact-phrase search (operators/pipeline.py::phrase_search):
+    positional postings pruned to the phrases' term set by broadcast
+    semi-join before any shuffle, per-candidate-doc term->positions map
+    in two id-keyed aggregates, consecutive-position check as pure
+    array algebra, literal-bound top-k. Four in-vocabulary phrases of
+    lengths 1-3 against the documents table."""
+    from raven_spark.operators.pipeline import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    ph = spark.createDataFrame(
+        [(0, "table scan merge"), (1, "batch batch"), (2, "sort merge"),
+         (3, "window"), (4, "no such phrase here")],
+        "phrase_id int, phrase string",
+    )
+    return phrase_search(d, ph, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2004,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_semdedup": q76_semdedup,
         "q77_soft_dedup": q77_soft_dedup,
         "q78_cdc_chunks": q78_cdc_chunks,
+        "q79_phrase_search": q79_phrase_search,
     }
 
 
@@ -3926,6 +3945,36 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.n_dup_chunks, 0) * 1.0
                          / greatest(coalesce(p.n_chunks, 0), 1), 6) AS dup_chunk_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "q79_phrase_search": r"""
+            -- Exact-phrase top-k: a hit is a start position s where the
+            -- normalized word slice equals the phrase's term list
+            -- (overlaps counted). Ties: n_hits desc, doc id asc.
+            WITH ph AS (
+              SELECT phrase_id,
+                     string_split(regexp_replace(lower(trim(phrase)),
+                                                 '\s+', ' ', 'g'), ' ') AS pts
+              FROM (VALUES (0, 'table scan merge'), (1, 'batch batch'),
+                           (2, 'sort merge'), (3, 'window'),
+                           (4, 'no such phrase here')) AS t(phrase_id, phrase)
+            ), docs AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ), hits AS (
+              SELECT ph.phrase_id, d.doc_id AS id,
+                     len(list_filter(range(1, len(d.ws) - len(ph.pts) + 2),
+                         s -> d.ws[s : s + len(ph.pts) - 1] = ph.pts)) AS n_hits
+              FROM docs d CROSS JOIN ph
+            )
+            SELECT phrase_id, id, CAST(n_hits AS INT) AS n_hits,
+                   CAST(rk AS INT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY phrase_id ORDER BY n_hits DESC, id ASC) AS rk
+              FROM hits WHERE n_hits >= 1
+            ) WHERE rk <= 10
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -946,6 +946,96 @@ def bm25_topk(
     )
 
 
+def phrase_search(
+    df: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search over positional postings — the retrieval
+    capability BM25's bag-of-words scoring cannot express: a document
+    matches only where the phrase's terms occur CONSECUTIVELY, and the
+    hit count is the number of start positions (overlaps counted, the
+    standard positional-index semantics).
+
+    Scale shape: the corpus explodes to positional postings but is
+    pruned to the phrases' term set by a broadcast semi-join BEFORE any
+    shuffle, so the per-doc aggregate sees O(phrase-term postings), not
+    O(corpus tokens). Two hash aggregates build the per-candidate-doc
+    term -> sorted-positions map (both keyed on the 8-byte doc id; the
+    second reuses the first's partitioning); the phrase table — user
+    queries, O(10-10^3) rows — broadcasts against candidates and the
+    consecutive-position check is pure array algebra inside codegen
+    (first term's positions filtered by array_contains lookups at
+    p + offset for the rest). The top-k window is literal-bound
+    row_number -> WindowGroupLimit prunes map-side. Ties break on hit
+    count desc, then doc id asc.
+
+    Output: (phrase_id, id, n_hits, rank), rank 1..k per phrase,
+    matching docs only (n_hits >= 1).
+    """
+    ph = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.split(norm_text_col(F.col(phrase_col)), " ").alias("__pts"),
+    ).filter(F.size("__pts") > 0)
+    pterms = ph.select(F.explode("__pts").alias("term")).distinct()
+
+    postings = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(norm_text_col(F.col(text_col)), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    pruned = postings.join(F.broadcast(pterms), "term")
+    perdoc = (
+        pruned.groupBy("id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "__ps"))).alias(
+                "__pm"
+            )
+        )
+    )
+
+    cand = perdoc.crossJoin(F.broadcast(ph)).filter(
+        F.forall(F.col("__pts"), lambda t: F.map_contains_key(F.col("__pm"), t))
+    )
+    first_ps = F.element_at(F.col("__pm"), F.element_at(F.col("__pts"), 1))
+    # terms 2..k with their phrase offsets; empty for single-term phrases
+    rest = F.slice(
+        F.col("__pts"), 2, F.greatest(F.size("__pts") - 1, F.lit(0))
+    )
+    n_hits = F.size(
+        F.filter(
+            first_ps,
+            lambda p: ~F.exists(
+                F.transform(
+                    rest,
+                    lambda t, i: F.array_contains(
+                        F.element_at(F.col("__pm"), t), p + i + F.lit(1)
+                    ),
+                ),
+                lambda ok: ~ok,
+            ),
+        )
+    )
+    hits = cand.select("phrase_id", "id", n_hits.alias("n_hits")).filter(
+        F.col("n_hits") >= 1
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_hits").desc(), F.col("id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))  # literal -> WindowGroupLimit
+        .select("phrase_id", "id", "n_hits", "rank")
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

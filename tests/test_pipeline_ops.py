@@ -585,3 +585,63 @@ def test_bm25_topk_repeated_query_term_weights(spark):
     # the doubled term strictly outranks where it matters: doc 3 (pure
     # apple) beats doc 2 (banana-heavy) under q0 but not necessarily q1
     assert got[(0, 3)] > got[(0, 2)]
+
+
+def test_phrase_search_semantics(spark):
+    from raven_spark.operators.pipeline import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "beta  GAMMA beta gamma beta gamma"),  # overlaps + case/ws norm
+            (2, "alpha delta"),
+            (3, None),
+            (4, ""),
+            (5, "beta gamma"),
+        ],
+        "doc_id int, text string",
+    )
+    ph = spark.createDataFrame(
+        [
+            (0, "beta gamma"),
+            (1, "alpha"),
+            (2, "gamma beta gamma"),
+            (3, "absent words only"),
+        ],
+        "phrase_id int, phrase string",
+    )
+    out = {
+        (r["phrase_id"], r["id"]): (r["n_hits"], r["rank"])
+        for r in phrase_search(docs, ph, k=10).collect()
+    }
+    # consecutive-only: doc 0 has beta gamma once; doc 1 three times
+    # (positions 0, 2, 4 after normalization); doc 5 once
+    assert out[(0, 1)] == (3, 1)
+    assert out[(0, 0)] == (1, 2) and out[(0, 5)] == (1, 3)  # tie -> id asc
+    # single-term phrase counts every occurrence
+    assert out[(1, 0)] == (1, 1) and out[(1, 2)] == (1, 2)
+    # 3-term phrase spanning overlapping repeats: "gamma beta gamma"
+    # occurs at positions 1 and 3 of doc 1
+    assert out[(2, 1)] == (2, 1)
+    # absent phrase -> no rows; null/empty docs never match
+    assert not any(p == 3 for p, _ in out)
+    assert not any(d in (3, 4) for _, d in out)
+
+
+def test_phrase_search_k_bound_and_partition_invariance(spark):
+    from raven_spark.operators.pipeline import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, "x y " * (i % 5 + 1)) for i in range(40)], "doc_id int, text string"
+    )
+    ph = spark.createDataFrame([(0, "x y")], "phrase_id int, phrase string")
+    out = phrase_search(docs, ph, k=7).collect()
+    assert len(out) == 7
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 8))
+    # best docs are the ones with the most repeats, ties by id
+    best = sorted(out, key=lambda r: r["rank"])[0]
+    assert best["n_hits"] == 5 and best["id"] == 4
+
+    a = sorted(map(tuple, phrase_search(docs.repartition(1), ph, k=7).collect()))
+    b = sorted(map(tuple, phrase_search(docs.repartition(11), ph, k=7).collect()))
+    assert a == b
