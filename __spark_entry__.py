@@ -1942,6 +1942,19 @@ def q79_phrase_search(spark, sf_dir):
     return phrase_search(d, ph, k=10)
 
 
+def q80_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (operators/dedup.py::
+    containment_pairs): inverted-index candidates keyed only on
+    discriminative shingles (corpus df in [2, 20]), then exact
+    containment/Jaccard over hashed gram arrays for candidate docs.
+    Catches truncated-mirror/quote-wrapped copies Jaccard dilutes."""
+    from raven_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2023,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_soft_dedup": q77_soft_dedup,
         "q78_cdc_chunks": q78_cdc_chunks,
         "q79_phrase_search": q79_phrase_search,
+        "q80_containment": q80_containment,
     }
 
 
@@ -3975,6 +3989,50 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY phrase_id ORDER BY n_hits DESC, id ASC) AS rk
               FROM hits WHERE n_hits >= 1
             ) WHERE rk <= 10
+        """,
+        "q80_containment": r"""
+            -- Containment pairs: candidates share >=1 gram with corpus
+            -- df in [2, 20]; containment/Jaccard exact on candidates.
+            -- Gram identity: q10's distinct word 3-grams (short texts
+            -- degrade to [normalized text]).
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS w,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+              FROM documents
+            ), grams AS (
+              SELECT id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in generate_series(1, len(w)-2)])
+                     ELSE [nrm] END AS g
+              FROM toks
+            ), postings AS (
+              SELECT id, unnest(g) AS gr FROM grams
+            ), rare AS (
+              SELECT gr FROM postings GROUP BY gr HAVING count(*) BETWEEN 2 AND 20
+            ), keyed AS (
+              SELECT p.id, p.gr FROM postings p JOIN rare USING (gr)
+            ), cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM keyed x JOIN keyed y ON x.gr = y.gr AND x.id < y.id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(a.g), 1), 6) AS containment_a,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(b.g), 1), 6) AS containment_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(a.g) + len(b.g)
+                                    - len(list_intersect(a.g, b.g)), 1), 6) AS jaccard
+            FROM cand JOIN grams a ON a.id = cand.id_a
+                      JOIN grams b ON b.id = cand.id_b
+            WHERE greatest(
+                    round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / greatest(len(a.g), 1), 6),
+                    round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / greatest(len(b.g), 1), 6)) >= 0.5
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -113,6 +113,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram set containment
+    |A ∩ B| / |A| — the metric that catches a document mostly CONTAINED
+    in another (truncated mirrors, quote-wrapped copies, boilerplate-
+    padded rehosts), which Jaccard dilutes toward 0 as the containing
+    side grows (a 100-word doc inside a 10k-word page has Jaccard
+    ~0.01 but containment 1.0).
+
+    Candidate generation is an inverted-index self-join bounded by
+    DISCRIMINATIVE shingles: only grams with corpus document frequency
+    in [2, max_df] key the pair join. A gram shared by 10^6 docs would
+    alone generate 10^12 candidate pairs and discriminates nothing
+    (it IS boilerplate); dropping hot grams bounds per-gram fan-out at
+    max_df^2 while keeping every pair that shares at least one
+    non-boilerplate gram. Contract: a pair whose ONLY shared grams are
+    hotter than max_df is not reported — by construction such a pair's
+    overlap is pure boilerplate.
+
+    Containment/Jaccard are then EXACT on candidates, computed over
+    8-byte xxhash64 gram arrays (collision class as ``exact_dedup``) —
+    gram text never shuffles; only hashed arrays move, and only for
+    candidate docs.
+
+    Output: (id_a, id_b, containment_a, containment_b, jaccard) with
+    id_a < id_b, containment_a = |A∩B|/|A|, kept when
+    max(containment_a, containment_b) >= threshold.
+    """
+    gsets = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles_col(F.col(text_col), n), lambda g: F.xxhash64(g)
+        ).alias("gh"),
+    )
+    postings = gsets.select("id", F.explode("gh").alias("g"))
+    rare = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= F.lit(int(max_df))))
+        .select("g")
+    )
+    keyed = postings.join(rare, "g")
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "g")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = gsets.select(F.col("id").alias("id_a"), F.col("gh").alias("__ga"))
+    b = gsets.select(F.col("id").alias("id_b"), F.col("gh").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(F.size("__ga"), F.lit(1)), 6).alias(
+                "containment_a"
+            ),
+            F.round(inter / F.greatest(F.size("__gb"), F.lit(1)), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                inter
+                / F.greatest(
+                    F.size(F.array_union("__ga", "__gb")), F.lit(1)
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b")
+            >= F.lit(float(threshold))
+        )
+    )
+
+
 # --- MinHash + LSH -------------------------------------------------------------------
 
 

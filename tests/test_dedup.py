@@ -289,3 +289,46 @@ def test_cdc_chunks_partition_invariance(spark):
     a = sorted(map(tuple, cdc_chunk_dedup(df.repartition(1)).collect()))
     b = sorted(map(tuple, cdc_chunk_dedup(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_containment_pairs_asymmetric_and_hot_gram_block(spark):
+    from raven_spark.operators.dedup import containment_pairs
+
+    full = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, full),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # prefix of 0
+        (2, "unrelated text about spark shuffles and broadcast joins today"),
+        # hot boilerplate shared by many docs: every gram's df > max_df
+        *[(10 + i, "same boiler plate words here") for i in range(8)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, n=3, threshold=0.5, max_df=4).collect()
+    }
+    # doc 1 fully contained in doc 0: containment_a = 1.0, jaccard well below
+    r01 = out[(0, 1)]
+    assert r01["containment_b"] == 1.0          # |A∩B| / |B|, B is the prefix
+    assert r01["containment_a"] < 0.5
+    assert r01["jaccard"] == r01["containment_a"]  # A∪B = A when B ⊆ A
+    # hot-gram contract: the 8-way boilerplate cluster (df=8 > max_df=4)
+    # generates NO candidates — its overlap is pure boilerplate
+    assert not any(ia >= 10 or ib >= 10 for ia, ib in out)
+    assert (0, 2) not in out
+
+
+def test_containment_pairs_partition_invariance(spark):
+    from raven_spark.operators.dedup import containment_pairs
+
+    # planted pairs: doc 2k+1 is a prefix of doc 2k, distinct vocab per pair
+    rows = []
+    for k in range(20):
+        base = " ".join("p%d_%d" % (k, j) for j in range(20))
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, " ".join(base.split()[:8])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, containment_pairs(df.repartition(1)).collect()))
+    b = sorted(map(tuple, containment_pairs(df.repartition(13)).collect()))
+    assert a == b and len(a) == 20
