@@ -1955,6 +1955,18 @@ def q80_containment(spark, sf_dir):
     )
 
 
+def q81_shard_corpus(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding (operators/sampling.py::
+    shard_corpus): shard and dense within-shard position as pure
+    functions of the doc key (Knuth-coin convention), one exchange on
+    the shard id plus the per-shard sort that IS the product. The
+    training-prep step between curation and the data loader."""
+    from raven_spark.operators.sampling import shard_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_corpus(d, n_shards=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2037,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_cdc_chunks": q78_cdc_chunks,
         "q79_phrase_search": q79_phrase_search,
         "q80_containment": q80_containment,
+        "q81_shard_corpus": q81_shard_corpus,
     }
 
 
@@ -4033,6 +4046,21 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(len(a.g), 1), 6),
                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                           / greatest(len(b.g), 1), 6)) >= 0.5
+        """,
+        "q81_shard_corpus": """
+            -- Deterministic shuffle/shard: shard = Knuth coin mod 16,
+            -- within-shard order = same key scrambled mod 1e9+7, dense
+            -- row_number per shard, ties by key.
+            WITH k AS (
+              SELECT doc_id,
+                     CAST(((doc_id % 1000000007) * 2654435761) % 16 AS INT) AS shard,
+                     ((doc_id % 1000000007) * 2654435761) % 1000000007 AS okey
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY okey ASC, doc_id ASC) AS INT) AS pos
+            FROM k
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

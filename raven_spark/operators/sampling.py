@@ -193,3 +193,47 @@ def mixture_sample(
             coin < F.col("__thresh")
         ),
     ).drop("__thresh")
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the training-
+    prep step between corpus curation and the data loader: every
+    document gets a shard in [0, n_shards) and a dense 1-based position
+    inside its shard, both pure functions of the document key, so the
+    training stream order is reproducible across runs, engines, and
+    partitionings (what an rng-seeded global sort cannot promise when
+    the input partitioning changes).
+
+    Shard = the SQL-replayable Knuth coin mod n_shards (hash-balanced:
+    expected skew O(sqrt(N/n_shards))). Caveat, documented because it
+    is visible: the coin takes the product's LOW bits, so for
+    power-of-two n_shards where K mod n_shards is small (K ≡ 1 mod 16)
+    dense integer keys degrade to round-robin — balance-optimal, just
+    not pseudorandom; the SHUFFLE still comes from the within-shard
+    order. That order = the same key scrambled mod 1e9+7 (a
+    near-bijection on id space, so adjacent ids scatter), ties broken
+    by key. Readers that interleave shards round-robin by position get
+    a deterministic global shuffle.
+
+    Scale shape: ONE exchange keyed on the shard id plus the per-shard
+    sort that IS the product (a materialized shuffle order cannot cost
+    less than ordering each shard); no global sort, no driver state.
+    Size n_shards so a shard fits one output file (~N/n_shards rows);
+    skew-free by hash balance, so every sort task gets ~equal rows.
+    """
+    key = F.col(key_col)
+    shard = knuth_coin(key, denom=int(n_shards))
+    okey = knuth_coin(key, denom=1_000_000_007)
+    w = Window.partitionBy(shard_col).orderBy(F.col("__okey").asc(), key.asc())
+    return (
+        df.withColumn(shard_col, shard.cast("int"))
+        .withColumn("__okey", okey)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__okey")
+    )

@@ -193,3 +193,31 @@ def test_knuth_coin_accepts_column_expression(spark):
     a = [r[0] for r in df.select(knuth_coin("k")).collect()]
     b = [r[0] for r in df.select(knuth_coin(F.col("k"))).collect()]
     assert a == b
+
+
+def test_shard_corpus_dense_positions_and_determinism(spark):
+    from raven_spark.operators.sampling import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shard_corpus(df, n_shards=7).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 7
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # dense 1..n positions per shard
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash balance on dense ids
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) <= 10
+
+    # pure function of the key: partitioning-independent, run-independent
+    a = sorted(map(tuple, shard_corpus(df.repartition(1), n_shards=7).collect()))
+    b = sorted(map(tuple, shard_corpus(df.repartition(13), n_shards=7).collect()))
+    assert a == b == sorted(map(tuple, out))
+
+    # the within-shard order is a SHUFFLE: not the id order
+    s0 = sorted((r["pos"], r["doc_id"]) for r in out if r["shard"] == 0)
+    ids_in_pos_order = [d for _, d in s0]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
