@@ -1967,6 +1967,18 @@ def q81_shard_corpus(spark, sf_dir):
     return shard_corpus(d, n_shards=16)
 
 
+def q82_script_profile(spark, sf_dir):
+    """Unicode script profile (functions/text.py::with_script_profile):
+    per-script codepoint counts over the public Unicode core blocks +
+    dominant script (declaration-order ties) — the routing signal ahead
+    of language ID (Cyrillic text should never reach the Latin n-gram
+    scorer). Pure column algebra fused into the scan, zero shuffles."""
+    from raven_spark.functions.text import with_script_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_script_profile(d).drop("text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2050,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_phrase_search": q79_phrase_search,
         "q80_containment": q80_containment,
         "q81_shard_corpus": q81_shard_corpus,
+        "q82_script_profile": q82_script_profile,
     }
 
 
@@ -4061,6 +4074,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                        PARTITION BY shard ORDER BY okey ASC, doc_id ASC) AS INT) AS pos
             FROM k
+        """,
+        "q82_script_profile": """
+            -- Unicode script counts over the core blocks; dominant =
+            -- argmax with declaration-order ties (a later script wins
+            -- only on STRICTLY greater count), 'none' when no listed-
+            -- script codepoint occurs. NULL text counts as empty.
+            WITH cps AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(coalesce(text,'')) + 1),
+                        i -> unicode(substring(coalesce(text,''), CAST(i AS INT), 1))) AS cp
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(list_filter(cp, x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122)
+                                            OR (x BETWEEN 192 AND 591) OR (x BETWEEN 7680 AND 7935))) AS latin_n,
+                     len(list_filter(cp, x -> x BETWEEN 1024 AND 1279)) AS cyrillic_n,
+                     len(list_filter(cp, x -> x BETWEEN 880 AND 1023)) AS greek_n,
+                     len(list_filter(cp, x -> x BETWEEN 1536 AND 1791)) AS arabic_n,
+                     len(list_filter(cp, x -> x BETWEEN 1424 AND 1535)) AS hebrew_n,
+                     len(list_filter(cp, x -> x BETWEEN 2304 AND 2431)) AS devanagari_n,
+                     len(list_filter(cp, x -> x BETWEEN 19968 AND 40959)) AS han_n,
+                     len(list_filter(cp, x -> x BETWEEN 12352 AND 12543)) AS kana_n,
+                     len(list_filter(cp, x -> x BETWEEN 44032 AND 55215)) AS hangul_n
+              FROM cps
+            )
+            SELECT doc_id,
+                   CAST(latin_n + cyrillic_n + greek_n + arabic_n + hebrew_n
+                        + devanagari_n + han_n + kana_n + hangul_n AS BIGINT) AS n_scripted,
+                   CAST(latin_n AS BIGINT) AS latin_n,
+                   CAST(cyrillic_n AS BIGINT) AS cyrillic_n,
+                   CAST(greek_n AS BIGINT) AS greek_n,
+                   CAST(arabic_n AS BIGINT) AS arabic_n,
+                   CAST(hebrew_n AS BIGINT) AS hebrew_n,
+                   CAST(devanagari_n AS BIGINT) AS devanagari_n,
+                   CAST(han_n AS BIGINT) AS han_n,
+                   CAST(kana_n AS BIGINT) AS kana_n,
+                   CAST(hangul_n AS BIGINT) AS hangul_n,
+                   CASE greatest(latin_n, cyrillic_n, greek_n, arabic_n, hebrew_n,
+                                 devanagari_n, han_n, kana_n, hangul_n)
+                        WHEN 0 THEN 'none'
+                        WHEN latin_n THEN 'latin'
+                        WHEN cyrillic_n THEN 'cyrillic'
+                        WHEN greek_n THEN 'greek'
+                        WHEN arabic_n THEN 'arabic'
+                        WHEN hebrew_n THEN 'hebrew'
+                        WHEN devanagari_n THEN 'devanagari'
+                        WHEN han_n THEN 'han'
+                        WHEN kana_n THEN 'kana'
+                        ELSE 'hangul' END AS dominant_script
+            FROM c
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -528,3 +528,82 @@ def simhash_batch(text: pd.Series) -> pd.Series:
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     return simhash_batch(text)
+
+
+# --- Unicode script detection ---------------------------------------------------
+
+# Script codepoint ranges (public Unicode block boundaries). Deliberately
+# the CORE block per script — enough to classify real web text; rare
+# historic blocks are out of scope (they'd land in the 'other' bucket,
+# which never wins dominance because only listed scripts are scored).
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F), (0x1E00, 0x1EFF)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "arabic": ((0x600, 0x6FF),),
+    "hebrew": ((0x590, 0x5FF),),
+    "devanagari": ((0x900, 0x97F),),
+    "han": ((0x4E00, 0x9FFF),),
+    "kana": ((0x3040, 0x30FF),),
+    "hangul": ((0xAC00, 0xD7AF),),
+}
+
+
+def script_profile_cols(text: Column) -> dict[str, Column]:
+    """Per-script codepoint counts + the dominant script — the signal
+    langid's Latin-alphabet n-gram heuristics cannot provide: script is
+    a prerequisite for routing text to the right language model family
+    (Cyrillic text should never reach the en/de/es/fr scorer).
+
+    Pure column algebra fused into the scan: one codepoint array per
+    row, one counted range-filter per script, zero shuffles, zero
+    Python. Returns {'n_scripted': total codepoints in ANY listed
+    script, '<script>_n': count per script, 'dominant_script': argmax
+    with ties broken by the SCRIPT_RANGES declaration order, 'none'
+    when no listed-script codepoint occurs}.
+
+    Scale note: ~10 counted passes over the codepoint array per row —
+    all inside whole-stage codegen; at 100 TB this stays the cheap
+    class (no exchange, no UDF), the same shape as the q11/q12
+    heuristics.
+    """
+    cps = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
+    counts: dict[str, Column] = {}
+    def _in_ranges(ranges):
+        # single-arg lambda factory: PySpark dispatches higher-order
+        # lambdas on ARITY, so a defaulted second parameter would
+        # receive the element index — bind ranges via closure instead
+        def pred(cp):
+            p = F.lit(False)
+            for lo, hi in ranges:
+                p = p | ((cp >= F.lit(lo)) & (cp <= F.lit(hi)))
+            return p
+
+        return pred
+
+    for name, ranges in SCRIPT_RANGES.items():
+        counts[name] = F.size(F.filter(cps, _in_ranges(ranges)))
+    n_scripted = None
+    for c in counts.values():
+        n_scripted = c if n_scripted is None else (n_scripted + c)
+    # argmax by declaration order: fold over (count, name) pairs
+    best = F.lit("none")
+    best_n = F.lit(0)
+    for name in SCRIPT_RANGES:  # later scripts win only on STRICTLY greater
+        cond = counts[name] > best_n
+        best = F.when(cond, F.lit(name)).otherwise(best)
+        best_n = F.greatest(counts[name], best_n)
+    out = {"n_scripted": n_scripted.cast("bigint")}
+    for name in SCRIPT_RANGES:
+        out[f"{name}_n"] = counts[name].cast("bigint")
+    out["dominant_script"] = best
+    return out
+
+
+def with_script_profile(df, text_col: str = "text"):
+    """Attach the script profile columns to ``df`` (NULL text profiles
+    as empty: zero counts, dominant 'none')."""
+    cols = script_profile_cols(F.coalesce(F.col(text_col), F.lit("")))
+    for name, c in cols.items():
+        df = df.withColumn(name, c)
+    return df

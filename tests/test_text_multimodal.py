@@ -220,3 +220,34 @@ def test_gopher_rules_paper_fidelity(spark):
     assert r["boundary_bullets"]["bullet_frac"] == 0.9
     assert r["boundary_ellipsis"]["ok_ellipsis_lines"] is True
     assert r["boundary_ellipsis"]["ellipsis_frac"] == 0.3
+
+
+def test_script_profile_scripts_and_ties(spark):
+    from raven_spark.functions.text import with_script_profile
+
+    rows = [
+        (0, "hello world"),
+        (1, "Привет мир"),
+        (2, "مرحبا بالعالم"),
+        (3, "こんにちは世界"),      # 5 kana + 2 han -> kana dominant
+        (4, "안녕하세요"),
+        (5, None),
+        (6, "12345 !!!"),           # no scripted codepoints
+        (7, "ab ПР"),               # 2 latin vs 2 cyrillic: declaration-order tie -> latin
+        (8, "naïve café"),          # latin-1 supplement letters count as latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in with_script_profile(df).collect()}
+
+    assert out[0]["dominant_script"] == "latin" and out[0]["latin_n"] == 10
+    assert out[1]["dominant_script"] == "cyrillic" and out[1]["cyrillic_n"] == 9
+    assert out[2]["dominant_script"] == "arabic"
+    assert out[3]["dominant_script"] == "kana"
+    assert out[3]["kana_n"] == 5 and out[3]["han_n"] == 2
+    assert out[4]["dominant_script"] == "hangul"
+    assert out[5]["dominant_script"] == "none" and out[5]["n_scripted"] == 0
+    assert out[6]["dominant_script"] == "none"
+    # strict-greater dominance: a tie keeps the earlier-declared script
+    assert out[7]["latin_n"] == out[7]["cyrillic_n"] == 2
+    assert out[7]["dominant_script"] == "latin"
+    assert out[8]["dominant_script"] == "latin" and out[8]["latin_n"] == 9
