@@ -1979,6 +1979,30 @@ def q82_script_profile(spark, sf_dir):
     return with_script_profile(d).drop("text")
 
 
+def q83_domain_budget(spark, sf_dir):
+    """Per-domain crawl-budget allocation (operators/reputation.py::
+    allocate_domain_budget): two-level cumulative rounding (telescoping
+    Hamilton scheme, exact decimal(38) arithmetic) summing to EXACTLY
+    the round total with no global sort — O(n_buckets) level-1 rows +
+    one in-bucket running sum. Weights = doc counts per q53-convention
+    synthetic domain, total 1000."""
+    from raven_spark.operators.reputation import allocate_domain_budget
+
+    d = _t(spark, sf_dir, "documents")
+    dom = (
+        d.select(
+            F.concat(
+                F.lit("s"), (F.col("doc_id") % 13).cast("string"),
+                F.lit(".h"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example"),
+            ).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return allocate_domain_budget(dom, total_budget=1000, n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2063,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_containment": q80_containment,
         "q81_shard_corpus": q81_shard_corpus,
         "q82_script_profile": q82_script_profile,
+        "q83_domain_budget": q83_domain_budget,
     }
 
 
@@ -4124,6 +4149,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kana_n THEN 'kana'
                         ELSE 'hangul' END AS dominant_script
             FROM c
+        """,
+        "q83_domain_budget": r"""
+            -- Two-level cumulative-rounding budget allocation: level-1
+            -- across poly-31-hash buckets (q51 convention), level-2
+            -- across domains in key order; hugeint floors replay
+            -- Spark's decimal(38) arithmetic exactly. Sums to 1000.
+            WITH dom AS (
+              SELECT 's' || CAST(doc_id % 13 AS VARCHAR) || '.h'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain,
+                     count(*) AS weight
+              FROM documents GROUP BY 1
+            ), bk AS (
+              SELECT domain, weight,
+                     CAST((list_reduce(
+                             list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, length(domain) + 1),
+                                 i -> CAST(unicode(substring(domain, CAST(i AS INT), 1)) AS BIGINT))),
+                             (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                           * 2654435761) % 8 AS INT) AS bkt
+              FROM dom
+            ), bw AS (
+              SELECT bkt, sum(weight) AS bwt FROM bk GROUP BY bkt
+            ), lvl1 AS (
+              SELECT bkt, bwt,
+                     sum(bwt) OVER (ORDER BY bkt ASC ROWS UNBOUNDED PRECEDING) AS cumw,
+                     sum(bwt) OVER () AS W
+              FROM bw
+            ), bb AS (
+              SELECT bkt, bwt,
+                     CASE WHEN W <= 0 THEN 0
+                          ELSE (1000::HUGEINT * cumw) // W
+                               - (1000::HUGEINT * (cumw - bwt)) // W
+                     END AS bbudget
+              FROM lvl1
+            ), lvl2 AS (
+              SELECT bk.domain, bk.weight, bb.bwt, bb.bbudget,
+                     sum(bk.weight) OVER (PARTITION BY bk.bkt ORDER BY bk.domain ASC
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+              FROM bk JOIN bb USING (bkt)
+            )
+            SELECT domain, weight,
+                   CAST(CASE WHEN bwt <= 0 OR weight <= 0 THEN 0
+                        ELSE (bbudget::HUGEINT * cum) // bwt
+                             - (bbudget::HUGEINT * (cum - weight)) // bwt
+                        END AS BIGINT) AS budget
+            FROM lvl2
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -190,3 +190,108 @@ def apply_host_priority(
         .withColumn(priority_col, boosted)
         .drop("score")
     )
+
+
+def allocate_domain_budget(
+    domains: DataFrame,
+    total_budget: int,
+    domain_col: str = "domain",
+    weight_col: str = "weight",
+    n_buckets: int = 256,
+    max_per_domain: int | None = None,
+) -> DataFrame:
+    """Per-domain crawl-budget allocation — the scheduling layer ABOVE
+    per-host politeness: split a global per-round fetch budget across
+    domains proportionally to a weight (pending frontier size,
+    reputation score, token yield), with the allocation summing to
+    EXACTLY ``total_budget`` and every step deterministic and
+    SQL-replayable.
+
+    Algorithm: two-level cumulative rounding (the telescoping Hamilton
+    scheme — budget_i = floor(T * cum_i / W) - floor(T * cum_{i-1} / W)
+    sums to T exactly and gives each row floor-or-ceil of its
+    proportional share). Level 1 allocates the total across
+    ``n_buckets`` hash buckets of domains; level 2 allocates each
+    bucket's budget across its domains ordered by domain key. Each
+    level deviates at most 1 from the exact share, so a domain's budget
+    is within 2 of proportional — noise against real budgets, in
+    exchange for NO global sort: the bucket rollup is O(n_buckets) rows
+    (a literal config bound, windowed in one tiny partition), the
+    in-bucket running sum shuffles once on the bucket key, domains
+    never leave their bucket partition.
+
+    All share arithmetic is EXACT (decimal(38) products, integer
+    floor), so Spark and the DuckDB oracle cannot drift by a ulp;
+    weights must be non-negative integers with total_budget * sum(w)
+    < 10^38 (any real corpus qualifies).
+
+    ``max_per_domain`` clamps AFTER allocation and the surplus is
+    FORFEITED, not redistributed — the cap models a per-round
+    politeness ceiling: fetches a capped domain cannot absorb must not
+    silently re-inflate other domains' pacing. Zero-weight domains stay
+    in the output with budget 0.
+
+    Output: (domain, weight, budget).
+    """
+    from raven_spark.operators.quality_model import feature_bucket_col
+
+    dec = "decimal(38,0)"
+    t = F.lit(int(total_budget)).cast(dec)
+    d = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("weight"),
+    ).withColumn(
+        "__bkt", feature_bucket_col(F.col("domain"), int(n_buckets)).cast("int")
+    )
+
+    from pyspark.sql import Window
+
+    bw = d.groupBy("__bkt").agg(F.sum("weight").alias("__bw"))
+    wb = Window.orderBy(F.col("__bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # O(n_buckets) rows: the single-partition window is bounded by a
+    # config literal, never by the domain count
+    lvl1 = (
+        bw.withColumn("__cumw", F.sum("__bw").over(wb))
+        .withColumn("__W", F.sum("__bw").over(Window.partitionBy()))
+        .withColumn(
+            "__bb",
+            F.when(F.col("__W") <= 0, F.lit(0)).otherwise(
+                F.floor(t * F.col("__cumw").cast(dec) / F.col("__W").cast(dec))
+                - F.floor(
+                    t
+                    * (F.col("__cumw") - F.col("__bw")).cast(dec)
+                    / F.col("__W").cast(dec)
+                )
+            ).cast("bigint"),
+        )
+        .select("__bkt", "__bw", "__bb")
+    )
+
+    wd = Window.partitionBy("__bkt").orderBy(F.col("domain").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        d.join(F.broadcast(lvl1), "__bkt")
+        .withColumn("__cum", F.sum("weight").over(wd))
+        .withColumn(
+            "budget",
+            F.when((F.col("__bw") <= 0) | (F.col("weight") <= 0), F.lit(0)).otherwise(
+                F.floor(
+                    F.col("__bb").cast(dec) * F.col("__cum").cast(dec)
+                    / F.col("__bw").cast(dec)
+                )
+                - F.floor(
+                    F.col("__bb").cast(dec)
+                    * (F.col("__cum") - F.col("weight")).cast(dec)
+                    / F.col("__bw").cast(dec)
+                )
+            ).cast("bigint"),
+        )
+    )
+    if max_per_domain is not None:
+        out = out.withColumn(
+            "budget", F.least(F.col("budget"), F.lit(int(max_per_domain)))
+        )
+    return out.select("domain", "weight", "budget")

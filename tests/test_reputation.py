@@ -127,3 +127,55 @@ def test_domain_rollup_null_text_and_host_excluded_from_distincts(spark):
     assert row["n_docs"] == 4
     assert row["n_hosts"] == 1  # only a.d.com
     assert row["n_unique"] == 2  # 'one two', 'three'
+
+
+def test_allocate_domain_budget_exact_sum_and_fairness(spark):
+    from raven_spark.operators.reputation import allocate_domain_budget
+
+    rows = [("d%03d" % i, (i * 37) % 101 + (1 if i % 3 else 0)) for i in range(50)]
+    rows += [("zero1", 0), ("zero2", 0)]
+    df = spark.createDataFrame(rows, "domain string, weight long")
+    total = 12345
+    out = allocate_domain_budget(df, total_budget=total, n_buckets=16).collect()
+    got = {r["domain"]: r["budget"] for r in out}
+    w = dict(rows)
+    W = sum(w.values())
+    assert sum(got.values()) == total            # EXACT sum, always
+    assert got["zero1"] == 0 and got["zero2"] == 0
+    for dmn, wt in rows:
+        share = total * wt / W
+        # two-level rounding: within 2 of the exact proportional share
+        assert abs(got[dmn] - share) < 2.0 + 1e-9, (dmn, got[dmn], share)
+
+    # cap forfeits (politeness ceiling), does not redistribute
+    capped = allocate_domain_budget(
+        df, total_budget=total, n_buckets=16, max_per_domain=100
+    ).collect()
+    cg = {r["domain"]: r["budget"] for r in capped}
+    assert all(b <= 100 for b in cg.values())
+    assert sum(cg.values()) < total
+    # uncapped domains keep their allocation
+    for dmn, b in got.items():
+        if b <= 100:
+            assert cg[dmn] == b
+
+
+def test_allocate_domain_budget_degenerate_and_invariance(spark):
+    from raven_spark.operators.reputation import allocate_domain_budget
+
+    allz = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "domain string, weight long"
+    )
+    assert all(
+        r["budget"] == 0
+        for r in allocate_domain_budget(allz, total_budget=10).collect()
+    )
+
+    one = spark.createDataFrame([("solo", 7)], "domain string, weight long")
+    assert allocate_domain_budget(one, total_budget=42).collect()[0]["budget"] == 42
+
+    rows = [("d%03d" % i, i % 9 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "domain string, weight long")
+    a = sorted(map(tuple, allocate_domain_budget(df.repartition(1), 999).collect()))
+    b = sorted(map(tuple, allocate_domain_budget(df.repartition(7), 999).collect()))
+    assert a == b
