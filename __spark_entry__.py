@@ -4048,9 +4048,9 @@ def oracle_sql() -> dict[str, str]:
             -- degrade to [normalized text]).
             WITH toks AS (
               SELECT doc_id AS id,
-                     string_split(regexp_replace(lower(trim(text)),
+                     string_split(regexp_replace(lower(trim(coalesce(text, ''))),
                                                  '\s+', ' ', 'g'), ' ') AS w,
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+                     regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS nrm
               FROM documents
             ), grams AS (
               SELECT id,

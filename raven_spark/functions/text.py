@@ -604,6 +604,6 @@ def with_script_profile(df, text_col: str = "text"):
     """Attach the script profile columns to ``df`` (NULL text profiles
     as empty: zero counts, dominant 'none')."""
     cols = script_profile_cols(F.coalesce(F.col(text_col), F.lit("")))
-    for name, c in cols.items():
-        df = df.withColumn(name, c)
-    return df
+    # one projection, not a withColumn per column (each withColumn
+    # re-analyzes the whole plan)
+    return df.withColumns(cols)

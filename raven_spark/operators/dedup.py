@@ -147,10 +147,15 @@ def containment_pairs(
     id_a < id_b, containment_a = |A∩B|/|A|, kept when
     max(containment_a, containment_b) >= threshold.
     """
+    # NULL coalesces to "" (the engine-wide dedup identity, like
+    # soft_dedup_weights): empty docs cluster together in BOTH engines
+    # instead of Spark hashing the NULL gram to a constant while the
+    # SQL oracle's NULL never equi-joins
+    text = F.coalesce(F.col(text_col), F.lit(""))
     gsets = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            word_shingles_col(F.col(text_col), n), lambda g: F.xxhash64(g)
+            word_shingles_col(text, n), lambda g: F.xxhash64(g)
         ).alias("gh"),
     )
     postings = gsets.select("id", F.explode("gh").alias("g"))
@@ -168,8 +173,15 @@ def containment_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    a = gsets.select(F.col("id").alias("id_a"), F.col("gh").alias("__ga"))
-    b = gsets.select(F.col("id").alias("id_b"), F.col("gh").alias("__gb"))
+    # semi-prune the gram-array sides to candidate docs BEFORE the array
+    # join — otherwise every doc's full hashed gram array crosses the
+    # exchange even when candidates are a tiny fraction of the corpus
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    gcand = gsets.join(cand_ids, "id", "left_semi")
+    a = gcand.select(F.col("id").alias("id_a"), F.col("gh").alias("__ga"))
+    b = gcand.select(F.col("id").alias("id_b"), F.col("gh").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     return (
         cand.join(a, "id_a")

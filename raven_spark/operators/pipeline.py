@@ -964,9 +964,10 @@ def phrase_search(
     Scale shape: the corpus explodes to positional postings but is
     pruned to the phrases' term set by a broadcast semi-join BEFORE any
     shuffle, so the per-doc aggregate sees O(phrase-term postings), not
-    O(corpus tokens). Two hash aggregates build the per-candidate-doc
-    term -> sorted-positions map (both keyed on the 8-byte doc id; the
-    second reuses the first's partitioning); the phrase table — user
+    O(corpus tokens). ONE exchange total: the pruned postings
+    repartition on the doc id, which satisfies both downstream
+    aggregates' clustering ((id, term) and (id) — plan-asserted in
+    tests); the phrase table — user
     queries, O(10-10^3) rows — broadcasts against candidates and the
     consecutive-position check is pure array algebra inside codegen
     (first term's positions filtered by array_contains lookups at
@@ -989,7 +990,13 @@ def phrase_search(
             "pos", "term"
         ),
     )
-    pruned = postings.join(F.broadcast(pterms), "term")
+    # one exchange total: repartition the pruned postings on id —
+    # HashPartitioning(id) satisfies BOTH downstream aggregates'
+    # clustering ((id, term) and (id)), so neither adds an exchange;
+    # without this the (id, term) aggregate shuffles on (id, term),
+    # which does NOT satisfy the id-level aggregate, costing a second
+    # full exchange of the postings
+    pruned = postings.join(F.broadcast(pterms), "term").repartition("id")
     perdoc = (
         pruned.groupBy("id", "term")
         .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))

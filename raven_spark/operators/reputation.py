@@ -237,8 +237,20 @@ def allocate_domain_budget(
 
     dec = "decimal(38,0)"
     t = F.lit(int(total_budget)).cast(dec)
+
+    def fdiv(num, den):
+        # exact integer floor for non-negative decimals: subtract the
+        # remainder FIRST so the division is exact — Spark's decimal
+        # '/' rounds HALF_UP at scale 6, and floor(round6(q)) is
+        # floor(q)+1 whenever q's fraction lands in [1 - 5e-7, 1),
+        # which a corpus-sized weight sum hits routinely
+        return ((num - F.pmod(num, den)) / den).cast(dec)
+
+    # NULL domains coalesce to "" — feature_bucket_col(NULL) is NULL,
+    # and a NULL bucket would silently drop the row (and forfeit its
+    # bucket's budget) at the equi-join below
     d = domains.select(
-        F.col(domain_col).alias("domain"),
+        F.coalesce(F.col(domain_col), F.lit("")).alias("domain"),
         F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("weight"),
     ).withColumn(
         "__bkt", feature_bucket_col(F.col("domain"), int(n_buckets)).cast("int")
@@ -258,11 +270,10 @@ def allocate_domain_budget(
         .withColumn(
             "__bb",
             F.when(F.col("__W") <= 0, F.lit(0)).otherwise(
-                F.floor(t * F.col("__cumw").cast(dec) / F.col("__W").cast(dec))
-                - F.floor(
-                    t
-                    * (F.col("__cumw") - F.col("__bw")).cast(dec)
-                    / F.col("__W").cast(dec)
+                fdiv(t * F.col("__cumw").cast(dec), F.col("__W").cast(dec))
+                - fdiv(
+                    t * (F.col("__cumw") - F.col("__bw")).cast(dec),
+                    F.col("__W").cast(dec),
                 )
             ).cast("bigint"),
         )
@@ -278,14 +289,14 @@ def allocate_domain_budget(
         .withColumn(
             "budget",
             F.when((F.col("__bw") <= 0) | (F.col("weight") <= 0), F.lit(0)).otherwise(
-                F.floor(
-                    F.col("__bb").cast(dec) * F.col("__cum").cast(dec)
-                    / F.col("__bw").cast(dec)
+                fdiv(
+                    F.col("__bb").cast(dec) * F.col("__cum").cast(dec),
+                    F.col("__bw").cast(dec),
                 )
-                - F.floor(
+                - fdiv(
                     F.col("__bb").cast(dec)
-                    * (F.col("__cum") - F.col("weight")).cast(dec)
-                    / F.col("__bw").cast(dec)
+                    * (F.col("__cum") - F.col("weight")).cast(dec),
+                    F.col("__bw").cast(dec),
                 )
             ).cast("bigint"),
         )

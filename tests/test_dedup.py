@@ -332,3 +332,19 @@ def test_containment_pairs_partition_invariance(spark):
     a = sorted(map(tuple, containment_pairs(df.repartition(1)).collect()))
     b = sorted(map(tuple, containment_pairs(df.repartition(13)).collect()))
     assert a == b and len(a) == 20
+
+
+def test_containment_pairs_null_and_empty_cluster(spark):
+    from raven_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real content words here today")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment_a"]
+        for r in containment_pairs(df, max_df=10).collect()
+    }
+    # NULL/empty/whitespace share the "" identity (engine convention)
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert all(v == 1.0 for v in out.values())

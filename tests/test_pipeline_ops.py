@@ -645,3 +645,25 @@ def test_phrase_search_k_bound_and_partition_invariance(spark):
     a = sorted(map(tuple, phrase_search(docs.repartition(1), ph, k=7).collect()))
     b = sorted(map(tuple, phrase_search(docs.repartition(11), ph, k=7).collect()))
     assert a == b
+
+
+def test_phrase_search_single_exchange_plan(spark):
+    from raven_spark.operators.pipeline import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id int, text string"
+    )
+    ph = spark.createDataFrame([(0, "b c")], "phrase_id int, phrase string")
+    jdf = phrase_search(docs, ph)._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = jdf.queryExecution().explainString(mode)
+    # the corpus-side postings (id, pos, term) must cross exactly ONE
+    # exchange — the repartition(id) that serves BOTH aggregates. The
+    # other exchanges are query-sized (phrase-term distinct, top-k
+    # window), never corpus-sized.
+    postings_exchanges = [
+        blk for blk in plan.split("\n\n")
+        if blk.startswith("(") and "Exchange" in blk.split("\n")[0]
+        and "pos#" in blk
+    ]
+    assert len(postings_exchanges) == 1, plan

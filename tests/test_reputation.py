@@ -179,3 +179,28 @@ def test_allocate_domain_budget_degenerate_and_invariance(spark):
     a = sorted(map(tuple, allocate_domain_budget(df.repartition(1), 999).collect()))
     b = sorted(map(tuple, allocate_domain_budget(df.repartition(7), 999).collect()))
     assert a == b
+
+
+def test_allocate_domain_budget_halfup_boundary_and_null_domain(spark):
+    from raven_spark.operators.reputation import allocate_domain_budget
+
+    # HALF_UP regression: T*cum/W = 0.9999999 for the first domain —
+    # Spark's decimal '/' rounds to 1.000000 at scale 6, so a naive
+    # floor gives 1; the exact Hamilton floor is 0
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 9_999_999)], "domain string, weight long"
+    )
+    out = {
+        r["domain"]: r["budget"]
+        for r in allocate_domain_budget(df, 9_999_999, n_buckets=1).collect()
+    }
+    assert out["a"] == 0 and out["b"] == 9_999_999
+
+    # NULL domain coalesces to "" and keeps the exact-sum contract
+    # (a NULL bucket key would silently drop the row at the join)
+    df2 = spark.createDataFrame(
+        [(None, 5), ("x", 5)], "domain string, weight long"
+    )
+    rows = allocate_domain_budget(df2, 10, n_buckets=4).collect()
+    assert sum(r["budget"] for r in rows) == 10
+    assert {r["domain"] for r in rows} == {"", "x"}
