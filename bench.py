@@ -96,6 +96,13 @@ HEADLINE = [
     "q74_bm25_topk",
     "q75_dsir_select",
     "q76_semdedup",
+    "q77_soft_dedup",
+    "q78_cdc_chunks",
+    "q79_phrase_search",
+    "q80_containment",
+    "q81_shard_corpus",
+    "q82_script_profile",
+    "q83_domain_budget",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
