@@ -2003,6 +2003,33 @@ def q83_domain_budget(spark, sf_dir):
     return allocate_domain_budget(dom, total_budget=1000, n_buckets=8)
 
 
+def q84_connected_components(spark, sf_dir):
+    """Connected components over an undirected link graph (operators/
+    graph.py::connected_components): min-label propagation with pointer
+    jumping to fixpoint — the dedup-cluster-closure / mirror-detection
+    primitive at web scale (O(log diameter) rounds; only the 16-byte
+    (node, label) vector shuffles per round, never the edge list).
+    Deterministic synthetic edges: chains doc i — i+1 broken at
+    (i+1)%50==0 and i%11==9, plus wrap-around cross edges
+    i — (i+137) mod N for i%97==0 (merges some chain components, so the
+    fixpoint needs real multi-hop propagation). The oracle computes the
+    same components by recursive-CTE label closure."""
+    from raven_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    i = F.col("doc_id")
+    chain = d.filter(
+        ((i + 1) % 50 != 0) & (i % 11 != 9) & (i + 1 < F.lit(n))
+    ).select(i.alias("src"), (i + 1).alias("dst"))
+    cross = d.filter(i % 97 == 0).select(
+        i.alias("src"), F.pmod(i + 137, F.lit(n)).alias("dst")
+    )
+    return connected_components(
+        chain.union(cross), nodes=d.select(i.alias("node"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2088,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_shard_corpus": q81_shard_corpus,
         "q82_script_profile": q82_script_profile,
         "q83_domain_budget": q83_domain_budget,
+        "q84_connected_components": q84_connected_components,
     }
 
 
@@ -4195,6 +4223,31 @@ def oracle_sql() -> dict[str, str]:
                              - (bbudget::HUGEINT * (cum - weight)) // bwt
                         END AS BIGINT) AS budget
             FROM lvl2
+        """,
+        "q84_connected_components": r"""
+            -- Undirected connected components by recursive label
+            -- closure: propagate every reachable node id, take the min
+            -- per node — the exact fixpoint the Spark pointer-jumping
+            -- computes. Same deterministic edge formula.
+            WITH RECURSIVE nn AS (
+              SELECT count(*) AS n FROM documents
+            ), e0 AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+              WHERE (doc_id + 1) % 50 <> 0 AND doc_id % 11 <> 9
+                AND doc_id + 1 < nn.n
+              UNION ALL
+              SELECT doc_id, (doc_id + 137) % nn.n FROM documents, nn
+              WHERE doc_id % 97 = 0
+            ), sym AS (
+              SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+              UNION
+              SELECT dst, src FROM e0 WHERE src <> dst
+            ), reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node, min(lbl) AS component FROM reach GROUP BY node
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

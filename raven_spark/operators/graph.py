@@ -277,3 +277,95 @@ def hits(
             F.round("h", 6).alias("hub"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components of the UNDIRECTED link graph: (node,
+    component) where component is the minimum node id reachable — the
+    canonical label. The web-scale use is dedup-cluster closure (near-
+    dup pair lists -> document clusters, same role as minhash_dedup's
+    internal clustering but over an arbitrary edge list) and mirror-site
+    detection over host-level link exchange.
+
+    Algorithm: min-label propagation with POINTER JUMPING, run to
+    fixpoint —
+
+        l_0(v)   = v
+        edge step: c(v) = min(l_k(v), min_{(u,v) in sym(E)} l_k(u))
+        jump step: l_{k+1}(v) = c(c(v))
+
+    The edge step alone converges in O(diameter) rounds (a path graph
+    of 10^6 nodes would need 10^6 rounds); composing each round with
+    one pointer-jump (relabel by the label's own label) roughly doubles
+    the distance information per round, giving O(log diameter)
+    convergence in practice — the same fixpoint pointer-jumping used by
+    minhash_dedup's cluster closure (operators/dedup.py). The
+    alternative Kiveris et al. 2014 large-star/small-star alternation
+    has the same O(log) round bound but rewrites the EDGE table every
+    round; this formulation shuffles only the (node, label) vector
+    (8+8 bytes) per round and leaves the symmetrized edge table's
+    partitioning untouched for reuse across iterations.
+
+    Scale shape per round: one hash join of sym-edges against the label
+    vector + one map-side-combinable min aggregate + one label
+    self-join (the jump) — labels only, never edge payloads. Lineage is
+    cut each round (localCheckpoint). Convergence is detected by
+    sum(label) reaching a fixed point: labels are node ids and only
+    ever DECREASE, so an unchanged integer sum is exact evidence no
+    node changed (one cheap count-style action per round, the minhash
+    fixpoint convention).
+
+    Isolated nodes (in ``nodes`` but no edges) keep component = node.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+
+    lbl = nodes.select("node", F.col("node").alias("comp"))
+    prev_sum = None
+    for k in range(max_iterations):
+        nbr = (
+            sym.join(lbl, sym["a"] == lbl["node"])
+            .groupBy("b")
+            .agg(F.min("comp").alias("__nbr_min"))
+        )
+        cand = (
+            lbl.join(nbr, lbl["node"] == nbr["b"], "left")
+            .select(
+                "node",
+                F.least(
+                    "comp", F.coalesce("__nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jump: relabel through the label's own label. Labels
+        # are node ids, so every comp value has a row in cand.
+        tgt = cand.select(
+            F.col("node").alias("__t"), F.col("comp").alias("__tc")
+        )
+        lbl = cand.join(tgt, cand["comp"] == tgt["__t"]).select(
+            "node", F.col("__tc").alias("comp")
+        )
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            lbl = lbl.localCheckpoint(eager=False)
+        cur = lbl.agg(F.sum("comp")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return lbl.select("node", F.col("comp").alias("component"))

@@ -122,3 +122,40 @@ def test_hits_partition_invariance(spark):
     a = sorted(map(tuple, hits(edges, iterations=3).collect()))
     b = sorted(map(tuple, hits(edges.repartition(11), iterations=3).collect()))
     assert a == b
+
+
+def test_connected_components_two_chains_and_isolate(spark):
+    from raven_spark.operators.graph import connected_components
+
+    # component {0,1,2,3} (path), component {10,11} plus a cross edge
+    # 11-3 merging them, component {20,21}, isolated node 30
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (10, 11), (11, 3), (20, 21)])
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 20, 21, 30]], "node bigint")
+    got = {r["node"]: r["component"] for r in connected_components(e, nodes=nodes).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 11: 0, 20: 20, 21: 20, 30: 30}
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    # a 64-node path has diameter 63; pointer jumping must label it with
+    # far fewer than 63 rounds (max_iterations=12 would fail pure
+    # edge-step propagation)
+    from raven_spark.operators.graph import connected_components
+
+    e = _edges(spark, [(i, i + 1) for i in range(63)])
+    got = {r["node"]: r["component"] for r in connected_components(e, max_iterations=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_partition_invariant(spark):
+    from raven_spark.operators.graph import connected_components
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    for parts in (1, 7):
+        e = _edges(spark, pairs).repartition(parts)
+        got = sorted(
+            (r["node"], r["component"]) for r in connected_components(e).collect()
+        )
+        if parts == 1:
+            base = got
+        else:
+            assert got == base
