@@ -2030,6 +2030,24 @@ def q84_connected_components(spark, sf_dir):
     )
 
 
+def q85_weighted_sample(spark, sf_dir):
+    """Weighted (PPS) sampling without replacement by bottom-k of
+    replicated-ticket Knuth coins (operators/sampling.py::pps_bottomk):
+    weight = length-derived tickets (1 + n_chars div 400, capped 16),
+    row key = min ticket hash, sample = 100 smallest keys. Exact bigint
+    arithmetic end to end; the oracle replays every ticket. Zero
+    shuffle before the TakeOrderedAndProject top-k."""
+    from raven_spark.operators.sampling import pps_bottomk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.lit(16).cast("bigint"), F.lit(1) + F.floor(F.col("n_chars") / 400)
+        ).alias("weight"),
+    )
+    return pps_bottomk(d, k=100, weight_col="weight", ticket_cap=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2116,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_script_profile": q82_script_profile,
         "q83_domain_budget": q83_domain_budget,
         "q84_connected_components": q84_connected_components,
+        "q85_weighted_sample": q85_weighted_sample,
     }
 
 
@@ -4248,6 +4267,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        "q85_weighted_sample": r"""
+            -- Bottom-k weighted sample: replay every integer ticket
+            -- coin (stride 17 = ticket_cap+1) and take the 100 smallest
+            -- row minima, doc_id tiebreak.
+            WITH w AS (
+              SELECT doc_id,
+                     least(16, 1 + n_chars // 400) AS weight
+              FROM documents
+            ), keys AS (
+              SELECT doc_id, weight,
+                     list_min(list_transform(range(1, weight + 1),
+                       j -> (((doc_id * 17 + j) % 1000000007)
+                             * 2654435761) % 1000000007)) AS ticket_key
+              FROM w
+            )
+            SELECT doc_id, weight, ticket_key
+            FROM keys ORDER BY ticket_key ASC, doc_id ASC LIMIT 100
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

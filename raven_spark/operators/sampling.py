@@ -237,3 +237,63 @@ def shard_corpus(
         .withColumn(pos_col, F.row_number().over(w))
         .drop("__okey")
     )
+
+
+def pps_bottomk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    ticket_cap: int = 64,
+    key_out: str = "ticket_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement by bottom-k
+    of replicated-ticket hashes — the probability-proportional-to-size
+    subset pass (oversample long/high-quality documents when thinning a
+    corpus, weighted eval holdouts). Cohen & Kaplan's bottom-k sketch
+    construction with INTEGER weights-as-tickets: a row of weight w gets
+    tickets 1..w, each ticket an independent SQL-replayable Knuth coin
+    on the injective id key*(cap+1)+j, the row's key is its MINIMUM
+    ticket, and the sample is the k smallest row keys (ties broken by
+    row key). P(min of w uniforms < t) = 1-(1-t)^w, so inclusion odds
+    scale ~linearly with w at small sampling fractions — the classic
+    Efraimidis-Spirakis u^(1/w) scheme's integer-arithmetic sibling,
+    chosen because exponent/log coins are float and NOT byte-replayable
+    across engines, while this one is exact bigint arithmetic end to end
+    (DuckDB oracle q85).
+
+    Scale shape: the per-row min is a transform/array_min fold over a
+    sequence of at most ``ticket_cap`` ints — zero shuffle, zero explode
+    (the array never leaves its expression); the top-k is Spark's
+    TakeOrderedAndProject (per-partition heap of k, single merge of
+    k*partitions rows), never a global sort. Weights are clamped to
+    [1, ticket_cap]: replication is the price of exactness, and the cap
+    bounds it (beyond the cap, split the weight upstream or accept
+    saturation — at PPS duty a 64:1 dynamic range covers corpus-length
+    weighting).
+    """
+    if k < 1:
+        raise ValueError("pps_bottomk: k must be >= 1")
+    if ticket_cap < 1:
+        raise ValueError("pps_bottomk: ticket_cap must be >= 1")
+    key = F.col(key_col)
+    w = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.lit(int(ticket_cap)).cast("bigint"),
+            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)),
+        ),
+    )
+    stride = F.lit(int(ticket_cap) + 1)
+    tickets = F.transform(
+        F.sequence(F.lit(1), w.cast("int")),
+        lambda j: F.pmod(
+            F.pmod(key * stride + j, F.lit(1_000_000_007)) * F.lit(KNUTH_32),
+            F.lit(1_000_000_007),
+        ),
+    )
+    return (
+        df.withColumn(key_out, F.array_min(tickets))
+        .orderBy(F.col(key_out).asc(), key.asc())
+        .limit(int(k))
+    )

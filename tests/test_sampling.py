@@ -221,3 +221,36 @@ def test_shard_corpus_dense_positions_and_determinism(spark):
     s0 = sorted((r["pos"], r["doc_id"]) for r in out if r["shard"] == 0)
     ids_in_pos_order = [d for _, d in s0]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_pps_bottomk_weight_proportional_inclusion(spark):
+    from raven_spark.operators.sampling import pps_bottomk
+
+    # 2000 rows, half weight 1, half weight 8: the weight-8 half should
+    # dominate a 200-row sample roughly 8:1 (binomial slack is wide)
+    df = spark.createDataFrame(
+        [(i, 8 if i % 2 == 0 else 1) for i in range(2000)], "doc_id bigint, w bigint"
+    )
+    got = pps_bottomk(df, k=200, weight_col="w", ticket_cap=16).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["w"] == 8)
+    assert heavy > 140  # expectation ~ 178
+
+    # deterministic + partitioning-independent
+    a = [r["doc_id"] for r in pps_bottomk(df.repartition(1), 50, "w").collect()]
+    b = [r["doc_id"] for r in pps_bottomk(df.repartition(17), 50, "w").collect()]
+    assert a == b
+
+
+def test_pps_bottomk_clamps_and_validates(spark):
+    import pytest as _pytest
+    from raven_spark.operators.sampling import pps_bottomk
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5), (3, 10_000)], "doc_id bigint, w bigint"
+    )
+    # null and negative weights clamp to 1 ticket; huge clamps to cap
+    out = pps_bottomk(df, k=3, weight_col="w", ticket_cap=4).collect()
+    assert len(out) == 3 and all(r["ticket_key"] >= 0 for r in out)
+    with _pytest.raises(ValueError):
+        pps_bottomk(df, k=0, weight_col="w")
