@@ -2048,6 +2048,21 @@ def q85_weighted_sample(spark, sf_dir):
     return pps_bottomk(d, k=100, weight_col="weight", ticket_cap=16)
 
 
+def q86_heavy_hitters(spark, sf_dir):
+    """Top-50 corpus terms via per-partition Misra-Gries summaries
+    (operators/pipeline.py::heavy_hitters): map side holds at most
+    `capacity` counters per partition (shuffle O(partitions x capacity)
+    rows regardless of vocabulary size), reduce side sums + takes the
+    top-k with TakeOrderedAndProject. Run in the exactness regime
+    (capacity 50k >> per-partition vocabulary at sf<=0.1), where MG
+    counts are exact — the oracle is the exact token count."""
+    from raven_spark.operators.pipeline import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=50, capacity=50_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2135,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_domain_budget": q83_domain_budget,
         "q84_connected_components": q84_connected_components,
         "q85_weighted_sample": q85_weighted_sample,
+        "q86_heavy_hitters": q86_heavy_hitters,
     }
 
 
@@ -4285,6 +4301,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, ticket_key
             FROM keys ORDER BY ticket_key ASC, doc_id ASC LIMIT 100
+        """,
+        "q86_heavy_hitters": r"""
+            -- Exact top-50 token counts (the MG exactness regime's
+            -- ground truth), corpus tokenization convention (q31):
+            -- lower/trim/collapse-whitespace, single-space split.
+            WITH toks AS (
+              SELECT unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ')) AS term
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), c AS (
+              SELECT term, count(*) AS term_count FROM toks
+              WHERE term <> '' GROUP BY term
+            )
+            SELECT term, term_count,
+                   row_number() OVER (ORDER BY term_count DESC, term ASC)
+                     AS rank
+            FROM c ORDER BY term_count DESC, term ASC LIMIT 50
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -1126,3 +1126,86 @@ def bigram_logprob(
         .join(scored, id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 50,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k frequent terms via per-partition Misra-Gries summaries —
+    the vocabulary/stop-word/heavy-hitter pass whose naive plan
+    (explode + groupBy) shuffles one row per DISTINCT term. Misra-Gries
+    (1982) caps the map side at ``capacity`` counters per partition:
+
+    - map (mapInPandas, one summary per partition): count tokens in a
+      dict; when a new term arrives at a full table, decrement every
+      counter and drop zeros (the arriving term is discarded). A
+      surviving term's count underestimates its true partition count by
+      at most n_p/(capacity+1).
+    - reduce: sum summary counts per term (map-side combinable — the
+      shuffle is O(partitions x capacity) rows regardless of vocabulary
+      size), then global top-k via TakeOrderedAndProject (per-partition
+      heap of k; never a global sort), rank stamped on the k survivors.
+
+    EXACTNESS REGIME: if no partition ever evicts (its distinct-term
+    count <= capacity) every count is exact and the result equals the
+    exact top-k — the oracle-checked regime (driver q86) and the
+    partition-invariant one. Under eviction the counts are lower bounds
+    (any term with true count > N/(capacity+1) still surfaces, the MG
+    guarantee); callers needing exact counts for the survivors re-scan
+    with a semi-join on the k terms (a second cheap pass).
+
+    Tokenization is the corpus convention (norm_text_col + single-space
+    split), applied in pandas with an ASCII \\s to match the SQL twin.
+    Output: (term, term_count, rank), rank 1..k.
+    """
+    import pandas as pd  # noqa: F401 (schema side)
+
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    if capacity < 1:
+        raise ValueError("heavy_hitters: capacity must be >= 1")
+    cap = int(capacity)
+
+    def _mg(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                s = ws.sub(" ", t.strip().lower())
+                if not s:
+                    continue
+                for tok in s.split(" "):
+                    c = counters.get(tok)
+                    if c is not None:
+                        counters[tok] = c + 1
+                    elif len(counters) < cap:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            n = counters[key] - 1
+                            if n == 0:
+                                dead.append(key)
+                            else:
+                                counters[key] = n
+                        for key in dead:
+                            del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters.keys()), "term_count": list(counters.values())}
+            )
+
+    partial = df.select(text_col).mapInPandas(_mg, schema="term string, term_count long")
+    agg = partial.groupBy("term").agg(F.sum("term_count").alias("term_count"))
+    topk = agg.orderBy(F.col("term_count").desc(), F.col("term").asc()).limit(int(k))
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -667,3 +667,53 @@ def test_phrase_search_single_exchange_plan(spark):
         and "pos#" in blk
     ]
     assert len(postings_exchanges) == 1, plan
+
+
+def test_heavy_hitters_exact_regime_matches_groupby(spark):
+    from raven_spark.operators.pipeline import heavy_hitters
+
+    rows = [(i, f"apple banana {'apple ' * (i % 3)}cherry") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [(r["term"], r["term_count"], r["rank"])
+           for r in heavy_hitters(df, k=3, capacity=1000).collect()]
+    # exact counts: apple 60 + 60 extra (i%3 avg 1), banana 60, cherry 60
+    from pyspark.sql import functions as F
+    from raven_spark.operators.dedup import norm_text_col
+    exact = (
+        df.select(F.explode(F.split(norm_text_col(F.col("text")), " ")).alias("term"))
+        .groupBy("term").count()
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .collect()
+    )
+    want = [(r["term"], r["count"], i + 1) for i, r in enumerate(exact[:3])]
+    assert got == want
+
+    # partition-invariant in the exact regime
+    a = heavy_hitters(df.repartition(1), k=3, capacity=1000).collect()
+    b = heavy_hitters(df.repartition(13), k=3, capacity=1000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_heavy_hitters_eviction_regime_mg_guarantee(spark):
+    from raven_spark.operators.pipeline import heavy_hitters
+
+    # one majority term among 30 distinct noise terms, capacity 8:
+    # evictions happen, but the majority term must survive with
+    # count >= true - N/(capacity+1)
+    text = " ".join(["big"] * 200 + [f"noise{i}" for i in range(30)])
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string").repartition(1)
+    got = {r["term"]: r["term_count"] for r in heavy_hitters(df, k=5, capacity=8).collect()}
+    n_tokens = 230
+    assert "big" in got
+    assert got["big"] >= 200 - n_tokens // 9
+    assert got["big"] <= 200
+
+
+def test_heavy_hitters_skips_null_and_empty(spark):
+    from raven_spark.operators.pipeline import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "   "), (2, "x y  x")], "doc_id bigint, text string"
+    )
+    got = [(r["term"], r["term_count"]) for r in heavy_hitters(df, k=10).collect()]
+    assert got == [("x", 2), ("y", 1)]
