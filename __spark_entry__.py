@@ -2017,7 +2017,17 @@ def q84_connected_components(spark, sf_dir):
     from raven_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    n = d.count()
+    return connected_components(
+        _chain_cross_edges(d, d.count()),
+        nodes=d.select(F.col("doc_id").alias("node")),
+    )
+
+
+def _chain_cross_edges(d, n):
+    """The deterministic multi-component graph shared by q84/q87:
+    chains doc i -> i+1 broken at (i+1)%50==0 and i%11==9, plus
+    wrap-around cross edges i -> (i+137) mod N for i%97==0. Both
+    oracles replay the same formula."""
     i = F.col("doc_id")
     chain = d.filter(
         ((i + 1) % 50 != 0) & (i % 11 != 9) & (i + 1 < F.lit(n))
@@ -2025,8 +2035,24 @@ def q84_connected_components(spark, sf_dir):
     cross = d.filter(i % 97 == 0).select(
         i.alias("src"), F.pmod(i + 137, F.lit(n)).alias("dst")
     )
-    return connected_components(
-        chain.union(cross), nodes=d.select(i.alias("node"))
+    return chain.union(cross)
+
+
+def q87_neighborhood_function(spark, sf_dir):
+    """Truncated neighborhood function + harmonic centrality (Boldi &
+    Vigna) over the q84 directed graph (operators/graph.py). This entry
+    runs the EXACT pair-set variant the oracle can replay (recursive-CTE
+    min-distance closure); the 10^10-node scale path is
+    graph.hyperball — same output shape, 64-byte HLL registers instead
+    of pair sets — pytest-bounded against this exact twin
+    (test_graph.py::test_hyperball_tracks_exact_neighborhood)."""
+    from raven_spark.operators.graph import neighborhood_function
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return neighborhood_function(
+        _chain_cross_edges(d, d.count()),
+        nodes=d.select(F.col("doc_id").alias("node")),
+        radius=4,
     )
 
 
@@ -2151,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_connected_components": q84_connected_components,
         "q85_weighted_sample": q85_weighted_sample,
         "q86_heavy_hitters": q86_heavy_hitters,
+        "q87_neighborhood_function": q87_neighborhood_function,
     }
 
 
@@ -4320,6 +4347,42 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY term_count DESC, term ASC)
                      AS rank
             FROM c ORDER BY term_count DESC, term ASC LIMIT 50
+        """,
+        "q87_neighborhood_function": r"""
+            -- Exact truncated neighborhood function: enumerate paths
+            -- to depth 4 (out-degree <= 2 bounds the blowup), take the
+            -- min distance per pair, count balls per radius; harmonic
+            -- from the counts in the Spark expression's exact term
+            -- order.
+            WITH RECURSIVE nn AS (
+              SELECT count(*) AS n FROM documents
+            ), e0 AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+              WHERE (doc_id + 1) % 50 <> 0 AND doc_id % 11 <> 9
+                AND doc_id + 1 < nn.n
+              UNION ALL
+              SELECT doc_id, (doc_id + 137) % nn.n FROM documents, nn
+              WHERE doc_id % 97 = 0
+            ), reach(src, dst, d) AS (
+              SELECT doc_id, doc_id, 0 FROM documents
+              UNION ALL
+              SELECT r.src, e.dst, r.d + 1 FROM reach r
+              JOIN e0 e ON e.src = r.dst WHERE r.d < 4
+            ), dist AS (
+              SELECT src, dst, min(d) AS d FROM reach GROUP BY src, dst
+            ), nf AS (
+              SELECT src AS node,
+                     count(*) FILTER (WHERE d <= 1) AS nf1,
+                     count(*) FILTER (WHERE d <= 2) AS nf2,
+                     count(*) FILTER (WHERE d <= 3) AS nf3,
+                     count(*) FILTER (WHERE d <= 4) AS nf4
+              FROM dist GROUP BY src
+            )
+            SELECT node, nf1, nf2, nf3, nf4,
+                   round(0.0 + (nf1 - 1) / 1.0 + (nf2 - nf1) / 2.0
+                             + (nf3 - nf2) / 3.0 + (nf4 - nf3) / 4.0,
+                         6) AS harmonic
+            FROM nf
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -369,3 +369,152 @@ def connected_components(
             break
         prev_sum = cur
     return lbl.select("node", F.col("comp").alias("component"))
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    radius: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """EXACT truncated neighborhood function + harmonic centrality over
+    the directed graph: nf_r(v) = |{u : d(v,u) <= r}| (self included)
+    for r = 1..radius, and the radius-truncated harmonic centrality
+    h(v) = sum_r (nf_r - nf_{r-1})/r — Boldi & Vigna's centrality of
+    choice for web graphs (well-defined on disconnected graphs, unlike
+    closeness). This exact variant materializes the reachable-pair set
+    (one edge join + union + distinct per radius step), which is
+    O(sum of ball sizes) rows — tractable at oracle scale and the
+    ground truth ``hyperball`` is tested against; at 10^10 URLs use
+    ``hyperball`` (same output shape, HLL registers instead of pair
+    sets, memory O(nodes x 2^p) instead of O(nodes x ball)).
+
+    harmonic is computed row-wise from the final integer counts in one
+    fixed-order double expression (round 6 dp) — deterministic and
+    SQL-replayable, never an engine-order float aggregation.
+    """
+    if radius < 1:
+        raise ValueError("neighborhood_function: radius must be >= 1")
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    e = edges.select(F.col(src).alias("__es"), F.col(dst).alias("__ed")).distinct()
+    cur = nodes.select(F.col("node").alias("__v"), F.col("node").alias("__u"))
+    out = nodes
+    for r in range(1, radius + 1):
+        step = cur.join(e, cur["__u"] == e["__es"]).select(
+            "__v", F.col("__ed").alias("__u")
+        )
+        cur = cur.union(step).distinct().localCheckpoint(eager=False)
+        nf = cur.groupBy("__v").agg(F.count(F.lit(1)).alias(f"nf{r}"))
+        out = out.join(nf, out["node"] == nf["__v"], "left").drop("__v")
+        out = out.withColumn(f"nf{r}", F.coalesce(f"nf{r}", F.lit(1)))
+    harm = F.lit(0.0)
+    for r in range(1, radius + 1):
+        prev = F.lit(1) if r == 1 else F.col(f"nf{r-1}")
+        harm = harm + (F.col(f"nf{r}") - prev).cast("double") / F.lit(float(r))
+    return out.select(
+        "node", *[f"nf{r}" for r in range(1, radius + 1)],
+        F.round(harm, 6).alias("harmonic"),
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    radius: int = 4,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the approximate neighborhood
+    function at web scale. Each node carries an HLL sketch (m = 2^p
+    byte registers) of its out-ball; one radius step merges every
+    node's sketch with its successors' by element-wise register max:
+
+        B_0(v)   = sketch({v})
+        B_{r+1}(v) = regmax( B_r(v), B_r(w) for (v,w) in E )
+
+    and nf_r(v) is the standard HLL estimate (alpha_m * m^2 / sum
+    2^-M_j, linear-counting correction below 2.5m) of |ball(v, r)|.
+
+    Entirely column algebra — no Python in the loop: the register
+    array is built from xxhash64(node) (index = low p bits, rho =
+    leading-zero rank of an independent hash), the merge is one edge
+    join + m per-register max aggregates (map-side combinable) + one
+    zip_with against the node's own sketch, and the estimate is one
+    F.aggregate fold. Per step the shuffle carries (node, m bytes) —
+    at p=6 that is 64 bytes/node vs the exact variant's full pair set;
+    this is what makes the neighborhood function computable at 10^10
+    nodes (the HyperBall paper ran a 3.5B-node crawl on one machine).
+    Relative standard error ~= 1.04/sqrt(m) (13% at p=6) per count.
+
+    Returns (node, anf1..anfR) DOUBLE estimates; pytest bounds their
+    mean relative error against ``neighborhood_function``.
+    """
+    if radius < 1:
+        raise ValueError("hyperball: radius must be >= 1")
+    if not 4 <= p <= 12:
+        raise ValueError("hyperball: p must be in [4, 12]")
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    e = edges.select(F.col(src).alias("__es"), F.col(dst).alias("__ed")).distinct()
+
+    idx = F.pmod(F.xxhash64("node", F.lit("hb-idx")), F.lit(m))
+    w32 = F.pmod(F.xxhash64("node", F.lit("hb-val")), F.lit(1 << 32)) + F.lit(1)
+    # rho = leading-zero count of the 32-bit value + 1 = 33 - floor(log2(w))
+    rho = (F.lit(33) - F.floor(F.log2(w32.cast("double")))).cast("int")
+    sk = nodes.select(
+        "node",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.when(i == idx, rho).otherwise(F.lit(0)),
+        ).alias("__regs"),
+    )
+
+    def _estimate(regs: "F.Column") -> "F.Column":
+        inv = F.aggregate(
+            regs, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double"))
+        )
+        zeros = F.size(F.filter(regs, lambda r: r == 0))
+        raw = F.lit(alpha * m * m) / inv
+        lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+        return F.round(
+            F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw), 3
+        )
+
+    out = nodes
+    for r in range(1, radius + 1):
+        succ = (
+            e.join(sk, e["__ed"] == sk["node"])
+            .groupBy("__es")
+            .agg(*[F.max(F.col("__regs")[i]).alias(f"__m{i}") for i in range(m)])
+            .select("__es", F.array(*[f"__m{i}" for i in range(m)]).alias("__sregs"))
+        )
+        sk = (
+            sk.join(succ, sk["node"] == succ["__es"], "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("__sregs").isNull(), F.col("__regs")
+                ).otherwise(
+                    F.zip_with("__regs", "__sregs", lambda a, b: F.greatest(a, b))
+                ).alias("__regs"),
+            )
+        )
+        if checkpoint_every and r % checkpoint_every == 0:
+            sk = sk.localCheckpoint(eager=False)
+        est = sk.select("node", _estimate(F.col("__regs")).alias(f"anf{r}"))
+        out = out.join(est, "node")
+    return out.select("node", *[f"anf{r}" for r in range(1, radius + 1)])

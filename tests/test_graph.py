@@ -159,3 +159,38 @@ def test_connected_components_partition_invariant(spark):
             base = got
         else:
             assert got == base
+
+
+def test_neighborhood_function_exact_path(spark):
+    from raven_spark.operators.graph import neighborhood_function
+
+    # directed path 0->1->2->3: balls grow one hop per radius step
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["node"]: r for r in neighborhood_function(e, radius=2).collect()}
+    assert (got[0]["nf1"], got[0]["nf2"]) == (2, 3)
+    assert (got[2]["nf1"], got[2]["nf2"]) == (2, 2)
+    assert (got[3]["nf1"], got[3]["nf2"]) == (1, 1)
+    # harmonic(0) at R=2: (2-1)/1 + (3-2)/2 = 1.5
+    assert got[0]["harmonic"] == 1.5
+    assert got[3]["harmonic"] == 0.0
+
+
+def test_hyperball_tracks_exact_neighborhood(spark):
+    from raven_spark.operators.graph import hyperball, neighborhood_function
+
+    # deterministic sparse digraph, 300 nodes, out-degree 2
+    n = 300
+    pairs = []
+    for i in range(n):
+        pairs.append((i, (i * 13 + 7) % n))
+        pairs.append((i, (i * 29 + 3) % n))
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    exact = {r["node"]: r["nf3"] for r in neighborhood_function(e, nodes=nodes, radius=3).collect()}
+    approx = {r["node"]: r["anf3"] for r in hyperball(e, nodes=nodes, radius=3, p=6).collect()}
+    assert set(approx) == set(exact)
+    rel = [abs(approx[v] - exact[v]) / exact[v] for v in exact]
+    mean_rel = sum(rel) / len(rel)
+    # rse ~ 1.04/sqrt(64) = 13% per estimate; the mean over 300 nodes
+    # (shared hash, correlated) stays well inside 0.2
+    assert mean_rel < 0.2, mean_rel
