@@ -2089,6 +2089,34 @@ def q86_heavy_hitters(spark, sf_dir):
     )
 
 
+def q88_filter_funnel(spark, sf_dir):
+    """Filter-ablation funnel (operators/pipeline.py::filter_funnel):
+    six ordered cleaning rules over documents with per-stage reached/
+    dropped/survived accounting, computed in ONE corpus pass (chained
+    first-fail CASE + one count aggregate) instead of one filtered
+    count per rule. The oracle replays the same first-fail CASE and
+    cumulative window."""
+    from raven_spark.operators.pipeline import filter_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+    return filter_funnel(
+        d,
+        [
+            ("min_chars", F.col("n_chars") >= 200),
+            ("lang_en", F.col("lang") == "en"),
+            ("min_words", words >= 30),
+            (
+                "terminal_punct",
+                F.substring(F.trim(text), -1, 1).isin(".", "!", "?"),
+            ),
+            ("no_brace", ~text.contains("{")),
+            ("max_chars", F.col("n_chars") <= 20000),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2178,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_weighted_sample": q85_weighted_sample,
         "q86_heavy_hitters": q86_heavy_hitters,
         "q87_neighborhood_function": q87_neighborhood_function,
+        "q88_filter_funnel": q88_filter_funnel,
     }
 
 
@@ -4383,6 +4412,40 @@ def oracle_sql() -> dict[str, str]:
                              + (nf3 - nf2) / 3.0 + (nf4 - nf3) / 4.0,
                          6) AS harmonic
             FROM nf
+        """,
+        "q88_filter_funnel": r"""
+            -- First-fail CASE in rule order (NULL predicate = fail),
+            -- then the cumulative funnel over the O(rules) aggregate.
+            WITH f AS (
+              SELECT CASE
+                WHEN NOT coalesce(n_chars >= 200, false) THEN 1
+                WHEN NOT coalesce(lang = 'en', false) THEN 2
+                WHEN NOT coalesce(
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w <> '')) >= 30, false) THEN 3
+                WHEN NOT coalesce(
+                  right(trim(text), 1) IN ('.', '!', '?'), false) THEN 4
+                WHEN NOT coalesce(NOT contains(text, '{'), false) THEN 5
+                WHEN NOT coalesce(n_chars <= 20000, false) THEN 6
+                ELSE 0 END AS fail
+              FROM documents
+            ), c AS (
+              SELECT fail, count(*) AS n FROM f GROUP BY fail
+            ), s(stage, rule) AS (
+              VALUES (1, 'min_chars'), (2, 'lang_en'), (3, 'min_words'),
+                     (4, 'terminal_punct'), (5, 'no_brace'), (6, 'max_chars')
+            ), t AS (SELECT sum(n) AS total FROM c)
+            SELECT s.stage, s.rule,
+                   t.total - coalesce(sum(coalesce(c.n, 0)) OVER (
+                     ORDER BY s.stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n_in,
+                   coalesce(c.n, 0) AS n_dropped,
+                   t.total - coalesce(sum(coalesce(c.n, 0)) OVER (
+                     ORDER BY s.stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     - coalesce(c.n, 0) AS n_out
+            FROM s LEFT JOIN c ON c.fail = s.stage CROSS JOIN t
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

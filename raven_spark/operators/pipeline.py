@@ -1209,3 +1209,65 @@ def heavy_hitters(
     topk = agg.orderBy(F.col("term_count").desc(), F.col("term").asc()).limit(int(k))
     w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def filter_funnel(
+    df: DataFrame,
+    rules: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """Filter-ablation funnel (the FineWeb/RefinedWeb reporting table):
+    apply an ORDERED list of (name, keep-predicate) rules and report,
+    per stage, how many documents reached it, how many it dropped, and
+    how many survived — the attrition accounting every corpus-cleaning
+    pipeline publishes next to its filters.
+
+    ONE corpus pass: each row is assigned its FIRST failing stage (a
+    single chained CASE, codegen'd into the scan — a NULL predicate
+    counts as fail, matching ``df.filter``'s drop-null semantics), then
+    one map-side-combinable count per stage index. The naive
+    alternative — len(rules) sequential ``df.filter().count()`` actions
+    — scans the corpus once per rule; this plan scans once total, so at
+    100 TB the funnel costs the same as any single filter.
+
+    The per-stage cumulative (docs reaching stage k = N minus drops
+    before k) is computed by a window over the O(rules)-row aggregate,
+    never over the corpus.
+
+    Output: (stage 1.., rule, n_in, n_dropped, n_out), n_out of the
+    last stage = surviving corpus size.
+    """
+    if not rules:
+        raise ValueError("filter_funnel: rules must be non-empty")
+    fail = F.lit(0)
+    case = None
+    for j, (_, pred) in enumerate(rules, start=1):
+        clause = ~F.coalesce(pred, F.lit(False))
+        case = F.when(clause, F.lit(j)) if case is None else case.when(clause, F.lit(j))
+    fail = case.otherwise(F.lit(0))
+    counts = df.select(fail.alias("__fail")).groupBy("__fail").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    spark = df.sparkSession
+    stages = spark.createDataFrame(
+        [(j, name) for j, (name, _) in enumerate(rules, start=1)],
+        "stage int, rule string",
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
+    per = (
+        stages.join(counts, stages["stage"] == counts["__fail"], "left")
+        .select("stage", "rule", F.coalesce("__n", F.lit(0)).alias("n_dropped"))
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per.select(
+        "stage",
+        "rule",
+        (
+            F.coalesce(F.col("__total"), F.lit(0))
+            - F.coalesce(F.sum("n_dropped").over(w), F.lit(0))
+        ).alias("n_in"),
+        "n_dropped",
+    ).withColumn("n_out", F.col("n_in") - F.col("n_dropped"))

@@ -717,3 +717,35 @@ def test_heavy_hitters_skips_null_and_empty(spark):
     )
     got = [(r["term"], r["term_count"]) for r in heavy_hitters(df, k=10).collect()]
     assert got == [("x", 2), ("y", 1)]
+
+
+def test_filter_funnel_single_pass_accounting(spark):
+    from pyspark.sql import functions as F
+    from raven_spark.operators.pipeline import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, None), (5, 50)], "id bigint, v bigint"
+    )
+    out = filter_funnel(
+        df,
+        [
+            ("v_not_null", F.col("v").isNotNull()),   # drops id=4
+            ("v_ge_20", F.col("v") >= 20),            # drops id=1
+            ("v_le_30", F.col("v") <= 30),            # drops id=5
+        ],
+    ).orderBy("stage").collect()
+    got = [(r["stage"], r["rule"], r["n_in"], r["n_dropped"], r["n_out"]) for r in out]
+    assert got == [
+        (1, "v_not_null", 5, 1, 4),
+        (2, "v_ge_20", 4, 1, 3),
+        (3, "v_le_30", 3, 1, 2),
+    ]
+    # first-fail attribution: a row failing several rules counts only
+    # at its first
+    out2 = filter_funnel(df, [("ge_20", F.col("v") >= 20), ("ne_10", F.col("v") != 10)])
+    rows = {r["rule"]: r["n_dropped"] for r in out2.collect()}
+    assert rows == {"ge_20": 2, "ne_10": 0}  # id=1 and null both fail stage 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        filter_funnel(df, [])
