@@ -2117,6 +2117,18 @@ def q88_filter_funnel(spark, sf_dir):
     )
 
 
+def q89_term_dictionary(spark, sf_dir):
+    """Dense frequency-ranked term ids WITHOUT a global sort
+    (operators/pipeline.py::term_dictionary): two-level cumulative
+    ranking — row_number within (count, term-prefix) groups + an
+    exclusive group-size offset window over the tiny group table (the
+    q83 telescoping trick applied to order statistics). The oracle is
+    the straightforward global row_number."""
+    from raven_spark.operators.pipeline import term_dictionary
+
+    return term_dictionary(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2207,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_heavy_hitters": q86_heavy_hitters,
         "q87_neighborhood_function": q87_neighborhood_function,
         "q88_filter_funnel": q88_filter_funnel,
+        "q89_term_dictionary": q89_term_dictionary,
     }
 
 
@@ -4446,6 +4459,24 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      - coalesce(c.n, 0) AS n_out
             FROM s LEFT JOIN c ON c.fail = s.stage CROSS JOIN t
+        """,
+        "q89_term_dictionary": r"""
+            -- Ground truth for the two-level dense ranking: one global
+            -- row_number in (count desc, term asc) order.
+            WITH toks AS (
+              SELECT unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ')) AS term
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), c AS (
+              SELECT term, count(*) AS term_count FROM toks
+              WHERE term <> '' GROUP BY term
+            )
+            SELECT term, term_count,
+                   row_number() OVER (ORDER BY term_count DESC, term ASC)
+                     AS term_id
+            FROM c
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -1271,3 +1271,71 @@ def filter_funnel(
         ).alias("n_in"),
         "n_dropped",
     ).withColumn("n_out", F.col("n_in") - F.col("n_dropped"))
+
+
+def term_dictionary(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Frequency-ranked term dictionary: every distinct token gets a
+    DENSE 1-based id in (count desc, term asc) order — the dictionary
+    pass tfidf_topk/bm25 name as the 100 TB prelude (hash-aggregate
+    terms once, run every downstream plan on 8-byte ids, join strings
+    back at the end) and the id layout tokenizer/embedding tables
+    expect (id 1 = most frequent).
+
+    A global dense rank normally means a GLOBAL SORT. This computes it
+    with the q83 two-level cumulative trick instead: group terms by
+    (term_count, order-preserving term prefix) — a prefix bucket's
+    lexicographic order equals the full-term order, so ranking
+    decomposes exactly — then (1) row_number WITHIN each small group,
+    (2) an exclusive cumulative group-size offset over the O(distinct
+    counts x 256^prefix_len) group table (a window over the tiny
+    aggregate, never the vocabulary). id = offset + within-rank. No
+    stage ever totally orders the vocabulary; the count aggregate is
+    map-side combinable and the within-group windows partition on
+    (count, prefix). Deepen ``prefix_len`` if the singleton-count class
+    of a 10^9-term vocabulary still concentrates (each extra byte
+    splits the hottest window partition ~64-256x).
+
+    Output: (term, term_count, term_id), term_id dense 1..|vocab|.
+    """
+    terms = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
+            F.explode(
+                F.split(norm_text_col(F.col(text_col)), " ")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    b = F.substring(F.col("term"), 1, int(prefix_len))
+    grouped = terms.withColumn("__b", b)
+    win_in = Window.partitionBy("term_count", "__b").orderBy(F.col("term").asc())
+    ranked = grouped.withColumn("__rn", F.row_number().over(win_in))
+    sizes = grouped.groupBy("term_count", "__b").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    win_off = (
+        Window.orderBy(F.col("term_count").desc(), F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "term_count",
+        "__b",
+        F.coalesce(F.sum("__sz").over(win_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(offsets, ["term_count", "__b"])
+        .select(
+            "term",
+            "term_count",
+            (F.col("__off") + F.col("__rn")).alias("term_id"),
+        )
+    )

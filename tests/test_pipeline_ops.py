@@ -749,3 +749,23 @@ def test_filter_funnel_single_pass_accounting(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         filter_funnel(df, [])
+
+
+def test_term_dictionary_dense_frequency_ranked_ids(spark):
+    from raven_spark.operators.pipeline import term_dictionary
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a c d"), (2, None), (3, "  ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["term"]: (r["term_count"], r["term_id"])
+           for r in term_dictionary(df).collect()}
+    # counts: a=3, b=3, c=2, d=1 -> order (count desc, term asc)
+    assert got == {"a": (3, 1), "b": (3, 2), "c": (2, 3), "d": (1, 4)}
+
+    # dense, total, partition-invariant; prefix_len deepening changes nothing
+    ids = sorted(v[1] for v in got.values())
+    assert ids == [1, 2, 3, 4]
+    alt = {r["term"]: r["term_id"]
+           for r in term_dictionary(df.repartition(7), prefix_len=2).collect()}
+    assert alt == {t: i for t, (_, i) in got.items()}
