@@ -2129,6 +2129,17 @@ def q89_term_dictionary(spark, sf_dir):
     return term_dictionary(_t(spark, sf_dir, "documents"))
 
 
+def q90_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding store
+    (operators/similarity.py::quantize_embeddings): scale/quantized
+    codes/RMS reconstruction error, all column algebra fused into the
+    scan. The 4x storage/IO lever under the ANN family (q18/q23); the
+    oracle replays the exact float32->double arithmetic."""
+    from raven_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2220,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_neighborhood_function": q87_neighborhood_function,
         "q88_filter_funnel": q88_filter_funnel,
         "q89_term_dictionary": q89_term_dictionary,
+        "q90_quantize_embeddings": q90_quantize_embeddings,
     }
 
 
@@ -4477,6 +4489,32 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY term_count DESC, term ASC)
                      AS term_id
             FROM c
+        """,
+        "q90_quantize_embeddings": r"""
+            -- Bit-exact replay of the symmetric int8 quantization:
+            -- float32->double casts, half-away-from-zero round, fold
+            -- in list order.
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0
+            ), qq AS (
+              SELECT vec_id, scale, embedding,
+                     list_transform(embedding,
+                       v -> CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(round(CAST(v AS DOUBLE) / scale)
+                                      AS INT) END) AS q
+              FROM b
+            )
+            SELECT vec_id, scale, q,
+                   round(sqrt(list_aggregate(
+                     list_transform(range(1, len(q) + 1),
+                       i -> pow(CAST(embedding[i] AS DOUBLE)
+                                - CAST(q[i] AS DOUBLE) * scale, 2)),
+                     'sum') / len(q)), 6) AS rms_err
+            FROM qq
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

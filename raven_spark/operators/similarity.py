@@ -260,3 +260,49 @@ def bitext_margin_pairs(
         .filter(F.col("__b") == 1)
         .select("src_id", "tgt_id", "cosine", "margin")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/IO lever for
+    a 10^9-vector store (4x smaller than float32, the format FAISS/
+    ScaNN-style engines scan; dot products stay rank-faithful at int8
+    for cosine duty). Per vector:
+
+        scale = max|x_i| / 127          (0 for the all-zero vector)
+        q_i   = round(x_i / scale)      in [-127, 127]
+        rms   = sqrt(mean((x_i - q_i*scale)^2))   (reconstruction error)
+
+    Pure column algebra (transform/aggregate folds over the array —
+    zero Python, zero shuffle, fuses into the scan); arithmetic is
+    float32->double exact in both engines and round() is half-away-
+    from-zero in both, so the oracle (q90) replays it bit-for-bit.
+
+    Output: (id, scale double, q array<int>, rms_err double 6dp).
+    """
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        x,
+        lambda v: F.when(scale == 0, F.lit(0)).otherwise(
+            F.round(v.cast("double") / scale, 0).cast("int")
+        ),
+    )
+    dim = F.size(x)
+    sq = F.zip_with(
+        x, q, lambda v, qi: F.pow(v.cast("double") - qi.cast("double") * scale, F.lit(2.0))
+    )
+    rms = F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda acc, s: acc + s)
+        / dim.cast("double")
+    )
+    return df.filter(x.isNotNull() & (F.size(x) > 0)).select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.round(rms, 6).alias("rms_err"),
+    )

@@ -175,3 +175,24 @@ def test_bitext_margin_zero_denominator_defines_margin_zero(spark):
         assert r["margin"] == 0.0  # not None
         assert r["cosine"] == 0.0
         assert r["tgt_id"] == 1  # tie-break: lowest tgt_id
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    from raven_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, None),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(got) == {1, 2}  # null filtered
+    r1 = got[1]
+    assert abs(r1["scale"] - 1.0 / 127.0) < 1e-12
+    assert r1["q"] == [127, -64, 32, 0]  # -63.5 rounds away from zero
+    assert r1["rms_err"] < 0.005
+    r2 = got[2]
+    assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0, 0] and r2["rms_err"] == 0.0
