@@ -2100,7 +2100,9 @@ def q88_filter_funnel(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    words = F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+    # explicit RE2 whitespace class: Java \s adds \x0B, which would
+    # shift min_words attribution vs the DuckDB twin on \v-bearing text
+    words = F.size(F.filter(F.split(text, r"[ \t\n\f\r]+"), lambda w: w != ""))
     return filter_funnel(
         d,
         [

@@ -364,7 +364,9 @@ def connected_components(
         )
         if checkpoint_every and (k + 1) % checkpoint_every == 0:
             lbl = lbl.localCheckpoint(eager=False)
-        cur = lbl.agg(F.sum("comp")).collect()[0][0]
+        # decimal(38,0): sum of 10^10 ids up to 10^10 is ~5e19, past
+        # int64 — the exactness argument needs overflow-free arithmetic
+        cur = lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if cur == prev_sum:
             break
         prev_sum = cur
@@ -473,8 +475,12 @@ def hyperball(
 
     idx = F.pmod(F.xxhash64("node", F.lit("hb-idx")), F.lit(m))
     w32 = F.pmod(F.xxhash64("node", F.lit("hb-val")), F.lit(1 << 32)) + F.lit(1)
-    # rho = leading-zero count of the 32-bit value + 1 = 33 - floor(log2(w))
-    rho = (F.lit(33) - F.floor(F.log2(w32.cast("double")))).cast("int")
+    # rho = leading-zero count of the 32-bit value + 1 = 32 - floor(log2(w)):
+    # w = 2^31 (MSB set) -> rho 1, w = 1 -> rho 32. P(rho = r) = 2^-r, the
+    # HLL register distribution (an off-by-one here doubles every raw
+    # estimate — regression-tested by the dense-ball test, which exercises
+    # the raw branch, not just linear counting).
+    rho = (F.lit(32) - F.floor(F.log2(w32.cast("double")))).cast("int")
     sk = nodes.select(
         "node",
         F.transform(

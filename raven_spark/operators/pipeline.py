@@ -1157,8 +1157,16 @@ def heavy_hitters(
     guarantee); callers needing exact counts for the survivors re-scan
     with a semi-join on the k terms (a second cheap pass).
 
-    Tokenization is the corpus convention (norm_text_col + single-space
-    split), applied in pandas with an ASCII \\s to match the SQL twin.
+    Tokenization: lowercase + split on the explicit RE2 whitespace
+    class [\\t\\n\\f\\r ], empty tokens dropped — exactly what the SQL
+    twin's regexp computes (Python/Java \\s variants differ on \\x0B
+    and Unicode spaces, so the class is spelled out).
+
+    MG cost note: the decrement sweep touches all ``capacity`` counters,
+    but every decrement is paid for by a prior increment, so total sweep
+    work over a partition is <= its token count — amortized O(1) per
+    token (the classic analysis), not O(capacity) per arrival.
+
     Output: (term, term_count, rank), rank 1..k.
     """
     import pandas as pd  # noqa: F401 (schema side)
@@ -1174,16 +1182,20 @@ def heavy_hitters(
 
         import pandas as pd
 
-        ws = re.compile(r"\s+", re.ASCII)
+        # the explicit class is RE2's \s ([\t\n\f\r ]) — Python's \s
+        # (even re.ASCII) adds \x0B and str.strip() adds Unicode
+        # whitespace, both of which would diverge from the SQL twin;
+        # empty tokens (leading/trailing separators) are dropped rather
+        # than stripped, the q86/q89 oracle convention
+        ws = re.compile(r"[ \t\n\f\r]+")
         counters: dict[str, int] = {}
         for pdf in batches:
             for t in pdf[text_col]:
                 if t is None:
                     continue
-                s = ws.sub(" ", t.strip().lower())
-                if not s:
-                    continue
-                for tok in s.split(" "):
+                for tok in ws.split(t.lower()):
+                    if not tok:
+                        continue
                     c = counters.get(tok)
                     if c is not None:
                         counters[tok] = c + 1

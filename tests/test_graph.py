@@ -194,3 +194,20 @@ def test_hyperball_tracks_exact_neighborhood(spark):
     # rse ~ 1.04/sqrt(64) = 13% per estimate; the mean over 300 nodes
     # (shared hash, correlated) stays well inside 0.2
     assert mean_rel < 0.2, mean_rel
+
+
+def test_hyperball_raw_branch_unbiased_on_dense_ball(spark):
+    # hub -> 399 spokes: ball(hub, 1) = 400 > 2.5*m for p in {6, 8}, so
+    # the RAW HLL estimator (not linear counting) produces anf1(hub).
+    # Guards the rho register distribution: an off-by-one rho doubles
+    # the raw estimate (~800), far outside the asserted band.
+    from raven_spark.operators.graph import hyperball
+
+    n = 400
+    e = _edges(spark, [(0, i) for i in range(1, n)])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    got = {r["node"]: r["anf1"] for r in hyperball(e, nodes=nodes, radius=1, p=8).collect()}
+    # m=256 -> rse ~6.5%; 4 sigma band around the true 400
+    assert 300 <= got[0] <= 510, got[0]
+    # spokes have out-degree 0: their ball is just themselves
+    assert got[5] == 1.0 or abs(got[5] - 1.0) < 0.2
