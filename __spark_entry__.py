@@ -2142,6 +2142,74 @@ def q90_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q91_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by pointwise mutual information
+    (operators/pipeline.py::pmi_collocations): two map-side-combinable
+    count aggregates + two token-keyed joins + TakeOrderedAndProject —
+    no global sort. min_count=5 floors PMI's rare-pair noise. The
+    oracle replays the identical count algebra and the one fixed double
+    expression tree."""
+    from raven_spark.operators.pipeline import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+def q92_stuffing_signals(spark, sf_dir):
+    """Keyword-stuffing / low-diversity spam signals per document
+    (operators/pipeline.py::stuffing_signals): top-token share (argmax
+    token, ties to the smallest), character-unigram Shannon entropy,
+    and an exact-integer stuffing verdict — all per-row folds over the
+    doc's own sorted arrays, ZERO shuffles. The oracle counts the same
+    multisets by group; sorted-run fold == per-key count."""
+    from raven_spark.operators.pipeline import stuffing_signals
+
+    return stuffing_signals(_t(spark, sf_dir, "documents"))
+
+
+def q93_url_templates(spark, sf_dir):
+    """URL template mining / trap-cluster detection
+    (functions/urls.py::mine_url_templates): collapse paths to their
+    structural template ({hex}/{n} identifier slots), group by (host,
+    template), flag populations that inflate the way calendar/session
+    traps do. URLs synthesized from doc_id (articles, session-token
+    pages, calendar grid, static) — no external data. One hash
+    aggregate; the oracle replays the regex algebra with RE2 'g'
+    flags."""
+    from raven_spark.functions.urls import mine_url_templates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    i = F.col("doc_id")
+    v = F.pmod(i, F.lit(5))
+    hex8 = F.lower(F.lpad(F.hex(i), 8, "0"))
+    base = F.concat(F.lit("https://h"), h, F.lit(".example.com"))
+    url = (
+        F.when(v == 0, F.concat(base, F.lit("/article/"), i.cast("string")))
+        .when(v == 1, F.concat(base, F.lit("/article/"), i.cast("string"), F.lit("?ref=home")))
+        .when(v == 2, F.concat(base, F.lit("/session/"), hex8))
+        .when(
+            v == 3,
+            F.concat(
+                base, F.lit("/cal/2026/"),
+                F.pmod(i, F.lit(12)).cast("string"), F.lit("/"),
+                F.pmod(i, F.lit(28)).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("/static/about")))
+    )
+    return mine_url_templates(d.select(url.alias("url")), min_urls=20, min_slots=2)
+
+
+def q94_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (functions/text.py::readability): exact integer sentence/word/
+    vowel-group-syllable counts folded per row (zero shuffles), two
+    fixed double score expressions the oracle replays bit-for-bit."""
+    from raven_spark.functions.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2234,6 +2302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_filter_funnel": q88_filter_funnel,
         "q89_term_dictionary": q89_term_dictionary,
         "q90_quantize_embeddings": q90_quantize_embeddings,
+        "q91_pmi_collocations": q91_pmi_collocations,
+        "q92_stuffing_signals": q92_stuffing_signals,
+        "q93_url_templates": q93_url_templates,
+        "q94_readability": q94_readability,
     }
 
 
@@ -4517,6 +4589,178 @@ def oracle_sql() -> dict[str, str]:
                                 - CAST(q[i] AS DOUBLE) * scale, 2)),
                      'sum') / len(q)), 6) AS rms_err
             FROM qq
+        """,
+        "q91_pmi_collocations": r"""
+            -- Identical count algebra + the one fixed double expression
+            -- ((cxy*W*W)/(c1*c2*P), one log2); 6dp absorbs libm ulp.
+            WITH nz AS (
+              SELECT list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents
+              WHERE text IS NOT NULL
+            ), nzp AS (SELECT ws FROM nz WHERE len(ws) > 0),
+            uc AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(ws) AS w FROM nzp) GROUP BY w
+            ), pw AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || chr(31) || ws[i + 1])) AS p
+              FROM nzp WHERE len(ws) >= 2
+            ), bc AS (
+              SELECT string_split(p, chr(31))[1] AS w1,
+                     string_split(p, chr(31))[2] AS w2,
+                     count(*) AS pair_count
+              FROM pw GROUP BY 1, 2
+            ), tot AS (
+              SELECT (SELECT sum(c) FROM uc) AS W,
+                     (SELECT sum(pair_count) FROM bc) AS P
+            )
+            SELECT w1, w2, pair_count,
+                   round(log2((CAST(pair_count AS DOUBLE)
+                               * CAST(tot.W AS DOUBLE) * CAST(tot.W AS DOUBLE))
+                              / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                                 * CAST(tot.P AS DOUBLE))), 6) AS pmi
+            FROM bc
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            CROSS JOIN tot
+            WHERE pair_count >= 5
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "q92_stuffing_signals": r"""
+            -- Sorted-run fold == per-key count: the oracle groups the
+            -- same token/char multisets; integers meet exactly, the one
+            -- order-divergent float sum meets at 6dp.
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(coalesce(text, ''))),
+                                    '\s+', ' ', 'g') AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+                                                w -> w <> '')) AS w
+              FROM d
+            ), tc AS (
+              SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+            ), best AS (
+              SELECT doc_id, best_tok, best FROM (
+                SELECT doc_id, w AS best_tok, c AS best,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, w ASC) AS rn
+                FROM tc) WHERE rn = 1
+            ), ntok AS (
+              SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), cc AS (
+              SELECT doc_id, ch, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, length(t)), i -> t[i])) AS ch
+                    FROM d WHERE length(t) > 0)
+              GROUP BY doc_id, ch
+            ), ent AS (
+              SELECT doc_id,
+                     round(log2(CAST(sum(c) AS DOUBLE))
+                           - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                             / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
+              FROM cc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n, 0) AS n_tokens,
+                   b.best_tok AS top_token,
+                   CASE WHEN coalesce(n.n, 0) > 0
+                        THEN round(CAST(b.best AS DOUBLE)
+                                   / CAST(n.n AS DOUBLE), 6)
+                        ELSE 0.0 END AS top_token_frac,
+                   coalesce(e.char_entropy, 0.0) AS char_entropy,
+                   (coalesce(n.n, 0) >= 30
+                    AND coalesce(b.best, 0) * 100 >= coalesce(n.n, 0) * 8)
+                     AS stuffed
+            FROM d
+            LEFT JOIN ntok n USING (doc_id)
+            LEFT JOIN best b USING (doc_id)
+            LEFT JOIN ent e USING (doc_id)
+        """,
+        "q93_url_templates": r"""
+            -- Same synthesis from doc_id, same template algebra (strip
+            -- scheme/authority/query/fragment, lower, {hex} then {n}),
+            -- RE2 'g' flags matching Spark's replace-all semantics.
+            WITH u AS (
+              SELECT CASE doc_id % 5
+                WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id
+                WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id || '?ref=home'
+                WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example.com/session/' || lower(lpad(hex(doc_id), 8, '0'))
+                WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example.com/cal/2026/' || (doc_id % 12) || '/' || (doc_id % 28)
+                ELSE 'https://h' || (doc_id % 7) || '.example.com/static/about'
+                END AS url
+              FROM documents
+            ), t AS (
+              SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                     regexp_replace(
+                       regexp_replace(
+                         CASE WHEN p = '' THEN '/' ELSE lower(p) END,
+                         '[0-9a-f]{8,}', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template,
+                     url AS u
+              FROM (
+                SELECT url,
+                       string_split(string_split(
+                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                         '#')[1], '?')[1] AS p
+                FROM u)
+            ), agg AS (
+              SELECT host, template, count(*) AS n_urls,
+                     count(DISTINCT u) AS n_distinct_urls
+              FROM t GROUP BY host, template
+            )
+            SELECT host, template, n_urls, n_distinct_urls,
+                   CAST(length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
+                        - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) AS INT) AS n_slots,
+                   CAST(length(regexp_replace(template, '[^/]', '', 'g')) AS INT) AS depth,
+                   (n_urls >= 20 AND
+                    length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
+                    - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) >= 2)
+                     AS trap_suspect
+            FROM agg
+        """,
+        "q94_readability": r"""
+            -- Exact integer counts + the two fixed double expressions.
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(coalesce(text, ''))),
+                                    '\s+', ' ', 'g') AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS ws,
+                     list_filter(regexp_split_to_array(t, '[.!?]+'),
+                                 s -> trim(s) <> '') AS ss
+              FROM d
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(ss) AS BIGINT) AS n_sents,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_aggregate(
+                       list_transform(ws, x -> greatest(
+                         len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+                       'sum'), 0) AS BIGINT) AS n_syllables
+              FROM w
+            )
+            SELECT doc_id, n_sents, n_words, n_syllables,
+                   round(206.835::DOUBLE
+                         - 1.015::DOUBLE * (CAST(n_words AS DOUBLE)
+                             / CAST(greatest(n_sents, 1) AS DOUBLE))
+                         - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE)
+                             / CAST(greatest(n_words, 1) AS DOUBLE)), 6)
+                     AS flesch,
+                   round(0.39::DOUBLE * (CAST(n_words AS DOUBLE)
+                             / CAST(greatest(n_sents, 1) AS DOUBLE))
+                         + 11.8::DOUBLE * (CAST(n_syllables AS DOUBLE)
+                             / CAST(greatest(n_words, 1) AS DOUBLE))
+                         - 15.59::DOUBLE, 6) AS fk_grade
+            FROM c
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -607,3 +607,55 @@ def with_script_profile(df, text_col: str = "text"):
     # one projection, not a withColumn per column (each withColumn
     # re-analyzes the whole plan)
     return df.withColumns(cols)
+
+
+# --- readability (Flesch / Flesch-Kincaid, heuristic syllables) ---------------
+
+
+def readability_cols(text: Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade with the standard
+    public heuristics: sentences = maximal [.!?]+-free segments with
+    content, words = whitespace tokens of the normalized text,
+    syllables(word) = max(1, number of [aeiouy]+ vowel groups). The
+    three counts are exact integers computed per row (zero shuffles,
+    whole-stage codegen); the two scores are one fixed double
+    expression each, so the DuckDB oracle replays them bit-for-bit.
+
+    Flesch RE = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+    FK grade  = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
+    sents = F.filter(
+        F.split(norm, r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_sents = F.size(sents)
+    words = F.filter(F.split(norm, " "), lambda w: w != "")
+    n_words = F.size(words)
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    s_safe = F.greatest(n_sents, F.lit(1)).cast("double")
+    w_safe = F.greatest(n_words, F.lit(1)).cast("double")
+    wps = n_words.cast("double") / s_safe
+    spw = syl.cast("double") / w_safe
+    return {
+        "n_sents": n_sents.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "n_syllables": syl,
+        "flesch": F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6),
+        "fk_grade": F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
+    }
+
+
+def readability(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document readability scores (see readability_cols)."""
+    cols = readability_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])

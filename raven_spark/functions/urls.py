@@ -610,3 +610,75 @@ def public_suffix_col(
     )
     return F.when(F.startswith(host, F.lit("[")), F.lit(None).cast("string")) \
         .otherwise(ps)
+
+
+# --- URL template mining (crawler-trap cluster detection) ---------------------
+
+
+def url_template_col(url: Column) -> Column:
+    """Collapse a URL's path to its structural template: strip scheme/
+    authority/query/fragment, lowercase, then replace long hex runs
+    (>= 8 chars — session tokens, content hashes; an 8+-digit run is
+    also hex and collapses in this pass) with ``{hex}`` and remaining
+    digit runs with ``{n}``. Two URLs share a template iff they differ
+    only in those identifier slots — the grouping key for spotting
+    machine-generated URL spaces (calendars, session mirrors, faceted
+    listings) that trap_score_col scores one URL at a time.
+
+    Pure column algebra (three regexes + a split), so the 100 TB pass
+    is a zero-shuffle scan and the DuckDB oracle replays it exactly
+    (RE2-safe patterns, no lookarounds)."""
+    path = F.element_at(
+        F.split(
+            F.element_at(F.split(F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""), r"\#"), 1),
+            r"\?",
+        ),
+        1,
+    )
+    path = F.lower(F.when(path == "", F.lit("/")).otherwise(path))
+    t = F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}")
+    return F.regexp_replace(t, r"[0-9]+", "{n}")
+
+
+def mine_url_templates(
+    df, url_col: str = "url", min_urls: int = 20, min_slots: int = 2
+):
+    """Group a frontier/corpus URL set by (host, path template) and flag
+    trap-suspect clusters: templates with >= ``min_slots`` identifier
+    slots whose population reached ``min_urls`` (a calendar or session
+    mirror inflates exactly this way — many URLs, one shape). Output per
+    template: n_urls, n_distinct_urls, n_slots, depth, trap_suspect.
+
+    One map-side-combinable hash aggregate keyed on (host, template) —
+    the shuffle carries templates (bounded short strings), never URL
+    lists; the verdict is exact integer algebra. Feed ``trap_suspect``
+    templates into the frontier's deny-list the same way q42 feeds host
+    reputation."""
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    tpl = url_template_col(url)
+    agg = (
+        df.select(host.alias("host"), tpl.alias("template"), url.alias("u"))
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("u").alias("n_distinct_urls"),
+        )
+    )
+    n_slots = (
+        F.length(F.regexp_replace(F.col("template"), r"\{hex\}|\{n\}", "\x01"))
+        - F.length(F.regexp_replace(F.col("template"), r"\{hex\}|\{n\}", ""))
+    )
+    depth = F.length(F.regexp_replace(F.col("template"), r"[^/]", ""))
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_distinct_urls",
+        n_slots.cast("int").alias("n_slots"),
+        depth.cast("int").alias("depth"),
+        (
+            (F.col("n_urls") >= int(min_urls))
+            & (n_slots >= int(min_slots))
+        ).alias("trap_suspect"),
+    )

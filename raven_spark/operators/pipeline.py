@@ -1351,3 +1351,212 @@ def term_dictionary(
             (F.col("__off") + F.col("__rn")).alias("term_id"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-analysis pass behind phrase vocabularies and stop-phrase
+    lists (Church & Hanks 1990): PMI(x,y) = log2(p(x,y) / (p(x)p(y)))
+    with p from corpus bigram/unigram counts, floored at ``min_count``
+    co-occurrences so rare-pair noise (PMI's known failure mode) never
+    ranks.
+
+    100 TB shape: two map-side-combinable hash aggregates over the
+    token/bigram streams (terms are short strings — the shuffle carries
+    (gram, partial count), never documents), two shuffle joins keyed on
+    single tokens to attach unigram counts, and a
+    TakeOrderedAndProject top-k — no global sort, no driver state. The
+    scalar totals ride a 1-row cross join (literally free after AQE
+    folds it to a broadcast).
+
+    Output: (w1, w2, pair_count, pmi) — pmi rounded to 6dp, ordered by
+    (pmi desc, w1, w2), exactly k rows (fewer if the floored pair table
+    is smaller). The double arithmetic is a fixed expression tree
+    ((cxy*W*W) / (cx*cy*P), one log2) so the DuckDB oracle replays it
+    bit-for-bit up to libm's log2 ulp, absorbed by the rounding.
+    """
+    words = F.filter(
+        F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != ""
+    )
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(words.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("w_count"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i.cast("int")).alias("w1"),
+                        F.element_at("ws", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    totals = uni.agg(F.sum("w_count").alias("W")).crossJoin(
+        big.agg(F.sum("pair_count").alias("P"))
+    )
+    scored = (
+        big.filter(F.col("pair_count") >= int(min_count))
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("w_count").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("w_count").alias("c2")),
+            "w2",
+        )
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log2(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("W").cast("double")
+                        * F.col("W").cast("double")
+                    )
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                        * F.col("P").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(k))
+
+
+def stuffing_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    top_frac_pct: int = 8,
+) -> DataFrame:
+    """Keyword-stuffing / low-diversity signals per document — the SEO-spam
+    shape web filters catch before any model sees the text (a term
+    repeated far beyond its natural share, or machine-generated text with
+    collapsed character diversity):
+
+    - ``top_token_frac``: share of tokens taken by the single most
+      frequent token (argmax token reported; ties break to the
+      lexicographically smallest).
+    - ``char_entropy``: Shannon entropy (bits) of the normalized text's
+      character unigram distribution — log2(n) - sum(c*log2 c)/n.
+    - ``stuffed``: n_tokens >= min_tokens AND the top token holds >=
+      ``top_frac_pct``% of the stream, tested in EXACT integer
+      arithmetic (best*100 >= pct*n) so the verdict has no float
+      boundary.
+
+    100 TB shape: ZERO shuffles — every signal is a per-row fold over
+    the doc's own sorted token/char arrays (sorted runs == multiset
+    counts), whole-stage-codegen'd into the scan. The DuckDB oracle
+    counts the same multisets by group instead; the float sums meet at
+    6dp (the only order-divergent term), the integers exactly.
+    """
+    # NULL text behaves as empty (n_tokens 0, stuffed false) — the same
+    # identity norm the dedup family applies before counting
+    text = norm_text_col(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.array_sort(F.filter(F.split(text, " "), lambda w: w != ""))
+    n_tok = F.size(toks)
+
+    # fold over sorted tokens: (prev, run, best_count, best_token)
+    tok_acc = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+            F.lit("").alias("best_tok"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)) > a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).cast("bigint"),
+            ).otherwise(a["best"]).alias("best"),
+            F.when(
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)) > a["best"], x
+            ).otherwise(a["best_tok"]).alias("best_tok"),
+        ),
+    )
+
+    chars = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: F.substr(text, i, F.lit(1)),
+        )
+    )
+    n_ch = F.length(text)
+    # fold over sorted chars: on run close, accumulate run*log2(run)
+    ch_acc = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(
+                x == a["prev"], a["s"]
+            ).otherwise(
+                a["s"]
+                + F.when(
+                    a["run"] > 0,
+                    a["run"].cast("double") * F.log2(a["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+        lambda a: a["s"]
+        + F.when(
+            a["run"] > 0, a["run"].cast("double") * F.log2(a["run"].cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        tok_acc.alias("__t"),
+        F.when(n_ch > 0, F.round(F.log2(n_ch.cast("double")) - ch_acc / n_ch.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("char_entropy"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.col("__t.best_tok")).otherwise(F.lit(None).cast("string")).alias("top_token"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("__t.best").cast("double") / F.col("n_tokens").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_token_frac"),
+        "char_entropy",
+        (
+            (F.col("n_tokens") >= int(min_tokens))
+            & (F.col("__t.best") * 100 >= F.col("n_tokens") * int(top_frac_pct))
+        ).alias("stuffed"),
+    )

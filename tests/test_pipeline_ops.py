@@ -769,3 +769,71 @@ def test_term_dictionary_dense_frequency_ranked_ids(spark):
     alt = {r["term"]: r["term_id"]
            for r in term_dictionary(df.repartition(7), prefix_len=2).collect()}
     assert alt == {t: i for t, (_, i) in got.items()}
+
+
+def test_pmi_collocations_ranking_and_floor(spark):
+    from raven_spark.operators.pipeline import pmi_collocations
+
+    df = spark.createDataFrame(
+        [
+            (0, "strong tea strong tea strong tea"),
+            (1, "tea cup tea cup tea cup"),
+            (2, "strong tea again"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = pmi_collocations(df, min_count=3, k=10).collect()
+    pairs = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in out}
+    # floored pairs only: every surviving pair co-occurs >= 3 times
+    assert all(c >= 3 for c, _ in pairs.values())
+    assert ("strong", "tea") in pairs and ("tea", "cup") in pairs
+    # hand-check one PMI: W=15 tokens, P=12 bigrams, c(tea)=7, c(cup)=3
+    import math
+
+    c_xy, _ = pairs[("tea", "cup")]
+    assert c_xy == 3
+    expect = round(math.log2((3 * 15 * 15) / (7 * 3 * 12)), 6)
+    assert abs(pairs[("tea", "cup")][1] - expect) < 1e-9
+
+    # partition-invariant (counts are content-determined)
+    alt = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_collocations(df.repartition(7), min_count=3, k=10).collect()
+    }
+    assert alt == pairs
+
+
+def test_stuffing_signals_exact_counts_and_entropy(spark):
+    import math
+
+    from raven_spark.operators.pipeline import stuffing_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "Buy " * 40 + "now"),       # 41 tokens, 40x 'buy'
+            (1, "all distinct words here"),
+            (2, None),
+            (3, "aaBB"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in stuffing_signals(df).collect()}
+    r0 = got[0]
+    assert (r0["n_tokens"], r0["top_token"]) == (41, "buy")
+    assert abs(r0["top_token_frac"] - round(40 / 41, 6)) < 1e-9
+    assert r0["stuffed"] is True                      # 40*100 >= 41*8
+    r1 = got[1]
+    assert r1["top_token_frac"] == 0.25 and r1["stuffed"] is False
+    assert got[2]["n_tokens"] == 0 and got[2]["stuffed"] is False
+    # entropy of normalized "aabb": 2 chars x2 -> log2(4) - (2*1+2*1)/4 = 1.0
+    assert abs(got[3]["char_entropy"] - 1.0) < 1e-9
+    # entropy of a uniform 4-char doc vs hand formula on doc 1
+    t = "all distinct words here"
+    from collections import Counter
+
+    c = Counter(t)
+    n = len(t)
+    expect = round(math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n, 6)
+    assert abs(got[1]["char_entropy"] - expect) < 1e-6

@@ -251,3 +251,27 @@ def test_script_profile_scripts_and_ties(spark):
     assert out[7]["latin_n"] == out[7]["cyrillic_n"] == 2
     assert out[7]["dominant_script"] == "latin"
     assert out[8]["dominant_script"] == "latin" and out[8]["latin_n"] == 9
+
+
+def test_readability_hand_counts(spark):
+    from raven_spark.functions.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran!"),
+            (1, None),
+            (2, "beautiful"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r0 = got[0]
+    # sentences: 'the cat sat' / 'the dog ran'; words 6; syllables all 1
+    assert (r0["n_sents"], r0["n_words"], r0["n_syllables"]) == (2, 6, 6)
+    import math
+
+    flesch = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert math.isclose(r0["flesch"], flesch)
+    assert got[1]["n_words"] == 0 and got[1]["n_sents"] == 0
+    # beau-ti-ful -> vowel groups 'eau','i','u' = 3
+    assert got[2]["n_syllables"] == 3

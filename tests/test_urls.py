@@ -352,3 +352,46 @@ def test_registered_domain_empty_rules_degrade_to_last_two_labels(spark):
     got = {r["h"]: r["d"] for r in
            df.select("h", registered_domain_col(F.col("h")).alias("d")).collect()}
     assert got == {"a.b.example.net": "example.net", "example.net": "example.net"}
+
+
+def test_url_template_collapses_identifier_slots(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.urls import url_template_col
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/article/123",),
+            ("https://a.com/article/999?ref=x#frag",),
+            ("https://a.com/session/deadbeef01",),
+            ("https://a.com/cal/2026/3/14",),
+            ("https://a.com",),
+            ("https://a.com/UPPER/5",),
+        ],
+        "url string",
+    )
+    got = [r["t"] for r in df.select(url_template_col(F.col("url")).alias("t")).collect()]
+    assert got == [
+        "/article/{n}",
+        "/article/{n}",          # query + fragment stripped
+        "/session/{hex}",
+        "/cal/{n}/{n}/{n}",
+        "/",                     # empty path normalizes to /
+        "/upper/{n}",
+    ]
+
+
+def test_mine_url_templates_trap_flag(spark):
+    from raven_spark.functions.urls import mine_url_templates
+
+    rows = [(f"https://t.com/cal/2026/{m}/{d}",) for m in range(3) for d in range(8)]
+    rows += [(f"https://t.com/about",)] * 3
+    rows += [(f"https://t.com/p/{i}",) for i in range(30)]   # 1 slot only
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["template"]: r for r in mine_url_templates(df, min_urls=20, min_slots=2).collect()}
+    cal = got["/cal/{n}/{n}/{n}"]
+    assert (cal["n_urls"], cal["n_slots"], cal["depth"], cal["trap_suspect"]) == (24, 3, 4, True)
+    assert got["/p/{n}"]["trap_suspect"] is False            # slots below floor
+    assert got["/about"]["trap_suspect"] is False
+    # duplicate URLs counted but distinct tracked
+    assert got["/about"]["n_urls"] == 3 and got["/about"]["n_distinct_urls"] == 1
