@@ -2210,6 +2210,29 @@ def q94_readability(spark, sf_dir):
     return readability(_t(spark, sf_dir, "documents"))
 
 
+def q95_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embedding store
+    (operators/similarity.py::kmeans_lloyd, k=8, 2 iterations): literal
+    centroid broadcast (O(k*dim) state, MLlib-style), zero-shuffle
+    assignment scans, FIXED-POINT exact centroid sums so no float
+    accumulation order can flip an assignment. The oracle unrolls both
+    iterations in SQL and replays the identical arithmetic."""
+    from raven_spark.operators.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iterations=2)
+
+
+def q96_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims
+    (operators/similarity.py::random_projection): the projection matrix
+    is a pure Knuth-coin function of the cell index — never
+    materialized, never shipped; one fold per output component, fused
+    into the scan. The oracle recomputes the same signs and folds."""
+    from raven_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2306,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_stuffing_signals": q92_stuffing_signals,
         "q93_url_templates": q93_url_templates,
         "q94_readability": q94_readability,
+        "q95_kmeans": q95_kmeans,
+        "q96_random_projection": q96_random_projection,
     }
 
 
@@ -4761,6 +4786,88 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(greatest(n_words, 1) AS DOUBLE))
                          - 15.59::DOUBLE, 6) AS fk_grade
             FROM c
+        """,
+        "q95_kmeans": r"""
+            -- Both Lloyd iterations unrolled: float32->double casts,
+            -- (x-c)*(x-c) folds in list order, fixed-point bigint sums,
+            -- one double division per mean — identical arithmetic.
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+              FROM embeddings
+            ), c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+                     x AS vec
+              FROM e ORDER BY vec_id LIMIT 8
+            ), a0 AS (
+              SELECT vec_id, x, cluster FROM (
+                SELECT e.vec_id, e.x, c.j AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_aggregate(list_transform(range(1, 65),
+                           i -> (x[i] - vec[i]) * (x[i] - vec[i])), 'sum')
+                         ASC, c.j ASC) AS rn
+                FROM e CROSS JOIN c0 c)
+              WHERE rn = 1
+            ), s0 AS (
+              SELECT cluster, t.i AS i,
+                     sum(CAST(round(x[t.i] * 1048576.0) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM a0 CROSS JOIN range(1, 65) t(i)
+              GROUP BY cluster, t.i
+            ), c1 AS (
+              SELECT c0.j, coalesce(m.vec, c0.vec) AS vec
+              FROM c0 LEFT JOIN (
+                SELECT cluster AS j,
+                       list(CAST(s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS vec
+                FROM s0 GROUP BY cluster) m ON m.j = c0.j
+            ), a1 AS (
+              SELECT vec_id, x, cluster FROM (
+                SELECT e.vec_id, e.x, c.j AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_aggregate(list_transform(range(1, 65),
+                           i -> (x[i] - vec[i]) * (x[i] - vec[i])), 'sum')
+                         ASC, c.j ASC) AS rn
+                FROM e CROSS JOIN c1 c)
+              WHERE rn = 1
+            ), s1 AS (
+              SELECT cluster, t.i AS i,
+                     sum(CAST(round(x[t.i] * 1048576.0) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM a1 CROSS JOIN range(1, 65) t(i)
+              GROUP BY cluster, t.i
+            ), c2 AS (
+              SELECT c1.j, coalesce(m.vec, c1.vec) AS vec
+              FROM c1 LEFT JOIN (
+                SELECT cluster AS j,
+                       list(CAST(s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS vec
+                FROM s1 GROUP BY cluster) m ON m.j = c1.j
+            ), fin AS (
+              SELECT e.vec_id, c.j AS cluster,
+                     list_aggregate(list_transform(range(1, 65),
+                       i -> (x[i] - vec[i]) * (x[i] - vec[i])), 'sum') AS d
+              FROM e CROSS JOIN c2 c
+            )
+            SELECT vec_id, cluster, round(d, 6) AS dist FROM (
+              SELECT vec_id, cluster, d,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cluster ASC) AS rn
+              FROM fin) WHERE rn = 1
+        """,
+        "q96_random_projection": r"""
+            -- Same Knuth-coin sign matrix (bit 16 of key*K), same fold
+            -- order, same 1/sqrt(64) scale.
+            SELECT vec_id,
+                   list_transform(range(0, 16), j -> round(
+                     list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * (CASE WHEN (((CAST(i - 1 AS BIGINT) * 1000003
+                                            + CAST(j AS BIGINT) * 7919)
+                                           * 2654435761) >> 16) & 1 = 0
+                                    THEN 1.0 ELSE -1.0 END)), 'sum')
+                     * (1.0 / sqrt(CAST(64 AS DOUBLE))), 6)) AS proj
+            FROM embeddings
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

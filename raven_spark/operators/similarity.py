@@ -306,3 +306,150 @@ def quantize_embeddings(
         q.alias("q"),
         F.round(rms, 6).alias("rms_err"),
     )
+
+
+# --- k-means (Lloyd) over the embedding store ---------------------------------
+
+_FP = 1 << 20  # fixed-point scale for exact (order-independent) centroid sums
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, the clustering pass under
+    SemDedup-style semantic dedup and IVF cell training — deterministic
+    end to end so the DuckDB oracle can replay every iteration:
+
+    - init: the k vectors with smallest id (TakeOrdered, no RNG);
+    - assign: argmin_j ||x - c_j||^2 as PURE COLUMN ALGEBRA against k
+      literal centroid arrays — no join, no shuffle, ties to smallest j;
+    - update: per-cluster elementwise mean computed in FIXED-POINT
+      (round(x_i * 2^20) summed as bigint, one double division at the
+      end) so the sum is exact and order/partition-independent — float
+      accumulation order can never flip a later assignment.
+
+    100 TB shape: each iteration is one zero-shuffle assign scan + one
+    map-side-combinable hash aggregate over (cluster) — k*dim*8 bytes of
+    state rides the closure as literals (the MLlib-standard centroid
+    broadcast; O(k*dim), nothing scales with rows — NOT the robots-class
+    driver residency). Empty clusters keep their previous centroid.
+
+    Output: (id, cluster int, dist double 6dp) under the final centroids.
+    """
+    vec = F.col(vec_col)
+    init = df.orderBy(F.col(id_col).asc()).limit(int(k)).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+
+    def dist_to(c: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(x) for x in c]),
+                lambda v, cc: (v.cast("double") - cc) * (v.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def assign_col(cs: list[list[float]]):
+        return F.array_min(
+            F.array(*[
+                F.struct(dist_to(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cs)
+            ])
+        )
+
+    cur = cents
+    for _ in range(int(iterations)):
+        a = df.select(
+            assign_col(cur)["j"].alias("cluster"),
+            *[
+                F.round(F.element_at(vec, i + 1).cast("double") * F.lit(float(_FP)), 0)
+                .cast("bigint")
+                .alias(f"__x{i}")
+                for i in range(int(dim))
+            ],
+        )
+        upd = a.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"__x{i}").alias(f"__s{i}") for i in range(int(dim))],
+        )
+        rows = {r["cluster"]: r for r in upd.collect()}  # k rows, O(k*dim)
+        nxt = []
+        for j, prev in enumerate(cur):
+            r = rows.get(j)
+            if r is None or r["n"] == 0:
+                nxt.append(prev)  # empty cluster keeps its centroid
+            else:
+                n = float(r["n"])
+                nxt.append([float(r[f"__s{i}"]) / (n * float(_FP)) for i in range(int(dim))])
+        cur = nxt
+
+    out = df.select(
+        F.col(id_col),
+        assign_col(cur).alias("__a"),
+    )
+    return out.select(
+        id_col,
+        F.col("__a.j").alias("cluster"),
+        F.round(F.col("__a.d"), 6).alias("dist"),
+    )
+
+
+# --- Johnson-Lindenstrauss random projection -----------------------------------
+
+KNUTH_32 = 2654435761
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Dimensionality reduction by a deterministic ±1 random-projection
+    matrix (Achlioptas 2003): proj_j = sum_i x_i * s_ij / sqrt(dim),
+    where s_ij = ±1 from a Knuth multiplicative coin over the (i, j)
+    cell index (bit 16 of key*K — high bits, where multiplicative
+    hashing mixes; the matrix is a pure function, never materialized
+    or shipped). The 4x-shrunk vectors feed the same ANN/near-dup
+    family at a quarter of the scan bytes with JL-bounded distance
+    distortion.
+
+    Zero shuffles, zero Python: one fold per output component, fused
+    into the scan; every double op is a fixed expression tree the
+    DuckDB oracle replays exactly.
+
+    Output: (id, proj array<double> — components rounded to 6dp).
+    """
+    vec = F.col(vec_col)
+
+    def sign(i: int, j: int) -> float:
+        key = i * 1000003 + j * 7919
+        return 1.0 if ((key * KNUTH_32) >> 16) & 1 == 0 else -1.0
+
+    import math
+
+    inv = 1.0 / math.sqrt(float(dim))
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(sign(i, j)) for i in range(int(dim))]),
+                    lambda v, s: v.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(inv),
+            6,
+        )
+        for j in range(int(out_dim))
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))

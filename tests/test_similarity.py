@@ -196,3 +196,58 @@ def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
     assert r1["rms_err"] < 0.005
     r2 = got[2]
     assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0, 0] and r2["rms_err"] == 0.0
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from raven_spark.operators.similarity import kmeans_lloyd
+
+    # two tight planted blobs in 4-d; k=2, ids 0/1 land one in each blob
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]))
+        rows.append((2 * i + 1, [-10.0, -10.0 - 0.01 * i, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd(df, k=2, iterations=2, dim=4).collect()}
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+    # partition-invariant: fixed-point sums kill float-order drift
+    alt = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd(df.repartition(7), k=2, iterations=2, dim=4).collect()}
+    assert alt == got
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from raven_spark.operators.similarity import kmeans_lloyd
+
+    # ids 0,1 both in the same blob -> one init centroid goes hungry but
+    # the op must still emit a full assignment without error
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iterations=2, dim=2).collect()
+    assert len(out) == 6
+    assert all(r["dist"] >= 0.0 for r in out)
+
+
+def test_random_projection_shape_and_linearity(spark):
+    from raven_spark.operators.similarity import random_projection
+
+    base = [float(i % 5) for i in range(8)]
+    doubled = [2.0 * v for v in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, doubled), (2, [0.0] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["proj"] for r in
+           random_projection(df, out_dim=4, dim=8).collect()}
+    assert all(len(p) == 4 for p in got.values())
+    # linear map: proj(2x) == 2*proj(x) (rounding at 6dp)
+    for a, b in zip(got[0], got[1]):
+        assert abs(2 * a - b) < 1e-5
+    assert got[2] == [0.0, 0.0, 0.0, 0.0]
+    # deterministic across partitionings
+    alt = {r["vec_id"]: r["proj"] for r in
+           random_projection(df.repartition(5), out_dim=4, dim=8).collect()}
+    assert alt == got
