@@ -2233,6 +2233,61 @@ def q96_random_projection(spark, sf_dir):
     return random_projection(_t(spark, sf_dir, "embeddings"))
 
 
+def q97_domain_graph(spark, sf_dir):
+    """Registrable-domain link-graph rollup (operators/graph.py::
+    domain_graph): the page-level synthetic edge set (q36/q70's shared
+    builder) mapped through q71's PSL domain_key and collapsed to
+    domain-domain weights + per-domain degree/insularity stats
+    (intra_frac = nav-vs-content signal). Two 8-byte joins + two
+    O(domains) aggregates; the oracle replays edges and the PSL key."""
+    from raven_spark.functions.urls import registered_domain_col
+    from raven_spark.operators.graph import domain_graph
+
+    S, W, E = _PSL_RULES
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = _synthetic_link_edges(d, n)
+    doms = d.select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(
+            registered_domain_col(_synthetic_host_col(), S, W, E),
+            _synthetic_host_col(),
+        ).alias("domain"),
+    )
+    return domain_graph(edges, doms)
+
+
+def q98_bpe_merges(spark, sf_dir):
+    """First 3 BPE merge rules learned over the corpus vocabulary
+    (operators/pipeline.py::bpe_merges, Sennrich et al. 2016): per step
+    one pair-count hash aggregate over the cached O(vocab) symbol table
+    + a 1-row TakeOrdered argmax (the algorithm's inherent sync point);
+    fusing is a literal left-to-right replace over \\x1f-joined symbols,
+    which the oracle replays step by step with the same replace()."""
+    from raven_spark.operators.pipeline import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), steps=3)
+
+
+def q99_content_drift(spark, sf_dir):
+    """Per-URL content drift across crawl snapshots
+    (operators/snapshots.py::content_drift): SimHash Hamming distance
+    between CONSECUTIVE captures of the same URL (captures synthesized
+    as in q37: url_id = doc_id mod 137, capture order = doc_id), rolled
+    into n_caps / n_changed / mean / max per URL. One exchange total:
+    the lag window and the final aggregate share the url partitioning.
+    The oracle replays q22's FNV/bit-plane SimHash and the same lag."""
+    from raven_spark.operators.snapshots import content_drift
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        (F.col("doc_id") % 137).alias("url_id"),
+        F.col("doc_id").alias("cap_seq"),
+        "text",
+    )
+    return content_drift(caps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2331,6 +2386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_readability": q94_readability,
         "q95_kmeans": q95_kmeans,
         "q96_random_projection": q96_random_projection,
+        "q97_domain_graph": q97_domain_graph,
+        "q98_bpe_merges": q98_bpe_merges,
+        "q99_content_drift": q99_content_drift,
     }
 
 
@@ -4868,6 +4926,154 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1.0 ELSE -1.0 END)), 'sum')
                      * (1.0 / sqrt(CAST(64 AS DOUBLE))), 6)) AS proj
             FROM embeddings
+        """,
+        "q97_domain_graph": f"""
+            -- Same synthetic edges (q36 builder) + the q71/q72 PSL
+            -- domain_key replay, then the two-direction rollup.
+            WITH hosts AS (
+              SELECT doc_id, {_SYNTH_HOST_SQL} AS host
+              FROM documents
+            ), {_PSL_KEY_SQL}, keyed AS (
+              SELECT doc_id,
+                     coalesce(CASE WHEN n > b AND b > 0
+                          THEN array_to_string(labs[n-b:n], '.') END, host) AS dom
+              FROM best
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT d.doc_id AS src,
+                     (d.doc_id * 37 + j.j * 1009) % nn.n AS dst
+              FROM documents d
+              CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+              CROSS JOIN nn
+              WHERE (d.doc_id * 37 + j.j * 1009) % nn.n <> d.doc_id
+            ), de AS (
+              SELECT ks.dom AS src_dom, kd.dom AS dst_dom, count(*) AS w
+              FROM e
+              JOIN keyed ks ON ks.doc_id = e.src
+              JOIN keyed kd ON kd.doc_id = e.dst
+              GROUP BY 1, 2
+            ), o AS (
+              SELECT src_dom AS domain, sum(w) AS out_w,
+                     sum(CASE WHEN src_dom = dst_dom THEN w ELSE 0 END) AS intra_w,
+                     count(DISTINCT CASE WHEN dst_dom <> src_dom
+                                         THEN dst_dom END) AS out_domains
+              FROM de GROUP BY 1
+            ), i AS (
+              SELECT dst_dom AS domain, sum(w) AS in_w,
+                     count(DISTINCT CASE WHEN src_dom <> dst_dom
+                                         THEN src_dom END) AS in_domains
+              FROM de GROUP BY 1
+            )
+            SELECT domain,
+                   CAST(coalesce(out_w, 0) AS BIGINT) AS out_w,
+                   CAST(coalesce(in_w, 0) AS BIGINT) AS in_w,
+                   CAST(coalesce(intra_w, 0) AS BIGINT) AS intra_w,
+                   CAST(coalesce(out_domains, 0) AS BIGINT) AS out_domains,
+                   CAST(coalesce(in_domains, 0) AS BIGINT) AS in_domains,
+                   CASE WHEN coalesce(out_w, 0) > 0
+                        THEN round(CAST(coalesce(intra_w, 0) AS DOUBLE)
+                                   / CAST(out_w AS DOUBLE), 6)
+                        ELSE 0.0 END AS intra_frac
+            FROM o FULL OUTER JOIN i USING (domain)
+        """,
+        "q98_bpe_merges": r"""
+            -- Three unrolled merge steps: same vocab, same pair counts,
+            -- same (count desc, left, right) argmax, same left-to-right
+            -- replace over chr(31)-joined symbols.
+            WITH w AS (
+              SELECT w, count(*) AS f FROM (
+                SELECT unnest(list_filter(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' '), x -> x <> '')) AS w
+                FROM documents WHERE text IS NOT NULL) GROUP BY w
+            ), v0 AS (
+              SELECT array_to_string(list_transform(
+                       range(1, length(w) + 1), i -> w[i]), chr(31)) AS sym, f
+              FROM w
+            ), c1 AS (
+              SELECT pr, sum(f) AS c FROM (
+                SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                         i -> a[i] || chr(30) || a[i + 1])) AS pr, f
+                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v0)
+                WHERE len(a) >= 2) GROUP BY pr
+            ), b1 AS (
+              SELECT string_split(pr, chr(30))[1] AS l,
+                     string_split(pr, chr(30))[2] AS r, c
+              FROM c1 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+            ), v1 AS (
+              SELECT replace(sym, (SELECT l || chr(31) || r FROM b1),
+                             (SELECT l || r FROM b1)) AS sym, f FROM v0
+            ), c2 AS (
+              SELECT pr, sum(f) AS c FROM (
+                SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                         i -> a[i] || chr(30) || a[i + 1])) AS pr, f
+                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v1)
+                WHERE len(a) >= 2) GROUP BY pr
+            ), b2 AS (
+              SELECT string_split(pr, chr(30))[1] AS l,
+                     string_split(pr, chr(30))[2] AS r, c
+              FROM c2 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+            ), v2 AS (
+              SELECT replace(sym, (SELECT l || chr(31) || r FROM b2),
+                             (SELECT l || r FROM b2)) AS sym, f FROM v1
+            ), c3 AS (
+              SELECT pr, sum(f) AS c FROM (
+                SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                         i -> a[i] || chr(30) || a[i + 1])) AS pr, f
+                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v2)
+                WHERE len(a) >= 2) GROUP BY pr
+            ), b3 AS (
+              SELECT string_split(pr, chr(30))[1] AS l,
+                     string_split(pr, chr(30))[2] AS r, c
+              FROM c3 ORDER BY c DESC, l ASC, r ASC LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym,
+                   CAST(c AS BIGINT) AS pair_count FROM b1
+            UNION ALL
+            SELECT CAST(2 AS INT), l, r, CAST(c AS BIGINT) FROM b2
+            UNION ALL
+            SELECT CAST(3 AS INT), l, r, CAST(c AS BIGINT) FROM b3
+        """,
+        "q99_content_drift": rf"""
+            -- q22's FNV/bit-plane SimHash replay + the same per-URL lag.
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id, {_Q22_FNV} AS h FROM toks WHERE t <> ''
+            ), bits AS (
+              SELECT doc_id, bit,
+                     SUM(CASE WHEN (h // (1::HUGEINT << bit)) % 2 = 1
+                              THEN 1 ELSE -1 END) AS w
+              FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+              GROUP BY doc_id, bit
+            ), sigs AS (
+              SELECT d.doc_id,
+                     COALESCE((SELECT SUM(1::HUGEINT << bit) FROM bits b
+                               WHERE b.doc_id = d.doc_id AND b.w > 0),
+                              0::HUGEINT) AS sig
+              FROM documents d
+            ), s AS (
+              SELECT doc_id % 137 AS url_id, doc_id AS cap_seq,
+                     CAST(CASE WHEN sig >= (1::HUGEINT << 63)
+                               THEN sig - (1::HUGEINT << 64)
+                               ELSE sig END AS BIGINT) AS sig
+              FROM sigs
+            ), l AS (
+              SELECT url_id,
+                     CAST(bit_count(xor(sig, lag(sig) OVER (
+                       PARTITION BY url_id ORDER BY cap_seq))) AS INT) AS h
+              FROM s
+            )
+            SELECT url_id,
+                   count(*) AS n_caps,
+                   count(h) AS n_transitions,
+                   CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_changed,
+                   round(avg(h), 6) AS mean_hamming,
+                   max(h) AS max_hamming
+            FROM l GROUP BY url_id
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

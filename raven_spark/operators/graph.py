@@ -524,3 +524,75 @@ def hyperball(
         est = sk.select("node", _estimate(F.col("__regs")).alias(f"anf{r}"))
         out = out.join(est, "node")
     return out.select("node", *[f"anf{r}" for r in range(1, radius + 1)])
+
+
+def domain_graph(
+    edges: DataFrame,
+    node_domains: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Collapse a page-level link graph to registrable-domain level — the
+    rollup crawl schedulers and spam analyses run on (domain-level
+    PageRank feeds, link-farm reciprocity, intra-domain nav noise):
+    every page edge maps through (node -> domain), parallel edges
+    collapse into a weight, and each domain gets one row of degree/
+    weight/insularity stats.
+
+    100 TB shape: two 8-byte-keyed shuffle joins map endpoints to
+    domains (the mapping table is O(pages) — never broadcast), then one
+    hash aggregate per direction on O(domains) keys; page identifiers
+    and hostnames never ride the aggregates. ``intra_frac`` (share of a
+    domain's out-weight pointing at itself) is the nav-vs-content
+    signal; domains with out_domains==1 and intra_frac==1 are link
+    islands.
+
+    Output: (domain, out_w, in_w, intra_w, out_domains, in_domains,
+    intra_frac 6dp) — out_domains/in_domains count DISTINCT counterpart
+    domains, self excluded.
+    """
+    sdom = node_domains.select(
+        F.col(node_col).alias(src), F.col(domain_col).alias("src_dom")
+    )
+    ddom = node_domains.select(
+        F.col(node_col).alias(dst), F.col(domain_col).alias("dst_dom")
+    )
+    de = (
+        edges.join(sdom, src).join(ddom, dst)
+        .groupBy("src_dom", "dst_dom")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = de.groupBy(F.col("src_dom").alias("domain")).agg(
+        F.sum("w").alias("out_w"),
+        F.sum(F.when(F.col("src_dom") == F.col("dst_dom"), F.col("w")).otherwise(F.lit(0))).alias("intra_w"),
+        F.count_distinct(
+            F.when(F.col("dst_dom") != F.col("src_dom"), F.col("dst_dom"))
+        ).alias("out_domains"),
+    )
+    inn = de.groupBy(F.col("dst_dom").alias("domain")).agg(
+        F.sum("w").alias("in_w"),
+        F.count_distinct(
+            F.when(F.col("src_dom") != F.col("dst_dom"), F.col("src_dom"))
+        ).alias("in_domains"),
+    )
+    return (
+        out.join(inn, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).alias("in_w"),
+            F.coalesce("intra_w", F.lit(0)).alias("intra_w"),
+            F.coalesce("out_domains", F.lit(0)).alias("out_domains"),
+            F.coalesce("in_domains", F.lit(0)).alias("in_domains"),
+            F.when(
+                F.coalesce("out_w", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("intra_w", F.lit(0)).cast("double")
+                    / F.col("out_w").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("intra_frac"),
+        )
+    )

@@ -1560,3 +1560,98 @@ def stuffing_signals(
             & (F.col("__t.best") * 100 >= F.col("n_tokens") * int(top_frac_pct))
         ).alias("stuffed"),
     )
+
+
+_BPE_SEP = "\x1f"  # unit separator: never appears in whitespace-split tokens
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    steps: int = 3,
+) -> DataFrame:
+    """Learn the first ``steps`` BPE merge rules over the corpus
+    vocabulary (Sennrich et al. 2016 — the tokenizer-training pass):
+    start from character symbols, and per step pick the adjacent symbol
+    pair with the highest corpus frequency (ties to the lexicographically
+    smallest (left, right)), then fuse it everywhere.
+
+    Distributed shape: the corpus collapses to the (word, freq) vocab
+    table ONCE (map-side-combinable aggregate; cached — it is O(vocab),
+    not O(corpus), and every step replays from it); each step is one
+    pair-count hash aggregate + a 1-row TakeOrdered. The argmax pair is
+    the algorithm's inherent per-step sync point — O(1) driver bytes per
+    step, nothing row-scaled. Merging is a literal string replace over
+    separator-joined symbols: left-to-right non-overlapping replacement
+    IS BPE's fuse semantics, and the \\x1f separator keeps boundaries
+    unambiguous, so the DuckDB oracle replays each step with the same
+    replace().
+
+    Output: (step, left_sym, right_sym, pair_count) — one row per merge,
+    fewer if the vocabulary runs dry.
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = words.select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substr(F.col("w"), i, F.lit(1)),
+            ),
+            _BPE_SEP,
+        ).alias("sym"),
+        "f",
+    ).persist()
+    spark = df.sparkSession
+    merges: list[tuple] = []
+    cur = vocab
+    try:
+        for step in range(1, int(steps) + 1):
+            arr = F.split(F.col("sym"), _BPE_SEP)
+            pairs = cur.select(
+                F.explode(
+                    F.when(
+                        F.size(arr) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(arr) - 1),
+                            lambda i: F.struct(
+                                F.element_at(arr, i.cast("int")).alias("l"),
+                                F.element_at(arr, (i + 1).cast("int")).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "f",
+            )
+            best = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("f").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((step, b["l"], b["r"], int(b["c"])))
+            cur = cur.select(
+                F.replace(
+                    F.col("sym"),
+                    F.lit(b["l"] + _BPE_SEP + b["r"]),
+                    F.lit(b["l"] + b["r"]),
+                ).alias("sym"),
+                "f",
+            )
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -204,3 +204,51 @@ def recrawl_schedule(
         "next_fetch_ts",
         F.timestamp_add("SECOND", F.col("interval_s"), F.col("last_seen")),
     )
+
+
+def content_drift(
+    df: DataFrame,
+    key_col: str = "url_id",
+    order_col: str = "cap_seq",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-URL content-drift profile from SimHash distances between
+    CONSECUTIVE captures — the recrawl-scheduling signal
+    ``snapshot_stats`` can't see (distinct-version counting says *that*
+    a page changed; the Hamming ladder says *how much*, separating
+    timestamp-rotating boilerplate (hamming 1-3) from real rewrites):
+
+        sig_t = simhash64(norm(text_t));  h_t = popcount(sig_t XOR sig_{t-1})
+
+    Output per key: n_caps, n_transitions (consecutive pairs),
+    n_changed (h > 0), mean_hamming (6dp), max_hamming.
+
+    Scale shape: signatures ride the same vectorized Arrow kernel as
+    simhash_buckets (one pass, no text shuffle — only (key, seq, 8-byte
+    sig) reaches the exchange); the lag window partitions on the URL
+    key, bounded by captures-per-URL (snapshot cadence, not corpus
+    size), then one hash aggregate on the same key reuses the window's
+    partitioning — a single exchange end to end.
+    """
+    from pyspark.sql import Window
+
+    from raven_spark.functions.text import simhash_udf
+    from raven_spark.operators.dedup import norm_text_col
+
+    sigs = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        simhash_udf(norm_text_col(F.col(text_col))).alias("sig"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    per = sigs.select(
+        key_col,
+        F.bit_count(F.col("sig").bitwiseXOR(F.lag("sig").over(w))).alias("h"),
+    )
+    return per.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_caps"),
+        F.count("h").alias("n_transitions"),
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("bigint").alias("n_changed"),
+        F.round(F.avg("h"), 6).alias("mean_hamming"),
+        F.max("h").alias("max_hamming"),
+    )

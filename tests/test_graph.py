@@ -211,3 +211,27 @@ def test_hyperball_raw_branch_unbiased_on_dense_ball(spark):
     assert 300 <= got[0] <= 510, got[0]
     # spokes have out-degree 0: their ball is just themselves
     assert got[5] == 1.0 or abs(got[5] - 1.0) < 0.2
+
+
+def test_domain_graph_rollup_and_insularity(spark):
+    from raven_spark.operators.graph import domain_graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 4), (3, 4), (4, 3)],
+        "src bigint, dst bigint",
+    )
+    doms = spark.createDataFrame(
+        [(1, "a.com"), (2, "a.com"), (3, "b.com"), (4, "b.com")],
+        "node bigint, domain string",
+    )
+    got = {r["domain"]: r for r in domain_graph(edges, doms).collect()}
+    a, b = got["a.com"], got["b.com"]
+    # a.com: out edges 1->2 (intra), 1->3, 2->1 (intra) => out_w 3, intra 2
+    assert (a["out_w"], a["intra_w"], a["out_domains"]) == (3, 2, 1)
+    assert abs(a["intra_frac"] - round(2 / 3, 6)) < 1e-9
+    # b.com: 3->4 x2 + 4->3 all intra
+    assert (b["out_w"], b["intra_w"], b["out_domains"]) == (3, 3, 0)
+    assert b["intra_frac"] == 1.0
+    # in-direction: a.com receives 2 intra only... plus nothing external
+    assert (a["in_w"], a["in_domains"]) == (2, 0)
+    assert (b["in_w"], b["in_domains"]) == (4, 1)

@@ -837,3 +837,32 @@ def test_stuffing_signals_exact_counts_and_entropy(spark):
     n = len(t)
     expect = round(math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n, 6)
     assert abs(got[1]["char_entropy"] - expect) < 1e-6
+
+
+def test_bpe_merges_hand_sequence(spark):
+    from raven_spark.operators.pipeline import bpe_merges
+
+    # vocab: 'low' x5, 'lower' x2, 'newest' x6  (classic BPE example shape)
+    df = spark.createDataFrame(
+        [(0, "low " * 5 + "lower " * 2 + "newest " * 6)],
+        "doc_id bigint, text string",
+    )
+    out = bpe_merges(df, steps=3).orderBy("step").collect()
+    got = [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in out]
+    # step 1: 'we' rides both 'lower' (2) and 'newest' (6) -> 8, the max
+    assert got[0] == (1, "w", "e", 8)
+    # step 2: after fusing 'we', 'lo' (7 = low x5 + lower x2) leads
+    assert got[1] == (2, "l", "o", 7)
+    # step 3: 6-count tie {(e,we),(n,e),(s,t),(we,s)} -> smallest left 'e'
+    assert got[2] == (3, "e", "we", 6)
+
+
+def test_bpe_merges_overlapping_run_fuses_left_to_right(spark):
+    from raven_spark.operators.pipeline import bpe_merges
+
+    # 'aaa': pairs (a,a) x2, but fusing is non-overlapping left-to-right:
+    # after merge 1 the word is (aa)(a), so step 2's best is (aa, a)
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id bigint, text string")
+    out = bpe_merges(df, steps=2).orderBy("step").collect()
+    assert (out[0]["left_sym"], out[0]["right_sym"], out[0]["pair_count"]) == ("a", "a", 4)
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == ("aa", "a", 2)

@@ -200,3 +200,32 @@ def test_recrawl_schedule_null_dates_get_default(spark):
     [r] = recrawl_schedule(stats, default_interval_s=777).collect()
     assert r["interval_s"] == 777
     assert r["next_fetch_ts"] is None  # no last_seen to anchor to
+
+
+def test_content_drift_ladder(spark):
+    from raven_spark.operators.snapshots import content_drift
+
+    df = spark.createDataFrame(
+        [
+            # url 1: identical captures -> transitions with hamming 0
+            (1, 0, "the same page text entirely"),
+            (1, 1, "the same page text entirely"),
+            (1, 2, "the same page text entirely"),
+            # url 2: one real rewrite
+            (2, 0, "breaking news about the launch today"),
+            (2, 1, "completely different quarterly earnings report"),
+            # url 3: single capture -> no transitions
+            (3, 0, "lonely capture"),
+        ],
+        "url_id bigint, cap_seq bigint, text string",
+    )
+    got = {r["url_id"]: r for r in content_drift(df).collect()}
+    r1 = got[1]
+    assert (r1["n_caps"], r1["n_transitions"], r1["n_changed"]) == (3, 2, 0)
+    assert r1["mean_hamming"] == 0.0 and r1["max_hamming"] == 0
+    r2 = got[2]
+    assert (r2["n_caps"], r2["n_transitions"]) == (2, 1)
+    assert r2["n_changed"] == 1 and r2["max_hamming"] > 0
+    r3 = got[3]
+    assert (r3["n_caps"], r3["n_transitions"], r3["n_changed"]) == (1, 0, 0)
+    assert r3["mean_hamming"] is None and r3["max_hamming"] is None
