@@ -2288,6 +2288,38 @@ def q99_content_drift(spark, sf_dir):
     return content_drift(caps)
 
 
+def q100_domain_split(spark, sf_dir):
+    """Leakage-safe train/val/test split at registrable-domain
+    granularity (operators/sampling.py::domain_split): one domain ->
+    one split, so site mirrors and templated siblings never straddle
+    the eval boundary. The coin is quality_model's poly-31+Knuth string
+    hash of q71's domain_key — zero shuffles, reproducible anywhere;
+    the oracle refolds the same hash in SQL."""
+    from raven_spark.functions.urls import registered_domain_col
+    from raven_spark.operators.sampling import domain_split
+
+    S, W, E = _PSL_RULES
+    d = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "domain_key",
+        F.coalesce(
+            registered_domain_col(_synthetic_host_col(), S, W, E),
+            _synthetic_host_col(),
+        ),
+    )
+    return domain_split(d, val_permille=100, test_permille=50)
+
+
+def q101_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (functions/text.py::kwic_snippets):
+    first-occurrence ±30-char windows + literal occurrence counts for
+    'order' — locate/substr/replace algebra fused into the scan, zero
+    shuffles. The oracle replays with strpos/substr (both 1-based,
+    character-addressed)."""
+    from raven_spark.functions.text import kwic_snippets
+
+    return kwic_snippets(_t(spark, sf_dir, "documents"), term="order", width=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2389,6 +2421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_domain_graph": q97_domain_graph,
         "q98_bpe_merges": q98_bpe_merges,
         "q99_content_drift": q99_content_drift,
+        "q100_domain_split": q100_domain_split,
+        "q101_kwic_snippets": q101_kwic_snippets,
     }
 
 
@@ -5074,6 +5108,49 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(h), 6) AS mean_hamming,
                    max(h) AS max_hamming
             FROM l GROUP BY url_id
+        """,
+        "q100_domain_split": f"""
+            -- PSL domain_key replay + the same poly-31 fold mod 1e9+7
+            -- and Knuth mix mod 1000, exact permille thresholds.
+            WITH hosts AS (
+              SELECT doc_id, {_SYNTH_HOST_SQL} AS host
+              FROM documents
+            ), {_PSL_KEY_SQL}, keyed AS (
+              SELECT doc_id,
+                     coalesce(CASE WHEN n > b AND b > 0
+                          THEN array_to_string(labs[n-b:n], '.') END, host)
+                       AS domain_key
+              FROM best
+            ), coin AS (
+              SELECT doc_id, domain_key,
+                     (list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(1, length(domain_key) + 1),
+                                       i -> CAST(ascii(domain_key[i]) AS BIGINT))),
+                        (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                      * 2654435761) % 1000 AS c
+              FROM keyed
+            )
+            SELECT doc_id, domain_key,
+                   CASE WHEN c < 50 THEN 'test'
+                        WHEN c < 150 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM coin
+        """,
+        "q101_kwic_snippets": r"""
+            -- strpos/substr are 1-based and character-addressed in both
+            -- engines; occurrence count by replace-and-measure.
+            WITH m AS (
+              SELECT doc_id, text, lower(text) AS low,
+                     strpos(lower(text), 'order') AS pos
+              FROM documents
+              WHERE text IS NOT NULL AND strpos(lower(text), 'order') > 0
+            )
+            SELECT doc_id, pos,
+                   CAST((length(low) - length(replace(low, 'order', '')))
+                        / 5 AS BIGINT) AS n_matches,
+                   substr(text, greatest(1, pos - 30),
+                          (pos - greatest(1, pos - 30)) + 35) AS snippet
+            FROM m
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

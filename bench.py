@@ -103,6 +103,22 @@ HEADLINE = [
     "q81_shard_corpus",
     "q82_script_profile",
     "q83_domain_budget",
+    "q84_connected_components",
+    "q85_weighted_sample",
+    "q86_heavy_hitters",
+    "q87_neighborhood_function",
+    "q88_filter_funnel",
+    "q89_term_dictionary",
+    "q90_quantize_embeddings",
+    "q91_pmi_collocations",
+    "q92_stuffing_signals",
+    "q93_url_templates",
+    "q94_readability",
+    "q95_kmeans",
+    "q96_random_projection",
+    "q97_domain_graph",
+    "q98_bpe_merges",
+    "q99_content_drift",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -659,3 +659,46 @@ def readability(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document readability scores (see readability_cols)."""
     cols = readability_cols(F.col(text_col))
     return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+# --- KWIC snippet extraction ---------------------------------------------------
+
+
+def kwic_snippets(
+    df,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 30,
+):
+    """Keyword-in-context snippets — the search-results/corpus-audit
+    view: for every document containing ``term`` (case-insensitive
+    LITERAL match), the character window of ``width`` on each side of
+    the FIRST occurrence, plus the 1-based match position and the total
+    occurrence count (replace-and-measure, no regex — the term needs no
+    escaping in either engine).
+
+    Zero shuffles, zero Python: locate + substring + length algebra
+    fused into the scan; documents without the term are filtered before
+    anything is built. Snippet windows clamp at document edges.
+
+    Output: (id, pos, n_matches, snippet).
+    """
+    t = F.lit(term.lower())
+    low = F.lower(F.col(text_col))
+    pos = F.locate(term.lower(), low)
+    n = (
+        (F.length(low) - F.length(F.replace(low, t, F.lit(""))))
+        / F.lit(len(term))
+    ).cast("bigint")
+    start = F.greatest(F.lit(1), pos - F.lit(int(width)))
+    length = (pos - start) + F.lit(len(term) + int(width))
+    return (
+        df.filter(F.col(text_col).isNotNull() & (pos > 0))
+        .select(
+            F.col(id_col),
+            pos.alias("pos"),
+            n.alias("n_matches"),
+            F.substr(F.col(text_col), start, length).alias("snippet"),
+        )
+    )

@@ -658,7 +658,10 @@ def mine_url_templates(
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
     tpl = url_template_col(url)
     agg = (
-        df.select(host.alias("host"), tpl.alias("template"), url.alias("u"))
+        # distinct URLs ride xxhash64 (8-byte shuffle keys, the q72/
+        # domain_rollup convention) — full URL strings never leave the
+        # map stage; collision odds are the accepted exact-dedup class
+        df.select(host.alias("host"), tpl.alias("template"), F.xxhash64(url).alias("u"))
         .groupBy("host", "template")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),

@@ -297,3 +297,33 @@ def pps_bottomk(
         .orderBy(F.col(key_out).asc(), key.asc())
         .limit(int(k))
     )
+
+
+def domain_split(
+    df: DataFrame,
+    domain_col: str = "domain_key",
+    val_permille: int = 100,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment at REGISTRABLE-DOMAIN
+    granularity: every document of a domain lands in the same split, so
+    near-duplicate pages, mirrors, and templated siblings from one site
+    can never straddle the train/test boundary (the web-corpus eval-
+    leakage failure mode row-level ``hash_split`` cannot prevent).
+
+    The coin is a pure function of the domain STRING (poly-31 codepoint
+    fold mod 1e9+7 + Knuth mix — quality_model's SQL-replayable
+    convention), so assignment is reproducible across runs, engines,
+    and partitionings, and needs NO shuffle: the verdict fuses into
+    whatever scan already carries the domain column. Thresholds are
+    exact integer permille comparisons.
+    """
+    from raven_spark.operators.quality_model import feature_bucket_col
+
+    coin = feature_bucket_col(F.col(domain_col), 1000)
+    split = (
+        F.when(coin < F.lit(int(test_permille)), F.lit("test"))
+        .when(coin < F.lit(int(test_permille + val_permille)), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

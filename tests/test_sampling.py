@@ -254,3 +254,24 @@ def test_pps_bottomk_clamps_and_validates(spark):
     assert len(out) == 3 and all(r["ticket_key"] >= 0 for r in out)
     with _pytest.raises(ValueError):
         pps_bottomk(df, k=0, weight_col="w")
+
+
+def test_domain_split_is_domain_atomic_and_deterministic(spark):
+    from raven_spark.operators.sampling import domain_split
+
+    rows = [(i, f"dom{i % 40}.com") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, domain_key string")
+    got = [(r["doc_id"], r["domain_key"], r["split"]) for r in
+           domain_split(df, val_permille=200, test_permille=100).collect()]
+    # every doc of a domain shares its split (the leakage-safety contract)
+    per_dom = {}
+    for _, dom, s in got:
+        per_dom.setdefault(dom, set()).add(s)
+    assert all(len(v) == 1 for v in per_dom.values())
+    # all three splits are populated at these permilles over 40 domains
+    assert {s for _, _, s in got} == {"train", "val", "test"}
+    # partition-invariant and rerun-stable
+    again = [(r["doc_id"], r["domain_key"], r["split"]) for r in
+             domain_split(df.repartition(7), val_permille=200,
+                          test_permille=100).collect()]
+    assert sorted(again) == sorted(got)

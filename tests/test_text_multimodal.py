@@ -275,3 +275,27 @@ def test_readability_hand_counts(spark):
     assert got[1]["n_words"] == 0 and got[1]["n_sents"] == 0
     # beau-ti-ful -> vowel groups 'eau','i','u' = 3
     assert got[2]["n_syllables"] == 3
+
+
+def test_kwic_snippets_window_and_counts(spark):
+    from raven_spark.functions.text import kwic_snippets
+
+    pad = "x" * 50
+    df = spark.createDataFrame(
+        [
+            (0, pad + "NEEDLE" + pad),          # interior match
+            (1, "NEEDLE right at the start"),    # left clamp
+            (2, "no match here"),
+            (3, "two needle then needle again"),  # case-insensitive x2
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           kwic_snippets(df, term="needle", width=10).collect()}
+    assert 2 not in got
+    r0 = got[0]
+    assert r0["pos"] == 51 and r0["n_matches"] == 1
+    assert r0["snippet"] == "x" * 10 + "NEEDLE" + "x" * 10
+    r1 = got[1]
+    assert r1["pos"] == 1 and r1["snippet"].startswith("NEEDLE")
+    assert got[3]["n_matches"] == 2 and got[3]["pos"] == 5
