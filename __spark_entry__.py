@@ -2320,6 +2320,47 @@ def q101_kwic_snippets(spark, sf_dir):
     return kwic_snippets(_t(spark, sf_dir, "documents"), term="order", width=30)
 
 
+def q102_template_admission(spark, sf_dir):
+    """The mine -> enforce loop closed (operators/admission.py +
+    functions/urls.py::mine_url_templates): templates mined from the
+    q93 synthetic URL set, trap_suspect clusters fed back as the
+    admission denylist (broadcast O(flagged-templates) side), every URL
+    re-gated. Output per URL: template_blocked + the composed admit.
+    The oracle replays mining and the (host, template) membership."""
+    from raven_spark.functions.urls import mine_url_templates
+    from raven_spark.operators.admission import frontier_admission
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    i = F.col("doc_id")
+    v = F.pmod(i, F.lit(5))
+    hex8 = F.lower(F.lpad(F.hex(i), 8, "0"))
+    base = F.concat(F.lit("https://h"), h, F.lit(".example.com"))
+    url = (
+        F.when(v == 0, F.concat(base, F.lit("/article/"), i.cast("string")))
+        .when(v == 1, F.concat(base, F.lit("/article/"), i.cast("string"), F.lit("?ref=home")))
+        .when(v == 2, F.concat(base, F.lit("/session/"), hex8))
+        .when(
+            v == 3,
+            F.concat(
+                base, F.lit("/cal/2026/"),
+                F.pmod(i, F.lit(12)).cast("string"), F.lit("/"),
+                F.pmod(i, F.lit(28)).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("/static/about")))
+    )
+    cand = d.select(url.alias("url_canon"))
+    deny = (
+        mine_url_templates(cand, url_col="url_canon", min_urls=20, min_slots=2)
+        .filter("trap_suspect")
+        .select("host", "template")
+    )
+    return frontier_admission(cand, trap_templates=deny).select(
+        F.col("url_canon").alias("url"), "template_blocked", "admit"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2423,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_content_drift": q99_content_drift,
         "q100_domain_split": q100_domain_split,
         "q101_kwic_snippets": q101_kwic_snippets,
+        "q102_template_admission": q102_template_admission,
     }
 
 
@@ -5151,6 +5193,45 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, greatest(1, pos - 30),
                           (pos - greatest(1, pos - 30)) + 35) AS snippet
             FROM m
+        """,
+        "q102_template_admission": r"""
+            -- Mining replay (q93's algebra) -> membership -> verdict.
+            WITH u AS (
+              SELECT CASE doc_id % 5
+                WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id
+                WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id || '?ref=home'
+                WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example.com/session/' || lower(lpad(hex(doc_id), 8, '0'))
+                WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example.com/cal/2026/' || (doc_id % 12) || '/' || (doc_id % 28)
+                ELSE 'https://h' || (doc_id % 7) || '.example.com/static/about'
+                END AS url
+              FROM documents
+            ), t AS (
+              SELECT url,
+                     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                     regexp_replace(
+                       regexp_replace(
+                         CASE WHEN p = '' THEN '/' ELSE lower(p) END,
+                         '[0-9a-f]{8,}', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template
+              FROM (
+                SELECT url,
+                       string_split(string_split(
+                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                         '#')[1], '?')[1] AS p
+                FROM u)
+            ), deny AS (
+              SELECT host, template FROM (
+                SELECT host, template, count(*) AS n_urls
+                FROM t GROUP BY host, template)
+              WHERE n_urls >= 20
+                AND length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
+                    - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) >= 2
+            )
+            SELECT t.url,
+                   (d.host IS NOT NULL) AS template_blocked,
+                   (d.host IS NULL) AS admit
+            FROM t LEFT JOIN deny d
+              ON d.host = t.host AND d.template = t.template
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -119,6 +119,9 @@ HEADLINE = [
     "q97_domain_graph",
     "q98_bpe_merges",
     "q99_content_drift",
+    "q100_domain_split",
+    "q101_kwic_snippets",
+    "q102_template_admission",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -41,6 +41,7 @@ def frontier_admission(
     max_trap_score: float | None = None,
     schedule: DataFrame | None = None,
     now_ts=None,
+    trap_templates: DataFrame | None = None,
     url_col: str = "url_canon",
     id_col: str = "url_hash",
 ) -> DataFrame:
@@ -95,6 +96,44 @@ def frontier_admission(
             # caller THINKS due-ness is being enforced — it isn't
             raise ValueError("frontier_admission: now_ts requires schedule")
         out = out.withColumn("due", F.lit(True))
+    if trap_templates is not None:
+        # population-level trap denial: mine_url_templates' flagged
+        # (host, template) clusters, joined against each candidate's OWN
+        # computed template — the enforcement half of q93's mining (a
+        # per-URL trap_score can't see that /cal/{n}/{n}/{n} has 10^6
+        # siblings; the template table can). The deny side is O(flagged
+        # templates) — broadcast; swap to a shuffle join if a deployment
+        # ever flags more templates than fit a broadcast.
+        from raven_spark.functions.urls import url_template_col
+
+        host = F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+            )
+        )
+        tt = trap_templates.select(
+            F.col("host").alias("__t_host"),
+            F.col("template").alias("__t_tpl"),
+            F.lit(True).alias("__t_hit"),
+        ).distinct()
+        out = (
+            out.withColumn("__host", host)
+            .withColumn("__tpl", url_template_col(F.col(url_col)))
+            .join(
+                F.broadcast(tt),
+                (F.col("__host") == F.col("__t_host"))
+                & (F.col("__tpl") == F.col("__t_tpl")),
+                "left",
+            )
+            .withColumn(
+                "template_blocked", F.coalesce(F.col("__t_hit"), F.lit(False))
+            )
+            .drop("__t_host", "__t_tpl", "__t_hit", "__host", "__tpl")
+        )
+    else:
+        out = out.withColumn("template_blocked", F.lit(False))
     return out.withColumn(
-        "admit", F.col("url_allowed") & trap_ok & F.col("due")
+        "admit",
+        F.col("url_allowed") & trap_ok & F.col("due")
+        & ~F.col("template_blocked"),
     )

@@ -75,3 +75,32 @@ def test_frontier_admission_now_without_schedule_rejected(spark):
     cand = spark.createDataFrame([("https://a.example/x",)], "url_canon string")
     with pytest.raises(ValueError, match="requires schedule"):
         frontier_admission(cand, now_ts=0)
+
+
+def test_frontier_admission_template_denylist(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from raven_spark.functions.urls import mine_url_templates
+    from raven_spark.operators.admission import frontier_admission
+
+    urls = [(f"https://t.com/cal/2026/{m}/{d}",) for m in range(5) for d in range(5)]
+    urls += [("https://t.com/about",), ("https://other.com/cal/2026/1/2",)]
+    cand = spark.createDataFrame(urls, "url_canon string")
+    mined = mine_url_templates(cand, url_col="url_canon", min_urls=20, min_slots=2)
+    deny = mined.filter("trap_suspect").select("host", "template")
+    out = {r["url_canon"]: r for r in
+           frontier_admission(cand, trap_templates=deny).collect()}
+    # all 25 calendar URLs on t.com blocked; about page and the SAME
+    # template on a different host stay admitted
+    assert sum(1 for r in out.values() if r["template_blocked"]) == 25
+    assert out["https://t.com/about"]["admit"] is True
+    assert out["https://other.com/cal/2026/1/2"]["admit"] is True
+    assert out["https://t.com/cal/2026/1/2"]["admit"] is False
+
+
+def test_frontier_admission_without_templates_has_false_flag(spark):
+    from raven_spark.operators.admission import frontier_admission
+
+    cand = spark.createDataFrame([("https://a.com/x",)], "url_canon string")
+    r = frontier_admission(cand).collect()[0]
+    assert r["template_blocked"] is False and r["admit"] is True
