@@ -2166,24 +2166,18 @@ def q92_stuffing_signals(spark, sf_dir):
     return stuffing_signals(_t(spark, sf_dir, "documents"))
 
 
-def q93_url_templates(spark, sf_dir):
-    """URL template mining / trap-cluster detection
-    (functions/urls.py::mine_url_templates): collapse paths to their
-    structural template ({hex}/{n} identifier slots), group by (host,
-    template), flag populations that inflate the way calendar/session
-    traps do. URLs synthesized from doc_id (articles, session-token
-    pages, calendar grid, static) — no external data. One hash
-    aggregate; the oracle replays the regex algebra with RE2 'g'
-    flags."""
-    from raven_spark.functions.urls import mine_url_templates
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+def _synthetic_trap_url_col():
+    """The synthetic URL mix shared by q93 (mining) and q102
+    (enforcement): articles, session-token pages, a calendar grid, one
+    static page — derived from doc_id, no external data. Its SQL twin
+    is ``_TRAP_URL_SQL``; the two must stay bit-identical or the
+    mine/enforce pair silently diverges."""
     h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
     i = F.col("doc_id")
     v = F.pmod(i, F.lit(5))
     hex8 = F.lower(F.lpad(F.hex(i), 8, "0"))
     base = F.concat(F.lit("https://h"), h, F.lit(".example.com"))
-    url = (
+    return (
         F.when(v == 0, F.concat(base, F.lit("/article/"), i.cast("string")))
         .when(v == 1, F.concat(base, F.lit("/article/"), i.cast("string"), F.lit("?ref=home")))
         .when(v == 2, F.concat(base, F.lit("/session/"), hex8))
@@ -2197,7 +2191,49 @@ def q93_url_templates(spark, sf_dir):
         )
         .otherwise(F.concat(base, F.lit("/static/about")))
     )
-    return mine_url_templates(d.select(url.alias("url")), min_urls=20, min_slots=2)
+
+
+_TRAP_URL_SQL = """CASE doc_id % 5
+                WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id
+                WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id || '?ref=home'
+                WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example.com/session/' || lower(lpad(hex(doc_id), 8, '0'))
+                WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example.com/cal/2026/' || (doc_id % 12) || '/' || (doc_id % 28)
+                ELSE 'https://h' || (doc_id % 7) || '.example.com/static/about'
+                END"""
+
+# host + template replay shared by the q93/q102 oracles: authority minus
+# userinfo/port (template_host_col's regex), strip query/fragment, lower,
+# {hex} before {n}, RE2 'g' flags matching Spark's replace-all semantics
+_TPL_KEY_SQL = """
+              SELECT url,
+                     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)', 1)) AS host,
+                     regexp_replace(
+                       regexp_replace(
+                         CASE WHEN p = '' THEN '/' ELSE lower(p) END,
+                         '[0-9a-f]{8,}', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template
+              FROM (
+                SELECT url,
+                       string_split(string_split(
+                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                         '#')[1], '?')[1] AS p
+                FROM u)"""
+
+
+def q93_url_templates(spark, sf_dir):
+    """URL template mining / trap-cluster detection
+    (functions/urls.py::mine_url_templates): collapse paths to their
+    structural template ({hex}/{n} identifier slots), group by (host,
+    template), flag populations of DISTINCT siblings that inflate the
+    way calendar/session traps do. URLs synthesized from doc_id
+    (_synthetic_trap_url_col) — no external data. One hash aggregate;
+    the oracle replays the regex algebra with RE2 'g' flags."""
+    from raven_spark.functions.urls import mine_url_templates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return mine_url_templates(
+        d.select(_synthetic_trap_url_col().alias("url")), min_urls=20, min_slots=2
+    )
 
 
 def q94_readability(spark, sf_dir):
@@ -2331,31 +2367,10 @@ def q102_template_admission(spark, sf_dir):
     from raven_spark.operators.admission import frontier_admission
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
-    i = F.col("doc_id")
-    v = F.pmod(i, F.lit(5))
-    hex8 = F.lower(F.lpad(F.hex(i), 8, "0"))
-    base = F.concat(F.lit("https://h"), h, F.lit(".example.com"))
-    url = (
-        F.when(v == 0, F.concat(base, F.lit("/article/"), i.cast("string")))
-        .when(v == 1, F.concat(base, F.lit("/article/"), i.cast("string"), F.lit("?ref=home")))
-        .when(v == 2, F.concat(base, F.lit("/session/"), hex8))
-        .when(
-            v == 3,
-            F.concat(
-                base, F.lit("/cal/2026/"),
-                F.pmod(i, F.lit(12)).cast("string"), F.lit("/"),
-                F.pmod(i, F.lit(28)).cast("string"),
-            ),
-        )
-        .otherwise(F.concat(base, F.lit("/static/about")))
-    )
-    cand = d.select(url.alias("url_canon"))
-    deny = (
-        mine_url_templates(cand, url_col="url_canon", min_urls=20, min_slots=2)
-        .filter("trap_suspect")
-        .select("host", "template")
-    )
+    cand = d.select(_synthetic_trap_url_col().alias("url_canon"))
+    # the full mining table goes in; frontier_admission filters on its
+    # trap_suspect column itself (the API contract the review hardened)
+    deny = mine_url_templates(cand, url_col="url_canon", min_urls=20, min_slots=2)
     return frontier_admission(cand, trap_templates=deny).select(
         F.col("url_canon").alias("url"), "template_blocked", "admit"
     )
@@ -4750,6 +4765,10 @@ def oracle_sql() -> dict[str, str]:
             FROM qq
         """,
         "q91_pmi_collocations": r"""
+            -- Replay limitation: the chr(31) pair-string trick assumes
+            -- tokens never contain the US control char (true of the
+            -- synthetic tables; the Spark side uses structs and has no
+            -- such constraint).
             -- Identical count algebra + the one fixed double expression
             -- ((cxy*W*W)/(c1*c2*P), one log2); 6dp absorbs libm ulp.
             WITH nz AS (
@@ -4842,45 +4861,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN best b USING (doc_id)
             LEFT JOIN ent e USING (doc_id)
         """,
-        "q93_url_templates": r"""
-            -- Same synthesis from doc_id, same template algebra (strip
-            -- scheme/authority/query/fragment, lower, {hex} then {n}),
-            -- RE2 'g' flags matching Spark's replace-all semantics.
+        "q93_url_templates": f"""
+            -- Same synthesis (_TRAP_URL_SQL), same template algebra
+            -- (_TPL_KEY_SQL); trap verdict on DISTINCT urls.
             WITH u AS (
-              SELECT CASE doc_id % 5
-                WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id
-                WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id || '?ref=home'
-                WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example.com/session/' || lower(lpad(hex(doc_id), 8, '0'))
-                WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example.com/cal/2026/' || (doc_id % 12) || '/' || (doc_id % 28)
-                ELSE 'https://h' || (doc_id % 7) || '.example.com/static/about'
-                END AS url
+              SELECT {_TRAP_URL_SQL} AS url
               FROM documents
-            ), t AS (
-              SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
-                     regexp_replace(
-                       regexp_replace(
-                         CASE WHEN p = '' THEN '/' ELSE lower(p) END,
-                         '[0-9a-f]{8,}', '{hex}', 'g'),
-                       '[0-9]+', '{n}', 'g') AS template,
-                     url AS u
-              FROM (
-                SELECT url,
-                       string_split(string_split(
-                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-                         '#')[1], '?')[1] AS p
-                FROM u)
+            ), t AS ({_TPL_KEY_SQL}
             ), agg AS (
               SELECT host, template, count(*) AS n_urls,
-                     count(DISTINCT u) AS n_distinct_urls
+                     count(DISTINCT url) AS n_distinct_urls
               FROM t GROUP BY host, template
             )
             SELECT host, template, n_urls, n_distinct_urls,
-                   CAST(length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
-                        - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) AS INT) AS n_slots,
+                   CAST(length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', chr(1), 'g'))
+                        - length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', '', 'g')) AS INT) AS n_slots,
                    CAST(length(regexp_replace(template, '[^/]', '', 'g')) AS INT) AS depth,
-                   (n_urls >= 20 AND
-                    length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
-                    - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) >= 2)
+                   (n_distinct_urls >= 20 AND
+                    length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', chr(1), 'g'))
+                    - length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', '', 'g')) >= 2)
                      AS trap_suspect
             FROM agg
         """,
@@ -5060,43 +5059,53 @@ def oracle_sql() -> dict[str, str]:
               SELECT w, count(*) AS f FROM (
                 SELECT unnest(list_filter(string_split(
                          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                         ' '), x -> x <> '')) AS w
+                         ' '), x -> x <> '' AND NOT contains(x, chr(31)))) AS w
                 FROM documents WHERE text IS NOT NULL) GROUP BY w
             ), v0 AS (
-              SELECT array_to_string(list_transform(
-                       range(1, length(w) + 1), i -> w[i]), chr(31)) AS sym, f
+              SELECT chr(31) || array_to_string(list_transform(
+                       range(1, length(w) + 1), i -> w[i]),
+                       chr(31) || chr(31)) || chr(31) AS sym, f
               FROM w
             ), c1 AS (
               SELECT pr, sum(f) AS c FROM (
                 SELECT unnest(list_transform(generate_series(1, len(a) - 1),
                          i -> a[i] || chr(30) || a[i + 1])) AS pr, f
-                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v0)
+                FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                          chr(31) || chr(31)) AS a, f FROM v0)
                 WHERE len(a) >= 2) GROUP BY pr
             ), b1 AS (
               SELECT string_split(pr, chr(30))[1] AS l,
                      string_split(pr, chr(30))[2] AS r, c
               FROM c1 ORDER BY c DESC, l ASC, r ASC LIMIT 1
             ), v1 AS (
-              SELECT replace(sym, (SELECT l || chr(31) || r FROM b1),
-                             (SELECT l || r FROM b1)) AS sym, f FROM v0
+              SELECT replace(sym,
+                             (SELECT chr(31) || l || chr(31) || chr(31)
+                                     || r || chr(31) FROM b1),
+                             (SELECT chr(31) || l || r || chr(31) FROM b1))
+                       AS sym, f FROM v0
             ), c2 AS (
               SELECT pr, sum(f) AS c FROM (
                 SELECT unnest(list_transform(generate_series(1, len(a) - 1),
                          i -> a[i] || chr(30) || a[i + 1])) AS pr, f
-                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v1)
+                FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                          chr(31) || chr(31)) AS a, f FROM v1)
                 WHERE len(a) >= 2) GROUP BY pr
             ), b2 AS (
               SELECT string_split(pr, chr(30))[1] AS l,
                      string_split(pr, chr(30))[2] AS r, c
               FROM c2 ORDER BY c DESC, l ASC, r ASC LIMIT 1
             ), v2 AS (
-              SELECT replace(sym, (SELECT l || chr(31) || r FROM b2),
-                             (SELECT l || r FROM b2)) AS sym, f FROM v1
+              SELECT replace(sym,
+                             (SELECT chr(31) || l || chr(31) || chr(31)
+                                     || r || chr(31) FROM b2),
+                             (SELECT chr(31) || l || r || chr(31) FROM b2))
+                       AS sym, f FROM v1
             ), c3 AS (
               SELECT pr, sum(f) AS c FROM (
                 SELECT unnest(list_transform(generate_series(1, len(a) - 1),
                          i -> a[i] || chr(30) || a[i + 1])) AS pr, f
-                FROM (SELECT string_split(sym, chr(31)) AS a, f FROM v2)
+                FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                          chr(31) || chr(31)) AS a, f FROM v2)
                 WHERE len(a) >= 2) GROUP BY pr
             ), b3 AS (
               SELECT string_split(pr, chr(30))[1] AS l,
@@ -5190,42 +5199,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos,
                    CAST((length(low) - length(replace(low, 'order', '')))
                         / 5 AS BIGINT) AS n_matches,
-                   substr(text, greatest(1, pos - 30),
+                   substr(CASE WHEN length(lower(text)) = length(text)
+                               THEN text ELSE lower(text) END,
+                          greatest(1, pos - 30),
                           (pos - greatest(1, pos - 30)) + 35) AS snippet
             FROM m
         """,
-        "q102_template_admission": r"""
-            -- Mining replay (q93's algebra) -> membership -> verdict.
+        "q102_template_admission": f"""
+            -- Mining replay (shared _TRAP_URL_SQL/_TPL_KEY_SQL) ->
+            -- distinct-population verdict -> membership -> admit.
             WITH u AS (
-              SELECT CASE doc_id % 5
-                WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id
-                WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.com/article/' || doc_id || '?ref=home'
-                WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example.com/session/' || lower(lpad(hex(doc_id), 8, '0'))
-                WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example.com/cal/2026/' || (doc_id % 12) || '/' || (doc_id % 28)
-                ELSE 'https://h' || (doc_id % 7) || '.example.com/static/about'
-                END AS url
+              SELECT {_TRAP_URL_SQL} AS url
               FROM documents
-            ), t AS (
-              SELECT url,
-                     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
-                     regexp_replace(
-                       regexp_replace(
-                         CASE WHEN p = '' THEN '/' ELSE lower(p) END,
-                         '[0-9a-f]{8,}', '{hex}', 'g'),
-                       '[0-9]+', '{n}', 'g') AS template
-              FROM (
-                SELECT url,
-                       string_split(string_split(
-                         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-                         '#')[1], '?')[1] AS p
-                FROM u)
+            ), t AS ({_TPL_KEY_SQL}
             ), deny AS (
               SELECT host, template FROM (
-                SELECT host, template, count(*) AS n_urls
+                SELECT host, template, count(DISTINCT url) AS n_distinct
                 FROM t GROUP BY host, template)
-              WHERE n_urls >= 20
-                AND length(regexp_replace(template, '\{hex\}|\{n\}', chr(1), 'g'))
-                    - length(regexp_replace(template, '\{hex\}|\{n\}', '', 'g')) >= 2
+              WHERE n_distinct >= 20
+                AND length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', chr(1), 'g'))
+                    - length(regexp_replace(template, '\\{{hex\\}}|\\{{n\\}}', '', 'g')) >= 2
             )
             SELECT t.url,
                    (d.host IS NOT NULL) AS template_blocked,

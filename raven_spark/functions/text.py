@@ -684,21 +684,27 @@ def kwic_snippets(
 
     Output: (id, pos, n_matches, snippet).
     """
-    t = F.lit(term.lower())
+    lterm = term.lower()
+    t = F.lit(lterm)
     low = F.lower(F.col(text_col))
-    pos = F.locate(term.lower(), low)
+    pos = F.locate(lterm, low)
     n = (
         (F.length(low) - F.length(F.replace(low, t, F.lit(""))))
-        / F.lit(len(term))
+        / F.lit(len(lterm))
     ).cast("bigint")
     start = F.greatest(F.lit(1), pos - F.lit(int(width)))
-    length = (pos - start) + F.lit(len(term) + int(width))
+    length = (pos - start) + F.lit(len(lterm) + int(width))
+    # pos indexes the LOWERCASED text; slice the original only when the
+    # case mapping is length-preserving (ASCII and almost all of
+    # Unicode), else slice the lowercased text so offsets stay aligned
+    # (e.g. U+0130 lowers to 2 codepoints and would shift every window)
+    src = F.when(F.length(low) == F.length(F.col(text_col)), F.col(text_col)).otherwise(low)
     return (
         df.filter(F.col(text_col).isNotNull() & (pos > 0))
         .select(
             F.col(id_col),
             pos.alias("pos"),
             n.alias("n_matches"),
-            F.substr(F.col(text_col), start, length).alias("snippet"),
+            F.substr(src, start, length).alias("snippet"),
         )
     )

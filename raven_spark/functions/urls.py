@@ -640,6 +640,19 @@ def url_template_col(url: Column) -> Column:
     return F.regexp_replace(t, r"[0-9]+", "{n}")
 
 
+def template_host_col(url: Column) -> Column:
+    """Host key for template mining/enforcement: authority minus
+    userinfo and port, lowercased — the same host definition
+    ``host_col`` gives canonical URLs (so the template deny key and
+    url_filter's domain key agree on what 'one site' means), expressed
+    as one RE2-safe regex so the DuckDB oracles replay it verbatim."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)", 1
+        )
+    )
+
+
 def mine_url_templates(
     df, url_col: str = "url", min_urls: int = 20, min_slots: int = 2
 ):
@@ -655,7 +668,7 @@ def mine_url_templates(
     templates into the frontier's deny-list the same way q42 feeds host
     reputation."""
     url = F.col(url_col)
-    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = template_host_col(url)
     tpl = url_template_col(url)
     agg = (
         # distinct URLs ride xxhash64 (8-byte shuffle keys, the q72/
@@ -681,7 +694,10 @@ def mine_url_templates(
         n_slots.cast("int").alias("n_slots"),
         depth.cast("int").alias("depth"),
         (
-            (F.col("n_urls") >= int(min_urls))
+            # verdict on DISTINCT urls: a single hot URL rediscovered
+            # min_urls times in an undeduped delta is popularity, not a
+            # trap — only a POPULATION of distinct siblings flags
+            (F.col("n_distinct_urls") >= int(min_urls))
             & (n_slots >= int(min_slots))
         ).alias("trap_suspect"),
     )

@@ -104,13 +104,14 @@ def frontier_admission(
         # siblings; the template table can). The deny side is O(flagged
         # templates) — broadcast; swap to a shuffle join if a deployment
         # ever flags more templates than fit a broadcast.
-        from raven_spark.functions.urls import url_template_col
+        from raven_spark.functions.urls import template_host_col, url_template_col
 
-        host = F.lower(
-            F.regexp_extract(
-                F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
-            )
-        )
+        # accept mine_url_templates output directly: when the verdict
+        # column is present, only flagged templates deny (passing the
+        # raw mining table would otherwise block EVERY template)
+        if "trap_suspect" in trap_templates.columns:
+            trap_templates = trap_templates.filter(F.col("trap_suspect"))
+        host = template_host_col(F.col(url_col))
         tt = trap_templates.select(
             F.col("host").alias("__t_host"),
             F.col("template").alias("__t_tpl"),

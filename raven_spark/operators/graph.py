@@ -559,8 +559,17 @@ def domain_graph(
     ddom = node_domains.select(
         F.col(node_col).alias(dst), F.col(domain_col).alias("dst_dom")
     )
+    # LEFT joins: a crawl graph always has edges into discovered-but-not-
+    # yet-crawled pages with no domain mapping; dropping them would
+    # undercount out_w and inflate intra_frac (a domain linking mostly at
+    # unmapped externals would read as a link island). They aggregate
+    # under an explicit "(unmapped)" bucket instead.
     de = (
-        edges.join(sdom, src).join(ddom, dst)
+        edges.join(sdom, src, "left").join(ddom, dst, "left")
+        .select(
+            F.coalesce("src_dom", F.lit("(unmapped)")).alias("src_dom"),
+            F.coalesce("dst_dom", F.lit("(unmapped)")).alias("dst_dom"),
+        )
         .groupBy("src_dom", "dst_dom")
         .agg(F.count(F.lit(1)).alias("w"))
     )

@@ -1504,12 +1504,10 @@ def stuffing_signals(
         ),
     )
 
-    chars = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(1), F.length(text)),
-            lambda i: F.substr(text, i, F.lit(1)),
-        )
-    )
+    # split(text, "") is the one-pass char array (the quality_model
+    # convention); per-index substr would re-seek the UTF8String from
+    # the start each call — O(len^2) per doc on the corpus hot path
+    chars = F.array_sort(F.split(text, ""))
     n_ch = F.length(text)
     # fold over sorted chars: on run close, accumulate run*log2(run)
     ch_acc = F.aggregate(
@@ -1562,7 +1560,7 @@ def stuffing_signals(
     )
 
 
-_BPE_SEP = "\x1f"  # unit separator: never appears in whitespace-split tokens
+_BPE_SEP = "\x1f"  # unit separator; tokens carrying it are dropped (below)
 
 
 def bpe_merges(
@@ -1581,11 +1579,21 @@ def bpe_merges(
     not O(corpus), and every step replays from it); each step is one
     pair-count hash aggregate + a 1-row TakeOrdered. The argmax pair is
     the algorithm's inherent per-step sync point — O(1) driver bytes per
-    step, nothing row-scaled. Merging is a literal string replace over
-    separator-joined symbols: left-to-right non-overlapping replacement
-    IS BPE's fuse semantics, and the \\x1f separator keeps boundaries
-    unambiguous, so the DuckDB oracle replays each step with the same
-    replace().
+    step, nothing row-scaled.
+
+    Fusing is a literal string replace over an encoding that makes the
+    boundary unmistakable: symbols are joined by a DOUBLE \\x1f with a
+    single \\x1f at each end, so every symbol is flanked by exactly one
+    separator that no neighboring match consumes. The replace pattern
+    ``\\x1f l \\x1f\\x1f r \\x1f`` therefore (a) can never match inside
+    a multi-char symbol (no separator mid-symbol — a bare
+    ``l+SEP+r`` pattern WOULD false-match the tail of a fused symbol),
+    and (b) re-emits its flanking separators, so left-to-right
+    non-overlapping replacement fuses runs exactly like BPE's greedy
+    scan ('a a a' -> '(aa) a'). The DuckDB oracle replays each step
+    with the same replace(). Tokens containing \\x1f itself are dropped
+    from the vocabulary (control chars are not meaningful BPE input and
+    would corrupt any text-encoded symbol scheme).
 
     Output: (step, left_sym, right_sym, pair_count) — one row per merge,
     fewer if the vocabulary runs dry.
@@ -1594,19 +1602,26 @@ def bpe_merges(
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.filter(F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != "")
+                F.filter(
+                    F.split(norm_text_col(F.col(text_col)), " "),
+                    lambda w: (w != "") & ~w.contains(_BPE_SEP),
+                )
             ).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
     vocab = words.select(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda i: F.substr(F.col("w"), i, F.lit(1)),
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr(F.col("w"), i, F.lit(1)),
+                ),
+                _BPE_SEP + _BPE_SEP,
             ),
-            _BPE_SEP,
+            F.lit(_BPE_SEP),
         ).alias("sym"),
         "f",
     ).persist()
@@ -1615,7 +1630,9 @@ def bpe_merges(
     cur = vocab
     try:
         for step in range(1, int(steps) + 1):
-            arr = F.split(F.col("sym"), _BPE_SEP)
+            # strip the single flanking separators, split on the double
+            inner = F.substr(F.col("sym"), F.lit(2), F.length("sym") - 2)
+            arr = F.split(inner, _BPE_SEP + _BPE_SEP)
             pairs = cur.select(
                 F.explode(
                     F.when(
@@ -1645,8 +1662,10 @@ def bpe_merges(
             cur = cur.select(
                 F.replace(
                     F.col("sym"),
-                    F.lit(b["l"] + _BPE_SEP + b["r"]),
-                    F.lit(b["l"] + b["r"]),
+                    F.lit(
+                        _BPE_SEP + b["l"] + _BPE_SEP + _BPE_SEP + b["r"] + _BPE_SEP
+                    ),
+                    F.lit(_BPE_SEP + b["l"] + b["r"] + _BPE_SEP),
                 ).alias("sym"),
                 "f",
             )

@@ -342,7 +342,12 @@ def kmeans_lloyd(
     Output: (id, cluster int, dist double 6dp) under the final centroids.
     """
     vec = F.col(vec_col)
-    init = df.orderBy(F.col(id_col).asc()).limit(int(k)).collect()
+    init = (
+        df.select(id_col, vec_col)  # never ship payload columns to the driver
+        .orderBy(F.col(id_col).asc())
+        .limit(int(k))
+        .collect()
+    )
     cents = [[float(x) for x in r[vec_col]] for r in init]
 
     def dist_to(c: list[float]):

@@ -866,3 +866,20 @@ def test_bpe_merges_overlapping_run_fuses_left_to_right(spark):
     out = bpe_merges(df, steps=2).orderBy("step").collect()
     assert (out[0]["left_sym"], out[0]["right_sym"], out[0]["pair_count"]) == ("a", "a", 4)
     assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == ("aa", "a", 2)
+
+
+def test_bpe_merge_never_crosses_symbol_boundaries(spark):
+    """Regression: after step 1 fuses (a,b), step 2's (b,c) rule must not
+    reach inside the fused 'ab' symbol of 'abc' (a bare l+SEP+r replace
+    did, erasing the (ab,c) pair). With this corpus the corruption flips
+    step 3's winner, so the output itself catches it."""
+    from raven_spark.operators.pipeline import bpe_merges
+
+    text = "ab " * 30 + "abc " * 20 + "zbc " * 13 + "wbc " * 13
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    out = bpe_merges(df, steps=3).orderBy("step").collect()
+    got = [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in out]
+    assert got[0] == (1, "a", "b", 50)
+    assert got[1] == (2, "b", "c", 26)   # zbc + wbc only; abc's b is fused
+    # correct impl: 'abc' is still (ab, c) -> 20 beats (z,bc)/(w,bc) at 13
+    assert got[2] == (3, "ab", "c", 20)
