@@ -2376,6 +2376,23 @@ def q102_template_admission(spark, sf_dir):
     )
 
 
+def q103_approx_distinct(spark, sf_dir):
+    """Per-host approximate distinct-URL cardinality with an error
+    contract (operators/pipeline.py::approx_distinct_contract): Spark's
+    built-in HLL++ sketch (JVM map-side merge — the scale path past
+    exact count-distinct's expand), checked against the exact count
+    within a sigma*rsd band (q23's contract-oracle pattern). The exact
+    count is oracle-replayed; the contract flips red if the estimator
+    drifts."""
+    from raven_spark.operators.pipeline import approx_distinct_contract
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), F.pmod(F.col("doc_id"), F.lit(137)).cast("string")).alias("url"),
+    )
+    return approx_distinct_contract(d, "host", "url", rsd=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2480,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_domain_split": q100_domain_split,
         "q101_kwic_snippets": q101_kwic_snippets,
         "q102_template_admission": q102_template_admission,
+        "q103_approx_distinct": q103_approx_distinct,
     }
 
 
@@ -5225,6 +5243,18 @@ def oracle_sql() -> dict[str, str]:
                    (d.host IS NULL) AS admit
             FROM t LEFT JOIN deny d
               ON d.host = t.host AND d.template = t.template
+        """,
+        "q103_approx_distinct": r"""
+            -- Exact distinct replay + the contract column (true by
+            -- construction in the oracle; the Spark side computes it
+            -- from the live HLL++ estimate, so drift flips the hash).
+            SELECT host, count(DISTINCT url) AS n_distinct,
+                   true AS within_bound
+            FROM (
+              SELECT 'h' || (doc_id % 7) AS host,
+                     '/p/' || (doc_id % 137) AS url
+              FROM documents)
+            GROUP BY host
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

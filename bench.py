@@ -122,6 +122,7 @@ HEADLINE = [
     "q100_domain_split",
     "q101_kwic_snippets",
     "q102_template_admission",
+    "q103_approx_distinct",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -1674,3 +1674,44 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def approx_distinct_contract(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    rsd: float = 0.05,
+    sigma: float = 4.0,
+) -> DataFrame:
+    """Per-group approximate distinct counting with a self-checking
+    error contract — the 100 TB cardinality pass (distinct URLs per
+    host, distinct hosts per domain) where exact count-distinct's
+    expand+double-aggregate is the bottleneck. The estimator is Spark's
+    BUILT-IN HLL++ (``approx_count_distinct``, JVM-side, map-side
+    combinable sketch merge — no Python, no expand), the engine's
+    preferred path over any hand-rolled sketch.
+
+    Because the sketch's exact register values are not replayable in an
+    external oracle, the checkable product is the CONTRACT (the q23
+    recall-oracle pattern): ``within_bound`` = |est - exact| <=
+    max(sigma * rsd * exact, sigma) — a sigma-of-requested-rsd band
+    with an absolute floor for tiny groups. The exact count rides along
+    (oracle-replayable); a drifting estimator flips within_bound and
+    the driver's hash check goes red.
+
+    Output: (key, n_distinct exact, within_bound).
+    """
+    per = df.groupBy(key_col).agg(
+        F.approx_count_distinct(val_col, float(rsd)).alias("__est"),
+        F.count_distinct(F.col(val_col)).alias("n_distinct"),
+    )
+    err = F.abs(F.col("__est") - F.col("n_distinct")).cast("double")
+    bound = F.greatest(
+        F.lit(float(sigma) * float(rsd)) * F.col("n_distinct").cast("double"),
+        F.lit(float(sigma)),
+    )
+    return per.select(
+        key_col,
+        "n_distinct",
+        (err <= bound).alias("within_bound"),
+    )

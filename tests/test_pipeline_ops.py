@@ -883,3 +883,20 @@ def test_bpe_merge_never_crosses_symbol_boundaries(spark):
     assert got[1] == (2, "b", "c", 26)   # zbc + wbc only; abc's b is fused
     # correct impl: 'abc' is still (ab, c) -> 20 beats (z,bc)/(w,bc) at 13
     assert got[2] == (3, "ab", "c", 20)
+
+
+def test_approx_distinct_contract_bounds_and_exact(spark):
+    from raven_spark.operators.pipeline import approx_distinct_contract
+
+    rows = [(f"h{i % 3}", f"/p/{i % 50}") for i in range(300)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r for r in
+           approx_distinct_contract(df, "host", "url").collect()}
+    assert len(got) == 3
+    for h, r in got.items():
+        # each host sees a subset of the 50 urls; exact count is exact
+        assert 0 < r["n_distinct"] <= 50
+        assert r["within_bound"] is True
+    # exact counts: host h0 gets urls i%50 for i%3==0 -> 50 distinct? no:
+    # i in 0..299, i%3==0 -> 100 values, i%50 spans all residues -> 50
+    assert got["h0"]["n_distinct"] == 50
