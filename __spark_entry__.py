@@ -2393,6 +2393,134 @@ def q103_approx_distinct(spark, sf_dir):
     return approx_distinct_contract(d, "host", "url", rsd=0.05)
 
 
+def q104_trustrank(spark, sf_dir):
+    """Seeded TrustRank + spam mass over the shared synthetic link graph
+    (operators/graph.py::trustrank; Gyongyi et al. 2004/2006): teleport
+    restricted to the trusted seed set doc_id % 17 == 0, 3 power steps
+    with the q36 per-iteration 12-dp rounding discipline, spam_mass =
+    (pr - tr)/pr clamped to [0,1]. Each iteration shuffles only the
+    O(nodes) trust vector; the seed flag joins broadcast. The oracle
+    unrolls both recurrences."""
+    from raven_spark.operators.graph import trustrank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    edges = _synthetic_link_edges(d, n)
+    seeds = d.filter(F.col("doc_id") % 17 == 0).select(F.col("doc_id").alias("node"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return trustrank(edges, seeds, nodes=nodes)
+
+
+def q105_adaptive_budget(spark, sf_dir):
+    """Latency-adaptive per-host politeness budgets
+    (operators/politeness.py::adaptive_host_budget): per-(host, round)
+    mean fetch latency -> closed-form EWMA over rounds (one window + one
+    aggregate, all order-independent via 9-dp rounding) -> proportional
+    budget clamped to [1, 50]. Synthetic latencies are a fixed function
+    of event_id; the oracle replays the identical weight algebra."""
+    from raven_spark.operators.politeness import adaptive_host_budget
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ev.select(
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")).alias("host"),
+        F.pmod(F.col("event_id"), F.lit(4)).alias("round_no"),
+        (F.lit(50.0) + F.pmod(F.col("event_id") * 7919, F.lit(451)).cast("double")).alias(
+            "latency_ms"
+        ),
+    )
+    return adaptive_host_budget(
+        lat, target_ms=200.0, alpha=0.3, base_budget=10, max_budget=50
+    )
+
+
+def q106_quantile_contract(spark, sf_dir):
+    """Per-group approximate percentiles with a rank-error contract
+    (operators/pipeline.py::approx_quantile_contract): the built-in
+    Greenwald-Khanna sketch (percentile_approx) audited against the
+    exact ranks — q103's contract-oracle pattern for quantiles. The
+    exact interpolated percentile is oracle-replayed (quantile_cont);
+    a drifting sketch flips within_bound and the hash goes red."""
+    from raven_spark.operators.pipeline import approx_quantile_contract
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"), F.col("value").alias("v")
+    )
+    return approx_quantile_contract(
+        ev, "k", "v", percentiles=(0.5, 0.9, 0.99), accuracy=1000
+    )
+
+
+def q107_cms_frequency(spark, sf_dir):
+    """Count-Min sketch point-frequency estimation
+    (operators/pipeline.py::cms_frequency): depth-4 x width-256 counter
+    matrix over user_id % 211, map-side combinable, O(d*w) state
+    regardless of key cardinality; estimates = min over rows, never
+    below the exact count. The deterministic Knuth/xxhash-constant hash
+    family is replayed exactly by the oracle in BIGINT arithmetic."""
+    from raven_spark.operators.pipeline import cms_frequency
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(211)).alias("key")
+    )
+    return cms_frequency(ev, "key", depth=4, width=256)
+
+
+def q108_pq_encode(spark, sf_dir):
+    """Product quantization of the embedding store
+    (operators/similarity.py::pq_encode; Jegou et al. 2011): m=4
+    subspaces x k=16 centroids (codebook = 16 smallest-id vectors, the
+    kmeans_lloyd TakeOrdered init convention), argmin assignment as
+    pure column algebra fused into the scan, reconstruction MSE rides
+    along. 64x smaller vectors for the IVF-PQ scale path under
+    q18/q23. The oracle replays the codebook and every argmin."""
+    from raven_spark.operators.similarity import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"), m=4, k=16, dim=64)
+
+
+def q109_doremi(spark, sf_dir):
+    """DoReMi-style exponentiated-gradient domain reweighting
+    (operators/sampling.py::doremi_weights; Xie et al. 2023): one
+    corpus-scan aggregate builds per-language mean proxy loss
+    (n_chars/1000), then 3 EG steps with damped excess loss and 9-dp
+    per-iteration rounding — the iterative upgrade over q70's static
+    token-mass mixture weights. The oracle unrolls all 3 steps."""
+    from raven_spark.operators.sampling import doremi_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("loss")
+    )
+    return doremi_weights(d, "lang", "loss", eta=0.5, iterations=3)
+
+
+def q110_term_drift(spark, sf_dir):
+    """Term-distribution drift between corpus slices
+    (operators/pipeline.py::term_drift): 2x2 chi-square per term between
+    the doc_id-parity halves, min_count=20 floor, top-50 via
+    TakeOrderedAndProject — the drift monitor a continuously refreshed
+    crawl corpus runs between dumps. ONE map-side-combinable aggregate
+    over the token stream; the oracle replays the fixed chi2 tree."""
+    from raven_spark.operators.pipeline import term_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return term_drift(d, F.col("doc_id") % 2 == 0, min_count=20, k=50)
+
+
+def q111_kmv_mirrors(spark, sf_dir):
+    """Host-mirror detection via KMV bottom-k shingle sketches
+    (operators/dedup.py::kmv_mirror_pairs; Beyer et al. 2007): per-host
+    word-3-gram keys (Horner char fold, oracle-replayable), k=32
+    smallest per host (literal-bound window -> WindowGroupLimit), pair
+    candidates blocked on shared sketch members, resemblance from the
+    merged bottom-k; exact Jaccard rides along as the audit. The 4th
+    sketch family next to HLL (q103), CMS (q107), Misra-Gries (q86)."""
+    from raven_spark.operators.dedup import kmv_mirror_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string"))
+    return kmv_mirror_pairs(d, host, shingle_n=3, k=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2498,6 +2626,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_kwic_snippets": q101_kwic_snippets,
         "q102_template_admission": q102_template_admission,
         "q103_approx_distinct": q103_approx_distinct,
+        "q104_trustrank": q104_trustrank,
+        "q105_adaptive_budget": q105_adaptive_budget,
+        "q106_quantile_contract": q106_quantile_contract,
+        "q107_cms_frequency": q107_cms_frequency,
+        "q108_pq_encode": q108_pq_encode,
+        "q109_doremi": q109_doremi,
+        "q110_term_drift": q110_term_drift,
+        "q111_kmv_mirrors": q111_kmv_mirrors,
     }
 
 
@@ -5255,6 +5391,299 @@ def oracle_sql() -> dict[str, str]:
                      '/p/' || (doc_id % 137) AS url
               FROM documents)
             GROUP BY host
+        """,
+        "q104_trustrank": r"""
+            -- q36's pagerank unroll + the seeded trust unroll, both with
+            -- the 12-dp per-iteration rounding; spam mass from the
+            -- 6-dp-rounded reporting columns exactly as the Spark side
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM documents WHERE doc_id % 17 = 0),
+            nodes AS (SELECT doc_id AS v, (doc_id % 17 = 0) AS seed FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*37 + j*1009) % nn.n AS dst
+              FROM documents, nn, (SELECT unnest([1,2,3]) AS j)
+              WHERE (doc_id*37 + j*1009) % nn.n <> doc_id
+            ),
+            outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            p0 AS (SELECT v, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM nodes),
+            pc1 AS (SELECT dst, sum(pr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN p0 ON p0.v = e.src GROUP BY dst),
+            p1 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN pc1 ON v = dst),
+            pc2 AS (SELECT dst, sum(pr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN p1 ON p1.v = e.src GROUP BY dst),
+            p2 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN pc2 ON v = dst),
+            pc3 AS (SELECT dst, sum(pr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN p2 ON p2.v = e.src GROUP BY dst),
+            p3 AS (SELECT v, round(round(0.15 / (SELECT n FROM nn), 12)
+                                   + 0.85 * coalesce(s, 0), 12) AS pr
+                   FROM nodes LEFT JOIN pc3 ON v = dst),
+            t0 AS (SELECT v, seed,
+                          CASE WHEN seed THEN round(1.0 / (SELECT s FROM ns), 12)
+                               ELSE 0.0 END AS tr
+                   FROM nodes),
+            tc1 AS (SELECT dst, sum(tr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN t0 ON t0.v = e.src GROUP BY dst),
+            t1 AS (SELECT v, seed,
+                          round(CASE WHEN seed THEN round(0.15 / (SELECT s FROM ns), 12)
+                                     ELSE 0.0 END + 0.85 * coalesce(s, 0), 12) AS tr
+                   FROM nodes LEFT JOIN tc1 ON v = dst),
+            tc2 AS (SELECT dst, sum(tr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN t1 ON t1.v = e.src GROUP BY dst),
+            t2 AS (SELECT v, seed,
+                          round(CASE WHEN seed THEN round(0.15 / (SELECT s FROM ns), 12)
+                                     ELSE 0.0 END + 0.85 * coalesce(s, 0), 12) AS tr
+                   FROM nodes LEFT JOIN tc2 ON v = dst),
+            tc3 AS (SELECT dst, sum(tr / outdeg) AS s
+                    FROM e JOIN outd USING (src) JOIN t2 ON t2.v = e.src GROUP BY dst),
+            t3 AS (SELECT v, seed,
+                          round(CASE WHEN seed THEN round(0.15 / (SELECT s FROM ns), 12)
+                                     ELSE 0.0 END + 0.85 * coalesce(s, 0), 12) AS tr
+                   FROM nodes LEFT JOIN tc3 ON v = dst),
+            rep AS (
+              SELECT p3.v AS node, round(t3.tr, 6) AS trustrank, round(p3.pr, 6) AS pagerank
+              FROM p3 JOIN t3 ON p3.v = t3.v
+            )
+            SELECT node, trustrank, pagerank,
+                   CASE WHEN pagerank <= 0 THEN 0.0
+                        ELSE round(greatest(0.0, least(1.0,
+                               (pagerank - trustrank) / pagerank)), 6)
+                   END AS spam_mass
+            FROM rep
+        """,
+        "q105_adaptive_budget": r"""
+            -- closed-form EWMA weights replayed exactly: per-(host,round)
+            -- means, row_number/count window, 9-dp rounded fold, then the
+            -- clamped proportional budget (round = half-away, both engines)
+            WITH per AS (
+              SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                     event_id % 4 AS round_no,
+                     avg(50.0 + CAST((event_id * 7919) % 451 AS DOUBLE)) AS x
+              FROM events GROUP BY 1, 2
+            ), idx AS (
+              SELECT host, x,
+                     row_number() OVER (PARTITION BY host ORDER BY round_no ASC) AS i,
+                     count(*) OVER (PARTITION BY host) AS n
+              FROM per
+            ), folded AS (
+              SELECT host, max(n) AS n_rounds,
+                     round(sum(x * CASE WHEN i = 1 THEN power(0.7, n - 1)
+                                        ELSE 0.3 * power(0.7, n - i) END), 9) AS ewma
+              FROM idx GROUP BY host
+            )
+            SELECT host, CAST(n_rounds AS BIGINT) AS n_rounds,
+                   round(ewma, 6) AS ewma_ms,
+                   CAST(greatest(1, least(50, CAST(round(10.0 * 200.0 / ewma) AS INT))) AS INT) AS budget
+            FROM folded
+        """,
+        "q106_quantile_contract": r"""
+            -- exact interpolated percentiles (quantile_cont == Spark's
+            -- exact F.percentile, the q49 parity); within_bound is true
+            -- by construction here — the Spark side computes it from the
+            -- live GK sketch, so estimator drift flips the hash
+            WITH g AS (
+              SELECT event_type AS k, count(value) AS n,
+                     round(quantile_cont(value, 0.5), 6)  AS e50,
+                     round(quantile_cont(value, 0.9), 6)  AS e90,
+                     round(quantile_cont(value, 0.99), 6) AS e99
+              FROM events GROUP BY event_type
+            )
+            SELECT k, 0.5 AS p, e50 AS exact_value, n, true AS within_bound FROM g
+            UNION ALL
+            SELECT k, 0.9, e90, n, true FROM g
+            UNION ALL
+            SELECT k, 0.99, e99, n, true FROM g
+        """,
+        "q107_cms_frequency": r"""
+            -- the deterministic hash family replayed in BIGINT: h_j(k) =
+            -- ((k mod p)*A_j + B_j) mod p mod 256, p = 2^31-1; sketch =
+            -- counts per (j, bucket); estimate = min over the 4 probes
+            WITH keys AS (SELECT user_id % 211 AS key FROM events),
+            hp AS (
+              SELECT j, a, b FROM (VALUES
+                (0, 2654435761, 1000000007),
+                (1, 2246822519,  998244353),
+                (2, 3266489917,  754974721),
+                (3,  668265263,  167772161)) AS t(j, a, b)
+            ),
+            hashed AS (
+              SELECT key, j,
+                     ((key % 2147483647) * a + b) % 2147483647 % 256 AS bucket
+              FROM keys CROSS JOIN hp
+            ),
+            sketch AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY j, bucket),
+            exact AS (SELECT key, count(*) AS exact_count FROM keys GROUP BY key),
+            probes AS (
+              SELECT e.key, e.exact_count, h.j,
+                     ((e.key % 2147483647) * h.a + h.b) % 2147483647 % 256 AS bucket
+              FROM exact e CROSS JOIN hp h
+            )
+            SELECT p.key, p.exact_count, min(s.cnt) AS cms_estimate,
+                   (min(s.cnt) >= p.exact_count) AS no_underestimate
+            FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+            GROUP BY p.key, p.exact_count
+        """,
+        "q108_pq_encode": r"""
+            -- codebook = 16 smallest-id vectors; per (vector, subspace)
+            -- argmin over (x-c)*(x-c) folds in list order (float32 ->
+            -- double casts), ties to the smallest code — q95's replay
+            -- discipline; mse adds the 4 chosen distances left-to-right
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+              FROM embeddings
+            ), cb AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, x AS cv
+              FROM e ORDER BY vec_id LIMIT 16
+            ), d AS (
+              SELECT e.vec_id, s.s, cb.j,
+                     list_aggregate(list_transform(range(1, 17),
+                       i -> (x[s.s*16 + i] - cv[s.s*16 + i]) * (x[s.s*16 + i] - cv[s.s*16 + i])),
+                       'sum') AS dist
+              FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s CROSS JOIN cb
+            ), best AS (
+              SELECT vec_id, s, j, dist FROM (
+                SELECT vec_id, s, j, dist,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist ASC, j ASC) AS rn
+                FROM d) WHERE rn = 1
+            ), piv AS (
+              SELECT vec_id,
+                     max(CASE WHEN s = 0 THEN j END) AS j0,
+                     max(CASE WHEN s = 1 THEN j END) AS j1,
+                     max(CASE WHEN s = 2 THEN j END) AS j2,
+                     max(CASE WHEN s = 3 THEN j END) AS j3,
+                     max(CASE WHEN s = 0 THEN dist END) AS d0,
+                     max(CASE WHEN s = 1 THEN dist END) AS d1,
+                     max(CASE WHEN s = 2 THEN dist END) AS d2,
+                     max(CASE WHEN s = 3 THEN dist END) AS d3
+              FROM best GROUP BY vec_id
+            )
+            SELECT vec_id, [j0, j1, j2, j3] AS codes,
+                   round((((d0 + d1) + d2) + d3) / 64.0, 6) AS recon_mse
+            FROM piv
+        """,
+        "q109_doremi": r"""
+            -- all 3 EG steps unrolled with the 9-dp per-step rounding:
+            -- raw = round(w * exp(eta*loss*(1-w)), 9), renormalized and
+            -- re-rounded each step
+            WITH per AS (
+              SELECT lang AS domain,
+                     round(avg(CAST(n_chars AS DOUBLE) / 1000.0), 9) AS loss
+              FROM documents GROUP BY lang
+            ), d AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM per),
+            w0 AS (SELECT domain, loss, round(1.0 / nd, 9) AS w FROM per, d),
+            r1 AS (SELECT domain, loss,
+                          round(w * exp(0.5 * loss * (1.0 - w)), 9) AS raw FROM w0),
+            w1 AS (SELECT domain, loss,
+                          round(raw / (SELECT sum(raw) FROM r1), 9) AS w FROM r1),
+            r2 AS (SELECT domain, loss,
+                          round(w * exp(0.5 * loss * (1.0 - w)), 9) AS raw FROM w1),
+            w2 AS (SELECT domain, loss,
+                          round(raw / (SELECT sum(raw) FROM r2), 9) AS w FROM r2),
+            r3 AS (SELECT domain, loss,
+                          round(w * exp(0.5 * loss * (1.0 - w)), 9) AS raw FROM w2),
+            w3 AS (SELECT domain, loss,
+                          round(raw / (SELECT sum(raw) FROM r3), 9) AS w FROM r3)
+            SELECT domain, round(loss, 6) AS loss, round(w, 6) AS weight FROM w3
+        """,
+        "q110_term_drift": r"""
+            -- identical tokenization to q91, conditional slice counts,
+            -- the one fixed chi2 tree rounded to 6dp BEFORE ordering
+            WITH toks AS (
+              SELECT (doc_id % 2 = 0) AS a, unnest(list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), counts AS (
+              SELECT term,
+                     sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+                     sum(CASE WHEN a THEN 0 ELSE 1 END) AS n_b
+              FROM toks GROUP BY term
+            ), tot AS (
+              SELECT CAST(sum(n_a) AS DOUBLE) AS na_tot,
+                     CAST(sum(n_b) AS DOUBLE) AS nb_tot
+              FROM counts
+            ), scored AS (
+              SELECT term, n_a, n_b,
+                     round(
+                       (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * na_tot / (na_tot + nb_tot))
+                       * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * na_tot / (na_tot + nb_tot))
+                       / (CAST(n_a + n_b AS DOUBLE) * na_tot / (na_tot + nb_tot))
+                       +
+                       (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * nb_tot / (na_tot + nb_tot))
+                       * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * nb_tot / (na_tot + nb_tot))
+                       / (CAST(n_a + n_b AS DOUBLE) * nb_tot / (na_tot + nb_tot))
+                     , 6) AS chi2
+              FROM counts, tot
+              WHERE n_a + n_b >= 20
+            )
+            SELECT term, n_a, n_b, chi2 FROM scored
+            ORDER BY chi2 DESC, term ASC LIMIT 50
+        """,
+        "q111_kmv_mirrors": r"""
+            -- full KMV replay: q91 tokenization -> word 3-gram shingles
+            -- -> Horner char fold mod 2^31-1 (BIGINT, list order) with
+            -- the Knuth mix -> distinct keys -> bottom-32 per host ->
+            -- candidate pairs on shared members -> merged bottom-32
+            -- estimate + exact Jaccard audit
+            WITH docs AS (
+              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) AS g,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+              SELECT g, unnest(list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+              FROM docs WHERE len(ws) >= 3
+            ), keys AS (
+              SELECT DISTINCT g,
+                     CAST((list_reduce(list_transform(string_split(sh, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+                            (a, x) -> (a * 131 + x) % 2147483647)
+                           * 2654435761) % 2147483647 AS BIGINT) AS key
+              FROM sh
+            ), sketch AS (
+              SELECT g, key FROM (
+                SELECT g, key, row_number() OVER (PARTITION BY g ORDER BY key ASC) AS rn
+                FROM keys) WHERE rn <= 32
+            ), cand AS (
+              SELECT DISTINCT a.g AS ga, b.g AS gb
+              FROM sketch a JOIN sketch b ON a.key = b.key AND a.g < b.g
+            ), merged AS (
+              SELECT ga, gb, key, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                SELECT c.ga, c.gb, s.key, 1 AS in_a, 0 AS in_b
+                FROM cand c JOIN sketch s ON s.g = c.ga
+                UNION ALL
+                SELECT c.ga, c.gb, s.key, 0, 1
+                FROM cand c JOIN sketch s ON s.g = c.gb
+              ) GROUP BY ga, gb, key
+            ), est AS (
+              SELECT ga, gb,
+                     sum(in_a * in_b) AS n_shared,
+                     round(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                       AS est_jaccard
+              FROM (
+                SELECT ga, gb, in_a, in_b, row_number() OVER
+                         (PARTITION BY ga, gb ORDER BY key ASC) AS rn
+                FROM merged) WHERE rn <= 32
+              GROUP BY ga, gb
+            ), inter AS (
+              SELECT a.g AS ga, b.g AS gb, count(*) AS i
+              FROM keys a JOIN keys b ON a.key = b.key AND a.g < b.g
+              GROUP BY 1, 2
+            ), sizes AS (SELECT g, count(*) AS n FROM keys GROUP BY g)
+            SELECT e.ga AS group_a, e.gb AS group_b,
+                   CAST(e.n_shared AS BIGINT) AS n_shared, e.est_jaccard,
+                   coalesce(round(CAST(i.i AS DOUBLE)
+                     / CAST(sa.n + sb.n - i.i AS DOUBLE), 6), 0.0) AS exact_jaccard
+            FROM est e
+            LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+            JOIN sizes sa ON sa.g = e.ga
+            JOIN sizes sb ON sb.g = e.gb
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

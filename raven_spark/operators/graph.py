@@ -102,6 +102,117 @@ def pagerank(
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    iter_dp: int = 12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004) + spam
+    mass — the anti-spam crawl-priority signal PageRank alone lacks.
+    Identical power iteration to :func:`pagerank` except the teleport
+    vector is uniform over a human-vetted SEED set instead of all
+    nodes: trust flows out from the seeds along links, so link farms
+    (which bootstrap rank from nowhere) collect PageRank but no trust.
+
+    tr_0(v)     = round(1/|S|, iter_dp) if v in S else 0
+    tr_{k+1}(v) = round((1-d)*[v in S]/|S|
+                        + d * sum_{(u,v) in E} tr_k(u)/outdeg(u), iter_dp)
+
+    The crawl/curation verdict is SPAM MASS (Gyongyi et al. 2006):
+    the fraction of a node's PageRank not backed by trust,
+    ``spam_mass = (pr - tr_scaled) / pr`` with tr rescaled so both
+    vectors sum to the same mass (both leak dangling mass identically,
+    so the raw ratio is comparable; we report the UNSCALED simple form
+    ``(pr - tr)/pr`` clamped to [0,1], the common operational variant —
+    high values = rank earned without trust = demote/deprioritize).
+
+    Scale shape: same as pagerank — each iteration shuffles only the
+    O(nodes) trust vector (8-byte key + double) against the
+    outdeg-fused edge table; the seed set joins once as a broadcast
+    flag (O(seeds) << O(nodes)). Per-iteration iter_dp rounding keeps
+    the float sums order-independent → replayable across partitionings
+    and in the DuckDB twin (driver q104).
+
+    ``seeds``: one-column ("node") DataFrame of trusted nodes.
+    Returns (node, trustrank, pagerank, spam_mass), 6-dp reporting.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: seed set is empty")
+    outd = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    e = edges.select(src, dst).join(outd, src)
+    seed_flag = F.broadcast(seeds.select(F.col("node"), F.lit(True).alias("__is_seed")))
+    base_nodes = nodes.join(seed_flag, "node", "left").select(
+        "node", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed")
+    )
+    teleport = F.when(
+        F.col("__is_seed"),
+        F.round(F.lit(1.0 - damping) / F.lit(float(n_seeds)), iter_dp),
+    ).otherwise(F.lit(0.0))
+    tr = base_nodes.select(
+        "node",
+        "__is_seed",
+        F.when(
+            F.col("__is_seed"), F.round(F.lit(1.0) / F.lit(float(n_seeds)), iter_dp)
+        ).otherwise(F.lit(0.0)).alias("tr"),
+    )
+    for k in range(iterations):
+        contrib = (
+            e.join(tr.select("node", "tr"), e[src] == F.col("node"))
+            .groupBy(dst)
+            .agg(F.sum(F.col("tr") / F.col("__outdeg")).alias("__s"))
+        )
+        tr = (
+            base_nodes.join(contrib, base_nodes["node"] == contrib[dst], "left")
+            .select(
+                "node",
+                "__is_seed",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce("__s", F.lit(0.0)), iter_dp
+                ).alias("tr"),
+            )
+        )
+        if checkpoint_every and (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
+            tr = tr.localCheckpoint(eager=False)
+    pr = pagerank(
+        edges,
+        nodes=nodes,
+        src=src,
+        dst=dst,
+        iterations=iterations,
+        damping=damping,
+        iter_dp=iter_dp,
+        checkpoint_every=checkpoint_every,
+    )
+    out = tr.select("node", F.round("tr", 6).alias("trustrank")).join(pr, "node")
+    spam = F.when(
+        F.col("pagerank") <= 0, F.lit(0.0)
+    ).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"),
+            ),
+        )
+    )
+    return out.select(
+        "node", "trustrank", "pagerank", F.round(spam, 6).alias("spam_mass")
+    )
+
+
 # the \s before href is the attribute-name boundary: without it
 # 'data-href="..."' would match via its 'href' substring and feed a
 # wrong target into the profile

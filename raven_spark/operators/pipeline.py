@@ -1715,3 +1715,234 @@ def approx_distinct_contract(
         "n_distinct",
         (err <= bound).alias("within_bound"),
     )
+
+
+def approx_quantile_contract(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+    rank_slack: int = 1,
+) -> DataFrame:
+    """Per-group approximate percentiles with a self-checking RANK-ERROR
+    contract — the quantile companion to approx_distinct_contract (q103).
+    At 100 TB the exact per-group percentile (F.percentile) group-sorts
+    every group; the scale path is Spark's BUILT-IN Greenwald-Khanna
+    sketch (``percentile_approx``, JVM-side, map-side mergeable) whose
+    published guarantee is RANK error <= n/accuracy (not value error).
+
+    Because GK register state isn't replayable in an external oracle,
+    the checkable product is the CONTRACT: for each requested p the
+    approx value v must admit SOME rank r in its duplicate range
+    [count(x<v)+1, count(x<=v)] within eps*n (+rank_slack for the
+    floor/ceil convention at tiny n) of the target rank ceil(p*n).
+    The EXACT interpolated percentile rides along (oracle-replayable
+    via quantile_cont); a drifting sketch flips within_bound and the
+    driver's hash goes red (q106).
+
+    Cost shape: one aggregate pass builds both sketches per group
+    (O(groups) rows out), then ONE audit re-scan joins the O(groups x
+    |percentiles|) approx values back (broadcast — tiny side) for the
+    conditional rank counts. Exactness audit is 2 scans total; the
+    production path (sketch only) is one.
+
+    Output: (key, p, exact_value, n, within_bound).
+    """
+    ps = [float(p) for p in percentiles]
+    eps = 1.0 / float(accuracy)
+    agg = df.groupBy(key_col).agg(
+        F.percentile_approx(F.col(val_col), ps, int(accuracy)).alias("__approx"),
+        F.percentile(F.col(val_col), ps).alias("__exact"),
+        F.count(F.col(val_col)).alias("n"),
+    )
+    per_p = agg.select(
+        key_col,
+        "n",
+        F.posexplode(F.arrays_zip(F.array(*[F.lit(p) for p in ps]).alias("p"),
+                                  F.col("__approx").alias("av"),
+                                  F.col("__exact").alias("ev"))).alias("__i", "__z"),
+    ).select(
+        key_col,
+        "n",
+        F.col("__z.p").alias("p"),
+        F.col("__z.av").alias("__av"),
+        F.round(F.col("__z.ev"), 6).alias("exact_value"),
+    )
+    # audit re-scan: exact rank range of each approx value (duplicates
+    # give a range, any rank inside it counts)
+    ranks = (
+        df.select(F.col(key_col), F.col(val_col).alias("__x"))
+        .join(F.broadcast(per_p.select(key_col, "p", "__av")), key_col)
+        .groupBy(key_col, "p")
+        .agg(
+            F.sum((F.col("__x") < F.col("__av")).cast("long")).alias("__n_lt"),
+            F.sum((F.col("__x") <= F.col("__av")).cast("long")).alias("__n_le"),
+        )
+    )
+    j = per_p.join(ranks, [key_col, "p"])
+    target = F.ceil(F.col("p") * F.col("n"))
+    band = F.ceil(F.lit(eps) * F.col("n")) + F.lit(int(rank_slack))
+    within = (F.col("__n_lt") + 1 <= target + band) & (F.col("__n_le") >= target - band)
+    return j.select(
+        F.col(key_col),
+        F.col("p"),
+        F.col("exact_value"),
+        F.col("n"),
+        within.alias("within_bound"),
+    )
+
+
+# public multiplicative-hash constants (Knuth 2654435761; xxhash primes
+# 2246822519 / 3266489917; Murmur-finalizer-adjacent 668265263) — all
+# coprime to 2^31-1, products with a < p stay under 2^63 in BIGINT
+_CMS_A = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_B = (1000000007, 998244353, 754974721, 167772161)
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def cms_frequency(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan,
+    2005) over a BIGINT key — the fixed-memory companion to Misra-Gries
+    (heavy_hitters): MG surfaces the top-k, CMS answers point frequency
+    queries for EVERY key with depth x width counters total, regardless
+    of distinct-key cardinality. At 10^10 URLs a per-host or per-URL
+    frequency table is itself huge; the sketch is O(depth*width) and
+    map-side combinable (counter matrices add), so the shuffle is
+    O(partitions * depth * width) rows, never O(distinct keys).
+
+    Deterministic hash family (replayable in the DuckDB twin, q107):
+        h_j(k) = ((pmod(k, p) * A_j + B_j) mod p) mod width,  p = 2^31-1
+    with the public Knuth/xxhash multiplier constants — pairwise-
+    independent enough for the CM guarantee in practice and exactly
+    reproducible in int64 arithmetic on both engines (pmod(k,p) < 2^31,
+    * A_j < 2^63).
+
+    Estimate: est(k) = min_j sketch[j][h_j(k)]. CM guarantees
+    est >= exact always (overestimate-only), and est <= exact + eps*N
+    with probability 1-delta for eps=e/width, delta=e^-depth.
+
+    This audit variant also computes the EXACT per-key counts (one
+    ordinary groupBy — oracle duty, q103/q106 contract pattern) and the
+    always-true-by-construction ``no_underestimate`` flag; a broken
+    sketch (wrong hash, lost counter mass) flips it and the driver hash
+    goes red. Production callers use the sketch rows alone.
+
+    Output: (key, exact_count, cms_estimate, no_underestimate).
+    """
+    if not (1 <= depth <= len(_CMS_A)):
+        raise ValueError(f"cms_frequency: depth must be in [1, {len(_CMS_A)}]")
+    p = F.lit(_CMS_P)
+    k = F.pmod(F.col(key_col).cast("long"), p)
+
+    def _bucket(j: int) -> F.Column:
+        return F.pmod(k * F.lit(_CMS_A[j]) + F.lit(_CMS_B[j]), p) % F.lit(int(width))
+
+    # one pass builds all depth rows: explode the (j, bucket) pairs, then
+    # a map-side-combinable count per (j, bucket) — the sketch
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), _bucket(j).alias("bucket"))
+                for j in range(depth)
+            ])
+        ).alias("__jb")
+    ).select(F.col("__jb.j").alias("j"), F.col("__jb.bucket").alias("bucket"))
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # point queries: each distinct key probes its depth cells; the sketch
+    # is tiny (depth*width rows) -> broadcast join, min over rows
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_count"))
+    ek = F.pmod(F.col(key_col).cast("long"), p)
+    probes = exact.select(
+        key_col,
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(ek * F.lit(_CMS_A[j]) + F.lit(_CMS_B[j]), p)
+                    .__mod__(F.lit(int(width)))
+                    .alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("__jb"),
+    ).select(key_col, "exact_count", F.col("__jb.j").alias("j"), F.col("__jb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        key_col,
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("no_underestimate"),
+    )
+
+
+def term_drift(
+    df: DataFrame,
+    slice_col,
+    text_col: str = "text",
+    min_count: int = 20,
+    k: int = 50,
+) -> DataFrame:
+    """Term-distribution drift between two corpus slices — the data-
+    quality monitor a continuously-refreshed crawl corpus needs: when a
+    new dump's vocabulary shifts against the previous one (a spam wave,
+    a boilerplate change, a scraper regression), the drifted terms
+    surface before training does. Per term, the 2x2 chi-square
+    statistic of (term vs rest) x (slice A vs B):
+
+        e_a  = (n_a + n_b) * N_a / (N_a + N_b)      (expected A count)
+        chi2 = (n_a-e_a)^2/e_a + (n_b-e_b)^2/e_b    (e_b analogous)
+
+    floored at ``min_count`` total occurrences (chi-square's small-
+    expected-count failure mode), top-k by (chi2 desc, term asc).
+
+    100 TB shape: ONE map-side-combinable aggregate over the token
+    stream — the shuffle carries (term, partial n_a, partial n_b),
+    conditional sums split the slices so the corpus scans once; slice
+    totals fold to a broadcast 1-row frame; the global top-k is a
+    TakeOrderedAndProject (per-partition heap), never a full sort. The
+    double chi2 is one fixed expression tree, replayed by the DuckDB
+    twin (q110).
+
+    ``slice_col``: boolean Column — true = slice A, false = slice B.
+    Output: (term, n_a, n_b, chi2 6dp) ordered (chi2 desc, term asc),
+    exactly k rows (fewer if the floored term table is smaller).
+    """
+    words = F.filter(
+        F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != ""
+    )
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(slice_col.alias("__a"), F.explode(words).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("__NA"), F.sum("n_b").alias("__NB")
+    )
+    c = counts.filter((F.col("n_a") + F.col("n_b")) >= int(min_count)).crossJoin(
+        F.broadcast(totals)
+    )
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    NA = F.col("__NA").cast("double")
+    NB = F.col("__NB").cast("double")
+    e_a = tot * NA / (NA + NB)
+    e_b = tot * NB / (NA + NB)
+    chi2 = (na - e_a) * (na - e_a) / e_a + (nb - e_b) * (nb - e_b) / e_b
+    scored = c.select("term", "n_a", "n_b", F.round(chi2, 6).alias("chi2"))
+    return scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(int(k))

@@ -340,3 +340,87 @@ def effective_budget_col(robots: DataFrame | None, default_budget: int):
         .otherwise(F.lit(default_budget))
         .alias("host_budget"),
     )
+
+
+def adaptive_host_budget(
+    latencies: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round_no",
+    latency_col: str = "latency_ms",
+    target_ms: float = 200.0,
+    alpha: float = 0.3,
+    base_budget: int = 10,
+    max_budget: int = 50,
+    ewma_dp: int = 9,
+) -> DataFrame:
+    """Latency-adaptive per-host politeness budgets — the feedback loop a
+    static crawl-delay misses: a host that answers in 40 ms can absorb
+    more requests per round than one struggling at 900 ms, and an
+    overloaded host's rising latency should shed our load BEFORE it
+    starts 503ing (reference scope ends at fixed sleep/crawl-delay,
+    config.rs:32; this is the scale layer on top).
+
+    Signal: per-(host, round) mean fetch latency, smoothed with an
+    exponentially weighted moving average over rounds:
+
+        e_1 = x_1;  e_k = round(alpha*x_k + (1-alpha)*e_{k-1}, ewma_dp)
+
+    computed DISTRIBUTED via the closed form (one row_number window over
+    (host, round) per-round means + one aggregate — no driver state, no
+    iterative job):
+
+        e_n = round(sum_i w_i*x_i, ewma_dp) with
+        w_i = alpha*(1-alpha)^(n-i) for i>1, w_1 = (1-alpha)^(n-1)
+
+    (closed-form weights skip the per-step rounding of the recurrence;
+    ewma_dp=9 makes the float sum order-independent in practice, the
+    graph.py/pagerank rounding discipline, so the DuckDB twin q105
+    replays byte-identically).
+
+    Budget: proportional control clamped to [1, max_budget] —
+        budget = clamp(round(base_budget * target_ms / ewma), 1, max)
+    A fast host (ewma << target) earns up to max_budget slots per round;
+    a slow one degrades toward 1. Composes with robots crawl-delay caps:
+    callers take least(adaptive, effective_budget_col) downstream.
+
+    Scale shape: per-round means are a map-side-combinable aggregate on
+    (host, round); the window + final fold shuffle O(hosts x rounds)
+    8-byte-keyed rows once, output O(hosts). No collect, no state.
+
+    Output: (host, n_rounds, ewma_ms, budget).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("adaptive_host_budget: alpha must be in (0, 1]")
+    per_round = latencies.groupBy(host_col, round_col).agg(
+        F.avg(F.col(latency_col)).alias("__x")
+    )
+    w = Window.partitionBy(host_col).orderBy(F.col(round_col).asc())
+    idx = per_round.select(
+        F.col(host_col).alias("host"),
+        F.col("__x"),
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy(host_col)).alias("__n"),
+    )
+    weight = F.when(
+        F.col("__i") == 1, F.pow(F.lit(1.0 - alpha), F.col("__n") - 1)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("__n") - F.col("__i"))
+    )
+    folded = idx.groupBy("host").agg(
+        F.max("__n").alias("n_rounds"),
+        F.round(F.sum(F.col("__x") * weight), ewma_dp).alias("__ewma"),
+    )
+    budget = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(int(max_budget)),
+            F.round(F.lit(float(base_budget)) * F.lit(float(target_ms)) / F.col("__ewma"))
+            .cast("int"),
+        ),
+    )
+    return folded.select(
+        "host",
+        "n_rounds",
+        F.round("__ewma", 6).alias("ewma_ms"),
+        budget.alias("budget"),
+    )

@@ -327,3 +327,69 @@ def domain_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    eta: float = 0.5,
+    iterations: int = 3,
+    iter_dp: int = 9,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) — the
+    iterative upgrade over static token-mass mixture weights (q70):
+    exponentiated-gradient ascent boosts domains with high EXCESS loss
+    (hard/underfit data) and decays those already well-covered, yielding
+    the sampling weights a pretraining mixture actually uses.
+
+    Deterministic simplification for the batch engine (no proxy-model
+    training loop in-sandbox): the per-domain loss signal is a column
+    the caller supplies (a perplexity/quality proxy per row, averaged
+    per domain once), and the excess term is loss_d * (1 - w_d) — the
+    standard "weighted by how little of the mixture the domain already
+    owns" damping, so iterations genuinely interact:
+
+        w_0 = 1/D
+        raw_{t+1,d} = round(w_t,d * exp(eta * loss_d * (1 - w_t,d)), dp)
+        w_{t+1}     = round(raw_{t+1} / sum(raw_{t+1}), dp)
+
+    Per-iteration rounding (iter_dp, the pagerank discipline) makes the
+    float math order-independent and the DuckDB twin (q109) replayable.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    (O(domains) rows out — domains are 10s-1000s); the T iterations run
+    on that tiny frame (normalization = broadcast 1-row sum join), so
+    cost is one corpus scan regardless of T. No driver residency — the
+    weights stay a DataFrame.
+
+    Output: (domain, loss 6dp, weight 6dp) with sum(weight) ~= 1.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.round(F.avg(F.col(loss_col)), iter_dp).alias("loss")
+    )
+    n_dom = per.count()
+    if n_dom == 0:
+        raise ValueError("doremi_weights: no domains")
+    w = per.select(
+        "domain", "loss", F.round(F.lit(1.0) / F.lit(float(n_dom)), iter_dp).alias("w")
+    )
+    for _ in range(int(iterations)):
+        raw = w.select(
+            "domain",
+            "loss",
+            F.round(
+                F.col("w")
+                * F.exp(F.lit(float(eta)) * F.col("loss") * (F.lit(1.0) - F.col("w"))),
+                iter_dp,
+            ).alias("__raw"),
+        )
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        w = raw.crossJoin(F.broadcast(tot)).select(
+            "domain",
+            "loss",
+            F.round(F.col("__raw") / F.col("__tot"), iter_dp).alias("w"),
+        )
+    return w.select(
+        "domain", F.round("loss", 6).alias("loss"), F.round("w", 6).alias("weight")
+    )

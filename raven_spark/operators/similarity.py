@@ -458,3 +458,83 @@ def random_projection(
         for j in range(int(out_dim))
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (Jegou, Douze, Schmid, TPAMI 2011) — the
+    memory format under billion-scale ANN (FAISS IVF-PQ): split each
+    vector into ``m`` subvectors of dim/m, quantize each against a
+    per-subspace codebook of ``k`` centroids, store m small codes
+    (m*log2(k) bits, here 4x8=4 bytes vs 256 float32 bytes = 64x).
+
+    Codebooks here are the k smallest-id vectors' subvectors (the
+    kmeans_lloyd TakeOrdered init convention — deterministic, no RNG,
+    oracle-replayable; production callers train them with kmeans_lloyd
+    per subspace and pass the same literal-array shape). Codebook state
+    is m*k*(dim/m)*8 = k*dim*8 bytes riding the closure as literals —
+    the MLlib-style broadcast, nothing scales with rows.
+
+    Assign: argmin_c ||x_s - c||^2 per subspace as pure column algebra
+    (zero Python, zero shuffle, fused into the scan); ties go to the
+    smallest code, and the double expression tree is fixed, so the
+    DuckDB twin (q108) replays assignments exactly. Reconstruction MSE
+    = sum of chosen subspace distances / dim rides along as the
+    quality gauge.
+
+    Output: (id, codes array<int> length m, recon_mse double 6dp).
+    """
+    if dim % m != 0:
+        raise ValueError("pq_encode: dim must be divisible by m")
+    sub = dim // m
+    vec = F.col(vec_col)
+    init = (
+        df.select(id_col, vec_col)  # k rows, O(k*dim) — never payload columns
+        .orderBy(F.col(id_col).asc())
+        .limit(int(k))
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"pq_encode: need >= {k} rows for the codebook, got {len(init)}")
+    books = [
+        [[float(x) for x in r[vec_col][s * sub : (s + 1) * sub]] for r in init]
+        for s in range(m)
+    ]
+
+    def subdist(s: int, cent: list[float]):
+        xs = F.slice(vec, s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(
+                xs,
+                F.array(*[F.lit(c) for c in cent]),
+                lambda v, cc: (v.cast("double") - cc) * (v.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def best(s: int):
+        return F.array_min(
+            F.array(*[
+                F.struct(subdist(s, cent).alias("d"), F.lit(j).alias("j"))
+                for j, cent in enumerate(books[s])
+            ])
+        )
+
+    picks = df.select(
+        F.col(id_col),
+        *[best(s).alias(f"__b{s}") for s in range(m)],
+    )
+    codes = F.array(*[F.col(f"__b{s}.j") for s in range(m)])
+    mse = sum(F.col(f"__b{s}.d") for s in range(m)) / F.lit(float(dim))
+    return picks.select(
+        id_col,
+        codes.alias("codes"),
+        F.round(mse, 6).alias("recon_mse"),
+    )
