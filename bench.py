@@ -123,6 +123,14 @@ HEADLINE = [
     "q101_kwic_snippets",
     "q102_template_admission",
     "q103_approx_distinct",
+    "q104_trustrank",
+    "q105_adaptive_budget",
+    "q106_quantile_contract",
+    "q107_cms_frequency",
+    "q108_pq_encode",
+    "q109_doremi",
+    "q110_term_drift",
+    "q111_kmv_mirrors",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
