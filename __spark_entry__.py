@@ -2521,6 +2521,50 @@ def q111_kmv_mirrors(spark, sf_dir):
     return kmv_mirror_pairs(d, host, shingle_n=3, k=32)
 
 
+def q112_opic(spark, sf_dir):
+    """On-line Page Importance Computation (operators/graph.py::opic;
+    Abiteboul/Preda/Cobena WWW'03) over the q36 synthetic link graph:
+    3 cash-distribution rounds with exact mass conservation (dangling
+    cash returns via the virtual root), 12-dp per-round rounding for
+    replayability; importance = banked history / total. The crawl-time
+    alternative to PageRank — maintained DURING the crawl, one join +
+    one agg per round. The oracle unrolls the identical three rounds."""
+    from raven_spark.operators.graph import opic
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = _synthetic_link_edges(d, n)
+    return opic(edges, nodes=d.select(F.col("doc_id").alias("node")), rounds=3)
+
+
+def q113_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit (operators/pipeline.py::zipf_fit): OLS of
+    log(freq) on log(rank) over the top-10k vocabulary — the corpus
+    health check (natural text has slope ~ -1; template floods bend it).
+    One map-side-combinable term count, one literal-bounded rank window,
+    one 1-row closed-form OLS aggregate. Bigrams here: the synthetic
+    vocab is 31 unigram types, so the bigram curve (916 types) is the
+    non-degenerate fit."""
+    from raven_spark.operators.pipeline import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, min_count=2, max_rank=10_000, ngram_n=2)
+
+
+def q114_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies
+    (operators/pipeline.py::good_turing): n_c for c<=10 plus the GT
+    re-estimate c* = (c+1)n_{c+1}/n_c — the unseen-mass diagnostic under
+    the q48/q68 LM quality filters (P0 = N1/N). Term counts collapse to
+    an O(max_c)-row table before any window. Bigram types (every
+    synthetic unigram has count >= 26, so the unigram GT table is
+    empty; bigrams have the low-c mass GT describes)."""
+    from raven_spark.operators.pipeline import good_turing
+
+    d = _t(spark, sf_dir, "documents")
+    return good_turing(d, max_c=10, ngram_n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2634,6 +2678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_doremi": q109_doremi,
         "q110_term_drift": q110_term_drift,
         "q111_kmv_mirrors": q111_kmv_mirrors,
+        "q112_opic": q112_opic,
+        "q113_zipf_fit": q113_zipf_fit,
+        "q114_good_turing": q114_good_turing,
     }
 
 
@@ -5684,6 +5731,127 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
             JOIN sizes sa ON sa.g = e.ga
             JOIN sizes sb ON sb.g = e.gb
+        """,
+        "q112_opic": r"""
+            -- unrolls opic()'s three cash rounds: history banks the OLD
+            -- cash, then cash redistributes over out-edges plus the
+            -- (zero, on this graph) dangling mass via the virtual root;
+            -- 12-dp per-round rounding mirrors the Spark side exactly
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            nodes AS (SELECT doc_id AS v FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*37 + j*1009) % nn.n AS dst
+              FROM documents, nn, (SELECT unnest([1,2,3]) AS j)
+              WHERE (doc_id*37 + j*1009) % nn.n <> doc_id
+            ),
+            outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            s0 AS (
+              SELECT v, coalesce(od, 0) AS od,
+                     round(1.0 / (SELECT n FROM nn), 12) AS cash,
+                     0.0 AS hist
+              FROM nodes LEFT JOIN outd ON v = src
+            ),
+            r1 AS (SELECT coalesce(sum(cash), 0) AS root FROM s0 WHERE od = 0),
+            c1 AS (SELECT e.dst, sum(s0.cash / s0.od) AS s
+                   FROM e JOIN s0 ON s0.v = e.src GROUP BY e.dst),
+            s1 AS (
+              SELECT s0.v, s0.od,
+                     round(s0.hist + s0.cash, 12) AS hist,
+                     round(coalesce(c1.s, 0)
+                           + (SELECT root FROM r1) / (SELECT n FROM nn), 12) AS cash
+              FROM s0 LEFT JOIN c1 ON s0.v = c1.dst
+            ),
+            r2 AS (SELECT coalesce(sum(cash), 0) AS root FROM s1 WHERE od = 0),
+            c2 AS (SELECT e.dst, sum(s1.cash / s1.od) AS s
+                   FROM e JOIN s1 ON s1.v = e.src GROUP BY e.dst),
+            s2 AS (
+              SELECT s1.v, s1.od,
+                     round(s1.hist + s1.cash, 12) AS hist,
+                     round(coalesce(c2.s, 0)
+                           + (SELECT root FROM r2) / (SELECT n FROM nn), 12) AS cash
+              FROM s1 LEFT JOIN c2 ON s1.v = c2.dst
+            ),
+            r3 AS (SELECT coalesce(sum(cash), 0) AS root FROM s2 WHERE od = 0),
+            c3 AS (SELECT e.dst, sum(s2.cash / s2.od) AS s
+                   FROM e JOIN s2 ON s2.v = e.src GROUP BY e.dst),
+            s3 AS (
+              SELECT s2.v, s2.od,
+                     round(s2.hist + s2.cash, 12) AS hist,
+                     round(coalesce(c3.s, 0)
+                           + (SELECT root FROM r3) / (SELECT n FROM nn), 12) AS cash
+              FROM s2 LEFT JOIN c3 ON s2.v = c3.dst
+            ),
+            tot AS (SELECT sum(hist) AS t FROM s3)
+            SELECT v AS node, round(cash, 6) AS cash, round(hist, 6) AS history,
+                   round(hist / (SELECT t FROM tot), 6) AS importance
+            FROM s3
+        """,
+        "q113_zipf_fit": r"""
+            -- q89 tokenization -> adjacent-bigram stream (multiplicity
+            -- kept) -> counts (>=2) -> top-10k ranks (count desc, term
+            -- asc — the total order the Spark window uses) ->
+            -- closed-form OLS of ln(freq) on ln(rank)
+            WITH docs AS (
+              SELECT list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), toks AS (
+              SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS term
+              FROM docs WHERE len(ws) >= 2
+            ), c AS (
+              SELECT term, count(*) AS c FROM toks GROUP BY term
+              HAVING count(*) >= 2
+            ), ranked AS (
+              SELECT ln(CAST(row_number() OVER
+                       (ORDER BY c DESC, term ASC) AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM c
+              QUALIFY row_number() OVER (ORDER BY c DESC, term ASC) <= 10000
+            ), agg AS (
+              SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+                   round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6)
+                     AS intercept,
+                   round((sxy - sx*sy/n) * (sxy - sx*sy/n)
+                         / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r2
+            FROM agg
+        """,
+        "q114_good_turing": r"""
+            -- bigram counts -> counts-of-counts (c <= 11) -> GT
+            -- estimate (c+1) * n_{c+1} / n_c via lead over the tiny
+            -- frame; NULL when the next row is not literally c+1
+            WITH docs AS (
+              SELECT list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), toks AS (
+              SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS term
+              FROM docs WHERE len(ws) >= 2
+            ), tc AS (
+              SELECT term, count(*) AS c FROM toks GROUP BY term
+            ), cc AS (
+              SELECT c, count(*) AS n_c FROM tc WHERE c <= 11 GROUP BY c
+            ), nx AS (
+              SELECT c, n_c,
+                     lead(c) OVER (ORDER BY c ASC) AS next_c,
+                     lead(n_c) OVER (ORDER BY c ASC) AS next_n
+              FROM cc
+            )
+            SELECT CAST(c AS BIGINT) AS c, CAST(n_c AS BIGINT) AS n_c,
+                   CASE WHEN next_c = c + 1
+                        THEN round((c + 1) * CAST(next_n AS DOUBLE)
+                                   / CAST(n_c AS DOUBLE), 6)
+                   END AS gt_estimate
+            FROM nx WHERE c <= 10
+            ORDER BY c
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -716,3 +716,93 @@ def domain_graph(
             ).otherwise(F.lit(0.0)).alias("intra_frac"),
         )
     )
+
+
+def opic(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    iter_dp: int = 12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW 2003) — the crawl-frontier priority signal designed to
+    be maintained DURING the crawl, unlike PageRank's offline power
+    iteration: every node holds CASH; each round it distributes its
+    cash equally to its outlinks (dangling nodes return theirs to a
+    virtual root that redistributes uniformly — the paper's virtual
+    page, so total cash is conserved exactly), and banks what passed
+    through it in HISTORY. Importance estimate = history / total
+    history; the frontier fetches highest-cash-plus-history first.
+
+    cash_0 = round(1/N, dp); each round:
+        to_root  = sum of dangling cash           (1-row aggregate)
+        cash'(v) = round(sum_{(u,v) in E} cash(u)/outdeg(u)
+                         + to_root/N, dp)
+        hist(v) += cash(v)     (banked BEFORE redistribution)
+
+    Scale shape: identical to pagerank's loop — one join of the
+    O(nodes) cash vector against the outdeg-fused edge table + one
+    dst-keyed aggregate per round, 8-byte keys; the dangling mass is a
+    1-row aggregate broadcast back. Per-round iter_dp rounding keeps
+    the sums order-independent (the q36 discipline) so the DuckDB twin
+    (q112) replays byte-identically. localCheckpoint cuts lineage as
+    in pagerank.
+
+    Output: (node, cash, history, importance) — cash/history 6dp,
+    importance = round(history / sum(history), 6).
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    n = nodes.count()
+    outd = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    e = edges.select(src, dst).join(outd, src)
+    state = nodes.join(
+        outd.select(F.col(src).alias("node"), "__outdeg"), "node", "left"
+    ).select(
+        "node",
+        F.coalesce("__outdeg", F.lit(0)).alias("__outdeg"),
+        F.round(F.lit(1.0) / F.lit(float(n)), iter_dp).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    for k in range(rounds):
+        root = state.filter(F.col("__outdeg") == 0).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("__root")
+        )
+        contrib = (
+            e.join(state.select(F.col("node"), F.col("cash")), e[src] == F.col("node"))
+            .groupBy(dst)
+            .agg(F.sum(F.col("cash") / F.col("__outdeg")).alias("__s"))
+        )
+        state = (
+            state.join(contrib, state["node"] == contrib[dst], "left")
+            .crossJoin(F.broadcast(root))
+            .select(
+                "node",
+                "__outdeg",
+                F.round(
+                    F.coalesce("__s", F.lit(0.0))
+                    + F.col("__root") / F.lit(float(n)),
+                    iter_dp,
+                ).alias("cash"),
+                F.round(F.col("hist") + F.col("cash"), iter_dp).alias("hist"),
+            )
+        )
+        if checkpoint_every and (k + 1) % checkpoint_every == 0 and k + 1 < rounds:
+            state = state.localCheckpoint(eager=False)
+    tot = state.agg(F.sum("hist").alias("__tot"))
+    return (
+        state.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.round("cash", 6).alias("cash"),
+            F.round("hist", 6).alias("history"),
+            F.round(F.col("hist") / F.col("__tot"), 6).alias("importance"),
+        )
+    )

@@ -1946,3 +1946,147 @@ def term_drift(
     chi2 = (na - e_a) * (na - e_a) / e_a + (nb - e_b) * (nb - e_b) / e_b
     scored = c.select("term", "n_a", "n_b", F.round(chi2, 6).alias("chi2"))
     return scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(int(k))
+
+
+def _token_ngrams_col(text, n: int = 1):
+    """Token n-grams WITH multiplicity (unlike dedup's distinct
+    ``word_shingles_col``) — the unit of frequency for zipf_fit /
+    good_turing. n=1 is the plain q89 token stream; n>1 concatenates
+    adjacent tokens with single spaces. Empty/whitespace-only text
+    yields an empty array."""
+    words = F.filter(F.split(norm_text_col(F.col(text) if isinstance(text, str) else text), " "), lambda w: w != "")
+    if n <= 1:
+        return words
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_rank: int = 10_000,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the one-line
+    corpus health check (natural text follows log f ~= a - s*log r with
+    s ~= 1; machine-generated spam, template floods and tokenizer
+    regressions bend the curve): OLS of log(freq) on log(rank) over the
+    top ``max_rank`` terms with count >= min_count, via the closed-form
+    slope/intercept so the whole fit is two aggregates.
+
+    100 TB shape: one map-side-combinable term-count aggregate (the
+    q86/q89 tokenization), ranks from ONE window over the count-ordered
+    term table bounded by a LITERAL max_rank (WindowGroupLimit prune;
+    ties rank by term asc so the rank assignment is total and
+    replayable), then a single 1-row OLS aggregate. Float sums meet the
+    oracle (q113) at 6dp after the fixed expression tree.
+
+    Output: one row (n_terms, slope, intercept, r2) — slope ~ -1 for
+    healthy natural-language corpora. ``ngram_n`` fits the n-gram
+    rank-frequency curve instead (bigrams/trigrams have the fatter
+    low-count tail on small vocabularies).
+    """
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_token_ngrams_col(text_col, ngram_n)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_count))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.lit(int(max_rank)))
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # try_divide throughout: a degenerate fit (0 or 1 surviving terms ->
+    # nd=0 or varx=0) yields NULL slope/intercept/r2 instead of an ANSI
+    # divide-by-zero, matching DuckDB's NULL-on-zero-divisor semantics
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), nd)
+    varx = F.col("sxx") - F.try_divide(F.col("sx") * F.col("sx"), nd)
+    vary = F.col("syy") - F.try_divide(F.col("sy") * F.col("sy"), nd)
+    slope = F.try_divide(cov, varx)
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.try_divide(F.col("sy") - slope * F.col("sx"), nd), 6).alias(
+            "intercept"
+        ),
+        F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
+    )
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    max_c: int = 10,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table + discounted counts —
+    the smoothing/coverage diagnostic under LM-based quality filters
+    (q48/q68's unigram/bigram models assign zero mass to unseen words;
+    GT says how much mass they SHOULD reserve: P0 = N1/N). For each
+    count c <= max_c: n_c = |{terms seen exactly c times}| and the GT
+    re-estimate c* = (c+1) * n_{c+1} / n_c.
+
+    100 TB shape: the term-count aggregate (map-side combinable, the
+    only pass over text) collapses to a counts-of-counts aggregate of
+    at most max_c+1 rows — O(1) output; the c* join is a self-join on
+    the tiny frame via a lead() window. Terms never leave the first
+    aggregate; the second is 8-byte (c, n_c) pairs.
+
+    Output: (c, n_c, gt_estimate 6dp nullable — null when n_{c+1}=0),
+    c in [1, max_c], ordered by c. ``ngram_n`` counts n-gram types
+    instead of unigrams (the GT table is only informative where the
+    count spectrum has low-c mass).
+    """
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_token_ngrams_col(text_col, ngram_n)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = (
+        counts.filter(F.col("c") <= int(max_c) + 1)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    w = Window.orderBy(F.col("c").asc())
+    # lead over the O(max_c) frame; rows with a gap (n_{c+1} absent)
+    # yield NULL only when the next row is not literally c+1
+    withnext = cc.withColumn("next_c", F.lead("c").over(w)).withColumn(
+        "next_n", F.lead("n_c").over(w)
+    )
+    gt = F.when(
+        F.col("next_c") == F.col("c") + 1,
+        F.round(
+            (F.col("c") + 1).cast("double")
+            * F.col("next_n").cast("double")
+            / F.col("n_c").cast("double"),
+            6,
+        ),
+    )
+    return (
+        withnext.filter(F.col("c") <= int(max_c))
+        .select("c", "n_c", gt.alias("gt_estimate"))
+        .orderBy("c")
+    )

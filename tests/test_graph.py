@@ -235,3 +235,46 @@ def test_domain_graph_rollup_and_insularity(spark):
     # in-direction: a.com receives 2 intra only... plus nothing external
     assert (a["in_w"], a["in_domains"]) == (2, 0)
     assert (b["in_w"], b["in_domains"]) == (4, 1)
+
+
+def test_opic_cash_conservation_and_history(spark):
+    # 3-cycle 0->1->2->0: cash stays uniform (1/3) every round, so
+    # history after r rounds = r/3 and importance is uniform.
+    from raven_spark.operators.graph import opic
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    got = {r["node"]: r for r in opic(e, rounds=3).collect()}
+    for v in (0, 1, 2):
+        assert abs(got[v]["cash"] - round(1 / 3, 6)) < 1e-9
+        assert abs(got[v]["history"] - round(1.0, 6)) < 1e-9
+        assert abs(got[v]["importance"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_opic_dangling_cash_returns_via_virtual_root(spark):
+    # 0->1, 1 dangling, isolate 2. Total cash must stay 1 every round
+    # (the virtual root redistributes dangling + isolate cash), and the
+    # sink node 1 banks more history than the source 0.
+    from raven_spark.operators.graph import opic
+
+    e = _edges(spark, [(0, 1)])
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node bigint")
+    rows = opic(e, nodes=nodes, rounds=4).collect()
+    got = {r["node"]: r for r in rows}
+    total_cash = sum(r["cash"] for r in rows)
+    assert abs(total_cash - 1.0) < 1e-6, total_cash
+    assert got[1]["history"] > got[0]["history"] > 0
+    assert abs(sum(r["importance"] for r in rows) - 1.0) < 5e-6
+    # node 0 has no in-edges, so like the isolate it receives only the
+    # root share — their banked histories are identical by symmetry
+    assert got[2]["history"] == got[0]["history"]
+
+
+def test_opic_partition_invariant(spark):
+    from raven_spark.operators.graph import opic
+
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(23) if i != (i * 7 + 3) % 23]
+    a = sorted(map(tuple, opic(_edges(spark, pairs), rounds=3).collect()))
+    b = sorted(
+        map(tuple, opic(_edges(spark, pairs).repartition(7), rounds=3).collect())
+    )
+    assert a == b

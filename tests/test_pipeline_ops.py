@@ -900,3 +900,74 @@ def test_approx_distinct_contract_bounds_and_exact(spark):
     # exact counts: host h0 gets urls i%50 for i%3==0 -> 50 distinct? no:
     # i in 0..299, i%3==0 -> 100 values, i%50 spans all residues -> 50
     assert got["h0"]["n_distinct"] == 50
+
+
+def test_zipf_fit_exact_power_law(spark):
+    # Corpus engineered so term t_r appears round(64 / r) times for
+    # rank r in 1..8 -> log-log regression recovers slope ~ -1.
+    from raven_spark.operators.pipeline import zipf_fit
+
+    import math
+
+    docs = []
+    did = 0
+    for r in range(1, 9):
+        for _ in range(round(64 / r)):
+            docs.append((did, f"t{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    row = zipf_fit(df, min_count=2, max_rank=100).collect()[0]
+    assert row["n_terms"] == 8
+    # exact OLS on (ln r, ln round(64/r)) computed independently
+    xs = [math.log(r) for r in range(1, 9)]
+    ys = [math.log(round(64 / r)) for r in range(1, 9)]
+    n = 8.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(row["slope"] - round(slope, 6)) < 1e-6
+    assert -1.05 < row["slope"] < -0.9
+    assert 0.99 < row["r2"] <= 1.0
+
+
+def test_zipf_fit_bigrams_and_min_count(spark):
+    from raven_spark.operators.pipeline import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y"), (3, None), (4, "  ")],
+        "doc_id bigint, text string",
+    )
+    # bigrams with multiplicity: 'a b' x3, 'b a' x1, 'b c' x1, 'b x' x1,
+    # 'x y' x1 -> only 'a b' survives min_count=2
+    row = zipf_fit(df, min_count=2, max_rank=10, ngram_n=2).collect()[0]
+    assert row["n_terms"] == 1
+    # single point: OLS degenerates (varx = 0) -> slope NULL, not a crash
+    assert row["slope"] is None
+
+
+def test_good_turing_known_spectrum(spark):
+    # 3 hapaxes, 2 doubletons, 1 tripleton:
+    #   n_1=3, n_2=2, n_3=1 -> c*_1 = 2*2/3, c*_2 = 3*1/2, c*_3 = NULL
+    from raven_spark.operators.pipeline import good_turing
+
+    text = " ".join(["h1", "h2", "h3"] + ["d1", "d2"] * 2 + ["t1"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = good_turing(df, max_c=5).collect()
+    got = {r["c"]: r for r in rows}
+    assert got[1]["n_c"] == 3 and abs(got[1]["gt_estimate"] - round(4 / 3, 6)) < 1e-9
+    assert got[2]["n_c"] == 2 and abs(got[2]["gt_estimate"] - 1.5) < 1e-9
+    assert got[3]["n_c"] == 1 and got[3]["gt_estimate"] is None
+    assert 4 not in got and 5 not in got
+
+
+def test_good_turing_gap_yields_null_estimate(spark):
+    # counts 1 and 3 present, 2 absent: c*_1 must be NULL (not computed
+    # against n_3), and c=3's next row is absent entirely.
+    from raven_spark.operators.pipeline import good_turing
+
+    text = " ".join(["a", "b"] + ["z"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = {r["c"]: r for r in good_turing(df, max_c=10).collect()}
+    assert got[1]["n_c"] == 2 and got[1]["gt_estimate"] is None
+    assert got[3]["n_c"] == 1 and got[3]["gt_estimate"] is None
