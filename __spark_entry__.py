@@ -5523,7 +5523,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, CAST(n_rounds AS BIGINT) AS n_rounds,
                    round(ewma, 6) AS ewma_ms,
-                   CAST(greatest(1, least(50, CAST(round(10.0 * 200.0 / ewma) AS INT))) AS INT) AS budget
+                   CAST(CASE WHEN ewma <= 0 THEN 50
+                        ELSE greatest(1, least(50,
+                               CAST(round(10.0 * 200.0 / ewma) AS INT)))
+                   END AS INT) AS budget
             FROM folded
         """,
         "q106_quantile_contract": r"""
@@ -5666,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
                      , 6) AS chi2
               FROM counts, tot
               WHERE n_a + n_b >= 20
+                AND na_tot > 0 AND nb_tot > 0  -- empty slice -> empty result
             )
             SELECT term, n_a, n_b, chi2 FROM scored
             ORDER BY chi2 DESC, term ASC LIMIT 50

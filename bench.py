@@ -131,6 +131,9 @@ HEADLINE = [
     "q109_doremi",
     "q110_term_drift",
     "q111_kmv_mirrors",
+    "q112_opic",
+    "q113_zipf_fit",
+    "q114_good_turing",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -725,7 +725,7 @@ def opic(
     dst: str = "dst",
     rounds: int = 3,
     iter_dp: int = 12,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
     Cobena, WWW 2003) — the crawl-frontier priority signal designed to
@@ -748,8 +748,17 @@ def opic(
     dst-keyed aggregate per round, 8-byte keys; the dangling mass is a
     1-row aggregate broadcast back. Per-round iter_dp rounding keeps
     the sums order-independent (the q36 discipline) so the DuckDB twin
-    (q112) replays byte-identically. localCheckpoint cuts lineage as
-    in pagerank.
+    (q112) replays byte-identically.
+
+    Unlike pagerank (whose new vector derives from the stable ``nodes``
+    base, so lineage grows linearly), OPIC's state derives from ITSELF
+    twice per round (the history fold + the contrib join) and is read a
+    third time by the dangling-mass aggregate — unchecked, the logical
+    plan doubles every round (2^rounds analyzer blow-up, measured: 316
+    exchanges at rounds=3). So the default here is an EAGER
+    localCheckpoint every round: the O(nodes) state materializes once
+    per round and all three readers share the checkpointed lineage —
+    constant plan size per round, the GraphX/Pregel discipline.
 
     Output: (node, cash, history, importance) — cash/history 6dp,
     importance = round(history / sum(history), 6).
@@ -795,7 +804,7 @@ def opic(
             )
         )
         if checkpoint_every and (k + 1) % checkpoint_every == 0 and k + 1 < rounds:
-            state = state.localCheckpoint(eager=False)
+            state = state.localCheckpoint(eager=True)
     tot = state.agg(F.sum("hist").alias("__tot"))
     return (
         state.crossJoin(F.broadcast(tot))

@@ -1941,10 +1941,16 @@ def term_drift(
     nb = F.col("n_b").cast("double")
     NA = F.col("__NA").cast("double")
     NB = F.col("__NB").cast("double")
+    # an entirely-empty slice (NA=0 or NB=0) makes every expected count
+    # zero — chi-square is undefined and drift against nothing is
+    # meaningless, so the result is EMPTY by contract (the filter below)
+    # instead of an ANSI divide-by-zero killing the job
     e_a = tot * NA / (NA + NB)
     e_b = tot * NB / (NA + NB)
     chi2 = (na - e_a) * (na - e_a) / e_a + (nb - e_b) * (nb - e_b) / e_b
-    scored = c.select("term", "n_a", "n_b", F.round(chi2, 6).alias("chi2"))
+    scored = c.filter((NA > 0) & (NB > 0)).select(
+        "term", "n_a", "n_b", F.round(chi2, 6).alias("chi2")
+    )
     return scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(int(k))
 
 

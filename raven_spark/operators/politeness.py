@@ -410,13 +410,19 @@ def adaptive_host_budget(
         F.max("__n").alias("n_rounds"),
         F.round(F.sum(F.col("__x") * weight), ewma_dp).alias("__ewma"),
     )
-    budget = F.greatest(
-        F.lit(1),
-        F.least(
-            F.lit(int(max_budget)),
-            F.round(F.lit(float(base_budget)) * F.lit(float(target_ms)) / F.col("__ewma"))
-            .cast("int"),
-        ),
+    # ewma <= 0 (all-zero measured latencies — mocked fetches, ms
+    # truncation) means "infinitely fast": award max_budget instead of
+    # tripping ANSI divide-by-zero and killing the round
+    budget = F.when(F.col("__ewma") <= 0, F.lit(int(max_budget))).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(int(max_budget)),
+                F.round(
+                    F.lit(float(base_budget)) * F.lit(float(target_ms)) / F.col("__ewma")
+                ).cast("int"),
+            ),
+        )
     )
     return folded.select(
         "host",

@@ -386,3 +386,30 @@ def test_kmv_partition_invariance(spark):
     a = sorted(map(tuple, kmv_mirror_pairs(docs, g, k=32).collect()))
     b = sorted(map(tuple, kmv_mirror_pairs(docs.repartition(11), g, k=32).collect()))
     assert a == b
+
+
+def test_adaptive_budget_zero_latency_awards_max(spark):
+    # ewma == 0 (mocked instant fetches) means "infinitely fast": the
+    # budget must be max_budget, not an ANSI divide-by-zero job kill.
+    from raven_spark.operators.politeness import adaptive_host_budget
+
+    lat = spark.createDataFrame(
+        [("h0", 0, 0.0), ("h0", 1, 0.0), ("h1", 0, 400.0)],
+        "host string, round_no int, latency_ms double",
+    )
+    got = {r["host"]: r for r in adaptive_host_budget(lat, max_budget=50).collect()}
+    assert got["h0"]["budget"] == 50 and got["h0"]["ewma_ms"] == 0.0
+    assert 1 <= got["h1"]["budget"] < 50
+
+
+def test_term_drift_empty_slice_yields_empty(spark):
+    # drift against an entirely-empty slice is undefined (every expected
+    # count is 0): the contract is an EMPTY result, not a crash.
+    from raven_spark.operators.pipeline import term_drift
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    out = term_drift(df, slice_col=F.lit(True), min_count=1, k=10)
+    assert out.count() == 0
