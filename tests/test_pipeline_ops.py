@@ -971,3 +971,44 @@ def test_good_turing_gap_yields_null_estimate(spark):
     got = {r["c"]: r for r in good_turing(df, max_c=10).collect()}
     assert got[1]["n_c"] == 2 and got[1]["gt_estimate"] is None
     assert got[3]["n_c"] == 1 and got[3]["gt_estimate"] is None
+
+
+def test_domain_diversity_known_distribution(spark):
+    # domain A: 'x' x2 + 'y' x1 + 'z' x1 -> H = 1.5 bits, types 3/4;
+    # domain B: single type -> entropy 0.0 (not -0.0), norm NULL.
+    import math
+
+    from raven_spark.operators.pipeline import domain_diversity
+
+    df = spark.createDataFrame(
+        [(1, "A", "x x y z"), (2, "B", "w w w")],
+        "doc_id bigint, dom string, text string",
+    )
+    got = {r["domain"]: r for r in domain_diversity(df, "dom").collect()}
+    a = got["A"]
+    assert (a["n_tokens"], a["n_types"]) == (4, 3)
+    assert abs(a["ttr"] - 0.75) < 1e-9
+    expect = round(
+        round(-(0.5) * math.log2(0.5), 9) * 1
+        + round(-(0.25) * math.log2(0.25), 9) * 2,
+        6,
+    )
+    assert abs(a["entropy"] - expect) < 1e-9
+    assert abs(a["norm_entropy"] - round(a["entropy"] / math.log2(3), 6)) < 1e-6
+    b = got["B"]
+    assert (b["n_tokens"], b["n_types"]) == (3, 1)
+    assert b["entropy"] == 0.0 and str(b["entropy"]) == "0.0"
+    assert b["norm_entropy"] is None
+
+
+def test_domain_diversity_partition_invariant(spark):
+    from raven_spark.operators.pipeline import domain_diversity
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"tok{i % 7} tok{i % 5} tok{i % 11} common")
+         for i in range(60)],
+        "doc_id bigint, dom string, text string",
+    )
+    a = sorted(map(tuple, domain_diversity(df, "dom").collect()))
+    b = sorted(map(tuple, domain_diversity(df.repartition(13), "dom").collect()))
+    assert a == b
