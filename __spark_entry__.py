@@ -2631,6 +2631,40 @@ def q116_domain_diversity(spark, sf_dir):
     return domain_diversity(d, dom)
 
 
+def q117_revisit_schedule(spark, sf_dir):
+    """Drift-adaptive revisit intervals
+    (operators/snapshots.py::revisit_schedule; Cho & Garcia-Molina
+    TOIT'03 bias-corrected Poisson change-rate): q99's per-URL SimHash
+    drift profile -> lambda_hat = -ln((n-X+0.5)/(n+0.5)) -> interval =
+    clamp(ceil(1/lambda), 1, 64); never-changed URLs decay to 64,
+    single-capture URLs get the default 8. Same capture synthesis as
+    q99/q37 (url_id = doc_id mod 137). Inherits content_drift's single
+    url-keyed exchange; the oracle replays SimHash + the estimator."""
+    from raven_spark.operators.snapshots import revisit_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        (F.col("doc_id") % 137).alias("url_id"),
+        F.col("doc_id").alias("cap_seq"),
+        "text",
+    )
+    return revisit_schedule(caps, min_interval=1, max_interval=64, default_interval=8)
+
+
+def q118_term_burstiness(spark, sf_dir):
+    """Term burstiness and adaptation
+    (operators/pipeline.py::term_burstiness; Church & Gale 1995, Katz
+    1996): E[x|x>0] = total/df and P(x>=2|x>=1) per term — the
+    within-document clumping signal separating topical vocabulary from
+    function words and once-per-page template tokens. One (doc, term)
+    aggregate (the only text pass), one per-term fold, top-100 by
+    (burstiness desc, term asc). Exact integer ratios at 6dp."""
+    from raven_spark.operators.pipeline import term_burstiness
+
+    d = _t(spark, sf_dir, "documents")
+    return term_burstiness(d, min_df=2, k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2749,6 +2783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_good_turing": q114_good_turing,
         "q115_priority_schedule": q115_priority_schedule,
         "q116_domain_diversity": q116_domain_diversity,
+        "q117_revisit_schedule": q117_revisit_schedule,
+        "q118_term_burstiness": q118_term_burstiness,
     }
 
 
@@ -6057,6 +6093,86 @@ def oracle_sql() -> dict[str, str]:
                    entropy,
                    round(entropy / log2(CAST(n_types AS DOUBLE)), 6) AS norm_entropy
             FROM ent
+        """,
+        "q117_revisit_schedule": rf"""
+            -- q99's SimHash drift replay + the Cho/Garcia-Molina
+            -- bias-corrected Poisson rate and the clamped interval;
+            -- + 0.0 normalizes the X=0 case's -ln(1) = -0.0
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id, {_Q22_FNV} AS h FROM toks WHERE t <> ''
+            ), bits AS (
+              SELECT doc_id, bit,
+                     SUM(CASE WHEN (h // (1::HUGEINT << bit)) % 2 = 1
+                              THEN 1 ELSE -1 END) AS w
+              FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+              GROUP BY doc_id, bit
+            ), sigs AS (
+              SELECT d.doc_id,
+                     COALESCE((SELECT SUM(1::HUGEINT << bit) FROM bits b
+                               WHERE b.doc_id = d.doc_id AND b.w > 0),
+                              0::HUGEINT) AS sig
+              FROM documents d
+            ), s AS (
+              SELECT doc_id % 137 AS url_id, doc_id AS cap_seq,
+                     CAST(CASE WHEN sig >= (1::HUGEINT << 63)
+                               THEN sig - (1::HUGEINT << 64)
+                               ELSE sig END AS BIGINT) AS sig
+              FROM sigs
+            ), l AS (
+              SELECT url_id,
+                     CAST(bit_count(xor(sig, lag(sig) OVER (
+                       PARTITION BY url_id ORDER BY cap_seq))) AS INT) AS h
+              FROM s
+            ), drift AS (
+              SELECT url_id,
+                     count(h) AS n,
+                     CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+              FROM l GROUP BY url_id
+            )
+            SELECT url_id,
+                   n AS n_transitions,
+                   x AS n_changed,
+                   round(CASE WHEN n = 0 THEN 0.0
+                         ELSE -ln((CAST(n AS DOUBLE) - CAST(x AS DOUBLE) + 0.5)
+                                  / (CAST(n AS DOUBLE) + 0.5)) END, 6) + 0.0
+                     AS change_rate,
+                   CAST(CASE WHEN n = 0 THEN 8
+                        WHEN x = 0 THEN 64
+                        ELSE greatest(1, least(64, CAST(ceil(
+                          1.0 / (-ln((CAST(n AS DOUBLE) - CAST(x AS DOUBLE) + 0.5)
+                                     / (CAST(n AS DOUBLE) + 0.5)))) AS INT)))
+                   END AS INT) AS revisit_interval
+            FROM drift
+        """,
+        "q118_term_burstiness": r"""
+            -- q91 tokenization -> per-(doc, term) counts -> per-term
+            -- doc_freq / total / multi-doc counts -> exact 6-dp ratios,
+            -- top-100 by (burstiness desc, term asc)
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), pd AS (
+              SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+            ), pt AS (
+              SELECT term,
+                     count(*) AS doc_freq,
+                     CAST(sum(c) AS BIGINT) AS total_count,
+                     CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi
+              FROM pd GROUP BY term
+            )
+            SELECT term, doc_freq, total_count,
+                   round(CAST(total_count AS DOUBLE) / CAST(doc_freq AS DOUBLE), 6)
+                     AS burstiness,
+                   round(CAST(multi AS DOUBLE) / CAST(doc_freq AS DOUBLE), 6)
+                     AS adaptation
+            FROM pt WHERE doc_freq >= 2
+            ORDER BY burstiness DESC, term ASC LIMIT 100
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

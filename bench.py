@@ -134,6 +134,10 @@ HEADLINE = [
     "q112_opic",
     "q113_zipf_fit",
     "q114_good_turing",
+    "q115_priority_schedule",
+    "q116_domain_diversity",
+    "q117_revisit_schedule",
+    "q118_term_burstiness",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -2166,3 +2166,61 @@ def domain_diversity(
             F.try_divide(F.col("entropy"), F.log2(F.col("n_types").cast("double"))), 6
         ).alias("norm_entropy"),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995; Katz 1996) — the
+    within-document clumping signal a corpus-frequency count hides:
+    content words "burst" (a document about a topic repeats its terms),
+    function words and spam-injected tokens spread thin. Two exact
+    per-term statistics:
+
+    - burstiness  E[x | x > 0] = total_occurrences / doc_freq
+      (Katz's mean occurrences per CONTAINING document)
+    - adaptation  P(x >= 2 | x >= 1) = n_docs_multi / doc_freq
+      (the repeat probability — Church's "adaptation")
+
+    High burstiness + high adaptation = topical content vocabulary;
+    high corpus frequency with burstiness ~1 = function words or
+    templated boilerplate injected once per page (the keyword-stuffing
+    complement to q92's per-doc entropy).
+
+    100 TB shape: one (doc, term) hash aggregate over the token stream
+    (map-side combinable — the only text pass), one per-term aggregate
+    of the integer triple, TakeOrderedAndProject top-k on (burstiness
+    desc, term asc). All ratios are exact integer divisions rounded at
+    6dp — the DuckDB twin (q118) replays bit-for-bit.
+
+    Output: (term, doc_freq, total_count, burstiness 6dp,
+    adaptation 6dp), k rows.
+    """
+    words = F.filter(F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != "")
+    per_doc = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), F.explode(words).alias("term"))
+        .groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("c").alias("total_count"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("__multi"),
+    )
+    out = per_term.filter(F.col("doc_freq") >= int(min_df)).select(
+        "term",
+        "doc_freq",
+        "total_count",
+        F.round(
+            F.col("total_count").cast("double") / F.col("doc_freq").cast("double"), 6
+        ).alias("burstiness"),
+        F.round(
+            F.col("__multi").cast("double") / F.col("doc_freq").cast("double"), 6
+        ).alias("adaptation"),
+    )
+    return out.orderBy(F.col("burstiness").desc(), F.col("term").asc()).limit(int(k))

@@ -252,3 +252,70 @@ def content_drift(
         F.round(F.avg("h"), 6).alias("mean_hamming"),
         F.max("h").alias("max_hamming"),
     )
+
+
+def revisit_schedule(
+    df: DataFrame,
+    key_col: str = "url_id",
+    order_col: str = "cap_seq",
+    text_col: str = "text",
+    min_interval: int = 1,
+    max_interval: int = 64,
+    default_interval: int = 8,
+) -> DataFrame:
+    """Drift-adaptive revisit scheduling (Cho & Garcia-Molina, TOIT
+    2003, "Estimating frequency of change") — the policy layer over
+    :func:`content_drift`: pages that change every capture earn short
+    revisit intervals, static pages decay toward ``max_interval``, so
+    a fixed recrawl budget concentrates on the URLs where freshness is
+    actually being lost (uniform TTL recrawl — the engine's q66 due
+    path — wastes most of its budget re-fetching static pages).
+
+    Change-rate estimator (their bias-corrected Poisson MLE; n
+    observed transitions, X of them changed):
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5))
+
+    (+0.5 keeps the X = n "always changed" case finite). Schedule:
+
+        interval = clamp(ceil(1 / lambda_hat), min, max)   for X >= 1
+        interval = max_interval                            for X = 0
+        interval = default_interval                        for n = 0
+
+    100 TB shape: inherits content_drift's single url-keyed exchange
+    (SimHash sigs are the only thing shuffled, 8 bytes per capture);
+    everything after is per-group integer algebra on the O(urls)
+    frame. Deterministic — rates come from integer counts, so the
+    DuckDB twin (q117) replays exactly.
+
+    Output: (key, n_transitions, n_changed, change_rate 6dp,
+    revisit_interval).
+    """
+    drift = content_drift(df, key_col=key_col, order_col=order_col, text_col=text_col)
+    n = F.col("n_transitions").cast("double")
+    x = F.col("n_changed").cast("double")
+    lam = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
+    interval = (
+        F.when(F.col("n_transitions") == 0, F.lit(int(default_interval)))
+        .when(F.col("n_changed") == 0, F.lit(int(max_interval)))
+        .otherwise(
+            F.greatest(
+                F.lit(int(min_interval)),
+                F.least(
+                    F.lit(int(max_interval)),
+                    F.ceil(F.lit(1.0) / lam).cast("int"),
+                ),
+            )
+        )
+    )
+    return drift.select(
+        key_col,
+        "n_transitions",
+        "n_changed",
+        # + 0.0 normalizes the X=0 case's -ln(1) = -0.0 to +0.0
+        (
+            F.round(F.when(F.col("n_transitions") == 0, F.lit(0.0)).otherwise(lam), 6)
+            + F.lit(0.0)
+        ).alias("change_rate"),
+        interval.cast("int").alias("revisit_interval"),
+    )

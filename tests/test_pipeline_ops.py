@@ -1012,3 +1012,30 @@ def test_domain_diversity_partition_invariant(spark):
     a = sorted(map(tuple, domain_diversity(df, "dom").collect()))
     b = sorted(map(tuple, domain_diversity(df.repartition(13), "dom").collect()))
     assert a == b
+
+
+def test_term_burstiness_exact_ratios(spark):
+    # 'topic' appears 3+2 times in its 2 docs -> burstiness 2.5,
+    # adaptation 1.0; 'the' once in each of 3 docs -> 1.0 / 0.0;
+    # 'rare' df=1 -> dropped by min_df=2.
+    from raven_spark.operators.pipeline import term_burstiness
+
+    df = spark.createDataFrame(
+        [
+            (1, "topic topic topic the"),
+            (2, "topic topic the rare"),
+            (3, "the filler words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["term"]: r for r in term_burstiness(df, min_df=2, k=10).collect()}
+    assert "rare" not in got
+    t = got["topic"]
+    assert (t["doc_freq"], t["total_count"]) == (2, 5)
+    assert abs(t["burstiness"] - 2.5) < 1e-9 and t["adaptation"] == 1.0
+    th = got["the"]
+    assert (th["doc_freq"], th["total_count"]) == (3, 3)
+    assert th["burstiness"] == 1.0 and th["adaptation"] == 0.0
+    # ordering: burstiness desc puts 'topic' first
+    ordered = term_burstiness(df, min_df=2, k=10).collect()
+    assert ordered[0]["term"] == "topic"

@@ -229,3 +229,47 @@ def test_content_drift_ladder(spark):
     r3 = got[3]
     assert (r3["n_caps"], r3["n_transitions"], r3["n_changed"]) == (1, 0, 0)
     assert r3["mean_hamming"] is None and r3["max_hamming"] is None
+
+
+def test_revisit_schedule_estimator_and_clamps(spark):
+    # u0: 4 captures, all transitions change -> lambda = -ln(0.5/3.5),
+    # interval = ceil(1/lambda) = 1.  u1: 3 captures, none change ->
+    # rate 0.0 (not -0.0), interval = max 64.  u2: single capture ->
+    # default 8, rate 0.0.
+    import math
+
+    from raven_spark.operators.snapshots import revisit_schedule
+
+    rows = []
+    for i, txt in enumerate(["a one", "b two", "c three", "d four"]):
+        rows.append((0, i, txt))
+    for i in range(3):
+        rows.append((1, i, "static page text"))
+    rows.append((2, 0, "lonely"))
+    df = spark.createDataFrame(rows, "url_id bigint, cap_seq bigint, text string")
+    got = {r["url_id"]: r for r in revisit_schedule(df, max_interval=64).collect()}
+    lam = -math.log(0.5 / 3.5)
+    assert got[0]["n_transitions"] == 3 and got[0]["n_changed"] == 3
+    assert abs(got[0]["change_rate"] - round(lam, 6)) < 1e-9
+    assert got[0]["revisit_interval"] == 1
+    assert got[1]["change_rate"] == 0.0 and str(got[1]["change_rate"]) == "0.0"
+    assert got[1]["revisit_interval"] == 64
+    assert got[2]["n_transitions"] == 0 and got[2]["revisit_interval"] == 8
+
+
+def test_revisit_schedule_partial_change_interval(spark):
+    # 5 captures alternating A/A/B/B/A -> transitions 4, changed 2:
+    # lambda = -ln(2.5/4.5); interval = ceil(1/lambda) = ceil(1.7) = 2
+    import math
+
+    from raven_spark.operators.snapshots import revisit_schedule
+
+    texts = ["alpha text", "alpha text", "beta text", "beta text", "alpha text"]
+    df = spark.createDataFrame(
+        [(7, i, t) for i, t in enumerate(texts)],
+        "url_id bigint, cap_seq bigint, text string",
+    )
+    r = revisit_schedule(df).collect()[0]
+    lam = -math.log(2.5 / 4.5)
+    assert r["n_changed"] == 2 and abs(r["change_rate"] - round(lam, 6)) < 1e-9
+    assert r["revisit_interval"] == math.ceil(1 / lam)
