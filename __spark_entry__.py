@@ -2665,6 +2665,47 @@ def q118_term_burstiness(spark, sf_dir):
     return term_burstiness(d, min_df=2, k=100)
 
 
+def q119_crawl_saturation(spark, sf_dir):
+    """Per-domain crawl saturation / diminishing returns
+    (operators/snapshots.py::crawl_saturation): first-seen rounds per
+    (domain, content), per-round new-content yield, per-domain
+    closed-form OLS decay of ln(yield) on round — the stop/continue
+    signal for domain budget allocation (complements q83's size-
+    proportional budgets). Captures synthesized with a 211-key content
+    pool per 8-round domain history so yields genuinely decay. Three
+    hash aggregates; text-scale keys never shuffle (production passes
+    xxhash64(text))."""
+    from raven_spark.operators.snapshots import crawl_saturation
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias(
+            "domain"
+        ),
+        F.pmod(F.floor(F.col("doc_id") / F.lit(5)), F.lit(8)).cast("int").alias(
+            "round_no"
+        ),
+        F.concat(
+            F.lit("c"), F.pmod(F.col("doc_id") * 17, F.lit(211)).cast("string")
+        ).alias("content_key"),
+    )
+    return crawl_saturation(caps)
+
+
+def q120_shard_skew(spark, sf_dir):
+    """Shuffle-skew pre-flight diagnostic
+    (operators/pipeline.py::shard_skew): how evenly would a
+    user_id-keyed shuffle of events land on 32 reducers — max shard
+    share (straggler bound), coefficient of variation, exact Gini over
+    all shards (empties included; idle reducers are skew too). One
+    count-per-shard aggregate, one O(32) window, one 1-row fold; the
+    Knuth-mix shard function replays in the oracle."""
+    from raven_spark.operators.pipeline import shard_skew
+
+    ev = _t(spark, sf_dir, "events")
+    return shard_skew(ev, "user_id", n_shards=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2785,6 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_domain_diversity": q116_domain_diversity,
         "q117_revisit_schedule": q117_revisit_schedule,
         "q118_term_burstiness": q118_term_burstiness,
+        "q119_crawl_saturation": q119_crawl_saturation,
+        "q120_shard_skew": q120_shard_skew,
     }
 
 
@@ -6173,6 +6216,91 @@ def oracle_sql() -> dict[str, str]:
                      AS adaptation
             FROM pt WHERE doc_freq >= 2
             ORDER BY burstiness DESC, term ASC LIMIT 100
+        """,
+        "q119_crawl_saturation": r"""
+            -- same capture synthesis, first-seen rounds, per-round
+            -- yields rounded at 6dp BEFORE ln, closed-form per-domain
+            -- OLS; decay NULL under 2 usable rounds, half-life only
+            -- for decaying fits
+            WITH caps AS (
+              SELECT 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
+                     CAST((doc_id // 5) % 8 AS INT) AS r,
+                     'c' || CAST((doc_id * 17) % 211 AS VARCHAR) AS ck
+              FROM documents
+            ), first AS (
+              SELECT domain, ck, min(r) AS r0 FROM caps GROUP BY domain, ck
+            ), newpr AS (
+              SELECT domain, r0 AS r, count(*) AS n_new FROM first
+              GROUP BY domain, r0
+            ), fet AS (
+              SELECT domain, r, count(*) AS n_fetched FROM caps
+              GROUP BY domain, r
+            ), pr AS (
+              SELECT f.domain, f.r,
+                     coalesce(n.n_new, 0) AS n_new,
+                     f.n_fetched,
+                     round(CAST(coalesce(n.n_new, 0) AS DOUBLE)
+                           / CAST(f.n_fetched AS DOUBLE), 6) AS y
+              FROM fet f LEFT JOIN newpr n ON f.domain = n.domain AND f.r = n.r
+            ), agg AS (
+              SELECT domain,
+                     count(*) AS n_rounds,
+                     CAST(sum(n_new) AS BIGINT) AS total_new,
+                     sum(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS m,
+                     sum(CASE WHEN n_new > 0 THEN CAST(r AS DOUBLE) END) AS sx,
+                     sum(CASE WHEN n_new > 0 THEN ln(y) END) AS sy,
+                     sum(CASE WHEN n_new > 0
+                         THEN CAST(r AS DOUBLE) * CAST(r AS DOUBLE) END) AS sxx,
+                     sum(CASE WHEN n_new > 0
+                         THEN CAST(r AS DOUBLE) * ln(y) END) AS sxy,
+                     max_by(y, r) AS last_y
+              FROM pr GROUP BY domain
+            ), fit AS (
+              SELECT domain, n_rounds, total_new, last_y, m,
+                     CASE WHEN m >= 2 THEN
+                       round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6)
+                     END AS decay_rate
+              FROM agg
+            )
+            SELECT domain, n_rounds, total_new, decay_rate,
+                   round(CASE WHEN decay_rate < 0
+                              THEN -ln(2.0) / decay_rate END, 6) AS half_life,
+                   round(last_y, 6) AS last_yield
+            FROM fit
+        """,
+        "q120_shard_skew": r"""
+            -- Knuth-mix shard replay over user_id, counts-per-shard,
+            -- rank-formula Gini with empty shards included (they rank
+            -- first: sum over all 32 = z*tot + sum over used)
+            WITH loads AS (
+              SELECT ((user_id % 2147483647) * 2654435761 % 2147483647) % 32
+                       AS shard,
+                     count(*) AS load
+              FROM events GROUP BY 1
+            ), ranked AS (
+              SELECT shard, load,
+                     row_number() OVER (ORDER BY load ASC, shard ASC) AS i
+              FROM loads
+            ), agg AS (
+              SELECT count(*) AS n_used,
+                     CAST(sum(load) AS BIGINT) AS tot,
+                     sum(CAST(i AS DOUBLE) * CAST(load AS DOUBLE)) AS sil,
+                     sum(CAST(load AS DOUBLE) * CAST(load AS DOUBLE)) AS sll,
+                     max(load) AS mx
+              FROM ranked
+            )
+            SELECT CAST(32 AS INT) AS n_shards,
+                   n_used,
+                   tot AS total_rows,
+                   round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS max_share,
+                   round(sqrt(greatest(sll / 32.0
+                           - (CAST(tot AS DOUBLE) / 32.0)
+                             * (CAST(tot AS DOUBLE) / 32.0), 0.0))
+                         / (CAST(tot AS DOUBLE) / 32.0), 6) AS cov,
+                   round(2.0 * ((32.0 - CAST(n_used AS DOUBLE))
+                                  * CAST(tot AS DOUBLE) + sil)
+                         / (32.0 * CAST(tot AS DOUBLE)) - 33.0 / 32.0, 6) AS gini
+            FROM agg
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

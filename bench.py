@@ -138,6 +138,8 @@ HEADLINE = [
     "q116_domain_diversity",
     "q117_revisit_schedule",
     "q118_term_burstiness",
+    "q119_crawl_saturation",
+    "q120_shard_skew",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -2224,3 +2224,66 @@ def term_burstiness(
         ).alias("adaptation"),
     )
     return out.orderBy(F.col("burstiness").desc(), F.col("term").asc()).limit(int(k))
+
+
+def shard_skew(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic — measure BEFORE you shuffle:
+    given the key a join/groupBy would hash-partition on, report how
+    unevenly its rows would land across ``n_shards`` reducers. The
+    100 TB planning question every operator in this engine answers by
+    construction ("is this key skewed enough to need salting / AQE
+    skew-join?") becomes a one-aggregate measurement:
+
+    - max_share: the hottest shard's fraction of all rows (straggler
+      bound — a 0.3 max_share means the stage runs at ~1/0.3 of ideal)
+    - cov: coefficient of variation of shard loads (0 = perfectly even)
+    - gini: Gini coefficient over ALL n_shards (empty shards included —
+      they are idle reducers), exact via the rank formula
+      G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over loads sorted asc.
+
+    The shard function is the replayable Knuth mix over a BIGINT key
+    (the _CMS_A/Horner convention — NOT Spark's internal murmur, so the
+    DuckDB twin q120 reproduces it; for the skew verdict any uniform
+    hash family is interchangeable). String keys: pass xxhash64(col)
+    at production scale, a replayable fold for oracle duty.
+
+    Scale shape: one map-side-combinable count per shard (<= n_shards
+    rows out of the only full scan), one O(n_shards) rank window, one
+    1-row fold. Output: single row (n_shards, n_used, total_rows,
+    max_share 6dp, cov 6dp, gini 6dp).
+    """
+    p = F.lit(_CMS_P)
+    k = F.pmod(F.col(key_col).cast("long"), p)
+    shard = F.pmod(F.pmod(k * F.lit(_CMS_A[0]), p), F.lit(int(n_shards)))
+    loads = df.select(shard.alias("shard")).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("load")
+    )
+    w = Window.orderBy(F.col("load").asc(), F.col("shard").asc())
+    ranked = loads.withColumn("__i", F.row_number().over(w))
+    n = F.lit(float(n_shards))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("load").alias("tot"),
+        F.sum(F.col("__i").cast("double") * F.col("load").cast("double")).alias("__sil"),
+        F.sum(F.col("load").cast("double") * F.col("load").cast("double")).alias("__sll"),
+        F.max("load").alias("__mx"),
+    )
+    z = n - F.col("n_used").cast("double")  # empty shards rank first
+    totd = F.col("tot").cast("double")
+    sil_all = z * totd + F.col("__sil")
+    gini = F.lit(2.0) * F.try_divide(sil_all, n * totd) - (n + F.lit(1.0)) / n
+    mean = totd / n
+    var = F.col("__sll") / n - mean * mean
+    cov = F.try_divide(F.sqrt(F.greatest(var, F.lit(0.0))), mean)
+    return agg.select(
+        F.lit(int(n_shards)).alias("n_shards"),
+        F.col("n_used"),
+        F.col("tot").alias("total_rows"),
+        F.round(F.try_divide(F.col("__mx").cast("double"), totd), 6).alias("max_share"),
+        F.round(cov, 6).alias("cov"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -211,6 +211,7 @@ def content_drift(
     key_col: str = "url_id",
     order_col: str = "cap_seq",
     text_col: str = "text",
+    change_threshold: int = 1,
 ) -> DataFrame:
     """Per-URL content-drift profile from SimHash distances between
     CONSECUTIVE captures — the recrawl-scheduling signal
@@ -248,7 +249,11 @@ def content_drift(
     return per.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_caps"),
         F.count("h").alias("n_transitions"),
-        F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("bigint").alias("n_changed"),
+        # change_threshold > 1 ignores boilerplate ticks (a footer
+        # counter moves the SimHash 0-2 bits; a rewrite moves 10+)
+        F.sum(F.when(F.col("h") >= int(change_threshold), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
         F.round(F.avg("h"), 6).alias("mean_hamming"),
         F.max("h").alias("max_hamming"),
     )
@@ -262,6 +267,7 @@ def revisit_schedule(
     min_interval: int = 1,
     max_interval: int = 64,
     default_interval: int = 8,
+    change_threshold: int = 1,
 ) -> DataFrame:
     """Drift-adaptive revisit scheduling (Cho & Garcia-Molina, TOIT
     2003, "Estimating frequency of change") — the policy layer over
@@ -270,6 +276,15 @@ def revisit_schedule(
     a fixed recrawl budget concentrates on the URLs where freshness is
     actually being lost (uniform TTL recrawl — the engine's q66 due
     path — wastes most of its budget re-fetching static pages).
+
+    Sibling of :func:`recrawl_schedule` (q61), which estimates change
+    rate from EXACT content-hash churn over wall-clock seconds; this
+    variant (q117) detects change with SimHash Hamming drift — with
+    ``change_threshold`` >= 3 a footer counter or timestamp tick (which
+    flips the exact hash every capture but moves the SimHash 0-2 bits)
+    no longer counts as change — and uses the bias-corrected
+    transition-count estimator in ROUND units, the natural clock when
+    captures are one-per-crawl-round.
 
     Change-rate estimator (their bias-corrected Poisson MLE; n
     observed transitions, X of them changed):
@@ -291,7 +306,13 @@ def revisit_schedule(
     Output: (key, n_transitions, n_changed, change_rate 6dp,
     revisit_interval).
     """
-    drift = content_drift(df, key_col=key_col, order_col=order_col, text_col=text_col)
+    drift = content_drift(
+        df,
+        key_col=key_col,
+        order_col=order_col,
+        text_col=text_col,
+        change_threshold=change_threshold,
+    )
     n = F.col("n_transitions").cast("double")
     x = F.col("n_changed").cast("double")
     lam = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
@@ -318,4 +339,89 @@ def revisit_schedule(
             + F.lit(0.0)
         ).alias("change_rate"),
         interval.cast("int").alias("revisit_interval"),
+    )
+
+
+def crawl_saturation(
+    df: DataFrame,
+    domain_col: str = "domain",
+    round_col: str = "round_no",
+    content_col: str = "content_key",
+    yield_dp: int = 6,
+) -> DataFrame:
+    """Per-domain crawl saturation — the diminishing-returns curve that
+    tells a budget allocator WHEN to stop crawling a domain: each
+    round's NEW-content yield (first-seen distinct content / fetches
+    that round) decays roughly exponentially on template-bounded sites,
+    so the fitted decay rate (and its half-life) ranks domains by how
+    much fresh material is left. (Complements q83's size-proportional
+    budgets and q117's per-URL revisit: this is the domain-level
+    stop/continue signal.)
+
+    Stages, all hash aggregates on 8-byte-ish keys:
+    1. first-seen round per (domain, content_key) — min(round);
+       callers at scale pass content_key = xxhash64(text) so text never
+       shuffles (the q09/q34 discipline; the oracle twin, q119, uses a
+       replayable key).
+    2. n_new per (domain, round) from 1; n_fetched per (domain, round)
+       from the raw captures — same key, one exchange reused.
+    3. yield = n_new / n_fetched (rounded before the log so the OLS
+       sums replay); per-domain closed-form OLS of ln(yield) on round
+       over rounds with n_new > 0 (ln 0 undefined — a dried-up round
+       ends the fit's support but still counts fetches).
+
+    Output per domain: (domain, n_rounds, total_new, decay_rate 6dp,
+    half_life 6dp, last_yield 6dp). decay_rate NULL when < 2 usable
+    rounds or zero variance (try_divide); half_life = -ln2/decay only
+    for decaying domains (positive/flat fits -> NULL).
+    """
+    caps = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(round_col).alias("r"),
+        F.col(content_col).alias("ck"),
+    )
+    first = caps.groupBy("domain", "ck").agg(F.min("r").alias("r0"))
+    new_per = first.groupBy("domain", F.col("r0").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    fetched = caps.groupBy("domain", "r").agg(F.count(F.lit(1)).alias("n_fetched"))
+    per_round = fetched.join(new_per, ["domain", "r"], "left").select(
+        "domain",
+        "r",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "n_fetched",
+        F.round(
+            F.coalesce("n_new", F.lit(0)).cast("double")
+            / F.col("n_fetched").cast("double"),
+            yield_dp,
+        ).alias("y"),
+    )
+    x = F.col("r").cast("double")
+    lny = F.log(F.col("y"))
+    usable = F.col("n_new") > 0
+    agg = per_round.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_rounds"),
+        F.sum("n_new").alias("total_new"),
+        F.sum(F.when(usable, 1).otherwise(0)).alias("__m"),
+        F.sum(F.when(usable, x)).alias("__sx"),
+        F.sum(F.when(usable, lny)).alias("__sy"),
+        F.sum(F.when(usable, x * x)).alias("__sxx"),
+        F.sum(F.when(usable, x * lny)).alias("__sxy"),
+        F.max_by("y", F.struct(F.col("r"))).alias("__last_y"),
+    )
+    md = F.col("__m").cast("double")
+    slope = F.try_divide(
+        F.col("__sxy") - F.try_divide(F.col("__sx") * F.col("__sy"), md),
+        F.col("__sxx") - F.try_divide(F.col("__sx") * F.col("__sx"), md),
+    )
+    decay = F.when(F.col("__m") >= 2, F.round(slope, 6))
+    return agg.select(
+        "domain",
+        "n_rounds",
+        "total_new",
+        decay.alias("decay_rate"),
+        F.round(
+            F.when(decay < 0, -F.log(F.lit(2.0)) / decay), 6
+        ).alias("half_life"),
+        F.round("__last_y", 6).alias("last_yield"),
     )

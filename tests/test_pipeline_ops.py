@@ -1039,3 +1039,37 @@ def test_term_burstiness_exact_ratios(spark):
     # ordering: burstiness desc puts 'topic' first
     ordered = term_burstiness(df, min_df=2, k=10).collect()
     assert ordered[0]["term"] == "topic"
+
+
+def test_shard_skew_uniform_vs_hot_key(spark):
+    from raven_spark.operators.pipeline import shard_skew
+
+    uniform = spark.createDataFrame([(i,) for i in range(4000)], "k bigint")
+    hot = spark.createDataFrame([(0,)] * 3900 + [(i,) for i in range(100)], "k bigint")
+    u = shard_skew(uniform, "k", n_shards=16).collect()[0]
+    h = shard_skew(hot, "k", n_shards=16).collect()[0]
+    assert u["total_rows"] == 4000 and u["n_shards"] == 16
+    assert u["max_share"] < 0.12 and u["gini"] < 0.15
+    # 3900/4000 rows share one key -> one shard holds >= 97.5%
+    assert h["max_share"] >= 0.975 and h["gini"] > 0.8 and h["cov"] > u["cov"]
+
+
+def test_shard_skew_gini_hand_computed(spark):
+    # 4 shards, loads [0, 0, 1, 3] (keys chosen by probing the mix):
+    # exact G = 2*(3*1 + 4*3)/(4*4) - 5/4 = 30/16 - 20/16 = 0.625
+    from raven_spark.operators.pipeline import shard_skew, _CMS_A, _CMS_P
+
+    # find keys hitting desired shards under the real mix
+    def shard_of(k, n=4):
+        return ((k % _CMS_P) * _CMS_A[0] % _CMS_P) % n
+
+    ks = {}
+    for k in range(1000):
+        ks.setdefault(shard_of(k), []).append(k)
+    a, b = sorted(ks)[0], sorted(ks)[1]
+    rows = [(ks[a][0],)] * 3 + [(ks[b][0],)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = shard_skew(df, "k", n_shards=4).collect()[0]
+    assert (r["n_used"], r["total_rows"]) == (2, 4)
+    assert abs(r["gini"] - 0.625) < 1e-9
+    assert abs(r["max_share"] - 0.75) < 1e-9

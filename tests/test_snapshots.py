@@ -273,3 +273,57 @@ def test_revisit_schedule_partial_change_interval(spark):
     lam = -math.log(2.5 / 4.5)
     assert r["n_changed"] == 2 and abs(r["change_rate"] - round(lam, 6)) < 1e-9
     assert r["revisit_interval"] == math.ceil(1 / lam)
+
+
+def test_revisit_schedule_change_threshold_ignores_small_drift(spark):
+    # Captures differ by one token out of many -> small Hamming moves;
+    # threshold 64 (impossible) must classify everything as unchanged.
+    from raven_spark.operators.snapshots import revisit_schedule
+
+    base = "one two three four five six seven eight nine ten "
+    df = spark.createDataFrame(
+        [(1, i, base + f"tick{i}") for i in range(4)],
+        "url_id bigint, cap_seq bigint, text string",
+    )
+    strict = revisit_schedule(df, change_threshold=1).collect()[0]
+    loose = revisit_schedule(df, change_threshold=64, max_interval=64).collect()[0]
+    assert strict["n_changed"] >= 1
+    assert loose["n_changed"] == 0 and loose["revisit_interval"] == 64
+
+
+def test_crawl_saturation_exact_decay(spark):
+    # domain A: fetches 4/round over rounds 0..2, new content 8? No —
+    # synthesize: round 0 -> 4 new of 4, round 1 -> 2 new of 4,
+    # round 2 -> 1 new of 4 (yields 1.0, 0.5, 0.25: exact halving,
+    # decay = ln(0.5), half_life = 1.0).
+    import math
+
+    from raven_spark.operators.snapshots import crawl_saturation
+
+    rows = []
+    # round 0: contents c0..c3 (all new)
+    for c in range(4):
+        rows.append(("A", 0, f"c{c}"))
+    # round 1: c4, c5 new + c0, c1 refetched
+    rows += [("A", 1, "c4"), ("A", 1, "c5"), ("A", 1, "c0"), ("A", 1, "c1")]
+    # round 2: c6 new + c0, c1, c2 refetched
+    rows += [("A", 2, "c6"), ("A", 2, "c0"), ("A", 2, "c1"), ("A", 2, "c2")]
+    df = spark.createDataFrame(rows, "domain string, round_no int, content_key string")
+    r = crawl_saturation(df).collect()[0]
+    assert (r["n_rounds"], r["total_new"]) == (3, 7)
+    assert abs(r["decay_rate"] - round(math.log(0.5), 6)) < 1e-6
+    assert abs(r["half_life"] - 1.0) < 1e-6
+    assert abs(r["last_yield"] - 0.25) < 1e-9
+
+
+def test_crawl_saturation_degenerate_domains(spark):
+    # B: single round -> decay NULL; C: flat yields -> slope 0 ->
+    # half_life NULL (not negative/infinite).
+    from raven_spark.operators.snapshots import crawl_saturation
+
+    rows = [("B", 0, "x"), ("B", 0, "y")]
+    rows += [("C", r, f"c{r}") for r in range(3)]  # 1 new of 1 each round
+    df = spark.createDataFrame(rows, "domain string, round_no int, content_key string")
+    got = {r["domain"]: r for r in crawl_saturation(df).collect()}
+    assert got["B"]["decay_rate"] is None and got["B"]["half_life"] is None
+    assert got["C"]["decay_rate"] == 0.0 and got["C"]["half_life"] is None
