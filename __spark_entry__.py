@@ -2706,6 +2706,45 @@ def q120_shard_skew(spark, sf_dir):
     return shard_skew(ev, "user_id", n_shards=32)
 
 
+def q121_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture weights
+    (operators/sampling.py::temperature_weights; XLM-R/mT5-style
+    multilingual rebalancing, T=0.7): token-mass shares per domain
+    exponentiated and renormalized — the static knob between natural
+    proportions (q70) and DoReMi's iterative loop (q109). One
+    corpus-scan aggregate; the corpus never shuffles."""
+    from raven_spark.operators.sampling import temperature_weights
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias(
+            "domain"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    return temperature_weights(caps, "domain", temperature=0.7, size_col="n_chars")
+
+
+def q122_ks_length_drift(spark, sf_dir):
+    """Per-domain exact two-sample KS drift of the doc-length
+    distribution vs the corpus (operators/pipeline.py::ks_group_drift)
+    — the part-vs-whole distribution monitor that flags templated or
+    truncated domains even when every per-doc score passes. Exact via
+    the merged-jump-point formulation (group jump points are corpus
+    jump points): two count aggregates + bounded-cardinality CDF
+    windows + one equi-join; no cross product, no global row sort."""
+    from raven_spark.operators.pipeline import ks_group_drift
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias(
+            "domain"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    return ks_group_drift(base, "domain", "n_chars", min_n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2828,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_term_burstiness": q118_term_burstiness,
         "q119_crawl_saturation": q119_crawl_saturation,
         "q120_shard_skew": q120_shard_skew,
+        "q121_temperature_mix": q121_temperature_mix,
+        "q122_ks_length_drift": q122_ks_length_drift,
     }
 
 
@@ -6301,6 +6342,71 @@ def oracle_sql() -> dict[str, str]:
                                   * CAST(tot AS DOUBLE) + sil)
                          / (32.0 * CAST(tot AS DOUBLE)) - 33.0 / 32.0, 6) AS gini
             FROM agg
+        """,
+        "q121_temperature_mix": r"""
+            -- char-mass shares, p rounded at 9dp, p^0.7 rounded at 9dp,
+            -- renormalized — the exact temperature_weights replay
+            WITH per AS (
+              SELECT 'd' || CAST(doc_id % 5 AS VARCHAR) AS grp,
+                     CAST(sum(length(text)) AS BIGINT) AS mass
+              FROM documents GROUP BY 1
+            ), tot AS (SELECT sum(mass) AS t FROM per),
+            scaled AS (
+              SELECT grp, mass,
+                     round(CAST(mass AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot), 9) AS p
+              FROM per
+            ), powed AS (
+              SELECT grp, mass, p, round(power(p, 0.7), 9) AS q FROM scaled
+            ), qt AS (SELECT sum(q) AS qtot FROM powed)
+            SELECT grp AS "group", mass,
+                   round(p, 6) AS p_raw,
+                   round(q / (SELECT qtot FROM qt), 6) AS weight
+            FROM powed
+        """,
+        "q122_ks_length_drift": r"""
+            -- merged-jump-point exact two-sample KS per domain vs the
+            -- corpus: group/corpus CDF windows over distinct lengths,
+            -- at-point and pre-point diffs, max per group
+            WITH base AS (
+              SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS g,
+                     length(text) AS v
+              FROM documents WHERE text IS NOT NULL
+            ), gc AS (
+              SELECT g, v, count(*) AS cg FROM base GROUP BY g, v
+            ), cc AS (
+              SELECT v, count(*) AS cc FROM base GROUP BY v
+            ), corpus AS (
+              SELECT v, cc,
+                     sum(cc) OVER (ORDER BY v ASC) AS cum_c,
+                     (SELECT count(*) FROM base) AS n_corpus
+              FROM cc
+            ), grp AS (
+              SELECT g, v,
+                     sum(cg) OVER (PARTITION BY g ORDER BY v ASC) AS cum_g,
+                     sum(cg) OVER (PARTITION BY g) AS n
+              FROM gc
+            ), j AS (
+              SELECT grp.g, grp.v, grp.n, corpus.n_corpus,
+                     CAST(grp.cum_g AS DOUBLE) / CAST(grp.n AS DOUBLE) AS fg,
+                     coalesce(CAST(lag(grp.cum_g) OVER (
+                         PARTITION BY grp.g ORDER BY grp.v ASC) AS DOUBLE)
+                       / CAST(grp.n AS DOUBLE), 0.0) AS fg_prev,
+                     CAST(corpus.cum_c AS DOUBLE)
+                       / CAST(corpus.n_corpus AS DOUBLE) AS fc,
+                     CAST(corpus.cum_c - corpus.cc AS DOUBLE)
+                       / CAST(corpus.n_corpus AS DOUBLE) AS fc_pre
+              FROM grp JOIN corpus ON grp.v = corpus.v
+            ), agg AS (
+              SELECT g, n, n_corpus,
+                     max(greatest(abs(fg - fc), abs(fg_prev - fc_pre))) AS d
+              FROM j GROUP BY g, n, n_corpus
+            )
+            SELECT g AS "group", CAST(n AS BIGINT) AS n_group,
+                   round(d, 6) AS ks_stat,
+                   round(d * sqrt(CAST(n AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) + CAST(n_corpus AS DOUBLE))), 6)
+                     AS ks_scaled
+            FROM agg WHERE n >= 5
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

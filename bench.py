@@ -140,6 +140,8 @@ HEADLINE = [
     "q118_term_burstiness",
     "q119_crawl_saturation",
     "q120_shard_skew",
+    "q121_temperature_mix",
+    "q122_ks_length_drift",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -393,3 +393,63 @@ def doremi_weights(
     return w.select(
         "domain", F.round("loss", 6).alias("loss"), F.round("w", 6).alias("weight")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 0.7,
+    size_col: "str | None" = None,
+    iter_dp: int = 9,
+) -> DataFrame:
+    """Temperature-scaled sampling weights (the multilingual/
+    multi-source rebalancing of XLM-R, Conneau et al. 2020 §3, and
+    mT5): raw group shares p_g = m_g / M are exponentiated and
+    renormalized,
+
+        q_g = round(p_g^T, dp) / sum(round(p_g^T, dp))
+
+    T = 1 reproduces natural proportions; T -> 0 approaches uniform —
+    the knob that keeps head domains/languages from drowning the tail
+    without DoReMi's (q109) iterative loss feedback. Output feeds
+    ``mixture_sample`` as its ``weights`` (via a collected O(groups)
+    dict) or joins downstream as a DataFrame.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    (count or sum(size_col) per group — O(groups) rows out), then pure
+    column algebra with a broadcast 1-row total; the corpus never
+    shuffles. Per-step rounding (iter_dp) replays in the DuckDB twin
+    (q121).
+
+    Output: (group, mass, p_raw 6dp, weight 6dp), sum(weight) ~= 1.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature_weights: temperature must be > 0")
+    mass = (
+        F.sum(F.col(size_col)) if size_col is not None else F.count(F.lit(1))
+    ).alias("mass")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(mass)
+    tot = per.agg(F.sum("mass").alias("__tot"))
+    scaled = per.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "mass",
+        F.round(
+            F.col("mass").cast("double") / F.col("__tot").cast("double"), iter_dp
+        ).alias("__p"),
+    )
+    powed = scaled.select(
+        "group",
+        "mass",
+        "__p",
+        F.round(F.pow(F.col("__p"), F.lit(float(temperature))), iter_dp).alias("__q"),
+    )
+    qtot = powed.agg(F.sum("__q").alias("__qtot"))
+    return (
+        powed.crossJoin(F.broadcast(qtot))
+        .select(
+            "group",
+            "mass",
+            F.round("__p", 6).alias("p_raw"),
+            F.round(F.col("__q") / F.col("__qtot"), 6).alias("weight"),
+        )
+    )

@@ -1073,3 +1073,41 @@ def test_shard_skew_gini_hand_computed(spark):
     assert (r["n_used"], r["total_rows"]) == (2, 4)
     assert abs(r["gini"] - 0.625) < 1e-9
     assert abs(r["max_share"] - 0.75) < 1e-9
+
+
+def test_ks_group_drift_hand_computed(spark):
+    # group A = {1,2} inside corpus {1,2,10,11,12,13}: D = |1 - 2/6| = 2/3
+    from raven_spark.operators.pipeline import ks_group_drift
+
+    rows = [("A", 1), ("A", 2)] + [("B", x) for x in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r["group"]: r for r in ks_group_drift(df, "g", "v", min_n=2).collect()}
+    import math
+
+    a = got["A"]
+    assert a["n_group"] == 2
+    assert abs(a["ks_stat"] - round(2 / 3, 6)) < 1e-9
+    assert abs(a["ks_scaled"] - round(2 / 3 * math.sqrt(2 * 6 / 8), 6)) < 1e-6
+    # B holds the complementary mass: F_B(9.99...) = 0 vs F_c = 2/6
+    assert abs(got["B"]["ks_stat"] - round(2 / 6, 6)) < 1e-9
+
+
+def test_ks_group_drift_identical_distribution_near_zero(spark):
+    # every group IS the corpus shape -> part-vs-whole KS ~ 0
+    from raven_spark.operators.pipeline import ks_group_drift
+
+    rows = [(f"g{g}", v) for g in range(4) for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    for r in ks_group_drift(df, "g", "v").collect():
+        assert r["ks_stat"] < 1e-9
+
+
+def test_ks_group_drift_partition_invariant_and_min_n(spark):
+    from raven_spark.operators.pipeline import ks_group_drift
+
+    rows = [(f"g{i % 3}", (i * 7) % 23) for i in range(90)] + [("tiny", 1)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    a = sorted(map(tuple, ks_group_drift(df, "g", "v").collect()))
+    b = sorted(map(tuple, ks_group_drift(df.repartition(11), "g", "v").collect()))
+    assert a == b
+    assert all(t[0] != "tiny" for t in a)

@@ -275,3 +275,36 @@ def test_domain_split_is_domain_atomic_and_deterministic(spark):
              domain_split(df.repartition(7), val_permille=200,
                           test_permille=100).collect()]
     assert sorted(again) == sorted(got)
+
+
+def test_temperature_weights_flattens_toward_uniform(spark):
+    from raven_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("big",)] * 80 + [("small",)] * 20, "g string"
+    )
+    nat = {r["group"]: r for r in temperature_weights(df, "g", temperature=1.0).collect()}
+    cool = {r["group"]: r for r in temperature_weights(df, "g", temperature=0.3).collect()}
+    assert abs(nat["big"]["weight"] - 0.8) < 1e-6
+    assert abs(nat["big"]["p_raw"] - 0.8) < 1e-6
+    # T<1 moves weights toward uniform but never past it
+    assert 0.5 < cool["big"]["weight"] < 0.8
+    assert abs(cool["big"]["weight"] + cool["small"]["weight"] - 1.0) < 5e-6
+    # exact replay: q = round(p^T, 9) normalized
+    import math
+    qb, qs = round(0.8 ** 0.3, 9), round(0.2 ** 0.3, 9)
+    assert abs(cool["big"]["weight"] - round(qb / (qb + qs), 6)) < 1e-9
+
+
+def test_temperature_weights_mass_mode_and_validation(spark):
+    import pytest as _pytest
+
+    from raven_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 60)], "g string, tok int"
+    )
+    got = {r["group"]: r for r in temperature_weights(df, "g", 1.0, size_col="tok").collect()}
+    assert got["a"]["mass"] == 40 and abs(got["a"]["weight"] - 0.4) < 1e-6
+    with _pytest.raises(ValueError):
+        temperature_weights(df, "g", temperature=0.0)
