@@ -73,16 +73,12 @@ def hash_split(
 
 def _word_ngrams_all(text: Column, n: int) -> Column:
     """Word n-grams WITH repeats (unlike dedup.word_shingles_col, which
-    dedups for set-Jaccard) — repetition measurement needs multiplicity."""
-    words = F.split(norm_text_col(text), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    dedups for set-Jaccard) — repetition measurement needs multiplicity.
+    Zip-shift kernel (see dedup.ngrams_zip_col): the transform/element_at
+    form re-evaluates the words expression per element — quadratic."""
+    from raven_spark.operators.dedup import ngrams_zip_col
+
+    return ngrams_zip_col(F.split(norm_text_col(text), " "), n)
 
 
 def dup_ngram_frac_col(text: Column, n: int = 10) -> Column:
@@ -1076,16 +1072,19 @@ def bigram_logprob(
         .select(
             F.col(id_col),
             F.explode(
-                F.when(
-                    n >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), n - 2),
-                        lambda i: F.struct(
-                            F.element_at(words, (i + 1).cast("int")).alias("p"),
-                            F.element_at(words, (i + 2).cast("int")).alias("c"),
-                        ),
+                # zip-shift pair extraction (dedup.ngrams_zip_col's
+                # rationale: element_at-in-transform re-evaluates the
+                # words expression per element — quadratic); zip_with
+                # pads the tail with NULL -> dropped by the c-not-null
+                # filter
+                F.filter(
+                    F.zip_with(
+                        words,
+                        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
                     ),
-                ).otherwise(F.array().cast("array<struct<p:string,c:string>>")),
+                    lambda s: s["c"].isNotNull(),
+                ),
             ).alias("__pc"),
         )
         .select(
@@ -1633,18 +1632,19 @@ def bpe_merges(
             # strip the single flanking separators, split on the double
             inner = F.substr(F.col("sym"), F.lit(2), F.length("sym") - 2)
             arr = F.split(inner, _BPE_SEP + _BPE_SEP)
+            # zip-shift pair extraction (the element_at-in-transform
+            # form re-evaluates the split per element); NULL-padded
+            # tail entries drop in the r-not-null filter
             pairs = cur.select(
                 F.explode(
-                    F.when(
-                        F.size(arr) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(arr) - 1),
-                            lambda i: F.struct(
-                                F.element_at(arr, i.cast("int")).alias("l"),
-                                F.element_at(arr, (i + 1).cast("int")).alias("r"),
-                            ),
+                    F.filter(
+                        F.zip_with(
+                            arr,
+                            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                         ),
-                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                        lambda s: s["r"].isNotNull(),
+                    )
                 ).alias("p"),
                 "f",
             )
@@ -1960,17 +1960,10 @@ def _token_ngrams_col(text, n: int = 1):
     good_turing. n=1 is the plain q89 token stream; n>1 concatenates
     adjacent tokens with single spaces. Empty/whitespace-only text
     yields an empty array."""
+    from raven_spark.operators.dedup import ngrams_zip_col
+
     words = F.filter(F.split(norm_text_col(F.col(text) if isinstance(text, str) else text), " "), lambda w: w != "")
-    if n <= 1:
-        return words
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    return ngrams_zip_col(words, n)
 
 
 def zipf_fit(
