@@ -2745,6 +2745,37 @@ def q122_ks_length_drift(spark, sf_dir):
     return ks_group_drift(base, "domain", "n_chars", min_n=5)
 
 
+def q123_bloom_contract(spark, sf_dir):
+    """Bloom FPR contract (operators/pipeline.py::bloom_contract) —
+    completes the probabilistic-contract family (HLL q103, GK q106,
+    CMS q107, KMV q111) with the oracle-checkable twin of the engine's
+    pytest-gated sharded seen-filter: even doc_ids build the filter,
+    odd doc_ids probe it; measured FPR audited against the fill-based
+    (n_set/m)^k expectation. Bit set = a DataFrame of set positions
+    (never a driver bitmap); probe = one broadcast semi-join."""
+    from raven_spark.operators.pipeline import bloom_contract
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    members = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    probes = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return bloom_contract(members, probes, "doc_id", m_bits=4096, k_hashes=3)
+
+
+def q124_cocitation(spark, sf_dir):
+    """Co-citation related-pages (operators/graph.py::cocitation_pairs;
+    Dean & Henzinger WWW'99) over the q36 synthetic link graph: pairs
+    of pages cited by >= 2 shared sources — the graph-structural
+    mirror/similar-page signal complementing KMV's content resemblance
+    (q111). Hub explosion bounded BEFORE the self-join by a literal
+    degree cap (WindowGroupLimit); top-100 by shared-source count."""
+    from raven_spark.operators.graph import cocitation_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = _synthetic_link_edges(d, n)
+    return cocitation_pairs(edges, degree_cap=20, min_shared=2, top_k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2869,6 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_shard_skew": q120_shard_skew,
         "q121_temperature_mix": q121_temperature_mix,
         "q122_ks_length_drift": q122_ks_length_drift,
+        "q123_bloom_contract": q123_bloom_contract,
+        "q124_cocitation": q124_cocitation,
     }
 
 
@@ -6407,6 +6440,81 @@ def oracle_sql() -> dict[str, str]:
                                   / (CAST(n AS DOUBLE) + CAST(n_corpus AS DOUBLE))), 6)
                      AS ks_scaled
             FROM agg WHERE n >= 5
+        """,
+        "q123_bloom_contract": r"""
+            -- full Bloom replay: the CMS hash family's first 3 rows set
+            -- bits for even doc_ids; odd doc_ids probe; measured FPR vs
+            -- the fill-based (n_set/m)^k bound with the 3/n slack
+            WITH mem AS (SELECT DISTINCT doc_id AS k FROM documents
+                         WHERE doc_id % 2 = 0),
+            prb AS (SELECT DISTINCT doc_id AS k FROM documents
+                    WHERE doc_id % 2 = 1),
+            fam AS (SELECT * FROM (VALUES
+              (0, 2654435761, 1000000007),
+              (1, 2246822519, 998244353),
+              (2, 3266489917, 754974721)) AS t(j, a, b)),
+            bits AS (
+              SELECT DISTINCT ((k % 2147483647) * a + b) % 2147483647 % 4096
+                       AS bit
+              FROM mem, fam
+            ),
+            nb AS (SELECT count(*) AS n_bits FROM bits),
+            hits AS (
+              SELECT p.k,
+                     sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+                       AS h
+              FROM (SELECT k, ((k % 2147483647) * a + b) % 2147483647 % 4096
+                             AS bit
+                    FROM prb, fam) p
+              LEFT JOIN bits ON p.bit = bits.bit
+              GROUP BY p.k
+            ),
+            agg AS (
+              SELECT count(*) AS n_probes,
+                     CAST(sum(CASE WHEN h = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS fp
+              FROM hits
+            )
+            SELECT CAST((SELECT count(*) FROM mem) AS INT) AS n_members,
+                   n_probes,
+                   CAST(4096 AS INT) AS m_bits,
+                   CAST(3 AS INT) AS k_hashes,
+                   CAST((SELECT n_bits FROM nb) AS INT) AS n_bits_set,
+                   round(CAST(fp AS DOUBLE) / CAST(n_probes AS DOUBLE), 6)
+                     AS measured_fpr,
+                   round(power(CAST((SELECT n_bits FROM nb) AS DOUBLE)
+                               / 4096.0, 3), 6) AS expected_fpr,
+                   (CAST(fp AS DOUBLE) / CAST(n_probes AS DOUBLE)
+                    <= 1.5 * power(CAST((SELECT n_bits FROM nb) AS DOUBLE)
+                                   / 4096.0, 3)
+                       + 3.0 / CAST(n_probes AS DOUBLE)) AS within_bound
+            FROM agg
+        """,
+        "q124_cocitation": r"""
+            -- shared edge synthesis -> distinct edges -> per-src cap 20
+            -- (dst asc) -> self-join on src -> pair counts >= 2 ->
+            -- top-100 (cocite desc, a asc, b asc)
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            e0 AS (
+              SELECT DISTINCT doc_id AS src,
+                     (doc_id*37 + j*1009) % nn.n AS dst
+              FROM documents, nn, (SELECT unnest([1,2,3]) AS j)
+              WHERE (doc_id*37 + j*1009) % nn.n <> doc_id
+            ),
+            capped AS (
+              SELECT src, dst FROM e0
+              QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst ASC)
+                      <= 20
+            ),
+            pairs AS (
+              SELECT a.dst AS node_a, b.dst AS node_b, count(*) AS cocite
+              FROM capped a JOIN capped b ON a.src = b.src
+              WHERE a.dst < b.dst
+              GROUP BY a.dst, b.dst
+              HAVING count(*) >= 2
+            )
+            SELECT node_a, node_b, cocite FROM pairs
+            ORDER BY cocite DESC, node_a ASC, node_b ASC LIMIT 100
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

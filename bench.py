@@ -142,6 +142,8 @@ HEADLINE = [
     "q120_shard_skew",
     "q121_temperature_mix",
     "q122_ks_length_drift",
+    "q123_bloom_contract",
+    "q124_cocitation",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -815,3 +815,56 @@ def opic(
             F.round(F.col("hist") / F.col("__tot"), 6).alias("importance"),
         )
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_cap: int = 20,
+    min_shared: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Co-citation and bibliographic-coupling related-pages (Dean &
+    Henzinger, WWW 1999) — the GRAPH-structural mirror/similar-page
+    signal complementing KMV's content resemblance (q111): two pages
+    co-cited by many of the same sources are related even when their
+    text differs (syndication, translated mirrors, product variants).
+
+    - co-citation(a, b)   = |{s : s->a and s->b}|   (shared in-link
+      sources; computed by self-joining edges on src)
+    - the transpose (bibliographic coupling — shared OUT-links) is the
+      same kernel with src/dst swapped; callers pass the swapped
+      columns.
+
+    100 TB shape: the self-join explosion is bounded BEFORE the join by
+    capping each source's fan-out at a LITERAL ``degree_cap`` (one
+    window, WindowGroupLimit pushdown, deterministic dst-asc order —
+    a nav-template source linking 10^4 pages would otherwise emit
+     10^8 pairs; capped, a source emits at most C(cap,2)). Pair counts
+    are one hash aggregate on (a, b); ``min_shared`` floors the output
+    and TakeOrderedAndProject takes the global top-k.
+
+    Output: (node_a, node_b, cocite) with node_a < node_b, ordered
+    (cocite desc, node_a asc, node_b asc), <= top_k rows.
+    """
+    w = Window.partitionBy(src).orderBy(F.col(dst).asc())
+    capped = (
+        edges.select(src, dst)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(degree_cap)))
+        .drop("__rn")
+    )
+    a = capped.select(F.col(src).alias("__s"), F.col(dst).alias("node_a"))
+    b = capped.select(F.col(src).alias("__s"), F.col(dst).alias("node_b"))
+    pairs = (
+        a.join(b, "__s")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("cocite"))
+        .filter(F.col("cocite") >= int(min_shared))
+    )
+    return pairs.orderBy(
+        F.col("cocite").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+    ).limit(int(top_k))

@@ -2370,3 +2370,87 @@ def ks_group_drift(
             F.round(F.col("__D") * F.sqrt(m * nn / (m + nn)), 6).alias("ks_scaled"),
         )
     )
+
+
+def bloom_contract(
+    members: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    slack: float = 1.5,
+) -> DataFrame:
+    """Bloom-filter false-positive-rate contract — the oracle-checkable
+    twin of the engine's sharded seen-filter (operators/seen.py is
+    pytest-gated; this closes the probabilistic-contract family next to
+    HLL q103, GK q106, CMS q107, KMV q111). Build a Bloom over
+    ``members`` with a REPLAYABLE hash family (the _CMS_A Knuth/NTT
+    constants — bit j of key = ((key mod p)*A_j + B_j mod p) mod m),
+    probe with ``probes`` (disjoint from members by contract), and
+    audit the realized FPR against the fill-based expectation:
+
+        fpr_load = (n_bits_set / m) ^ k      (exact, given the fill)
+        within   = measured <= slack * fpr_load + 3 / n_probes
+
+    (the additive term absorbs small-sample shot noise; both sides are
+    deterministic functions of the data, so the verdict replays
+    bit-for-bit in the DuckDB twin, q123). A broken family (biased
+    bits, lost buckets) blows the bound and the driver hash goes red.
+
+    100 TB shape: the bit set is a DataFrame of distinct set-bit
+    positions — O(min(k*n, m)) rows, never a driver bitmap (the seen.py
+    discipline); membership = explode each probe's k positions, ONE
+    broadcast semi-join against the bit table, pass iff all k hit.
+
+    Output: one row (n_members, n_probes, m_bits, k_hashes, n_bits_set,
+    measured_fpr 6dp, expected_fpr 6dp, within_bound).
+    """
+    if not (1 <= k_hashes <= len(_CMS_A)):
+        raise ValueError(f"bloom_contract: k_hashes must be in [1, {len(_CMS_A)}]")
+    p = F.lit(_CMS_P)
+
+    def positions(col):
+        k = F.pmod(col.cast("long"), p)
+        return F.array(
+            *[
+                F.pmod(k * F.lit(_CMS_A[j]) + F.lit(_CMS_B[j]), p)
+                % F.lit(int(m_bits))
+                for j in range(k_hashes)
+            ]
+        )
+
+    bits = (
+        members.select(F.explode(positions(F.col(key_col))).alias("bit"))
+        .distinct()
+    )
+    probe_hits = (
+        probes.select(F.col(key_col).alias("pk"))
+        .distinct()
+        .select("pk", F.explode(positions(F.col("pk"))).alias("bit"))
+        .join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("pk")
+        .agg(F.sum(F.coalesce("__set", F.lit(0))).alias("__hits"))
+    )
+    counts = probe_hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum((F.col("__hits") == F.lit(int(k_hashes))).cast("long")).alias("__fp"),
+    )
+    nm = members.select(F.col(key_col)).distinct().count()
+    nbits = bits.count()
+    fpr_load = (float(nbits) / float(m_bits)) ** int(k_hashes)
+    return counts.select(
+        F.lit(int(nm)).alias("n_members"),
+        F.col("n_probes"),
+        F.lit(int(m_bits)).alias("m_bits"),
+        F.lit(int(k_hashes)).alias("k_hashes"),
+        F.lit(int(nbits)).alias("n_bits_set"),
+        F.round(
+            F.col("__fp").cast("double") / F.col("n_probes").cast("double"), 6
+        ).alias("measured_fpr"),
+        F.round(F.lit(fpr_load), 6).alias("expected_fpr"),
+        (
+            F.col("__fp").cast("double") / F.col("n_probes").cast("double")
+            <= F.lit(float(slack)) * F.lit(fpr_load)
+            + F.lit(3.0) / F.col("n_probes").cast("double")
+        ).alias("within_bound"),
+    )

@@ -278,3 +278,25 @@ def test_opic_partition_invariant(spark):
         map(tuple, opic(_edges(spark, pairs).repartition(7), rounds=3).collect())
     )
     assert a == b
+
+
+def test_cocitation_counts_shared_sources(spark):
+    # sources 0,1,2 all cite both 10 and 11; source 0 also cites 12.
+    from raven_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11), (2, 10), (2, 11)])
+    rows = cocitation_pairs(e, min_shared=2).collect()
+    got = {(r["node_a"], r["node_b"]): r["cocite"] for r in rows}
+    assert got[(10, 11)] == 3
+    # (10,12)/(11,12) share only source 0 -> floored out by min_shared=2
+    assert (10, 12) not in got and (11, 12) not in got
+
+
+def test_cocitation_degree_cap_bounds_hub_explosion(spark):
+    # a hub source citing 10 targets is capped at 3 (dst asc): only
+    # targets 0,1,2 survive -> C(3,2)=3 pairs, each cocite 1
+    from raven_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [(99, t) for t in range(10)])
+    rows = cocitation_pairs(e, degree_cap=3, min_shared=1).collect()
+    assert sorted((r["node_a"], r["node_b"]) for r in rows) == [(0, 1), (0, 2), (1, 2)]

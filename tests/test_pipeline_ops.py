@@ -1111,3 +1111,29 @@ def test_ks_group_drift_partition_invariant_and_min_n(spark):
     b = sorted(map(tuple, ks_group_drift(df.repartition(11), "g", "v").collect()))
     assert a == b
     assert all(t[0] != "tiny" for t in a)
+
+
+def test_bloom_contract_no_false_negatives_and_bound(spark):
+    from raven_spark.operators.pipeline import bloom_contract
+
+    members = spark.createDataFrame([(i * 2,) for i in range(500)], "k bigint")
+    probes = spark.createDataFrame([(i * 2 + 1,) for i in range(500)], "k bigint")
+    r = bloom_contract(members, probes, "k", m_bits=8192, k_hashes=3).collect()[0]
+    assert r["n_members"] == 500 and r["n_probes"] == 500
+    assert 0 < r["n_bits_set"] <= min(3 * 500, 8192)
+    assert r["within_bound"]
+    # members probed against their own filter must ALL pass (no false
+    # negatives — the Bloom invariant)
+    self_probe = bloom_contract(members, members, "k", m_bits=8192, k_hashes=3).collect()[0]
+    assert self_probe["measured_fpr"] == 1.0
+
+
+def test_bloom_contract_tiny_filter_saturates(spark):
+    # m=8 bits with 500 members saturates the filter -> every probe
+    # passes, expected_fpr ~ 1.0, so the bound still holds (honestly).
+    from raven_spark.operators.pipeline import bloom_contract
+
+    members = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
+    probes = spark.createDataFrame([(i + 1000,) for i in range(100)], "k bigint")
+    r = bloom_contract(members, probes, "k", m_bits=8, k_hashes=2).collect()[0]
+    assert r["measured_fpr"] == 1.0 and r["expected_fpr"] == 1.0 and r["within_bound"]
