@@ -2776,6 +2776,39 @@ def q124_cocitation(spark, sf_dir):
     return cocitation_pairs(edges, degree_cap=20, min_shared=2, top_k=100)
 
 
+def q125_retrieval_metrics(spark, sf_dir):
+    """Exact retrieval-quality evaluation
+    (operators/similarity.py::retrieval_metrics): per-query nDCG@10 /
+    MRR@10 / recall@10 — the evaluation operator the BM25 (q74) and
+    ANN (q18/q23) family reports against. Deterministic synthetic runs
+    (10 queries x 10 ranks over the doc_id<200 pool) and graded qrels;
+    one rank-truncated equi-join + literal-bounded IDCG window +
+    per-query aggregates. The composition against REAL ANN output is
+    pytest-gated (test_retrieval_metrics_on_real_ann_runs)."""
+    from raven_spark.operators.similarity import retrieval_metrics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    qids = spark.range(10).select(F.col("id").cast("int").alias("qid"))
+    ranks = spark.range(1, 11).select(F.col("id").cast("int").alias("rank"))
+    runs = qids.crossJoin(ranks).select(
+        "qid",
+        F.pmod(F.col("qid") * 31 + F.col("rank") * 7, F.lit(200))
+        .cast("bigint")
+        .alias("doc_id"),
+        "rank",
+    )
+    qrels = (
+        qids.crossJoin(d)
+        .filter(F.pmod(F.col("doc_id") + F.col("qid"), F.lit(11)) == 0)
+        .select(
+            "qid",
+            "doc_id",
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))).cast("int").alias("rel"),
+        )
+    )
+    return retrieval_metrics(runs, qrels, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2902,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_ks_length_drift": q122_ks_length_drift,
         "q123_bloom_contract": q123_bloom_contract,
         "q124_cocitation": q124_cocitation,
+        "q125_retrieval_metrics": q125_retrieval_metrics,
     }
 
 
@@ -6515,6 +6549,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node_a, node_b, cocite FROM pairs
             ORDER BY cocite DESC, node_a ASC, node_b ASC LIMIT 100
+        """,
+        "q125_retrieval_metrics": r"""
+            -- same synthetic runs/qrels; DCG gain (2^rel - 1)/log2(r+1),
+            -- IDCG from each query's qrels sorted (rel desc, doc asc)
+            -- truncated at 10; absent queries score 0 via coalesce
+            WITH qids AS (SELECT unnest(generate_series(0, 9)) AS qid),
+            ranks AS (SELECT unnest(generate_series(1, 10)) AS r),
+            runs AS (
+              SELECT qid, (qid * 31 + r * 7) % 200 AS doc, r
+              FROM qids, ranks
+            ),
+            pool AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            qrels AS (
+              SELECT qid, doc_id AS doc,
+                     CAST(1 + doc_id % 3 AS INT) AS rel
+              FROM qids, pool
+              WHERE (doc_id + qid) % 11 = 0
+            ),
+            hits AS (
+              SELECT runs.qid,
+                     sum((power(2.0, rel) - 1.0)
+                         / log2(CAST(r AS DOUBLE) + 1.0)) AS dcg,
+                     count(*) AS n_hit,
+                     min(r) AS first_r
+              FROM runs JOIN qrels ON runs.qid = qrels.qid
+                                  AND runs.doc = qrels.doc
+              WHERE rel > 0
+              GROUP BY runs.qid
+            ),
+            ideal AS (
+              SELECT qid,
+                     sum((power(2.0, rel) - 1.0)
+                         / log2(CAST(ir AS DOUBLE) + 1.0)) AS idcg
+              FROM (
+                SELECT qid, rel,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY rel DESC, doc ASC) AS ir
+                FROM qrels WHERE rel > 0
+              ) WHERE ir <= 10
+              GROUP BY qid
+            ),
+            nrel AS (
+              SELECT qid, count(*) AS n_rel FROM qrels WHERE rel > 0
+              GROUP BY qid
+            )
+            SELECT n.qid,
+                   CAST(n.n_rel AS BIGINT) AS n_rel,
+                   round(coalesce(h.dcg / i.idcg, 0.0), 6) AS ndcg,
+                   round(coalesce(1.0 / CAST(h.first_r AS DOUBLE), 0.0), 6)
+                     AS mrr,
+                   round(coalesce(CAST(h.n_hit AS DOUBLE)
+                                  / CAST(n.n_rel AS DOUBLE), 0.0), 6) AS recall
+            FROM nrel n
+            LEFT JOIN ideal i ON n.qid = i.qid
+            LEFT JOIN hits h ON n.qid = h.qid
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

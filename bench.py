@@ -144,6 +144,7 @@ HEADLINE = [
     "q122_ks_length_drift",
     "q123_bloom_contract",
     "q124_cocitation",
+    "q125_retrieval_metrics",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

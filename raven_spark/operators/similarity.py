@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -538,3 +538,97 @@ def pq_encode(
         codes.alias("codes"),
         F.round(mse, 6).alias("recon_mse"),
     )
+
+
+def retrieval_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query retrieval-quality metrics — the evaluation
+    operator the engine's retrieval family (BM25 q74, exact/LSH/IVF ANN
+    q18/q23, bitext q73) reports against: given a ranked ``runs`` table
+    (query, doc, 1-based rank) and graded ``qrels`` (query, doc, rel):
+
+    - nDCG@k  (Jarvelin & Kekalainen 2002): DCG with the (2^rel - 1) /
+      log2(rank + 1) gain, normalized by the ideal DCG from the
+      query's own qrels sorted rel-desc and truncated at k
+    - MRR@k: 1 / rank of the first relevant (rel > 0) hit, 0 if none
+    - recall@k: relevant retrieved in the top k / relevant total
+
+    100 TB shape: one equi-join of the rank-k-truncated runs against
+    qrels on (query, doc) — 8-byte-ish composite keys; IDCG is one
+    literal-bounded window over each query's qrels (WindowGroupLimit)
+    + a per-query aggregate; everything else is per-query hash
+    aggregates. Exact double expression trees, 6-dp rounded — the
+    DuckDB twin (q125) replays bit-for-bit.
+
+    Queries present in qrels but absent from runs score 0 across the
+    board (a system that returns nothing for a query is penalized, not
+    skipped). Output: (qid, n_rel, ndcg, mrr, recall), one row per
+    qrels query.
+    """
+    q = F.col(query_col)
+    topk = runs.filter(F.col(rank_col) <= int(k)).select(
+        q.alias("qid"), F.col(doc_col).alias("doc"), F.col(rank_col).alias("r")
+    )
+    rel = qrels.select(
+        q.alias("qid"), F.col(doc_col).alias("doc"), F.col(rel_col).alias("rel")
+    )
+    hits = topk.join(rel, ["qid", "doc"]).filter(F.col("rel") > 0)
+    gain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)) / F.log2(
+        F.col("r").cast("double") + F.lit(1.0)
+    )
+    per_q_hits = hits.groupBy("qid").agg(
+        F.sum(gain).alias("__dcg"),
+        F.count(F.lit(1)).alias("__n_hit"),
+        F.min("r").alias("__first_r"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("doc").asc())
+    ideal = (
+        rel.filter(F.col("rel") > 0)
+        .withColumn("__ir", F.row_number().over(wq))
+        .filter(F.col("__ir") <= F.lit(int(k)))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0))
+                / F.log2(F.col("__ir").cast("double") + F.lit(1.0))
+            ).alias("__idcg")
+        )
+    )
+    n_rel = rel.filter(F.col("rel") > 0).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    out = (
+        n_rel.join(ideal, "qid", "left")
+        .join(per_q_hits, "qid", "left")
+        .select(
+            "qid",
+            "n_rel",
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("__dcg"), F.col("__idcg")), F.lit(0.0)
+                ),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first_r").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(
+                    F.col("__n_hit").cast("double") / F.col("n_rel").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+    return out

