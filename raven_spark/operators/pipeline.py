@@ -2326,13 +2326,15 @@ def ks_group_drift(
     )
     base = df.select(g, v).filter(F.col("v").isNotNull())
     gc = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
-    cc = base.groupBy("v").agg(F.count(F.lit(1)).alias("cc"))
+    # corpus counts and the grand total both FOLD from the (g, v)
+    # aggregate — the source scans once, not three times
+    cc = gc.groupBy("v").agg(F.sum("cg").alias("cc"))
     wc = Window.orderBy(F.col("v").asc())
     corpus = cc.select(
         "v",
         "cc",
         F.sum("cc").over(wc).alias("__cum_c"),
-    ).crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_corpus"))))
+    ).crossJoin(F.broadcast(cc.agg(F.sum("cc").alias("__n_corpus"))))
     wg = Window.partitionBy("g").orderBy(F.col("v").asc())
     grp = gc.select(
         "g",
