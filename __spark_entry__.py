@@ -6354,12 +6354,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT domain,
                      count(*) AS n_rounds,
                      CAST(sum(n_new) AS BIGINT) AS total_new,
-                     sum(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS m,
-                     sum(CASE WHEN n_new > 0 THEN CAST(r AS DOUBLE) END) AS sx,
-                     sum(CASE WHEN n_new > 0 THEN ln(y) END) AS sy,
-                     sum(CASE WHEN n_new > 0
+                     sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS m,
+                     sum(CASE WHEN y > 0 THEN CAST(r AS DOUBLE) END) AS sx,
+                     sum(CASE WHEN y > 0 THEN ln(y) END) AS sy,
+                     sum(CASE WHEN y > 0
                          THEN CAST(r AS DOUBLE) * CAST(r AS DOUBLE) END) AS sxx,
-                     sum(CASE WHEN n_new > 0
+                     sum(CASE WHEN y > 0
                          THEN CAST(r AS DOUBLE) * ln(y) END) AS sxy,
                      max_by(y, r) AS last_y
               FROM pr GROUP BY domain
@@ -6591,16 +6591,23 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY qid
             ),
             nrel AS (
-              SELECT qid, count(*) AS n_rel FROM qrels WHERE rel > 0
-              GROUP BY qid
+              -- ALL judged queries; rel=0-only ones keep n_rel=0 with
+              -- NULL metrics (operator contract)
+              SELECT qid,
+                     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel
+              FROM qrels GROUP BY qid
             )
             SELECT n.qid,
                    CAST(n.n_rel AS BIGINT) AS n_rel,
-                   round(coalesce(h.dcg / i.idcg, 0.0), 6) AS ndcg,
-                   round(coalesce(1.0 / CAST(h.first_r AS DOUBLE), 0.0), 6)
-                     AS mrr,
-                   round(coalesce(CAST(h.n_hit AS DOUBLE)
-                                  / CAST(n.n_rel AS DOUBLE), 0.0), 6) AS recall
+                   CASE WHEN n.n_rel > 0 THEN
+                     round(coalesce(h.dcg / i.idcg, 0.0), 6) END AS ndcg,
+                   CASE WHEN n.n_rel > 0 THEN
+                     round(coalesce(1.0 / CAST(h.first_r AS DOUBLE), 0.0), 6)
+                   END AS mrr,
+                   CASE WHEN n.n_rel > 0 THEN
+                     round(coalesce(CAST(h.n_hit AS DOUBLE)
+                                    / CAST(n.n_rel AS DOUBLE), 0.0), 6)
+                   END AS recall
             FROM nrel n
             LEFT JOIN ideal i ON n.qid = i.qid
             LEFT JOIN hits h ON n.qid = h.qid

@@ -76,8 +76,12 @@ def ngrams_zip_col(words, n: int):
     rewrite. zip_with pads the shorter side with NULL and concat
     propagates it, so the trailing partial grams drop in the final
     not-null filter. Output order and values are identical to the
-    transform form.
+    transform form, including its empty-array-on-NULL guarantee: the
+    transform/element_at form yielded [] for NULL input arrays (NULL
+    text), while slice/zip_with/filter all propagate NULL — coalesce
+    at entry keeps downstream counts 0 instead of NULL (q31 contract).
     """
+    words = F.coalesce(words, F.array().cast("array<string>"))
     if n <= 1:
         return words
     acc = words
@@ -85,6 +89,25 @@ def ngrams_zip_col(words, n: int):
         tail = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
         acc = F.zip_with(acc, tail, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.filter(acc, lambda g: g.isNotNull())
+
+
+def adjacent_pairs_col(arr, left: str = "l", right: str = "r"):
+    """Adjacent (element, next-element) struct pairs from an array column
+    via one zip of the array against its shifted tail — the bigram case
+    of :func:`ngrams_zip_col`, shared by bigram_logprob / bpe_merges so
+    the zip-shift kernel (and its NULL/pad edge handling) lives in one
+    place. NULL input arrays yield [], and the NULL-padded tail entry
+    drops in the right-not-null filter.
+    """
+    arr = F.coalesce(arr, F.array().cast("array<string>"))
+    return F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias(left), b.alias(right)),
+        ),
+        lambda s: s[right].isNotNull(),
+    )
 
 
 def word_shingles_col(text, n: int = 3):

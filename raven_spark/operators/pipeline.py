@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from raven_spark.operators.dedup import norm_text_col
+from raven_spark.operators.dedup import adjacent_pairs_col, norm_text_col
 
 # Knuth multiplicative hash constant (2^32 * golden ratio conjugate)
 KNUTH_32 = 2654435761
@@ -1071,21 +1071,7 @@ def bigram_logprob(
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col),
-            F.explode(
-                # zip-shift pair extraction (dedup.ngrams_zip_col's
-                # rationale: element_at-in-transform re-evaluates the
-                # words expression per element — quadratic); zip_with
-                # pads the tail with NULL -> dropped by the c-not-null
-                # filter
-                F.filter(
-                    F.zip_with(
-                        words,
-                        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
-                        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
-                    ),
-                    lambda s: s["c"].isNotNull(),
-                ),
-            ).alias("__pc"),
+            F.explode(adjacent_pairs_col(words, "p", "c")).alias("__pc"),
         )
         .select(
             F.col(id_col),
@@ -1632,20 +1618,8 @@ def bpe_merges(
             # strip the single flanking separators, split on the double
             inner = F.substr(F.col("sym"), F.lit(2), F.length("sym") - 2)
             arr = F.split(inner, _BPE_SEP + _BPE_SEP)
-            # zip-shift pair extraction (the element_at-in-transform
-            # form re-evaluates the split per element); NULL-padded
-            # tail entries drop in the r-not-null filter
             pairs = cur.select(
-                F.explode(
-                    F.filter(
-                        F.zip_with(
-                            arr,
-                            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                        ),
-                        lambda s: s["r"].isNotNull(),
-                    )
-                ).alias("p"),
+                F.explode(adjacent_pairs_col(arr, "l", "r")).alias("p"),
                 "f",
             )
             best = (
@@ -2242,15 +2216,28 @@ def shard_skew(
     (the _CMS_A/Horner convention — NOT Spark's internal murmur, so the
     DuckDB twin q120 reproduces it; for the skew verdict any uniform
     hash family is interchangeable). String keys: pass xxhash64(col)
-    at production scale, a replayable fold for oracle duty.
+    at production scale, a replayable fold for oracle duty — a raw
+    string column is rejected up front (the ANSI cast would otherwise
+    throw CAST_INVALID_INPUT mid-job). NULL keys land in shard 0 (a
+    real hash partitioner sends every NULL to one concrete reducer;
+    letting pmod propagate NULL instead created a phantom NULL shard
+    that inflated n_used and entered the Gini rank window).
 
     Scale shape: one map-side-combinable count per shard (<= n_shards
     rows out of the only full scan), one O(n_shards) rank window, one
     1-row fold. Output: single row (n_shards, n_used, total_rows,
     max_share 6dp, cov 6dp, gini 6dp).
     """
+    from pyspark.sql.types import BinaryType, StringType
+
+    ktype = df.schema[key_col].dataType
+    if isinstance(ktype, (StringType, BinaryType)):
+        raise ValueError(
+            f"shard_skew: key_col {key_col!r} is {ktype.simpleString()}; "
+            "pass a numeric key (e.g. xxhash64(col)) instead"
+        )
     p = F.lit(_CMS_P)
-    k = F.pmod(F.col(key_col).cast("long"), p)
+    k = F.pmod(F.coalesce(F.col(key_col).cast("long"), F.lit(0)), p)
     shard = F.pmod(F.pmod(k * F.lit(_CMS_A[0]), p), F.lit(int(n_shards)))
     loads = df.select(shard.alias("shard")).groupBy("shard").agg(
         F.count(F.lit(1)).alias("load")
@@ -2421,10 +2408,23 @@ def bloom_contract(
             ]
         )
 
-    bits = (
-        members.select(F.explode(positions(F.col(key_col))).alias("bit"))
+    # ONE pass over members: distinct keys are localCheckpoint'd (the
+    # minhash-fixpoint lineage-cut discipline), then the bit table, the
+    # member count, and the broadcast probe join all derive from that
+    # O(distinct members) snapshot. The previous form ran three driver
+    # actions (members.distinct().count(), bits.count(), plus the job
+    # itself) — three full member scans per call; now n_members /
+    # n_bits_set fold into the output plan as broadcast 1-row
+    # aggregates (the ks_group_drift __n_corpus pattern) and the whole
+    # contract is a single job.
+    mkeys = (
+        members.select(F.col(key_col).alias("mk"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    bits = mkeys.select(F.explode(positions(F.col("mk"))).alias("bit")).distinct()
+    memagg = mkeys.agg(F.count(F.lit(1)).cast("int").alias("n_members"))
+    bitagg = bits.agg(F.count(F.lit(1)).cast("int").alias("n_bits_set"))
     probe_hits = (
         probes.select(F.col(key_col).alias("pk"))
         .distinct()
@@ -2437,22 +2437,26 @@ def bloom_contract(
         F.count(F.lit(1)).alias("n_probes"),
         F.sum((F.col("__hits") == F.lit(int(k_hashes))).cast("long")).alias("__fp"),
     )
-    nm = members.select(F.col(key_col)).distinct().count()
-    nbits = bits.count()
-    fpr_load = (float(nbits) / float(m_bits)) ** int(k_hashes)
-    return counts.select(
-        F.lit(int(nm)).alias("n_members"),
-        F.col("n_probes"),
-        F.lit(int(m_bits)).alias("m_bits"),
-        F.lit(int(k_hashes)).alias("k_hashes"),
-        F.lit(int(nbits)).alias("n_bits_set"),
-        F.round(
-            F.col("__fp").cast("double") / F.col("n_probes").cast("double"), 6
-        ).alias("measured_fpr"),
-        F.round(F.lit(fpr_load), 6).alias("expected_fpr"),
-        (
-            F.col("__fp").cast("double") / F.col("n_probes").cast("double")
-            <= F.lit(float(slack)) * F.lit(fpr_load)
-            + F.lit(3.0) / F.col("n_probes").cast("double")
-        ).alias("within_bound"),
+    fpr_load = F.pow(
+        F.col("n_bits_set").cast("double") / F.lit(float(m_bits)),
+        F.lit(int(k_hashes)),
+    )
+    measured = F.col("__fp").cast("double") / F.col("n_probes").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(memagg))
+        .crossJoin(F.broadcast(bitagg))
+        .select(
+            "n_members",
+            "n_probes",
+            F.lit(int(m_bits)).alias("m_bits"),
+            F.lit(int(k_hashes)).alias("k_hashes"),
+            "n_bits_set",
+            F.round(measured, 6).alias("measured_fpr"),
+            F.round(fpr_load, 6).alias("expected_fpr"),
+            (
+                measured
+                <= F.lit(float(slack)) * fpr_load
+                + F.lit(3.0) / F.col("n_probes").cast("double")
+            ).alias("within_bound"),
+        )
     )

@@ -433,8 +433,15 @@ def temperature_weights(
     scaled = per.crossJoin(F.broadcast(tot)).select(
         "group",
         "mass",
+        # try_divide: an all-zero-mass slice (every doc empty under
+        # size_col) gives __tot = 0, and plain / throws DIVIDE_BY_ZERO
+        # under the session's default ANSI mode — NULL weights are the
+        # contract instead (matches shard_skew/ks_group_drift siblings)
         F.round(
-            F.col("mass").cast("double") / F.col("__tot").cast("double"), iter_dp
+            F.try_divide(
+                F.col("mass").cast("double"), F.col("__tot").cast("double")
+            ),
+            iter_dp,
         ).alias("__p"),
     )
     powed = scaled.select(
@@ -450,6 +457,6 @@ def temperature_weights(
             "group",
             "mass",
             F.round("__p", 6).alias("p_raw"),
-            F.round(F.col("__q") / F.col("__qtot"), 6).alias("weight"),
+            F.round(F.try_divide(F.col("__q"), F.col("__qtot")), 6).alias("weight"),
         )
     )

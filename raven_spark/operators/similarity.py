@@ -569,8 +569,11 @@ def retrieval_metrics(
 
     Queries present in qrels but absent from runs score 0 across the
     board (a system that returns nothing for a query is penalized, not
-    skipped). Output: (qid, n_rel, ndcg, mrr, recall), one row per
-    qrels query.
+    skipped). Queries judged but with NO relevant doc (every qrel row
+    rel=0) still get their row — n_rel=0 with NULL metrics (undefined,
+    TREC-style: averagers must exclude them explicitly rather than
+    have them silently vanish or deflate the mean as 0s). Output:
+    (qid, n_rel, ndcg, mrr, recall), one row per qrels query.
     """
     q = F.col(query_col)
     topk = runs.filter(F.col(rank_col) <= int(k)).select(
@@ -601,9 +604,14 @@ def retrieval_metrics(
             ).alias("__idcg")
         )
     )
-    n_rel = rel.filter(F.col("rel") > 0).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_rel")
+    # n_rel over ALL judged queries (rel>0 counted, rel=0-only kept at
+    # 0) — filtering qrels to rel>0 first silently dropped judged
+    # queries with no relevant doc, violating the one-row-per-query
+    # contract above.
+    n_rel = rel.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_rel")
     )
+    judged = F.col("n_rel") > 0
     out = (
         n_rel.join(ideal, "qid", "left")
         .join(per_q_hits, "qid", "left")
@@ -611,21 +619,33 @@ def retrieval_metrics(
             "qid",
             "n_rel",
             F.round(
-                F.coalesce(
-                    F.try_divide(F.col("__dcg"), F.col("__idcg")), F.lit(0.0)
+                F.when(
+                    judged,
+                    F.coalesce(
+                        F.try_divide(F.col("__dcg"), F.col("__idcg")), F.lit(0.0)
+                    ),
                 ),
                 6,
             ).alias("ndcg"),
             F.round(
-                F.coalesce(
-                    F.lit(1.0) / F.col("__first_r").cast("double"), F.lit(0.0)
+                F.when(
+                    judged,
+                    F.coalesce(
+                        F.lit(1.0) / F.col("__first_r").cast("double"), F.lit(0.0)
+                    ),
                 ),
                 6,
             ).alias("mrr"),
             F.round(
-                F.coalesce(
-                    F.col("__n_hit").cast("double") / F.col("n_rel").cast("double"),
-                    F.lit(0.0),
+                F.when(
+                    judged,
+                    F.coalesce(
+                        F.try_divide(
+                            F.col("__n_hit").cast("double"),
+                            F.col("n_rel").cast("double"),
+                        ),
+                        F.lit(0.0),
+                    ),
                 ),
                 6,
             ).alias("recall"),

@@ -222,7 +222,9 @@ def content_drift(
         sig_t = simhash64(norm(text_t));  h_t = popcount(sig_t XOR sig_{t-1})
 
     Output per key: n_caps, n_transitions (consecutive pairs),
-    n_changed (h > 0), mean_hamming (6dp), max_hamming.
+    n_changed (h >= ``change_threshold`` — the default 1 counts every
+    nonzero tick; raise it to ignore boilerplate ticks), mean_hamming
+    (6dp, over ALL transitions regardless of threshold), max_hamming.
 
     Scale shape: signatures ride the same vectorized Arrow kernel as
     simhash_buckets (one pass, no text shuffle — only (key, seq, 8-byte
@@ -367,7 +369,8 @@ def crawl_saturation(
        from the raw captures — same key, one exchange reused.
     3. yield = n_new / n_fetched (rounded before the log so the OLS
        sums replay); per-domain closed-form OLS of ln(yield) on round
-       over rounds with n_new > 0 (ln 0 undefined — a dried-up round
+       over rounds whose rounded yield is > 0 (ln 0 undefined — a
+       dried-up round, or one whose yield rounds to 0 at ``yield_dp``,
        ends the fit's support but still counts fetches).
 
     Output per domain: (domain, n_rounds, total_new, decay_rate 6dp,
@@ -398,7 +401,12 @@ def crawl_saturation(
     )
     x = F.col("r").cast("double")
     lny = F.log(F.col("y"))
-    usable = F.col("n_new") > 0
+    # usable gates on the ROUNDED yield, not n_new: a round whose yield
+    # rounds to 0 at yield_dp has ln(y) = ln(0) = NULL, and gating on
+    # n_new > 0 would include it in __m/__sx/__sxx while NULL drops it
+    # from __sy/__sxy — inconsistent OLS sums that read as "no decay"
+    # for a collapsed domain.
+    usable = F.col("y") > 0
     agg = per_round.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_rounds"),
         F.sum("n_new").alias("total_new"),

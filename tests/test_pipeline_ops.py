@@ -1137,3 +1137,50 @@ def test_bloom_contract_tiny_filter_saturates(spark):
     probes = spark.createDataFrame([(i + 1000,) for i in range(100)], "k bigint")
     r = bloom_contract(members, probes, "k", m_bits=8, k_hashes=2).collect()[0]
     assert r["measured_fpr"] == 1.0 and r["expected_fpr"] == 1.0 and r["within_bound"]
+
+
+def test_dup_ngram_frac_null_text_scores_zero(spark):
+    # the zip-shift kernel rewrite must keep the old transform form's
+    # empty-array-on-NULL guarantee: NULL text -> 0 n-grams / 0.0 frac
+    # (q31 oracle contract), never NULL (which would flip clean_corpus's
+    # rep_ok verdict to NULL under ANSI three-valued logic)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_ngram_frac"] for r in dup_ngram_frac(df, n=2).collect()}
+    assert out[1] == 0.4  # "a b c a b c": 5 bigrams, 3 distinct -> 2/5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    rows = {r["id"]: r for r in clean_corpus(df).collect()}
+    assert rows[2]["rep_ok"] is True and rows[2]["keep"] is not None
+    assert rows[3]["rep_ok"] is True and rows[3]["keep"] is not None
+
+
+def test_shard_skew_null_keys_and_string_rejection(spark):
+    import pytest
+
+    from raven_spark.operators.pipeline import shard_skew
+
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [(int(i),) for i in range(100)], "k long"
+    )
+    row = shard_skew(df, "k", n_shards=8).collect()[0]
+    # NULL keys land in a concrete shard: no phantom NULL group
+    assert row["n_used"] <= 8
+    assert row["total_rows"] == 110
+    sdf = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError, match="xxhash64"):
+        shard_skew(sdf, "k")
+
+
+def test_bloom_contract_single_job_counts(spark):
+    from raven_spark.operators.pipeline import bloom_contract
+
+    members = spark.range(0, 400, 2).withColumnRenamed("id", "k")
+    probes = spark.range(1, 400, 2).withColumnRenamed("id", "k")
+    row = bloom_contract(members, probes, "k", m_bits=4096, k_hashes=3).collect()[0]
+    assert row["n_members"] == 200
+    assert row["n_probes"] == 200
+    assert 0 < row["n_bits_set"] <= min(3 * 200, 4096)
+    assert row["within_bound"] in (True, False)

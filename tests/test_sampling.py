@@ -308,3 +308,16 @@ def test_temperature_weights_mass_mode_and_validation(spark):
     assert got["a"]["mass"] == 40 and abs(got["a"]["weight"] - 0.4) < 1e-6
     with _pytest.raises(ValueError):
         temperature_weights(df, "g", temperature=0.0)
+
+
+def test_temperature_weights_zero_total_mass_yields_null_not_ansi_error(spark):
+    """All-zero masses (every doc empty under size_col) must produce NULL
+    weights, not an ANSI DIVIDE_BY_ZERO mid-job."""
+    from raven_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 0)], "domain string, n_chars long"
+    )
+    out = temperature_weights(df, "domain", size_col="n_chars").collect()
+    assert {r["group"] for r in out} == {"a", "b"}
+    assert all(r["weight"] is None for r in out)

@@ -309,3 +309,23 @@ def test_retrieval_metrics_on_real_ann_runs(spark):
     out = retrieval_metrics(spark_runs, truth, doc_col="doc_id", k=5).collect()
     for r in out:
         assert r["ndcg"] == 1.0 and r["recall"] == 1.0 and r["mrr"] == 1.0
+
+
+def test_retrieval_metrics_keeps_judged_queries_with_no_relevant_docs(spark):
+    """A query whose qrels are all rel=0 must still get its row (n_rel=0,
+    NULL metrics) — building n_rel from rel>0-filtered qrels silently
+    dropped judged queries and inflated downstream averages."""
+    from raven_spark.operators.similarity import retrieval_metrics
+
+    runs = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (7, 10, 1)], "qid int, doc_id int, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1), (7, 10, 0), (7, 11, 0)],
+        "qid int, doc_id int, rel int",
+    )
+    out = {r["qid"]: r for r in retrieval_metrics(runs, qrels, k=10).collect()}
+    assert set(out) == {1, 7}  # one row per judged query
+    assert out[7]["n_rel"] == 0
+    assert out[7]["ndcg"] is None and out[7]["mrr"] is None and out[7]["recall"] is None
+    assert out[1]["n_rel"] == 2 and out[1]["mrr"] == 1.0

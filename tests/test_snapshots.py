@@ -327,3 +327,24 @@ def test_crawl_saturation_degenerate_domains(spark):
     got = {r["domain"]: r for r in crawl_saturation(df).collect()}
     assert got["B"]["decay_rate"] is None and got["B"]["half_life"] is None
     assert got["C"]["decay_rate"] == 0.0 and got["C"]["half_life"] is None
+
+
+def test_crawl_saturation_yield_rounding_to_zero_is_excluded(spark):
+    """A usable round must be one whose ROUNDED yield is > 0: gating on
+    n_new > 0 let ln(round(y,dp)) = ln(0) = NULL corrupt the OLS sums
+    (rows counted in m/sx/sxx but dropped from sy/sxy), reading as
+    decay_rate = 0 for a collapsed domain."""
+    from raven_spark.operators.snapshots import crawl_saturation
+
+    # domain d: round 0 all-new (y=1.0); round 1 one new out of many
+    # fetches with yield_dp=2 -> y rounds to 0.0 -> NOT usable -> only
+    # 1 usable round -> decay_rate NULL (not a fabricated 0.0/flat fit)
+    rows = [("d", 0, f"c{i}") for i in range(5)]
+    rows += [("d", 1, f"c{i}") for i in range(5)]      # refetches, not new
+    rows += [("d", 1, f"n{i}") for i in range(1)]      # 1 new of 6 -> 0.17
+    df = spark.createDataFrame(rows, "domain string, r int, ck string")
+    out = {r["domain"]: r for r in
+           crawl_saturation(df, "domain", "r", "ck", yield_dp=0).collect()}
+    row = out["d"]
+    assert row["decay_rate"] is None  # m = 1 usable round < 2
+    assert row["total_new"] == 6
