@@ -2809,6 +2809,108 @@ def q125_retrieval_metrics(spark, sf_dir):
     return retrieval_metrics(runs, qrels, k=10)
 
 
+def q126_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (operators/graph.py::resolve_redirects):
+    pointer-doubling over a functional redirect graph — frontier
+    admission keys on the canonical landing URL instead of counting
+    every 301 hop. Synthetic chains doc_id -> doc_id-1 up to each
+    multiple-of-16 terminal (length <= 15, exercising 4 doublings),
+    plus 2-cycles between (k, k+16) at k % 160 == 96 — the chains that
+    run into a cycle (97..111 -> 96 <-> 112) come out resolved=false
+    with hops = 2^5 = 32, landing on exactly the node the oracle's
+    hop-bounded recursive CTE reaches (byte parity on the pathological
+    rows, not just the clean ones)."""
+    from raven_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(F.col("doc_id") % 16 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cyc_a = d.filter(F.col("doc_id") % 160 == 96).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 16).alias("dst")
+    )
+    cyc_b = d.filter(F.col("doc_id") % 160 == 112).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 16).alias("dst")
+    )
+    edges = chain.union(cyc_a).union(cyc_b)
+    return resolve_redirects(edges, max_doublings=5)
+
+
+def q127_mirror_hosts(spark, sf_dir):
+    """Content-based mirror-host detection (operators/pipeline.py::
+    mirror_hosts): host-pair Jaccard/containment over distinct
+    content-key sets, pairs materialized ONLY through shared keys with
+    a hosts-per-key cap killing boilerplate fan-out. Synthetic: doc
+    2k/2k+1 share content key k across consecutive hosts h(2k%20)/
+    h((2k+1)%20) -> 10 clean mirror pairs; a corpus-wide boilerplate
+    key (-1, on all 20 hosts) exceeds the cap of 10 and is dropped
+    from pairing while still counting toward host set sizes."""
+    from raven_spark.operators.pipeline import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    real = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("content_key"),
+    )
+    boiler = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.lit(-1).cast("bigint").alias("content_key"),
+    )
+    return mirror_hosts(
+        real.union(boiler), min_shared=3, max_hosts_per_key=10
+    )
+
+
+def q128_token_budget(spark, sf_dir):
+    """Water-filling token-budget allocation (operators/sampling.py::
+    token_budget_allocation): fill a fixed training budget at target
+    mixture weights with per-source epoch caps; small sources saturate
+    and their shortfall re-flows to the rest at target proportions via
+    the closed-form sorted-saturation-point water level (no iteration).
+    Synthetic: 8 sources (doc_id % 8) with avail = 100 tokens/doc and
+    weights cycling 1/2/3 — the r = cap/w spread forces a real mixed
+    saturated/unsaturated split at budget 60000, epochs <= 2."""
+    from raven_spark.operators.sampling import token_budget_allocation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    srcs = d.groupBy(
+        F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("source")
+    ).agg(
+        (F.count(F.lit(1)) * 100).cast("double").alias("avail_tokens"),
+        F.max((F.col("doc_id") % 8) % 3 + 1).cast("double").alias("weight"),
+    )
+    return token_budget_allocation(
+        srcs, budget=60000.0, max_epochs=2.0
+    )
+
+
+def q129_calibration(spark, sf_dir):
+    """Classifier calibration / reliability diagram (operators/
+    pipeline.py::calibration_bins; Guo et al. 2017): equal-width score
+    bins with per-bin confidence/accuracy/|gap| and ECE contributions —
+    the eval companion of the q51 quality classifier (a threshold on a
+    miscalibrated score turns into systematic selection bias at corpus
+    scale). Synthetic scores (doc_id*37 % 1000)/1000 with labels drawn
+    by a second independent hash lane below the score — calibrated in
+    expectation, so the per-bin gaps are small but nonzero and exactly
+    replayable."""
+    from raven_spark.operators.pipeline import calibration_bins
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    scored = d.select(
+        (F.pmod(F.col("doc_id") * 37, F.lit(1000)).cast("double") / 1000.0).alias(
+            "score"
+        ),
+        (
+            F.pmod(F.col("doc_id") * 17, F.lit(1000))
+            < F.pmod(F.col("doc_id") * 37, F.lit(1000))
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2936,6 +3038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_bloom_contract": q123_bloom_contract,
         "q124_cocitation": q124_cocitation,
         "q125_retrieval_metrics": q125_retrieval_metrics,
+        "q126_redirect_resolution": q126_redirect_resolution,
+        "q127_mirror_hosts": q127_mirror_hosts,
+        "q128_token_budget": q128_token_budget,
+        "q129_calibration": q129_calibration,
     }
 
 
@@ -6611,6 +6717,164 @@ def oracle_sql() -> dict[str, str]:
             FROM nrel n
             LEFT JOIN ideal i ON n.qid = i.qid
             LEFT JOIN hits h ON n.qid = h.qid
+        """,
+        "q126_redirect_resolution": r"""
+            -- same synthetic chains/cycles; hop-bounded recursive walk
+            -- (hops < 32 = 2^max_doublings) -> furthest row per src;
+            -- resolved iff the landing node has no outgoing edge
+            WITH RECURSIVE edges AS (
+              SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+              WHERE doc_id % 16 <> 0
+              UNION ALL
+              SELECT doc_id, doc_id + 16 FROM documents
+              WHERE doc_id % 160 = 96
+              UNION ALL
+              SELECT doc_id, doc_id - 16 FROM documents
+              WHERE doc_id % 160 = 112
+            ),
+            m AS (SELECT src, min(dst) AS dst FROM edges GROUP BY src),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM m
+              UNION ALL
+              SELECT w.src, m.dst, w.hops + 1
+              FROM walk w JOIN m ON w.cur = m.src
+              WHERE w.hops < 32
+            ),
+            fin AS (
+              SELECT src, max_by(cur, hops) AS final_dst,
+                     CAST(max(hops) AS BIGINT) AS hops
+              FROM walk GROUP BY src
+            )
+            SELECT f.src, f.final_dst, f.hops,
+                   (o.src IS NULL) AS resolved
+            FROM fin f
+            LEFT JOIN (SELECT DISTINCT src FROM m) o
+              ON f.final_dst = o.src
+        """,
+        "q127_mirror_hosts": r"""
+            -- same synthetic (host, key) sets; pairs only via shared
+            -- keys on 2..10 hosts (the boilerplate key -1 sits on all
+            -- 20 hosts and is dropped from pairing, not from sizes)
+            WITH hk AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS h,
+                     doc_id // 2 AS k
+              FROM documents
+              UNION
+              SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR),
+                     CAST(-1 AS BIGINT)
+              FROM documents
+            ),
+            sizes AS (SELECT h, count(*) AS n FROM hk GROUP BY h),
+            keep AS (
+              SELECT k FROM hk GROUP BY k
+              HAVING count(*) BETWEEN 2 AND 10
+            ),
+            paired AS (SELECT hk.h, hk.k FROM hk JOIN keep USING (k)),
+            pairs AS (
+              SELECT a.h AS host_a, b.h AS host_b,
+                     count(*) AS n_shared
+              FROM paired a JOIN paired b
+                ON a.k = b.k AND a.h < b.h
+              GROUP BY a.h, b.h
+              HAVING count(*) >= 3
+            )
+            SELECT host_a, host_b, n_shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   round(CAST(n_shared AS DOUBLE)
+                         / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+                     AS jaccard,
+                   round(CAST(n_shared AS DOUBLE)
+                         / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                     AS containment
+            FROM pairs
+            JOIN sizes sa ON pairs.host_a = sa.h
+            JOIN sizes sb ON pairs.host_b = sb.h
+        """,
+        "q128_token_budget": r"""
+            -- water-filling replay: sort by saturation point r = cap/w,
+            -- prefix sums -> candidate levels, the unique i with
+            -- r_i <= L_i < r_{i+1} (or the no-saturation L_0), alloc =
+            -- min(cap, w*L); B >= sum(cap) -> all cap, underfilled
+            WITH base AS (
+              SELECT 's' || CAST(doc_id % 8 AS VARCHAR) AS source,
+                     CAST(count(*) * 100 AS DOUBLE) AS avail,
+                     CAST(max((doc_id % 8) % 3 + 1) AS DOUBLE) AS w_raw
+              FROM documents GROUP BY 1
+            ),
+            wt AS (SELECT sum(w_raw) AS wtot FROM base),
+            r0 AS (
+              SELECT source, avail, round(w_raw / wtot, 9) AS w,
+                     avail * 2.0 AS cap
+              FROM base, wt
+            ),
+            r1 AS (SELECT *, cap / w AS r FROM r0),
+            pre AS (
+              SELECT *,
+                sum(cap) OVER (ORDER BY r ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcap,
+                sum(w) OVER (ORDER BY r ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+                sum(cap) OVER (ORDER BY r ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS tcap,
+                sum(w) OVER (ORDER BY r ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS tw,
+                lead(r) OVER (ORDER BY r ASC, source ASC) AS rnext,
+                row_number() OVER (ORDER BY r ASC, source ASC) AS rn
+              FROM r1
+            ),
+            cand AS (
+              SELECT CASE
+                WHEN rn = 1 AND (60000.0 / tw) < r
+                  THEN 60000.0 / tw
+                WHEN r <= (60000.0 - pcap) / NULLIF(tw - pw, 0)
+                 AND (60000.0 - pcap) / NULLIF(tw - pw, 0)
+                     < coalesce(rnext, 'infinity'::DOUBLE)
+                  THEN (60000.0 - pcap) / NULLIF(tw - pw, 0)
+              END AS lvl
+              FROM pre
+            ),
+            chosen AS (SELECT min(lvl) AS lvl FROM cand WHERE lvl IS NOT NULL),
+            alloc0 AS (
+              SELECT p.source, p.avail, p.cap, p.w, p.tcap,
+                     round(CASE WHEN c.lvl IS NULL OR p.tcap <= 60000.0
+                                THEN p.cap
+                                ELSE least(p.cap, p.w * c.lvl) END, 2) AS alloc
+              FROM pre p LEFT JOIN chosen c ON TRUE
+            )
+            SELECT source, avail AS avail_tokens, cap, w AS w_norm, alloc,
+                   round(alloc / avail, 6) AS epochs,
+                   (alloc >= cap) AS saturated,
+                   (tcap <= 60000.0) AS underfilled
+            FROM alloc0
+        """,
+        "q129_calibration": r"""
+            -- same synthetic score/label lanes; equal-width bins with
+            -- the closed right edge; sum(contribution) = ECE
+            WITH scored AS (
+              SELECT CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s,
+                     CASE WHEN (doc_id * 17) % 1000 < (doc_id * 37) % 1000
+                          THEN 1 ELSE 0 END AS y
+              FROM documents
+            ),
+            b AS (
+              SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, y
+              FROM scored
+            ),
+            per AS (
+              SELECT bin, count(*) AS n, avg(s) AS conf,
+                     avg(CAST(y AS DOUBLE)) AS acc
+              FROM b GROUP BY bin
+            ),
+            tot AS (SELECT sum(n) AS nn FROM per)
+            SELECT bin, n,
+                   round(conf, 6) AS confidence,
+                   round(acc, 6) AS accuracy,
+                   round(abs(conf - acc), 6) AS gap,
+                   round(abs(conf - acc) * CAST(n AS DOUBLE)
+                         / CAST(nn AS DOUBLE), 6) AS contribution
+            FROM per, tot
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -868,3 +868,74 @@ def cocitation_pairs(
     return pairs.orderBy(
         F.col("cocite").desc(), F.col("node_a").asc(), F.col("node_b").asc()
     ).limit(int(top_k))
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_doublings: int = 5,
+) -> DataFrame:
+    """Redirect-chain resolution over a FUNCTIONAL graph (each URL has
+    at most one redirect target — the reference's client follows these
+    per request, raven_request.rs redirect handling; at corpus scale
+    the chains live in a table and must collapse in bulk): map every
+    source URL to the terminal of its redirect chain, so frontier
+    admission and the URL-seen set key on the canonical landing URL
+    instead of counting every 301 hop as a distinct page.
+
+    Algorithm: POINTER DOUBLING on the mapping itself — after k rounds
+    every row maps src to f^(2^k)(src), with terminals absorbing (a
+    final URL with no outgoing redirect stays put via the left join's
+    coalesce). ``max_doublings`` = K bounds the resolvable chain length
+    at H = 2^K hops (default 32 — real redirect chains are < 10; HTTP
+    clients cap near 20). Chains that have not terminated after H hops
+    are redirect CYCLES (or beyond-limit chains): flagged
+    resolved=false with final_url = f^H(src), exactly the node the
+    bounded recursive-CTE oracle (q126) lands on — byte parity even on
+    the pathological rows.
+
+    Multi-edges per source (same URL captured with different redirect
+    targets across rounds) are collapsed deterministically to min(dst)
+    BEFORE resolution; pass a latest-capture view for recency-wins
+    semantics.
+
+    Scale shape: K self-joins of the O(sources) mapping vector on
+    8-byte-ish URL keys — the chain text never re-shuffles, the edge
+    table is read once, and lineage is cut per round (localCheckpoint,
+    the connected_components discipline). No driver residency.
+
+    Output: (src, final_dst, hops, resolved) — hops = edges traversed
+    (= chain length when resolved; = H on cycle rows).
+    """
+    m = (
+        edges.groupBy(F.col(src).alias("s"))
+        .agg(F.min(F.col(dst)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    cur = m.select("s", "d", F.lit(1).cast("long").alias("hops"))
+    for _ in range(int(max_doublings)):
+        hop = cur.select(
+            F.col("s").alias("__s"), F.col("d").alias("__d"),
+            F.col("hops").alias("__h"),
+        )
+        cur = (
+            cur.join(hop, cur["d"] == hop["__s"], "left")
+            .select(
+                "s",
+                F.coalesce("__d", "d").alias("d"),
+                (F.col("hops") + F.coalesce("__h", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    outs = m.select(F.col("s").alias("__o"))
+    return (
+        cur.join(outs, cur["d"] == outs["__o"], "left")
+        .select(
+            F.col("s").alias(src),
+            F.col("d").alias("final_dst"),
+            "hops",
+            F.col("__o").isNull().alias("resolved"),
+        )
+    )

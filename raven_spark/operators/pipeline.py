@@ -2460,3 +2460,167 @@ def bloom_contract(
             ).alias("within_bound"),
         )
     )
+
+
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content_key",
+    min_shared: int = 3,
+    max_hosts_per_key: int = 20,
+) -> DataFrame:
+    """Content-based mirror-host detection — the HOST-level twin of
+    document near-dup: two hosts serving largely the same content set
+    (mirrors, CDNs, scraped re-hosts — a large, real slice of any
+    Common-Crawl-style corpus) should be crawled once and deduped as a
+    unit. Complements the GRAPH-structural signal (cocitation_pairs
+    q124: pages cited together) with set resemblance over what the
+    hosts actually serve:
+
+        J(a,b) = |K_a ∩ K_b| / |K_a ∪ K_b|
+        C(a,b) = |K_a ∩ K_b| / min(|K_a|, |K_b|)   (containment: a
+                 small mirror fully inside a big host still scores 1)
+
+    over each host's DISTINCT content-key set (text hash / simhash
+    bucket / shingle sketch — caller's choice of identity).
+
+    Never all-pairs: pairs materialize ONLY through shared keys (join
+    on the 8-byte content key), and keys on more than
+    ``max_hosts_per_key`` hosts are dropped before pairing — those are
+    cross-site boilerplate (empty pages, soft-404 templates, CDN
+    assets), not mirror evidence, and they are exactly the quadratic
+    hot keys (a key on 10^4 hosts would emit 5*10^7 pairs). The cap
+    bounds the per-key fan-out at C(cap, 2) pairs and the whole pair
+    table at C(cap,2) * n_keys — the banded-LSH discipline applied to
+    host pairing. Dropped-key count is observable via the gap between
+    sum(n_shared) and raw key co-occurrence, and the cap is a named
+    knob, not a silent truncation.
+
+    Scale shape: one distinct (host, key) pass, one per-key host-count
+    aggregate + filter, one self-join on key (a < b kills the
+    symmetric duplicate), one per-pair count, two broadcast joins
+    against the O(hosts) size table. Text never shuffles.
+
+    Output: (host_a, host_b, n_shared, n_a, n_b, jaccard 6dp,
+    containment 6dp), n_shared >= ``min_shared``.
+    """
+    hk = (
+        df.select(
+            F.col(host_col).alias("h"), F.col(content_col).alias("k")
+        )
+        .filter(F.col("h").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = hk.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    keep_keys = (
+        hk.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .filter(
+            (F.col("__nh") >= 2) & (F.col("__nh") <= int(max_hosts_per_key))
+        )
+        .select("k")
+    )
+    paired = hk.join(keep_keys, "k")
+    left = paired.select("k", F.col("h").alias("host_a"))
+    right = paired.select("k", F.col("h").alias("host_b"))
+    pairs = (
+        left.join(right, "k")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("h").alias("host_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("h").alias("host_b"), F.col("n").alias("n_b"))
+    sh = F.col("n_shared").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                sh / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                sh / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error decomposition
+    for a probabilistic quality classifier (Naeini et al. 2015 ECE;
+    Guo et al. 2017 §2) — the eval-side companion of the hashed linear
+    quality classifier (q51): a filter threshold chosen on scores is
+    only meaningful if score ~= P(label), and corpus-scale filtering
+    amplifies any miscalibration into systematic selection bias.
+
+    Equal-width bins over [0, 1]: bin b = min(floor(score*n_bins),
+    n_bins-1) (the right edge closes the last bin). Per bin:
+    confidence = mean score, accuracy = mean label, gap = |conf - acc|,
+    and the bin's ECE contribution (n_b / N) * gap. sum(contribution)
+    over the output IS the ECE; max(gap) is the MCE.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    keyed by the bin id (<= n_bins rows out), then pure column algebra
+    with a broadcast 1-row total — the same zero-text-shuffle shape as
+    temperature_weights. Rows with NULL score or label are excluded
+    (counted nowhere); scores outside [0, 1] raise at the first
+    action via an ANSI-safe guard column rather than silently folding
+    into the edge bins.
+
+    Output: (bin, n, confidence 6dp, accuracy 6dp, gap 6dp,
+    contribution 6dp), one row per NON-EMPTY bin, bin ascending ids
+    0..n_bins-1.
+    """
+    if n_bins < 1:
+        raise ValueError("calibration_bins: n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    rows = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"),
+        y.alias("__y"),
+        F.when(
+            (s < 0) | (s > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("calibration_bins: score out of [0,1]: "),
+                    s.cast("string"),
+                )
+            ),
+        ).otherwise(
+            F.least(
+                F.floor(s * F.lit(int(n_bins))).cast("int"),
+                F.lit(int(n_bins) - 1),
+            )
+        ).alias("bin"),
+    )
+    per = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__s").alias("__conf"),
+        F.avg("__y").alias("__acc"),
+    )
+    tot = per.agg(F.sum("n").alias("__N"))
+    gap = F.abs(F.col("__conf") - F.col("__acc"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round("__conf", 6).alias("confidence"),
+        F.round("__acc", 6).alias("accuracy"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            gap * F.col("n").cast("double") / F.col("__N").cast("double"), 6
+        ).alias("contribution"),
+    )

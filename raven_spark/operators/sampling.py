@@ -460,3 +460,122 @@ def temperature_weights(
             F.round(F.try_divide(F.col("__q"), F.col("__qtot")), 6).alias("weight"),
         )
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    source_col: str = "source",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "weight",
+    budget: float = 1.0e12,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget allocation across sources by WATER-FILLING — the
+    recipe math of assembling a fixed-size training mix: fill a budget
+    of B tokens at target mixture weights w_g (from temperature_weights
+    q121 / doremi_weights q109 / hand-set) without repeating any source
+    beyond ``max_epochs`` passes over its available tokens. Sources too
+    small to supply their target share saturate at cap_g =
+    avail_g * max_epochs and their shortfall re-flows to the rest at
+    the target proportions:
+
+        alloc_g = min(cap_g, w_g * L)   with L s.t. sum_g alloc_g = B
+
+    Closed form, no iteration: sort sources by saturation point
+    r_g = cap_g / w_g ascending; with the first i sources saturated the
+    water level is L_i = (B - sum_{j<=i} cap_j) / sum_{j>i} w_j, and
+    exactly one i satisfies r_i <= L_i < r_{i+1} (r_0 = -inf,
+    r_{n+1} = +inf). If B >= sum cap_g even full saturation cannot fill
+    the budget: every source caps out and the row-level ``underfilled``
+    flag reports the gap — a silent partial fill would read as a
+    complete mix.
+
+    Scale shape: one O(sources) aggregate-normalized weight pass, one
+    O(sources) sort window for the prefix sums (sources = domains /
+    languages / dumps — bounded by groups, never corpus rows; the
+    single-partition window is the same O(groups) shape as
+    temperature_weights), one broadcast of the 1-row chosen level.
+
+    Output per source: (source, avail_tokens, cap, w_norm 9dp, alloc
+    2dp, epochs 6dp, saturated, underfilled). sum(alloc) = min(B,
+    sum cap) up to rounding.
+    """
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("token_budget_allocation: budget and max_epochs must be > 0")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(avail_col).cast("double").alias("avail"),
+        F.col(weight_col).cast("double").alias("w_raw"),
+    ).filter((F.col("avail") > 0) & (F.col("w_raw") > 0))
+    wtot = base.agg(F.sum("w_raw").alias("__wt"))
+    rows = base.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "avail",
+        F.round(F.try_divide(F.col("w_raw"), F.col("__wt")), 9).alias("w"),
+        (F.col("avail") * F.lit(float(max_epochs))).alias("cap"),
+    )
+    # saturation point; rounded weights (9dp) make the division replay
+    # in the oracle
+    rows = rows.withColumn("r", F.try_divide(F.col("cap"), F.col("w")))
+    wsort = Window.orderBy(F.col("r").asc(), F.col("source").asc())
+    wall = wsort.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = rows.select(
+        "*",
+        F.sum("cap").over(
+            wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__pcap"),
+        F.sum("w").over(
+            wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__pw"),
+        F.sum("cap").over(wall).alias("__tcap"),
+        F.sum("w").over(wall).alias("__tw"),
+        F.lead("r").over(wsort).alias("__rnext"),
+    )
+    # candidate water level with THIS row (and all before it) saturated
+    lvl_i = F.try_divide(
+        F.lit(float(budget)) - F.col("__pcap"), F.col("__tw") - F.col("__pw")
+    )
+    # ... and with NO row saturated (i = 0)
+    lvl_0 = F.lit(float(budget)) / F.col("__tw")
+    chosen = (
+        pre.select(
+            F.when(
+                (F.row_number().over(wsort) == 1) & (lvl_0 < F.col("r")),
+                lvl_0,
+            )
+            .when(
+                (F.col("r") <= lvl_i)
+                & (lvl_i < F.coalesce("__rnext", F.lit(float("inf")))),
+                lvl_i,
+            )
+            .alias("__lvl")
+        )
+        .filter(F.col("__lvl").isNotNull())
+        .agg(F.min("__lvl").alias("__lvl"))
+    )
+    out = pre.crossJoin(F.broadcast(chosen)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        "cap",
+        F.col("w").alias("w_norm"),
+        F.round(
+            F.when(
+                F.col("__lvl").isNull() | (F.col("__tcap") <= F.lit(float(budget))),
+                F.col("cap"),
+            ).otherwise(F.least("cap", F.col("w") * F.col("__lvl"))),
+            2,
+        ).alias("alloc"),
+        (F.col("__tcap") <= F.lit(float(budget))).alias("underfilled"),
+    )
+    return out.select(
+        "source",
+        "avail_tokens",
+        "cap",
+        "w_norm",
+        "alloc",
+        F.round(F.try_divide(F.col("alloc"), F.col("avail_tokens")), 6).alias(
+            "epochs"
+        ),
+        (F.col("alloc") >= F.col("cap")).alias("saturated"),
+        "underfilled",
+    )

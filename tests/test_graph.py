@@ -300,3 +300,42 @@ def test_cocitation_degree_cap_bounds_hub_explosion(spark):
     e = _edges(spark, [(99, t) for t in range(10)])
     rows = cocitation_pairs(e, degree_cap=3, min_shared=1).collect()
     assert sorted((r["node_a"], r["node_b"]) for r in rows) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_resolve_redirects_chains_terminals_cycles(spark):
+    """Pointer doubling: clean chains resolve with exact hop counts;
+    cycles (and chains entering one) flag resolved=False with
+    hops = 2^max_doublings, landing on f^H(src)."""
+    from raven_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        # chain 5 -> 4 -> 3 -> 0 (terminal), plus a 2-cycle 10 <-> 11
+        # entered from 12, plus a multi-edge src (20 -> {21, 22})
+        [(5, 4), (4, 3), (3, 0), (10, 11), (11, 10), (12, 10), (20, 22), (20, 21)],
+        "src long, dst long",
+    )
+    out = {r["src"]: r for r in resolve_redirects(edges, max_doublings=3).collect()}
+    assert out[5]["final_dst"] == 0 and out[5]["hops"] == 3 and out[5]["resolved"]
+    assert out[4]["final_dst"] == 0 and out[4]["hops"] == 2
+    assert out[3]["final_dst"] == 0 and out[3]["hops"] == 1
+    # cycle rows: unresolved, hops = 2^3 = 8, final = f^8(src)
+    assert not out[10]["resolved"] and out[10]["hops"] == 8
+    assert out[10]["final_dst"] == 10  # even orbit
+    assert not out[11]["resolved"] and out[11]["final_dst"] == 11
+    assert not out[12]["resolved"]  # chain into cycle
+    # multi-edge deduped to min(dst): 20 -> 21 (terminal)
+    assert out[20]["final_dst"] == 21 and out[20]["resolved"]
+
+
+def test_resolve_redirects_partition_invariant(spark):
+    from raven_spark.operators.graph import resolve_redirects
+
+    edges = spark.range(1, 400).selectExpr(
+        "id as src", "case when id % 16 <> 0 then id - 1 end as dst"
+    ).filter("dst is not null")
+    a = sorted(map(tuple, resolve_redirects(edges).collect()))
+    b = sorted(map(tuple, resolve_redirects(edges.repartition(13)).collect()))
+    assert a == b
+    # every chain terminates at its floor multiple of 16
+    for src, fin, hops, ok in a:
+        assert ok and fin == (src // 16) * 16 and hops == src - fin

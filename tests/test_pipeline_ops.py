@@ -1184,3 +1184,55 @@ def test_bloom_contract_single_job_counts(spark):
     assert row["n_probes"] == 200
     assert 0 < row["n_bits_set"] <= min(3 * 200, 4096)
     assert row["within_bound"] in (True, False)
+
+
+def test_mirror_hosts_pairs_cap_and_scores(spark):
+    from raven_spark.operators.pipeline import mirror_hosts
+
+    rows = []
+    # hosts A and B share keys 1..4; C shares nothing real
+    for k in (1, 2, 3, 4):
+        rows += [("A", k), ("B", k)]
+    rows += [("A", 100), ("B", 200), ("C", 300), ("C", 301)]
+    # boilerplate key on every host: dropped by the cap (max 2 hosts)
+    rows += [("A", -1), ("B", -1), ("C", -1)]
+    df = spark.createDataFrame(rows, "host string, content_key long")
+    out = mirror_hosts(df, min_shared=3, max_hosts_per_key=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host_a"], r["host_b"]) == ("A", "B")
+    assert r["n_shared"] == 4
+    # sizes INCLUDE the boilerplate key (6 each), so J = 4/(6+6-4)
+    assert r["n_a"] == 6 and r["n_b"] == 6
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+    assert abs(r["containment"] - 4 / 6) < 1e-6
+
+
+def test_calibration_bins_hand_computed(spark):
+    from raven_spark.operators.pipeline import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.05, 1), (0.15, 0), (0.95, 1), (1.0, 1)],
+        "score double, label int",
+    )
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == {0, 1, 9}  # score=1.0 closes into the last bin
+    assert out[0]["n"] == 2 and out[0]["confidence"] == 0.05
+    assert out[0]["accuracy"] == 0.5 and out[0]["gap"] == 0.45
+    assert abs(out[0]["contribution"] - 0.18) < 1e-9
+    assert out[1]["n"] == 1 and out[1]["gap"] == 0.15
+    assert out[9]["n"] == 2 and out[9]["accuracy"] == 1.0
+    # ECE = sum of contributions
+    assert abs(sum(r["contribution"] for r in out.values())
+               - (0.18 + 0.03 + 0.01)) < 1e-9
+
+
+def test_calibration_bins_rejects_out_of_range_scores(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from raven_spark.operators.pipeline import calibration_bins
+
+    df = spark.createDataFrame([(1.5, 1)], "score double, label int")
+    with pytest.raises(SparkRuntimeException, match="out of"):
+        calibration_bins(df).collect()

@@ -321,3 +321,46 @@ def test_temperature_weights_zero_total_mass_yields_null_not_ansi_error(spark):
     out = temperature_weights(df, "domain", size_col="n_chars").collect()
     assert {r["group"] for r in out} == {"a", "b"}
     assert all(r["weight"] is None for r in out)
+
+
+def test_token_budget_waterfilling_hand_computed(spark):
+    """A: small source saturates at cap, C: big source takes w*L;
+    L = 15600 from the sorted-saturation-point closed form."""
+    from raven_spark.operators.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("A", 100.0, 1.0), ("B", 1000.0, 1.0), ("C", 10000.0, 2.0)],
+        "source string, avail_tokens double, weight double",
+    )
+    out = {r["source"]: r for r in
+           token_budget_allocation(df, budget=10000.0, max_epochs=2.0).collect()}
+    assert out["A"]["alloc"] == 200.0 and out["A"]["saturated"]
+    assert out["A"]["epochs"] == 2.0
+    assert out["B"]["alloc"] == 2000.0 and out["B"]["saturated"]
+    assert out["C"]["alloc"] == 7800.0 and not out["C"]["saturated"]
+    assert abs(out["C"]["epochs"] - 0.78) < 1e-9
+    assert not any(r["underfilled"] for r in out.values())
+    assert abs(sum(r["alloc"] for r in out.values()) - 10000.0) < 1e-6
+
+
+def test_token_budget_underfilled_and_no_saturation(spark):
+    from raven_spark.operators.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("A", 100.0, 1.0), ("B", 1000.0, 1.0)],
+        "source string, avail_tokens double, weight double",
+    )
+    # budget above total cap: everything caps out, flagged underfilled
+    out = {r["source"]: r for r in
+           token_budget_allocation(df, budget=50000.0, max_epochs=2.0).collect()}
+    assert all(r["underfilled"] for r in out.values())
+    assert out["A"]["alloc"] == 200.0 and out["B"]["alloc"] == 2000.0
+    # tiny budget: nobody saturates, pure proportional split
+    out2 = {r["source"]: r for r in
+            token_budget_allocation(df, budget=100.0, max_epochs=2.0).collect()}
+    assert out2["A"]["alloc"] == 50.0 and out2["B"]["alloc"] == 50.0
+    assert not any(r["saturated"] for r in out2.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_allocation(df, budget=0.0)
