@@ -145,6 +145,10 @@ HEADLINE = [
     "q123_bloom_contract",
     "q124_cocitation",
     "q125_retrieval_metrics",
+    "q126_redirect_resolution",
+    "q127_mirror_hosts",
+    "q128_token_budget",
+    "q129_calibration",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
