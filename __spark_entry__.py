@@ -2911,6 +2911,39 @@ def q129_calibration(spark, sf_dir):
     return calibration_bins(scored, n_bins=10)
 
 
+def q130_minhash_contract(spark, sf_dir):
+    """MinHash estimation-accuracy contract (operators/dedup.py::
+    minhash_contract; Broder 1997): k=64 affine-permutation signature
+    agreement vs EXACT shingle-set Jaccard per candidate pair, audited
+    against the Hoeffding deviation bound — the probabilistic-contract
+    family (Bloom q123 / HLL q103 / GK q106 / CMS q107 / KMV q111)
+    closing over the near-dup workhorse itself. Pairs: each doc vs a
+    tail-appended variant (high J) and adjacent unrelated docs (low J);
+    Horner shingle keys + the affine family replay bit-for-bit in
+    DuckDB."""
+    from raven_spark.operators.dedup import minhash_contract
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    variants = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" shared tail alpha beta gamma delta")
+        ).alias("text"),
+    )
+    docs = base.union(variants)
+    near = base.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000).alias("id_b")
+    )
+    far = base.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 59)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return minhash_contract(docs, near.union(far), k=64, shingle_n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3042,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_mirror_hosts": q127_mirror_hosts,
         "q128_token_budget": q128_token_budget,
         "q129_calibration": q129_calibration,
+        "q130_minhash_contract": q130_minhash_contract,
     }
 
 
@@ -6875,6 +6909,93 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(conf - acc) * CAST(n AS DOUBLE)
                          / CAST(nn AS DOUBLE), 6) AS contribution
             FROM per, tot
+        """,
+        "q130_minhash_contract": r"""
+            -- full MinHash replay: Horner shingle keys (q111 fold) ->
+            -- 64 affine permutations -> per-(doc, j) minima ->
+            -- agreement rate vs exact set Jaccard vs Hoeffding bound
+            WITH docs0 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60
+            ),
+            alldocs AS (
+              SELECT doc_id AS id, text FROM docs0
+              UNION ALL
+              SELECT doc_id + 1000,
+                     text || ' shared tail alpha beta gamma delta'
+              FROM docs0
+            ),
+            prs AS (
+              SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM docs0
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM docs0
+              WHERE doc_id % 2 = 0 AND doc_id < 59
+            ),
+            toks AS (
+              SELECT id, list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM alldocs
+            ),
+            sh AS (
+              SELECT id, unnest(list_transform(
+                       generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+              FROM toks WHERE len(ws) >= 3
+            ),
+            keys AS (
+              SELECT DISTINCT id,
+                     CAST((list_reduce(list_transform(string_split(s, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+                            (a, x) -> (a * 131 + x) % 2147483647)
+                           * 2654435761) % 2147483647 AS BIGINT) AS key
+              FROM sh
+            ),
+            perms AS (
+              SELECT j,
+                     (2654435761 + 40503 * j) % 2147483647 AS a,
+                     (998244353 + 69069 * j) % 2147483647 AS b
+              FROM (SELECT unnest(generate_series(0, 63)) AS j)
+            ),
+            sig AS (
+              SELECT id, j, min((key * a + b) % 2147483647) AS m
+              FROM keys, perms GROUP BY id, j
+            ),
+            agree AS (
+              SELECT p.id_a, p.id_b,
+                     sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                       AS n_sig_match
+              FROM prs p
+              JOIN sig sa ON sa.id = p.id_a
+              JOIN sig sb ON sb.id = p.id_b AND sb.j = sa.j
+              GROUP BY 1, 2
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM prs p
+              JOIN keys ka ON ka.id = p.id_a
+              JOIN keys kb ON kb.id = p.id_b AND kb.key = ka.key
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM keys GROUP BY id)
+            SELECT g.id_a, g.id_b,
+                   CAST(g.n_sig_match AS INT) AS n_sig_match,
+                   round(CAST(g.n_sig_match AS DOUBLE) / 64.0, 6)
+                     AS est_jaccard,
+                   round(coalesce(CAST(i.i AS DOUBLE)
+                         / CAST(sa.n + sb.n - i.i AS DOUBLE), 0.0), 6)
+                     AS exact_jaccard,
+                   round(abs(CAST(g.n_sig_match AS DOUBLE) / 64.0
+                         - coalesce(CAST(i.i AS DOUBLE)
+                           / CAST(sa.n + sb.n - i.i AS DOUBLE), 0.0)), 6)
+                     AS abs_err,
+                   (abs(CAST(g.n_sig_match AS DOUBLE) / 64.0
+                        - coalesce(CAST(i.i AS DOUBLE)
+                          / CAST(sa.n + sb.n - i.i AS DOUBLE), 0.0))
+                    <= sqrt(ln(40.0) / 128.0) + 0.05) AS within_bound
+            FROM agree g
+            LEFT JOIN inter i ON g.id_a = i.id_a AND g.id_b = i.id_b
+            JOIN sizes sa ON sa.id = g.id_a
+            JOIN sizes sb ON sb.id = g.id_b
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -149,6 +149,7 @@ HEADLINE = [
     "q127_mirror_hosts",
     "q128_token_budget",
     "q129_calibration",
+    "q130_minhash_contract",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -939,3 +939,118 @@ def kmv_mirror_pairs(
             F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
         )
     )
+
+
+# MinHash-contract permutation family: affine maps over the same Mersenne
+# prime as the Horner shingle keys — replayable in plain SQL (q130), the
+# Bloom-contract (pipeline.bloom_contract) convention applied to MinHash.
+_MHC_A0, _MHC_DA = 2654435761, 40503
+_MHC_B0, _MHC_DB = 998244353, 69069
+
+
+def minhash_contract(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+    slack: float = 0.05,
+) -> DataFrame:
+    """MinHash estimation-accuracy contract (Broder 1997) — the
+    oracle-checkable audit of the engine's near-dup workhorse, closing
+    the probabilistic-contract family next to Bloom (q123), HLL (q103),
+    GK (q106), CMS (q107) and KMV (q111): for given candidate pairs,
+    compare the k-permutation signature agreement rate (the production
+    estimator behind minhash_dedup/minhash_lsh_candidates) against the
+    EXACT shingle-set Jaccard, and audit the absolute error against the
+    Hoeffding deviation bound for k independent permutation-agreement
+    indicators:
+
+        |est - J| <= sqrt(ln(40) / (2k)) + slack     (95% two-sided
+        at slack=0; the additive slack absorbs the family's residual
+        min-collision bias so the verdict is a hard contract, not a
+        statistical one)
+
+    Both sides are deterministic functions of the data: shingle keys
+    are the Horner char fold (_shingle_key_col), the permutations are
+    the affine family (A0 + j*dA, B0 + j*dB) mod p, so the whole row —
+    estimate, exact, verdict — replays bit-for-bit in the DuckDB twin.
+    A broken signature kernel (biased permutation, lost minima, wrong
+    band math upstream) blows abs_err past the bound and the driver
+    hash goes red.
+
+    Scale shape: signatures are pure array algebra per doc (nested
+    transform/array_min — O(|shingles| * k) JVM work, no explosion, no
+    shuffle of shingle text); the pairs join ships only (id, k x 8B
+    signature, distinct-key array). The EXACT Jaccard rides along for
+    contract/oracle duty — at production scale keep signatures only
+    (the q111 KMV positioning).
+
+    Output per pair: (id_a, id_b, n_sig_match, est_jaccard 6dp,
+    exact_jaccard 6dp, abs_err 6dp, within_bound).
+    """
+    if k < 1:
+        raise ValueError("minhash_contract: k must be >= 1")
+    p = F.lit(_KMV_P)
+    ws = F.filter(
+        F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != ""
+    )
+    n = int(shingle_n)
+    sh = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = F.array_distinct(F.transform(sh, _shingle_key_col))
+
+    def perm_min(j):
+        a = (F.lit(_MHC_A0) + j.cast("long") * F.lit(_MHC_DA)) % p
+        b = (F.lit(_MHC_B0) + j.cast("long") * F.lit(_MHC_DB)) % p
+        return F.array_min(
+            F.transform(F.col("__keys"), lambda s: (s * a + b) % p)
+        )
+
+    keyed = docs.select(
+        F.col(id_col).alias("__id"), keys.alias("__keys")
+    ).withColumn(
+        "__sig",
+        F.transform(F.sequence(F.lit(0), F.lit(int(k) - 1)), perm_min),
+    ).localCheckpoint(eager=False)
+    a = keyed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__keys").alias("__ka"),
+        F.col("__sig").alias("__sa"),
+    )
+    b = keyed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__keys").alias("__kb"),
+        F.col("__sig").alias("__sb"),
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = n_match.cast("double") / F.lit(float(k))
+    exact = F.coalesce(
+        F.try_divide(
+            F.size(F.array_intersect("__ka", "__kb")).cast("double"),
+            F.size(F.array_union("__ka", "__kb")).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    bound = F.sqrt(F.log(F.lit(40.0)) / F.lit(2.0 * k)) + F.lit(float(slack))
+    return joined.select(
+        "id_a",
+        "id_b",
+        n_match.alias("n_sig_match"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+        (F.abs(est - exact) <= bound).alias("within_bound"),
+    )

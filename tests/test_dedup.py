@@ -348,3 +348,50 @@ def test_containment_pairs_null_and_empty_cluster(spark):
     # NULL/empty/whitespace share the "" identity (engine convention)
     assert set(out) == {(0, 1), (0, 2), (1, 2)}
     assert all(v == 1.0 for v in out.values())
+
+
+def test_minhash_contract_identical_disjoint_and_bound(spark):
+    from raven_spark.operators.dedup import minhash_contract
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different words about spark shuffles and joins"),
+            (4, "the quick brown fox jumps over the lazy dog again today "
+                "with a small appended tail of extra words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           minhash_contract(docs, pairs, k=64).collect()}
+    # identical docs: every permutation agrees, exact J = 1
+    assert out[(1, 2)]["n_sig_match"] == 64
+    assert out[(1, 2)]["est_jaccard"] == 1.0
+    assert out[(1, 2)]["exact_jaccard"] == 1.0
+    assert out[(1, 2)]["within_bound"]
+    # disjoint shingle sets: exact 0, estimator within the bound of 0
+    assert out[(1, 3)]["exact_jaccard"] == 0.0
+    assert out[(1, 3)]["within_bound"]
+    # containment-style pair: 0 < J < 1 and the estimate tracks it
+    r = out[(1, 4)]
+    assert 0.0 < r["exact_jaccard"] < 1.0
+    assert r["within_bound"] and r["abs_err"] <= 0.3
+
+
+def test_minhash_contract_partition_invariant(spark):
+    from raven_spark.operators.dedup import minhash_contract
+
+    docs = spark.range(40).selectExpr(
+        "id as doc_id",
+        "concat('w', id % 7, ' x', id % 5, ' y', id % 3, ' z', id % 11, "
+        "' a', id % 13, ' b', id % 2) as text",
+    )
+    pairs = spark.range(39).selectExpr("id as id_a", "id + 1 as id_b")
+    a = sorted(map(tuple, minhash_contract(docs, pairs, k=16).collect()))
+    b = sorted(map(tuple,
+                   minhash_contract(docs.repartition(9), pairs, k=16).collect()))
+    assert a == b
