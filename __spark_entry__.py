@@ -2944,6 +2944,35 @@ def q130_minhash_contract(spark, sf_dir):
     return minhash_contract(docs, near.union(far), k=64, shingle_n=3)
 
 
+def q131_train_classifier(spark, sf_dir):
+    """In-engine distributed training of the hashed quality classifier
+    (operators/quality_model.py::train_classifier): full-batch logistic
+    regression over the q51 unigram+bigram hashed features, T=3 GD
+    steps with every cross-row sum in fixed-point (round(term*1e12)
+    accumulated exactly) and every residual/weight rounded to 12 dp —
+    the trajectory is a pure function of the data, so the oracle
+    unrolls the three iterations as CTEs and replays weight-for-weight.
+    Labels: planted-word supervision (doc contains 'spark'), so the
+    planted bucket separates and the learned table feeds
+    classifier_score(weights=...) directly."""
+    from raven_spark.operators.quality_model import train_classifier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "text",
+        F.array_contains(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+            "spark",
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    return train_classifier(
+        labeled, n_buckets=64, iterations=3, lr=0.5
+    ).orderBy("bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3076,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_token_budget": q128_token_budget,
         "q129_calibration": q129_calibration,
         "q130_minhash_contract": q130_minhash_contract,
+        "q131_train_classifier": q131_train_classifier,
     }
 
 
@@ -6996,6 +7026,108 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON g.id_a = i.id_a AND g.id_b = i.id_b
             JOIN sizes sa ON sa.id = g.id_a
             JOIN sizes sb ON sb.id = g.id_b
+        """,
+        "q131_train_classifier": r"""
+            -- full GD replay: q51 hashed features -> (did, bucket, coef)
+            -- cells + bias cell -> THREE unrolled fixed-point logistic
+            -- steps (round(term*1e12) summed exactly as HUGEINT,
+            -- residuals/weights rounded 12dp) -> final weights table
+            WITH lab AS (
+              SELECT doc_id AS did,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                       AS norm,
+                     CASE WHEN list_contains(
+                            string_split(
+                              regexp_replace(lower(trim(text)),
+                                             '\s+', ' ', 'g'), ' '),
+                            'spark')
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS y
+              FROM documents WHERE text IS NOT NULL
+            ), words AS (
+              SELECT did, string_split(norm, ' ') AS ws
+              FROM lab WHERE length(norm) > 0
+            ), feats AS (
+              SELECT did, unnest(ws) AS f FROM words
+              UNION ALL
+              SELECT did,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i+1]))
+              FROM words
+            ), cells0 AS (
+              SELECT did,
+                     (list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(f) + 1),
+                            i -> CAST(unicode(substring(f, CAST(i AS INT), 1))
+                                      AS BIGINT))),
+                        (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                      * 2654435761) % 64 AS bucket
+              FROM feats
+            ), m AS (
+              SELECT did, count(*) AS m FROM cells0 GROUP BY did
+            ), cells AS (
+              SELECT c.did, c.bucket,
+                     CAST(1.0 AS DOUBLE) / m.m AS coef
+              FROM cells0 c JOIN m USING (did)
+              UNION ALL
+              SELECT did, CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE) FROM lab
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM lab
+            ),
+            r1 AS (
+              SELECT did, round(CAST(0.5 AS DOUBLE) - y, 12) AS r FROM lab
+            ), g1 AS (
+              SELECT c.bucket,
+                     CAST(sum(CAST(round(r1.r * c.coef * 1e12) AS HUGEINT))
+                          AS DOUBLE) / 1e12 AS gs
+              FROM cells c JOIN r1 USING (did) GROUP BY c.bucket
+            ), w1 AS (
+              SELECT g1.bucket,
+                     round(CAST(0.0 AS DOUBLE) - 0.5 * (g1.gs / n.n), 12) AS w
+              FROM g1, n
+            ),
+            z2 AS (
+              SELECT c.did,
+                     CAST(sum(CAST(round(w1.w * c.coef * 1e12) AS HUGEINT))
+                          AS DOUBLE) / 1e12 AS z
+              FROM cells c JOIN w1 USING (bucket) GROUP BY c.did
+            ), r2 AS (
+              SELECT lab.did,
+                     round(CAST(1.0 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE) + exp(-z2.z)) - lab.y, 12)
+                       AS r
+              FROM lab JOIN z2 ON lab.did = z2.did
+            ), g2 AS (
+              SELECT c.bucket,
+                     CAST(sum(CAST(round(r2.r * c.coef * 1e12) AS HUGEINT))
+                          AS DOUBLE) / 1e12 AS gs
+              FROM cells c JOIN r2 USING (did) GROUP BY c.bucket
+            ), w2 AS (
+              SELECT g2.bucket, round(w1.w - 0.5 * (g2.gs / n.n), 12) AS w
+              FROM g2 JOIN w1 USING (bucket), n
+            ),
+            z3 AS (
+              SELECT c.did,
+                     CAST(sum(CAST(round(w2.w * c.coef * 1e12) AS HUGEINT))
+                          AS DOUBLE) / 1e12 AS z
+              FROM cells c JOIN w2 USING (bucket) GROUP BY c.did
+            ), r3 AS (
+              SELECT lab.did,
+                     round(CAST(1.0 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE) + exp(-z3.z)) - lab.y, 12)
+                       AS r
+              FROM lab JOIN z3 ON lab.did = z3.did
+            ), g3 AS (
+              SELECT c.bucket,
+                     CAST(sum(CAST(round(r3.r * c.coef * 1e12) AS HUGEINT))
+                          AS DOUBLE) / 1e12 AS gs
+              FROM cells c JOIN r3 USING (did) GROUP BY c.bucket
+            )
+            SELECT g3.bucket,
+                   round(w2.w - 0.5 * (g3.gs / n.n), 12) AS weight
+            FROM g3 JOIN w2 USING (bucket), n
+            ORDER BY bucket
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -150,6 +150,7 @@ HEADLINE = [
     "q128_token_budget",
     "q129_calibration",
     "q130_minhash_contract",
+    "q131_train_classifier",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

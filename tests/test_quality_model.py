@@ -11,6 +11,8 @@ from raven_spark.operators.quality_model import (
     classifier_score,
     feature_bucket_py,
     score_text_py,
+    train_classifier,
+    train_py,
 )
 
 D = 1 << 14
@@ -99,3 +101,96 @@ def test_classifier_null_text_both_paths_agree(spark):
     assert learned[1]["n_feats"] == 0 and learned[1]["quality_score"] is None
     assert (synth[1]["n_feats"], synth[1]["quality_score"]) == (
         learned[1]["n_feats"], learned[1]["quality_score"])
+
+
+# -- in-engine training (train_classifier) ---------------------------------
+
+TRAIN_DOCS = [
+    # label 1 docs share the planted word 'good'; label 0 share 'spam'
+    (1, "good clean prose with varied words", 1.0),
+    (2, "another good document of real text", 1.0),
+    (3, "good writing appears here too", 1.0),
+    (4, "spam spam buy now cheap", 0.0),
+    (5, "cheap spam offer click here", 0.0),
+    (6, "spam text low quality stuff", 0.0),
+    (7, "", 1.0),          # empty: bias-only row
+    (8, None, 0.0),        # NULL text: bias-only row
+]
+
+
+def _train_df(spark):
+    return spark.createDataFrame(
+        TRAIN_DOCS, "doc_id long, text string, label double"
+    )
+
+
+def test_train_matches_python_twin(spark):
+    got = {
+        r["bucket"]: r["weight"]
+        for r in train_classifier(
+            _train_df(spark), n_buckets=D, iterations=3, lr=0.5
+        ).collect()
+    }
+    want = train_py(
+        [(t, y) for _, t, y in TRAIN_DOCS], n_buckets=D, iterations=3, lr=0.5
+    )
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b] == pytest.approx(want[b], abs=1e-12), b
+
+
+def test_train_learns_planted_signal(spark):
+    """The planted vocabulary must separate: bucket('good') gets a
+    positive weight, bucket('spam') a negative one, and scoring the
+    training set with the learned table ranks every positive doc above
+    every negative doc."""
+    w = train_classifier(_train_df(spark), n_buckets=D, iterations=5, lr=1.0)
+    wmap = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert wmap[feature_bucket_py("good", D)] > 0
+    assert wmap[feature_bucket_py("spam", D)] < 0
+    scored = classifier_score(
+        _train_df(spark).filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+        n_buckets=D,
+        weights=w.filter(F.col("bucket") >= 0),
+    )
+    s = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    assert min(s[1], s[2], s[3]) > max(s[4], s[5], s[6])
+
+
+def test_train_partition_invariant(spark):
+    df = _train_df(spark)
+    one = {
+        tuple(r)
+        for r in train_classifier(
+            df.coalesce(1), n_buckets=D, iterations=2
+        ).collect()
+    }
+    many = {
+        tuple(r)
+        for r in train_classifier(
+            df.repartition(7), n_buckets=D, iterations=2
+        ).collect()
+    }
+    assert one == many
+
+
+def test_train_reduces_logloss(spark):
+    """T=4 training must strictly reduce the mean log-loss vs the
+    all-zero model (whose loss is ln 2)."""
+    import math
+
+    w = train_classifier(_train_df(spark), n_buckets=D, iterations=4, lr=1.0)
+    wmap = {r["bucket"]: r["weight"] for r in w.collect()}
+
+    def wfn(b):
+        return wmap.get(b, 0.0)
+
+    losses = []
+    for _, text, y in TRAIN_DOCS:
+        if text and text.strip():
+            _, s = score_text_py(text, n_buckets=D, bias=wmap.get(-1, 0.0), weight_fn=wfn)
+        else:
+            s = 1.0 / (1.0 + math.exp(-wmap.get(-1, 0.0)))
+        p = min(max(s, 1e-9), 1 - 1e-9)
+        losses.append(-(y * math.log(p) + (1 - y) * math.log(1 - p)))
+    assert sum(losses) / len(losses) < math.log(2.0)
