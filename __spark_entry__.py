@@ -2973,6 +2973,20 @@ def q131_train_classifier(spark, sf_dir):
     ).orderBy("bucket")
 
 
+def q132_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (operators/pipeline.py::
+    chunk_documents): split each document's token stream into
+    40-token windows advancing by stride 32 (8-token overlap) — the
+    context-window prep between a cleaned corpus and an embedding/RAG
+    index, the per-doc dual of q46's concat-and-pack. Closed-form
+    chunk count K = 1 + ceil(max(m-C,0)/S); zero shuffles (one
+    posexplode of per-row window structs)."""
+    from raven_spark.operators.pipeline import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=40, overlap=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3106,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_calibration": q129_calibration,
         "q130_minhash_contract": q130_minhash_contract,
         "q131_train_classifier": q131_train_classifier,
+        "q132_chunk_documents": q132_chunk_documents,
     }
 
 
@@ -7128,6 +7143,36 @@ def oracle_sql() -> dict[str, str]:
                    round(w2.w - 0.5 * (g3.gs / n.n), 12) AS weight
             FROM g3 JOIN w2 USING (bucket), n
             ORDER BY bucket
+        """,
+        "q132_chunk_documents": r"""
+            -- closed-form window replay: K = 1 + ceil(max(m-40,0)/32),
+            -- start k*32, slice [start+1 : start+40], tail clipped
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), d2 AS (
+              SELECT doc_id, ws, len(ws) AS m FROM docs WHERE len(ws) > 0
+            ), k AS (
+              SELECT doc_id, ws, m,
+                     1 + CAST(ceil(CAST(greatest(m - 40, 0) AS DOUBLE)
+                                   / 32.0) AS INT) AS k
+              FROM d2
+            ), ch AS (
+              SELECT doc_id, ws, m,
+                     unnest(generate_series(0, k - 1)) AS chunk_id
+              FROM k
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(chunk_id * 32 AS INT) AS start_tok,
+                   CAST(least(m - chunk_id * 32, 40) AS INT) AS n_tok,
+                   array_to_string(
+                     list_slice(ws, chunk_id * 32 + 1, chunk_id * 32 + 40),
+                     ' ') AS chunk_text
+            FROM ch
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -151,6 +151,7 @@ HEADLINE = [
     "q129_calibration",
     "q130_minhash_contract",
     "q131_train_classifier",
+    "q132_chunk_documents",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -2624,3 +2624,70 @@ def calibration_bins(
             gap * F.col("n").cast("double") / F.col("__N").cast("double"), 6
         ).alias("contribution"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window prep step
+    between a cleaned corpus and an embedding/RAG index (and the
+    per-document dual of sequence packing q46, which CONCATENATES short
+    docs; this SPLITS long ones): cut each document's whitespace-token
+    stream into windows of ``chunk_tokens`` tokens advancing by
+    stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens of context and no token is orphaned.
+
+    Chunk count is closed-form and deterministic:
+
+        K(m) = 1 + ceil(max(m - C, 0) / S)      (C = chunk, S = stride)
+
+    — one chunk when the doc fits, otherwise exactly enough windows
+    that the last start s = (K-1)*S satisfies s + C >= m (full
+    coverage) and s < m (the tail chunk is never empty). Empty/NULL
+    docs emit no rows.
+
+    Scale shape: pure column algebra — split once, build the K window
+    structs with transform over sequence + slice (array ops on the
+    already-materialized token array, no re-tokenization per chunk),
+    then ONE posexplode. Zero shuffles, zero Python; the fan-out is
+    bounded by m/S rows per doc, each carrying only its own window's
+    text. Chunk ids are (doc, ordinal) — stable under repartitioning.
+
+    Output: (id, chunk_id int, start_tok int, n_tok int, chunk_text).
+    """
+    C = int(chunk_tokens)
+    S = C - int(overlap)
+    if C < 1 or S < 1:
+        raise ValueError("chunk_documents: need chunk_tokens >= 1 and overlap < chunk_tokens")
+    ws = F.filter(
+        F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != ""
+    )
+    m = F.size(ws)
+    k = F.lit(1) + F.ceil(
+        F.greatest(m - F.lit(C), F.lit(0)).cast("double") / F.lit(float(S))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.struct(
+            (i * S).cast("int").alias("start_tok"),
+            F.least(m - i * S, F.lit(C)).cast("int").alias("n_tok"),
+            F.concat_ws(" ", F.slice(ws, i * S + 1, C)).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.when(m > 0, chunks).alias("__chunks"))
+        .select(
+            id_col, F.posexplode("__chunks").alias("chunk_id", "__c")
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("__c.start_tok").alias("start_tok"),
+            F.col("__c.n_tok").alias("n_tok"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -1236,3 +1236,73 @@ def test_calibration_bins_rejects_out_of_range_scores(spark):
     df = spark.createDataFrame([(1.5, 1)], "score double, label int")
     with pytest.raises(SparkRuntimeException, match="out of"):
         calibration_bins(df).collect()
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from raven_spark.operators.pipeline import chunk_documents
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    eleven = " ".join(f"w{i}" for i in range(11))
+    four = "a b c d"
+    five = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, ten), (2, eleven), (3, four), (4, five), (5, ""), (6, None),
+         (7, "  Multi   space\ttokens  ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # m=10, C=4, S=3 -> K=3: starts 0,3,6; full coverage, tail n_tok=4
+    assert [rows[(1, k)]["start_tok"] for k in range(3)] == [0, 3, 6]
+    assert rows[(1, 2)]["n_tok"] == 4
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert (1, 3) not in rows
+    # m=11 -> K=4, tail start 9 < m with n_tok 2
+    assert rows[(2, 3)]["start_tok"] == 9 and rows[(2, 3)]["n_tok"] == 2
+    assert rows[(2, 3)]["chunk_text"] == "w9 w10"
+    # m=C -> exactly one chunk
+    assert rows[(3, 0)]["n_tok"] == 4 and (3, 1) not in rows
+    # m=C+1 -> two chunks, tail covers the orphan token with overlap
+    assert rows[(4, 1)]["start_tok"] == 3 and rows[(4, 1)]["chunk_text"] == "d e"
+    # empty and NULL docs emit nothing
+    assert not any(d in (5, 6) for d, _ in rows)
+    # whitespace normalization matches the dedup identity
+    assert rows[(7, 0)]["chunk_text"] == "multi space tokens"
+    # every token of doc 2 is covered by some window
+    covered = set()
+    for k in range(4):
+        r = rows[(2, k)]
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(11))
+
+
+def test_chunk_documents_shuffle_free_and_invariant(spark):
+    from raven_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(i % 23))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    plan = (
+        chunk_documents(df, chunk_tokens=8, overlap=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    one = {tuple(r) for r in chunk_documents(df.coalesce(1), chunk_tokens=8, overlap=2).collect()}
+    many = {tuple(r) for r in chunk_documents(df.repartition(13), chunk_tokens=8, overlap=2).collect()}
+    assert one == many
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from raven_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, overlap=0)
