@@ -2987,6 +2987,42 @@ def q132_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=40, overlap=8)
 
 
+def q133_html_stats(spark, sf_dir):
+    """Markup-structure quality signals (functions/text.py::
+    html_stats_cols): tag/anchor/script counts, visible-char share and
+    anchor density over the RAW html — the pre-extraction filter
+    signals (RefinedWeb/Gopher drop link-farm and script-heavy pages
+    before paying extraction). Pages synthesized deterministically from
+    the documents table: title + optional script block (doc_id % 3) +
+    body text + 0-4 repeated nav anchors (doc_id % 5), so every ratio
+    varies and replays exactly."""
+    from raven_spark.functions.text import with_html_stats
+
+    one_anchor = '<a href="/x">more</a>'
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title>"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("<script>var x=1;</script>")
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><h1>doc</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            F.substring(
+                F.lit(one_anchor * 4),
+                F.lit(1),
+                (F.pmod(F.col("doc_id"), F.lit(5)) * len(one_anchor)).cast("int"),
+            ),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return with_html_stats(pages).drop("html")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3121,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_minhash_contract": q130_minhash_contract,
         "q131_train_classifier": q131_train_classifier,
         "q132_chunk_documents": q132_chunk_documents,
+        "q133_html_stats": q133_html_stats,
     }
 
 
@@ -7173,6 +7210,43 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(ws, chunk_id * 32 + 1, chunk_id * 32 + 40),
                      ' ') AS chunk_text
             FROM ch
+        """,
+        "q133_html_stats": r"""
+            -- same deterministic page synthesis, same regexp algebra
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title>'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '<script>var x=1;</script>' ELSE '' END
+                     || '</head><body><h1>doc</h1><p>'
+                     || coalesce(text, '') || '</p>'
+                     || substr(repeat('<a href="/x">more</a>', 4), 1,
+                               CAST((doc_id % 5) * 21 AS INT))
+                     || '</body></html>' AS html
+              FROM documents
+            ), s AS (
+              SELECT doc_id, html,
+                     length(html) AS n_chars,
+                     CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+                     CAST(len(regexp_extract_all(html, '<[a-zA-Z/!]'))
+                          AS BIGINT) AS n_tags,
+                     CAST(len(regexp_extract_all(html, '<[aA][ >]'))
+                          AS BIGINT) AS n_anchors,
+                     CAST(len(regexp_extract_all(
+                            html, '<[sS][cC][rR][iI][pP][tT][ >]'))
+                          AS BIGINT) AS n_scripts,
+                     CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                          AS BIGINT) AS visible_chars
+              FROM pages
+            )
+            SELECT doc_id, n_bytes, n_tags, n_anchors, n_scripts,
+                   visible_chars,
+                   round(CAST(visible_chars AS DOUBLE)
+                         / greatest(n_chars, 1), 6) AS text_ratio,
+                   round(CAST(n_anchors AS DOUBLE) * 1000.0
+                         / greatest(visible_chars, 1), 6) AS anchor_density
+            FROM s
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

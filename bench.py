@@ -152,6 +152,7 @@ HEADLINE = [
     "q130_minhash_contract",
     "q131_train_classifier",
     "q132_chunk_documents",
+    "q133_html_stats",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

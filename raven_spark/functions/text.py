@@ -708,3 +708,53 @@ def kwic_snippets(
             F.substr(src, start, length).alias("snippet"),
         )
     )
+
+
+def html_stats_cols(html: Column) -> dict[str, Column]:
+    """Markup-structure quality signals over the RAW html column — the
+    pre-extraction complement of quality_cols (which sees only the
+    extracted text): link-dense and script-heavy pages are navigation /
+    boilerplate / ad chrome, and RefinedWeb/Gopher-family pipelines
+    filter on exactly these ratios BEFORE spending extraction and LM
+    scoring on a page. Pure codegen'd column algebra (regexp counts +
+    one tag-strip), zero exchanges, fused into the scan.
+
+    - n_bytes: octet length of the html (utf-8 bytes)
+    - n_tags: markup tag opens ('<' followed by a name, '/' or '!')
+    - n_anchors / n_scripts: '<a'/'<script' element opens
+    - visible_chars: chars left after stripping '<...>' runs (a cheap
+      strip, NOT the extractor — scripts/styles count as visible here;
+      the signal is markup share, not rendered text)
+    - text_ratio: visible_chars / total chars (0 for empty html)
+    - anchor_density: anchors per 1000 visible chars (boilerplate
+      nav pages score high even when text_ratio looks healthy)
+    """
+    n_chars = F.length(html)
+    n_bytes = F.octet_length(html)
+    n_tags = F.regexp_count(html, F.lit(r"<[a-zA-Z/!]"))
+    n_anchors = F.regexp_count(html, F.lit(r"<[aA][ >]"))
+    n_scripts = F.regexp_count(html, F.lit(r"<[sS][cC][rR][iI][pP][tT][ >]"))
+    visible = F.length(F.regexp_replace(html, r"<[^>]*>", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_vis = F.greatest(visible, F.lit(1)).cast("double")
+    return {
+        "n_bytes": n_bytes.cast("bigint"),
+        "n_tags": n_tags.cast("bigint"),
+        "n_anchors": n_anchors.cast("bigint"),
+        "n_scripts": n_scripts.cast("bigint"),
+        "visible_chars": visible.cast("bigint"),
+        "text_ratio": F.round(visible.cast("double") / safe_chars, 6),
+        "anchor_density": F.round(
+            n_anchors.cast("double") * F.lit(1000.0) / safe_vis, 6
+        ),
+    }
+
+
+def with_html_stats(df, html_col: str = "html"):
+    """Append html_stats_cols over ``html_col`` (binary columns should
+    be decoded/charset-converted first — functions/charset.py)."""
+    cols = html_stats_cols(F.col(html_col))
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return out

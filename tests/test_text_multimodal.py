@@ -299,3 +299,40 @@ def test_kwic_snippets_window_and_counts(spark):
     r1 = got[1]
     assert r1["pos"] == 1 and r1["snippet"].startswith("NEEDLE")
     assert got[3]["n_matches"] == 2 and got[3]["pos"] == 5
+
+
+def test_html_stats_hand_computed(spark):
+    from raven_spark.functions.text import with_html_stats
+
+    h1 = '<html><head><script src="x"></script></head><body><a href="/l">go</a><p>hi there</p></body></html>'
+    df = spark.createDataFrame(
+        [(1, h1), (2, "no markup at all"), (3, ""), (4, None),
+         (5, "<A HREF=x>caps</A><SCRIPT>s</SCRIPT>")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in with_html_stats(df).collect()}
+    r1 = rows[1]
+    # tags: html head script /script /head body a /a p /p /body /html = 12
+    assert r1["n_tags"] == 12
+    assert r1["n_anchors"] == 1
+    assert r1["n_scripts"] == 1
+    assert r1["visible_chars"] == len("go") + len("hi there")
+    assert r1["n_bytes"] == len(h1.encode())
+    assert r1["text_ratio"] == round(10 / len(h1), 6)
+    assert r1["anchor_density"] == 100.0  # 1 anchor / 10 visible chars
+    r2 = rows[2]
+    assert (r2["n_tags"], r2["n_anchors"], r2["n_scripts"]) == (0, 0, 0)
+    assert r2["text_ratio"] == 1.0
+    r3 = rows[3]
+    assert (r3["visible_chars"], r3["text_ratio"]) == (0, 0.0)
+    assert rows[4]["n_tags"] is None and rows[4]["text_ratio"] is None
+    # case-insensitive anchor/script matching
+    assert rows[5]["n_anchors"] == 1 and rows[5]["n_scripts"] == 1
+
+
+def test_html_stats_shuffle_free(spark):
+    from raven_spark.functions.text import with_html_stats
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = with_html_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
