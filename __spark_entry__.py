@@ -3022,6 +3022,25 @@ def q133_html_stats(spark, sf_dir):
     )
     return with_html_stats(pages).drop("html")
 
+def q134_domain_normalize(spark, sf_dir):
+    """Per-domain score normalization (operators/pipeline.py::
+    domain_score_normalize): in-domain percentile rank + exact
+    fixed-point z-score — the calibration step between a quality
+    scorer and a single GLOBAL keep threshold (score distributions
+    differ per domain; thresholding raw scores over-selects easy
+    domains). Scores synthesized deterministically (doc_id*37 % 1000
+    / 1000) over the documents table's real source groups."""
+    from raven_spark.operators.pipeline import domain_score_normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.pmod(F.col("doc_id") * 37, F.lit(1000)).cast("double") / 1000.0).alias(
+            "score"
+        ),
+    )
+    return domain_score_normalize(d, group_col="source")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3158,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_train_classifier": q131_train_classifier,
         "q132_chunk_documents": q132_chunk_documents,
         "q133_html_stats": q133_html_stats,
+        "q134_domain_normalize": q134_domain_normalize,
     }
 
 
@@ -7247,6 +7267,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_anchors AS DOUBLE) * 1000.0
                          / greatest(visible_chars, 1), 6) AS anchor_density
             FROM s
+        """,
+        "q134_domain_normalize": r"""
+            -- fixed-point moment replay + RANK percentile per domain
+            WITH base AS (
+              SELECT doc_id, source,
+                     round(CAST(doc_id * 37 % 1000 AS DOUBLE) / 1000.0, 6)
+                       AS score
+              FROM documents
+            ), mom AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(CAST(round(score * 1e6) AS HUGEINT))
+                          AS DOUBLE) / 1e6 / count(*) AS mean,
+                     CAST(sum(CAST(round(score * 1e6) AS HUGEINT)
+                              * CAST(round(score * 1e6) AS HUGEINT))
+                          AS DOUBLE) / 1e12 / count(*) AS ex2,
+                     min(score) AS lo, max(score) AS hi
+              FROM base GROUP BY source
+            ), mom2 AS (
+              SELECT source, n, mean,
+                     CASE WHEN lo < hi THEN ex2 - mean * mean END AS var
+              FROM mom
+            ), ranked AS (
+              SELECT doc_id, source, score,
+                     rank() OVER (PARTITION BY source ORDER BY score ASC)
+                       AS rk
+              FROM base
+            )
+            SELECT r.doc_id, r.source, r.score,
+                   CAST(m.n AS BIGINT) AS n_domain,
+                   round(CAST(r.rk - 1 AS DOUBLE)
+                         / greatest(m.n - 1, 1), 6) AS pct_rank,
+                   CASE WHEN m.var > 0
+                        THEN round((r.score - m.mean) / sqrt(m.var), 6) + 0.0
+                   END AS z
+            FROM ranked r JOIN mom2 m USING (source)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -153,6 +153,7 @@ HEADLINE = [
     "q131_train_classifier",
     "q132_chunk_documents",
     "q133_html_stats",
+    "q134_domain_normalize",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

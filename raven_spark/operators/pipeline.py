@@ -2691,3 +2691,95 @@ def chunk_documents(
             F.col("__c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def domain_score_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain score normalization — the calibration step between a
+    quality scorer (q51/q131 classifier, quality_cols heuristics) and a
+    single GLOBAL keep threshold: score distributions differ per domain
+    (a 0.6 on a news site is not a 0.6 on a forum), so thresholding raw
+    scores over-selects easy domains. Emit two normalized views per row:
+
+    - pct_rank: (rank(score) - 1) / (n - 1) within the domain (RANK so
+      ties share a value — deterministic without an id tie-break; 0.0
+      for singleton domains)
+    - z: (score - mean) / stddev_pop within the domain, NULL when the
+      domain's variance is 0
+
+    DETERMINISM: mean/variance use fixed-point sums — scores are
+    6-dp-rounded on entry, summed exactly as round(score*1e6) /
+    round((score*1e6)^2) in decimal(38,0) — so the moments are
+    partition-independent and the DuckDB twin replays them (HUGEINT
+    sums). The rank is a pure order function of (score).
+
+    Scale shape: ONE hash exchange on the domain key shared by the
+    moment aggregate (map-side combinable) and the rank window; the
+    moment table is O(domains) and broadcast back. A Zipf-hot domain
+    pays an O(n log n) in-domain sort — the exact-rank cost; at
+    extreme skew the same output shape can be fed from the GK quantile
+    sketch (q106 gk_quantiles) instead of a full sort, trading
+    exactness for a bounded-memory merge. NULL scores/groups pass
+    through with NULL normalized columns (counted nowhere).
+
+    Output: (id, group, score 6dp, n_domain, pct_rank 6dp, z 6dp).
+    """
+    s6 = F.round(F.col(score_col).cast("double"), 6)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        s6.alias("__s"),
+    )
+    ok = base.filter(F.col("__g").isNotNull() & F.col("__s").isNotNull())
+    sfp = F.round(F.col("__s") * F.lit(1e6), 0).cast("decimal(38,0)")
+    mom = ok.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(sfp).alias("__sum"),
+        F.sum(sfp * sfp).alias("__sumsq"),
+        F.min("__s").alias("__lo"),
+        F.max("__s").alias("__hi"),
+    )
+    mean = F.col("__sum").cast("double") / F.lit(1e6) / F.col("__n")
+    ex2 = F.col("__sumsq").cast("double") / F.lit(1e12) / F.col("__n")
+    # zero-variance guard on EXACT order stats (min < max on the 6-dp
+    # scores), not on the float moment difference — catastrophic
+    # cancellation leaves +/- 1e-17 residues whose sign is luck
+    mom = mom.select(
+        "__g",
+        "__n",
+        mean.alias("__mean"),
+        F.when(F.col("__lo") < F.col("__hi"), ex2 - mean * mean).alias("__var"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__s").asc())
+    ranked = ok.withColumn("__rk", F.rank().over(w))
+    out = ranked.join(F.broadcast(mom), "__g").select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__s").alias(score_col),
+        F.col("__n").cast("bigint").alias("n_domain"),
+        F.round(
+            (F.col("__rk") - F.lit(1)).cast("double")
+            / F.greatest(F.col("__n") - F.lit(1), F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_rank"),
+        F.when(
+            F.col("__var") > 0,
+            # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's double round keeps
+            # the sign; BigDecimal HALF_UP does not — parity needs one)
+            F.round((F.col("__s") - F.col("__mean")) / F.sqrt("__var"), 6)
+            + F.lit(0.0),
+        ).alias("z"),
+    )
+    skipped = base.filter(F.col("__g").isNull() | F.col("__s").isNull()).select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__s").alias(score_col),
+        F.lit(None).cast("bigint").alias("n_domain"),
+        F.lit(None).cast("double").alias("pct_rank"),
+        F.lit(None).cast("double").alias("z"),
+    )
+    return out.unionByName(skipped)

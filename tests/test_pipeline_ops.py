@@ -1306,3 +1306,49 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=0, overlap=0)
+
+
+def test_domain_score_normalize_hand_computed(spark):
+    from raven_spark.operators.pipeline import domain_score_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.1), (2, "a", 0.5), (3, "a", 0.5), (4, "a", 0.9),
+            (5, "b", 0.7),                  # singleton domain
+            (6, "c", 0.4), (7, "c", 0.4),   # zero-variance domain
+            (8, None, 0.3), (9, "a", None), # NULL passthroughs
+        ],
+        "doc_id long, source string, score double",
+    )
+    rows = {r["doc_id"]: r for r in domain_score_normalize(df).collect()}
+    # domain a: ranks 1,2,2,4 over n=4 -> pct (rk-1)/3
+    assert rows[1]["pct_rank"] == 0.0
+    assert rows[2]["pct_rank"] == rows[3]["pct_rank"] == round(1 / 3, 6)
+    assert rows[4]["pct_rank"] == 1.0
+    # domain a moments: mean 0.5, var = E[x^2]-mean^2 = 0.08
+    import math
+
+    mean, var = 0.5, (0.01 + 0.25 + 0.25 + 0.81) / 4 - 0.25
+    assert rows[1]["z"] == round((0.1 - mean) / math.sqrt(var), 6)
+    assert rows[4]["z"] == round((0.9 - mean) / math.sqrt(var), 6)
+    assert rows[2]["z"] == 0.0
+    # singleton: pct 0, z NULL (var 0)
+    assert rows[5]["pct_rank"] == 0.0 and rows[5]["z"] is None
+    # zero-variance domain: z NULL, both rows pct 0 (tied rank 1)
+    assert rows[6]["z"] is None and rows[6]["pct_rank"] == 0.0
+    # NULL group/score pass through unnormalized
+    assert rows[8]["pct_rank"] is None and rows[8]["n_domain"] is None
+    assert rows[9]["pct_rank"] is None and rows[9]["score"] is None
+    assert rows[1]["n_domain"] == 4
+
+
+def test_domain_score_normalize_partition_invariant(spark):
+    from raven_spark.operators.pipeline import domain_score_normalize
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 5}", (i * 37 % 100) / 100.0) for i in range(200)],
+        "doc_id long, source string, score double",
+    )
+    one = {tuple(r) for r in domain_score_normalize(df.coalesce(1)).collect()}
+    many = {tuple(r) for r in domain_score_normalize(df.repartition(11)).collect()}
+    assert one == many
