@@ -3041,6 +3041,40 @@ def q134_domain_normalize(spark, sf_dir):
     )
     return domain_score_normalize(d, group_col="source")
 
+def q135_pseudonymize(spark, sf_dir):
+    """Consistent PII pseudonymization (functions/pii.py::
+    pseudonymize_pii): every email swapped for a STABLE keyed surrogate
+    <EMAIL:k> (Horner fold of the lowercased address, Knuth-mixed) —
+    referential integrity survives scrubbing (same author keeps the
+    same surrogate across documents), the identity does not, and the
+    surrogate alphabet has no '@' so the pass is idempotent. Emails
+    planted deterministically: doc_id % 3 == 0 gets two (one
+    mixed-case), == 1 gets a leading one, == 2 none."""
+    from raven_spark.functions.pii import pseudonymize_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = F.concat(
+        F.lit("user"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example"),
+    )
+    m2 = F.concat(
+        F.lit("Sec.Ond+tag@Host"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org"),
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(t, F.lit(" contact "), m1, F.lit(" and "), m2, F.lit(" now")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("from "), m1, F.lit(": "), t))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return pseudonymize_pii(planted, space=1_000_000_000)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3178,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_chunk_documents": q132_chunk_documents,
         "q133_html_stats": q133_html_stats,
         "q134_domain_normalize": q134_domain_normalize,
+        "q135_pseudonymize": q135_pseudonymize,
     }
 
 
@@ -7302,6 +7337,52 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((r.score - m.mean) / sqrt(m.var), 6) + 0.0
                    END AS z
             FROM ranked r JOIN mom2 m USING (source)
+        """,
+        "q135_pseudonymize": r"""
+            -- same planted emails, same Horner/Knuth surrogate, same
+            -- split-and-reinterleave rebuild
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         coalesce(text, '') || ' contact user'
+                         || CAST(doc_id % 40 AS VARCHAR) || '@mail'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                         || ' and Sec.Ond+tag@Host'
+                         || CAST(doc_id % 5 AS VARCHAR) || '.org now'
+                       WHEN doc_id % 3 = 1 THEN
+                         'from user' || CAST(doc_id % 40 AS VARCHAR)
+                         || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example: ' || coalesce(text, '')
+                       ELSE coalesce(text, '')
+                     END AS text
+              FROM documents
+            ), pieces AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}')
+                       AS ms,
+                     string_split_regex(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}')
+                       AS parts
+              FROM planted
+            )
+            SELECT doc_id AS id,
+                   CAST(len(ms) AS BIGINT) AS n_emails,
+                   CASE WHEN len(ms) = 0 THEN text
+                        ELSE parts[1] || array_to_string(
+                          list_transform(range(1, len(ms) + 1),
+                            i -> '<EMAIL:' || CAST(
+                              (list_reduce(
+                                 list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(string_split(lower(ms[i]), ''),
+                                     c -> CAST(unicode(c) AS BIGINT))),
+                                 (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                               * 2654435761) % 1000000000 AS VARCHAR)
+                            || '>' || parts[i + 1]),
+                          '')
+                   END AS pseudonymized
+            FROM pieces
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -154,6 +154,7 @@ HEADLINE = [
     "q132_chunk_documents",
     "q133_html_stats",
     "q134_domain_normalize",
+    "q135_pseudonymize",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -74,3 +74,78 @@ def scrub_pii(
         (c["n_emails"] + c["n_ips"] + c["n_phones"] > 0).alias("has_pii"),
         redact_pii_col(F.col(text_col)).alias("redacted"),
     )
+
+
+# Pseudonymization: constants of the engine-wide SQL-replayable hash
+# family (quality_model.py POLY_P / KNUTH_32)
+_POLY_P = 1_000_000_007
+_KNUTH_32 = 2_654_435_761
+
+
+def _email_key_col(m: Column, space: int) -> Column:
+    """Stable surrogate id for one matched address: Horner codepoint
+    fold of the LOWERCASED match mod 1e9+7, Knuth-mixed into
+    ``space``. Case variants of the same address collapse; all
+    intermediates fit bigint (h < 1e9+7, h*K < 2.7e18)."""
+    cps = F.transform(
+        F.split(F.lower(m), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    h = F.aggregate(
+        cps,
+        F.lit(0).cast("bigint"),
+        lambda acc, cp: F.pmod(acc * F.lit(31) + cp, F.lit(_POLY_P)),
+    )
+    return F.pmod(h * F.lit(_KNUTH_32), F.lit(int(space)))
+
+
+def pseudonymize_emails_col(text: Column, space: int = 1_000_000_000) -> Column:
+    """Replace every email with a STABLE pseudonym ``<EMAIL:k>`` where
+    k is a keyed hash of the lowercased address — unlike redact_pii_col's
+    one-token-for-all, the same author keeps the same surrogate across
+    every document (referential integrity survives; the identity does
+    not — the exact trade published code-PII pipelines make when they
+    keep distinct placeholder indices per file).
+
+    Mechanics are pure column algebra: split the text around the email
+    regex (parts), extract the matches, hash each match, and re-
+    interleave parts[0] m0 parts[1] m1 ... with one in-row fold — no
+    Python, no shuffle, and the pseudonym alphabet ('<EMAIL:...>')
+    contains no '@', so the pass is IDEMPOTENT and never re-flagged by
+    pii_count_cols."""
+    ms = F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))
+    parts = F.split(text, EMAIL_RE)
+    pseudo = F.transform(
+        ms,
+        lambda m: F.concat(
+            F.lit("<EMAIL:"),
+            _email_key_col(m, space).cast("string"),
+            F.lit(">"),
+        ),
+    )
+    rebuilt = F.aggregate(
+        F.sequence(F.lit(1), F.size(ms)),
+        F.element_at(parts, 1),
+        lambda acc, i: F.concat(
+            acc, F.element_at(pseudo, i), F.element_at(parts, i + 1)
+        ),
+    )
+    return F.when(F.size(ms) == 0, text).otherwise(rebuilt)
+
+
+def pseudonymize_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    space: int = 1_000_000_000,
+) -> DataFrame:
+    """One row per doc: (id, n_emails, pseudonymized) — emails swapped
+    for stable surrogates, other categories left to scrub_pii (ips and
+    phone numbers carry no cross-document identity worth preserving).
+    Single projection over one scan; no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))
+        ).cast("bigint").alias("n_emails"),
+        pseudonymize_emails_col(F.col(text_col), space).alias("pseudonymized"),
+    )

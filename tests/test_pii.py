@@ -64,3 +64,64 @@ def test_email_host_not_half_eaten_by_ip_pass(spark):
     # exact behavior: email regex matches the whole address (host starts
     # alphanumeric), so the full-address replacement wins
     assert out["redacted"] == "<EMAIL> done"
+
+
+def test_pseudonymize_emails_stable_and_interleaved(spark):
+    from raven_spark.functions.pii import pseudonymize_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact Bob@Example.com or alice@test.org today"),
+            (2, "reply to bob@example.com please"),  # same addr, lowercase
+            (3, "no pii here"),
+            (4, ""),
+            (5, None),
+            (6, "a@b.io b@c.io back-to-back a@b.io"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in pseudonymize_pii(df).collect()}
+    import re
+
+    p1 = rows[1]["pseudonymized"]
+    assert re.fullmatch(r"contact <EMAIL:\d+> or <EMAIL:\d+> today", p1)
+    # case variants of the same address share the surrogate
+    tok_bob_1 = re.findall(r"<EMAIL:\d+>", p1)[0]
+    tok_bob_2 = re.findall(r"<EMAIL:\d+>", rows[2]["pseudonymized"])[0]
+    assert tok_bob_1 == tok_bob_2
+    # distinct addresses get distinct surrogates
+    toks1 = re.findall(r"<EMAIL:\d+>", p1)
+    assert toks1[0] != toks1[1]
+    # repeated address within a doc repeats its surrogate
+    toks6 = re.findall(r"<EMAIL:\d+>", rows[6]["pseudonymized"])
+    assert toks6[0] == toks6[2] and toks6[0] != toks6[1]
+    # non-matching docs unchanged; NULL stays NULL
+    assert rows[3]["pseudonymized"] == "no pii here"
+    assert rows[4]["pseudonymized"] == ""
+    assert rows[5]["pseudonymized"] is None
+    assert rows[1]["n_emails"] == 2 and rows[3]["n_emails"] == 0
+
+
+def test_pseudonymize_idempotent_and_not_reflagged(spark):
+    from raven_spark.functions.pii import pii_count_cols, pseudonymize_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me: x.y+z@host.co.uk!")], "doc_id long, text string"
+    )
+    once = pseudonymize_pii(df).withColumnRenamed("pseudonymized", "text")
+    twice = pseudonymize_pii(once.withColumnRenamed("id", "doc_id"))
+    a = once.collect()[0]["text"]
+    b = twice.collect()[0]["pseudonymized"]
+    assert a == b  # idempotent
+    again = twice.select(
+        pii_count_cols(twice["pseudonymized"])["n_emails"].alias("n")
+    ).collect()[0]["n"]
+    assert again == 0  # surrogates are not email-shaped
+
+
+def test_pseudonymize_shuffle_free(spark):
+    from raven_spark.functions.pii import pseudonymize_pii
+
+    df = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
+    plan = pseudonymize_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
