@@ -3075,6 +3075,19 @@ def q135_pseudonymize(spark, sf_dir):
     )
     return pseudonymize_pii(planted, space=1_000_000_000)
 
+def q136_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression profile per language
+    (operators/pipeline.py::tokenizer_fertility): bytes, chars, words,
+    BPE-ish subwords aggregated per lang with exact-bigint ratio
+    denominators — the mixture diagnostic behind token-denominated
+    budget math (q128/q60/q121 count tokens; fertility skew inflates a
+    language's apparent share). One map-side-combinable aggregate;
+    text never shuffles."""
+    from raven_spark.operators.pipeline import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return tokenizer_fertility(d, group_col="lang")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3213,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_html_stats": q133_html_stats,
         "q134_domain_normalize": q134_domain_normalize,
         "q135_pseudonymize": q135_pseudonymize,
+        "q136_tokenizer_fertility": q136_tokenizer_fertility,
     }
 
 
@@ -7383,6 +7397,45 @@ def oracle_sql() -> dict[str, str]:
                           '')
                    END AS pseudonymized
             FROM pieces
+        """,
+        "q136_tokenizer_fertility": r"""
+            WITH per AS (
+              SELECT lang,
+                     CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+                       AS b,
+                     CAST(coalesce(length(text), 0) AS BIGINT) AS c,
+                     CAST(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END, 0) AS BIGINT) AS w,
+                     CAST(coalesce(len(regexp_extract_all(text,
+                          '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+')), 0)
+                          AS BIGINT) AS s
+              FROM documents WHERE lang IS NOT NULL
+            ), agg AS (
+              SELECT lang, count(*) AS n_docs, sum(b) AS n_bytes,
+                     sum(c) AS n_chars, sum(w) AS n_words,
+                     sum(s) AS n_subwords
+              FROM per GROUP BY lang
+            )
+            SELECT lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_subwords AS BIGINT) AS n_subwords,
+                   CASE WHEN n_subwords > 0 THEN
+                     round(CAST(n_bytes AS DOUBLE)
+                           / CAST(n_subwords AS DOUBLE), 6) END
+                     AS bytes_per_token,
+                   CASE WHEN n_subwords > 0 THEN
+                     round(CAST(n_chars AS DOUBLE)
+                           / CAST(n_subwords AS DOUBLE), 6) END
+                     AS chars_per_token,
+                   CASE WHEN n_words > 0 THEN
+                     round(CAST(n_subwords AS DOUBLE)
+                           / CAST(n_words AS DOUBLE), 6) END
+                     AS tokens_per_word
+            FROM agg
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

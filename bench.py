@@ -155,6 +155,7 @@ HEADLINE = [
     "q133_html_stats",
     "q134_domain_normalize",
     "q135_pseudonymize",
+    "q136_tokenizer_fertility",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

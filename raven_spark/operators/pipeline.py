@@ -2783,3 +2783,66 @@ def domain_score_normalize(
         F.lit(None).cast("double").alias("z"),
     )
     return out.unionByName(skipped)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility / compression-rate profile per language (or
+    any group) — the mixture-diagnostic behind every token-denominated
+    budget decision (q128 water-filling, q60/q121 mixture weights count
+    TOKENS; a language whose tokenizer fragments words inflates its
+    apparent share, the classic multilingual-fertility skew): aggregate
+    bytes, chars, whitespace words and BPE-ish subword tokens per
+    group and emit the ratios
+
+        bytes_per_token, chars_per_token   (subword denominator)
+        tokens_per_word                    (the fertility proper)
+
+    Scale shape: per-row counts are pure codegen'd column algebra
+    (functions/text.py token_count_cols), then ONE map-side-combinable
+    aggregate keyed by the group — O(groups) rows out, text never
+    shuffles. Ratios divide EXACT bigint sums (no float accumulation
+    at all), so the output replays bit-for-bit. NULL-text rows count
+    toward n_docs with zero length; NULL groups are excluded.
+
+    Output: (group, n_docs, n_bytes, n_chars, n_words, n_subwords,
+    bytes_per_token 6dp, chars_per_token 6dp, tokens_per_word 6dp).
+    """
+    from raven_spark.functions.text import token_count_cols
+
+    t = F.col(text_col)
+    c = token_count_cols(t)
+    per = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.coalesce(F.octet_length(t), F.lit(0)).cast("bigint").alias("__b"),
+        F.coalesce(F.length(t), F.lit(0)).cast("bigint").alias("__c"),
+        F.coalesce(c["ws_tokens"], F.lit(0)).alias("__w"),
+        F.coalesce(c["bpe_tokens"], F.lit(0)).alias("__s"),
+    )
+    agg = per.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__b").alias("n_bytes"),
+        F.sum("__c").alias("n_chars"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__s").alias("n_subwords"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        "n_words",
+        "n_subwords",
+        F.round(
+            F.try_divide(F.col("n_bytes").cast("double"), F.col("n_subwords").cast("double")), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.try_divide(F.col("n_chars").cast("double"), F.col("n_subwords").cast("double")), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.try_divide(F.col("n_subwords").cast("double"), F.col("n_words").cast("double")), 6
+        ).alias("tokens_per_word"),
+    )

@@ -1352,3 +1352,49 @@ def test_domain_score_normalize_partition_invariant(spark):
     one = {tuple(r) for r in domain_score_normalize(df.coalesce(1)).collect()}
     many = {tuple(r) for r in domain_score_normalize(df.repartition(11)).collect()}
     assert one == many
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from raven_spark.operators.pipeline import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "hello world"),         # 2 words, 2 subwords, 11 ch
+            (2, "en", "it's 2024!"),          # 2 words, subwords: it 's 2024? -> [a-z]+ 'it', punct "'", 's', '202','4','!'
+            (3, "de", "Donaudampfschiff"),    # 1 word 1 subword 16 ch
+            (4, "de", None),                  # NULL text counts as zero-length doc
+            (5, None, "dropped"),             # NULL group excluded
+            (6, "zz", ""),                    # empty text group
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2 and en["n_chars"] == 11 + 10
+    assert en["n_words"] == 4
+    # doc2 subwords: it, ', s, 202, 4, ! = 6; doc1 = 2
+    assert en["n_subwords"] == 8
+    assert en["tokens_per_word"] == 2.0
+    assert en["chars_per_token"] == round(21 / 8, 6)
+    de = rows["de"]
+    assert de["n_docs"] == 2 and de["n_words"] == 1 and de["n_subwords"] == 1
+    assert de["chars_per_token"] == 16.0
+    assert "zz" in rows and rows["zz"]["n_subwords"] == 0
+    assert rows["zz"]["chars_per_token"] is None  # try_divide by zero
+    assert None not in rows and len(rows) == 3
+    # multi-byte text: bytes > chars
+    df2 = spark.createDataFrame([(1, "fr", "café")], "doc_id long, lang string, text string")
+    r2 = tokenizer_fertility(df2).collect()[0]
+    assert r2["n_bytes"] == 5 and r2["n_chars"] == 4
+
+
+def test_tokenizer_fertility_partition_invariant(spark):
+    from raven_spark.operators.pipeline import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(i, f"l{i % 3}", f"word{i} and text {i}!") for i in range(120)],
+        "doc_id long, lang string, text string",
+    )
+    one = {tuple(r) for r in tokenizer_fertility(df.coalesce(1)).collect()}
+    many = {tuple(r) for r in tokenizer_fertility(df.repartition(9)).collect()}
+    assert one == many
