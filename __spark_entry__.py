@@ -3088,6 +3088,34 @@ def q136_tokenizer_fertility(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("lang", "text")
     return tokenizer_fertility(d, group_col="lang")
 
+def q137_corpus_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff (operators/snapshots.py::
+    corpus_diff): classify every URL across two crawl generations as
+    added / removed / changed / unchanged — the incremental-refresh
+    primitive (re-process only the delta, dump-over-dump). Content
+    identity is xxhash64 of the dedup-normalized text, so the full-
+    outer join ships (url, 8 bytes) and text never shuffles. Synthetic
+    generations: old = doc_id % 7 != 6, new = doc_id % 5 != 4, text
+    revved (' v2') for doc_id % 3 == 0."""
+    from raven_spark.operators.snapshots import corpus_diff
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".ex/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+    )
+    old = d.filter(F.col("doc_id") % 7 != 6).select("url", F.col("t").alias("text"))
+    new = d.filter(F.col("doc_id") % 5 != 4).select(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("t"), F.lit(" v2")))
+        .otherwise(F.col("t"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3227,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_domain_normalize": q134_domain_normalize,
         "q135_pseudonymize": q135_pseudonymize,
         "q136_tokenizer_fertility": q136_tokenizer_fertility,
+        "q137_corpus_diff": q137_corpus_diff,
     }
 
 
@@ -7436,6 +7465,36 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(n_words AS DOUBLE), 6) END
                      AS tokens_per_word
             FROM agg
+        """,
+        "q137_corpus_diff": r"""
+            -- same generations; content compared as normalized text
+            -- (IS DISTINCT FROM = the null-safe twin of the 8-byte
+            -- xxhash64 identity the engine ships instead)
+            WITH d AS (
+              SELECT doc_id,
+                     'http://h' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.ex/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(text, '') AS t
+              FROM documents
+            ), o AS (
+              SELECT url,
+                     regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS nt
+              FROM d WHERE doc_id % 7 <> 6
+            ), n AS (
+              SELECT url,
+                     regexp_replace(lower(trim(
+                       CASE WHEN doc_id % 3 = 0 THEN t || ' v2' ELSE t END
+                     )), '\s+', ' ', 'g') AS nt
+              FROM d WHERE doc_id % 5 <> 4
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.nt IS DISTINCT FROM n.nt THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   (o.url IS NOT NULL) AS in_old,
+                   (n.url IS NOT NULL) AS in_new
+            FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -156,6 +156,7 @@ HEADLINE = [
     "q134_domain_normalize",
     "q135_pseudonymize",
     "q136_tokenizer_fertility",
+    "q137_corpus_diff",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -348,3 +348,64 @@ def test_crawl_saturation_yield_rounding_to_zero_is_excluded(spark):
     row = out["d"]
     assert row["decay_rate"] is None  # m = 1 usable round < 2
     assert row["total_new"] == 6
+
+
+def test_corpus_diff_statuses(spark):
+    from raven_spark.operators.snapshots import corpus_diff, corpus_diff_stats
+
+    old = spark.createDataFrame(
+        [
+            ("http://h1.ex/a", "same text"),
+            ("http://h1.ex/b", "old body"),
+            ("http://h2.ex/c", "going away"),
+            ("http://h2.ex/d", None),
+            ("http://h2.ex/e", ""),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("http://h1.ex/a", "Same   TEXT"),   # normalizes equal -> unchanged
+            ("http://h1.ex/b", "new body"),       # changed
+            ("http://h1.ex/n", "brand new"),      # added
+            ("http://h2.ex/d", ""),               # NULL -> '' counts as changed
+            ("http://h2.ex/e", ""),               # unchanged empty
+        ],
+        "url string, text string",
+    )
+    rows = {r["url"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert rows == {
+        "http://h1.ex/a": "unchanged",
+        "http://h1.ex/b": "changed",
+        "http://h1.ex/n": "added",
+        "http://h2.ex/c": "removed",
+        "http://h2.ex/d": "changed",
+        "http://h2.ex/e": "unchanged",
+    }
+    stats = {r["host"]: r for r in corpus_diff_stats(corpus_diff(old, new)).collect()}
+    assert stats["h1.ex"]["n_added"] == 1 and stats["h1.ex"]["n_changed"] == 1
+    assert stats["h1.ex"]["n_unchanged"] == 1 and stats["h1.ex"]["n_urls"] == 3
+    assert stats["h2.ex"]["n_removed"] == 1
+    assert stats["h1.ex"]["churn_ratio"] == round(2 / 3, 6)
+
+
+def test_corpus_diff_partition_invariant_and_no_text_shuffle(spark):
+    from raven_spark.operators.snapshots import corpus_diff
+
+    old = spark.createDataFrame(
+        [(f"http://h{i%3}.ex/{i}", f"text {i}") for i in range(100)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [(f"http://h{i%3}.ex/{i}", f"text {i if i % 4 else -i}") for i in range(5, 105)],
+        "url string, text string",
+    )
+    one = {tuple(r) for r in corpus_diff(old.coalesce(1), new.coalesce(1)).collect()}
+    many = {tuple(r) for r in corpus_diff(old.repartition(7), new.repartition(5)).collect()}
+    assert one == many
+    # text is hashed BEFORE the exchange: no text column crosses it
+    plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
