@@ -3116,6 +3116,25 @@ def q137_corpus_diff(spark, sf_dir):
     )
     return corpus_diff(old, new)
 
+def q138_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation (operators/
+    sampling.py::neyman_allocation; Neyman 1934): n_h proportional to
+    N_h * S_h — the minimum-variance way to spend a fixed eval/audit
+    budget across strata (a homogeneous stratum needs few samples
+    however big it is). Exact fixed-point moments (q134 discipline)
+    feed the q83 two-level cumulative-rounding allocator, so integer
+    allocations sum to exactly 1000. Strata = the documents table's
+    source groups, audited variable = n_chars."""
+    from raven_spark.operators.sampling import neyman_allocation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("len_score")
+    )
+    return neyman_allocation(
+        d, group_col="source", value_col="len_score",
+        total_samples=1000, n_buckets=8,
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3256,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_pseudonymize": q135_pseudonymize,
         "q136_tokenizer_fertility": q136_tokenizer_fertility,
         "q137_corpus_diff": q137_corpus_diff,
+        "q138_neyman_allocation": q138_neyman_allocation,
     }
 
 
@@ -7495,6 +7515,74 @@ def oracle_sql() -> dict[str, str]:
                    (o.url IS NOT NULL) AS in_old,
                    (n.url IS NOT NULL) AS in_new
             FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
+        "q138_neyman_allocation": r"""
+            -- fixed-point moments -> N_h*S_h weights -> the q83
+            -- two-level cumulative-rounding replay (hugeint floors)
+            WITH base AS (
+              SELECT source AS g,
+                     round(CAST(n_chars AS DOUBLE), 6) AS v
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ), mom AS (
+              SELECT g, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1e6) AS HUGEINT)) AS DOUBLE)
+                       / 1e6 / count(*) AS mean,
+                     CAST(sum(CAST(round(v * 1e6) AS HUGEINT)
+                              * CAST(round(v * 1e6) AS HUGEINT)) AS DOUBLE)
+                       / 1e12 / count(*) AS ex2,
+                     min(v) AS lo, max(v) AS hi
+              FROM base GROUP BY g
+            ), st AS (
+              SELECT g, n, mean,
+                     CASE WHEN lo < hi THEN sqrt(ex2 - mean * mean)
+                          ELSE 0.0 END AS std
+              FROM mom
+            ), w AS (
+              SELECT g, n, mean, std,
+                     CAST(round(CAST(n AS DOUBLE) * std * 1e6) AS BIGINT)
+                       AS wt
+              FROM st
+            ), bk AS (
+              SELECT g, wt,
+                     CAST((list_reduce(
+                             list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, length(g) + 1),
+                                 i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))),
+                             (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                           * 2654435761) % 8 AS INT) AS bkt
+              FROM w
+            ), bw AS (
+              SELECT bkt, sum(wt) AS bwt FROM bk GROUP BY bkt
+            ), lvl1 AS (
+              SELECT bkt, bwt,
+                     sum(bwt) OVER (ORDER BY bkt ASC ROWS UNBOUNDED PRECEDING)
+                       AS cumw,
+                     sum(bwt) OVER () AS W
+              FROM bw
+            ), bb AS (
+              SELECT bkt, bwt,
+                     CASE WHEN W <= 0 THEN 0
+                          ELSE (1000::HUGEINT * cumw) // W
+                               - (1000::HUGEINT * (cumw - bwt)) // W
+                     END AS bbudget
+              FROM lvl1
+            ), lvl2 AS (
+              SELECT bk.g, bk.wt, bb.bwt, bb.bbudget,
+                     sum(bk.wt) OVER (PARTITION BY bk.bkt ORDER BY bk.g ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM bk JOIN bb USING (bkt)
+            )
+            SELECT w.g AS source,
+                   CAST(w.n AS BIGINT) AS n_stratum,
+                   round(w.mean, 6) + 0.0 AS mean,
+                   round(w.std, 6) AS std,
+                   w.wt AS neyman_weight,
+                   CAST(CASE WHEN l.bwt <= 0 OR w.wt <= 0 THEN 0
+                        ELSE (l.bbudget::HUGEINT * l.cum) // l.bwt
+                             - (l.bbudget::HUGEINT * (l.cum - w.wt)) // l.bwt
+                        END AS BIGINT) AS alloc
+            FROM w JOIN lvl2 l ON w.g = l.g
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

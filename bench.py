@@ -157,6 +157,7 @@ HEADLINE = [
     "q135_pseudonymize",
     "q136_tokenizer_fertility",
     "q137_corpus_diff",
+    "q138_neyman_allocation",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -579,3 +579,89 @@ def token_budget_allocation(
         (F.col("alloc") >= F.col("cap")).alias("saturated"),
         "underfilled",
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "score",
+    total_samples: int = 1000,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934) — how
+    many eval/audit samples to draw from each stratum when the budget
+    is fixed: minimum-variance estimation allocates
+
+        n_h  ∝  N_h * S_h
+
+    (stratum size x stratum stddev of the audited variable), NOT
+    proportionally to size — a homogeneous stratum needs few samples
+    however big it is. This is the statistically-correct front end to
+    stratified_sample's per-group caps (q41) for QA sampling, human
+    eval batches, and filter-calibration audits.
+
+    Moments use the engine's EXACT fixed-point discipline
+    (domain_score_normalize q134): 6-dp values summed as
+    round(v*1e6) / squared in decimal(38,0), zero-variance guarded on
+    exact min<max order stats. The float N_h*S_h weight is then
+    integerized at 1e6 and fed to allocate_domain_budget's two-level
+    cumulative rounding (q83), so allocations are integers summing to
+    EXACTLY ``total_samples`` (when any stratum has variance) with
+    every step SQL-replayable. Zero-variance strata allocate 0 — pure
+    Neyman; add a floor downstream if a minimum per stratum is policy.
+
+    Scale shape: one group-keyed moment aggregate (map-side
+    combinable, O(strata) out) + the allocator's O(n_buckets) window
+    and one in-bucket running sum — strata never leave their bucket
+    partition, nothing scales with corpus rows after the first
+    aggregate.
+
+    Output: (group, n_stratum, mean 6dp, std 6dp, neyman_weight
+    bigint, alloc bigint).
+    """
+    from raven_spark.operators.reputation import allocate_domain_budget
+
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    base = df.filter(
+        F.col(group_col).isNotNull() & v6.isNotNull()
+    ).select(F.col(group_col).alias("__g"), v6.alias("__v"))
+    vfp = F.round(F.col("__v") * F.lit(1e6), 0).cast("decimal(38,0)")
+    mom = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vfp).alias("__sum"),
+        F.sum(vfp * vfp).alias("__sumsq"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    mean = F.col("__sum").cast("double") / F.lit(1e6) / F.col("__n")
+    ex2 = F.col("__sumsq").cast("double") / F.lit(1e12) / F.col("__n")
+    std = F.when(
+        F.col("__lo") < F.col("__hi"), F.sqrt(ex2 - mean * mean)
+    ).otherwise(F.lit(0.0))
+    strata = mom.select(
+        "__g",
+        F.col("__n").cast("bigint").alias("n_stratum"),
+        mean.alias("__mean"),
+        std.alias("__std"),
+        F.round(F.col("__n").cast("double") * std * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("neyman_weight"),
+    )
+    alloc = allocate_domain_budget(
+        strata.select(
+            F.col("__g").alias("domain"), F.col("neyman_weight").alias("weight")
+        ),
+        total_budget=int(total_samples),
+        n_buckets=int(n_buckets),
+    )
+    return strata.join(
+        alloc.select(F.col("domain").alias("__g"), F.col("budget").alias("alloc")),
+        "__g",
+    ).select(
+        F.col("__g").alias(group_col),
+        "n_stratum",
+        (F.round("__mean", 6) + F.lit(0.0)).alias("mean"),
+        F.round("__std", 6).alias("std"),
+        "neyman_weight",
+        "alloc",
+    )

@@ -364,3 +364,52 @@ def test_token_budget_underfilled_and_no_saturation(spark):
 
     with pytest.raises(ValueError):
         token_budget_allocation(df, budget=0.0)
+
+
+def test_neyman_allocation_variance_proportional(spark):
+    from raven_spark.operators.sampling import neyman_allocation
+
+    # stratum a: large but homogeneous; b: small but high-variance;
+    # c: zero-variance; d: singleton
+    rows = (
+        [(i, "a", 10.0) for i in range(50)]
+        + [(100 + i, "a", 10.2) for i in range(50)]
+        + [(200 + i, "b", float(i * 7 % 50)) for i in range(20)]
+        + [(300 + i, "c", 3.0) for i in range(30)]
+        + [(400, "d", 9.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["source"]: r for r in
+           neyman_allocation(df, value_col="score", total_samples=100, n_buckets=8).collect()}
+    # allocations sum exactly to the budget
+    assert sum(r["alloc"] for r in out.values()) == 100
+    # zero-variance strata allocate 0
+    assert out["c"]["alloc"] == 0 and out["c"]["std"] == 0.0
+    assert out["d"]["alloc"] == 0 and out["d"]["n_stratum"] == 1
+    # the high-variance small stratum beats the big homogeneous one
+    import math
+
+    assert out["b"]["std"] > out["a"]["std"]
+    wa = 100 * out["a"]["std"]
+    wb = 20 * out["b"]["std"]
+    assert out["b"]["alloc"] > out["a"]["alloc"]  # N_b*S_b > N_a*S_a here
+    assert abs(out["a"]["alloc"] - 100 * wa / (wa + wb)) <= 2
+    assert abs(out["b"]["alloc"] - 100 * wb / (wa + wb)) <= 2
+    # exact moments
+    assert out["a"]["mean"] == 10.1
+    assert out["a"]["std"] == round(math.sqrt(sum((x - 10.1) ** 2 for x in [10.0] * 50 + [10.2] * 50) / 100), 6)
+
+
+def test_neyman_allocation_partition_invariant(spark):
+    from raven_spark.operators.sampling import neyman_allocation
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 6}", float((i * 31) % 97)) for i in range(300)],
+        "doc_id long, source string, score double",
+    )
+    one = {tuple(r) for r in
+           neyman_allocation(df.coalesce(1), total_samples=500, n_buckets=8).collect()}
+    many = {tuple(r) for r in
+            neyman_allocation(df.repartition(13), total_samples=500, n_buckets=8).collect()}
+    assert one == many
+    assert sum(r[-1] for r in one) == 500
