@@ -214,3 +214,45 @@ def warc_pages_stream(
     )
     pages = records.mapInPandas(_decode_pages_scan(), _PAGES_SCHEMA)
     return pages.withColumn("lang", lang_id_col(F.col("text")))
+
+
+def streaming_exact_dedup(
+    pages: DataFrame,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact content dedup — the incremental twin of
+    operators/dedup.exact_dedup (q09), for corpora that arrive as a
+    stream of page files instead of a finished table: drop every page
+    whose dedup-normalized text hash was already seen within the
+    watermark horizon.
+
+    Identity is the SAME 8-byte key the batch operator and clean_corpus
+    use (xxhash64 over dedup.norm_text_col), so a doc the stream keeps
+    is exactly the doc the batch pass would elect canonical when both
+    see the same horizon. State stays bounded the ingest-module way:
+    ``dropDuplicatesWithinWatermark`` keyed on the content hash evicts
+    keys once the watermark passes their horizon (plain dropDuplicates
+    would keep hash state forever unless the event-time column joined
+    the key — the 3.5+ within-watermark variant is the bounded form);
+    CROSS-horizon dedup authority remains the Bloom/cuckoo URL-seen
+    family (operators/seen.py) exactly as in the batch engine — the
+    stream handles the hot window, the filter handles history.
+
+    Pages with NULL text pass through unconditionally (they carry no
+    content identity; the fetch taxonomy, not the dedup pass, owns
+    them).
+
+    Output schema: the input plus ``content_hash`` (bigint).
+    """
+    from raven_spark.operators.dedup import norm_text_col
+
+    hashed = pages.withColumn(
+        "content_hash", F.xxhash64(norm_text_col(F.col(text_col)))
+    ).withWatermark(ts_col, watermark_delay)
+    with_text = hashed.filter(
+        F.col(text_col).isNotNull()
+    ).dropDuplicatesWithinWatermark(["content_hash"])
+    passthrough = hashed.filter(F.col(text_col).isNull())
+    return with_text.unionByName(passthrough)

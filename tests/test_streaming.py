@@ -361,3 +361,55 @@ def test_subtract_seen_on_stream_matches_batch(spark, tmp_path):
         r["url_canon"] for r in spark.table("stream_subtract_sink").collect()
     )
     assert got == want and 0 < len(got) < 400
+
+
+def test_streaming_exact_dedup_matches_batch_identity(spark, tmp_path):
+    """Streaming exact dedup keeps exactly one page per normalized
+    content hash within the horizon, passes NULL-text rows through,
+    and agrees with the batch dedup identity on the same input."""
+    import datetime
+
+    from raven_spark.streaming.ingest import (
+        PAGE_DDL,
+        read_pages_stream,
+        streaming_exact_dedup,
+    )
+
+    root = str(tmp_path / "pages")
+    ts = datetime.datetime(2026, 8, 20, 12, 0, 0)
+    rows = [
+        ("http://h0.ex/a", ts, b"<p>x</p>", "Same  Body", "en"),
+        ("http://h0.ex/b", ts, b"<p>x</p>", "same body", "en"),   # dup of /a
+        ("http://h1.ex/c", ts, b"<p>y</p>", "other body", "en"),
+        ("http://h1.ex/d", ts, b"", None, "en"),                  # passthrough
+        ("http://h1.ex/e", ts, b"", None, "en"),                  # passthrough too
+    ]
+    spark.createDataFrame(rows, PAGE_DDL).coalesce(1).write.parquet(root)
+    stream = read_pages_stream(spark, root)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sdedup").collect()
+    with_text = [r for r in out if r["text"] is not None]
+    nulls = [r for r in out if r["text"] is None]
+    # one survivor per content identity; both NULL-text rows pass
+    assert len(with_text) == 2 and len(nulls) == 2
+    kept_hashes = {r["content_hash"] for r in with_text}
+    assert len(kept_hashes) == 2
+    # streaming identity == batch identity (xxhash64 over norm text)
+    from raven_spark.operators.dedup import norm_text_col
+
+    batch = (
+        spark.createDataFrame(rows, PAGE_DDL)
+        .filter(F.col("text").isNotNull())
+        .select(F.xxhash64(norm_text_col(F.col("text"))).alias("h"))
+        .distinct()
+        .collect()
+    )
+    assert kept_hashes == {r["h"] for r in batch}
