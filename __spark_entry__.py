@@ -3136,6 +3136,79 @@ def q138_neyman_allocation(spark, sf_dir):
     )
 
 
+def q139_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprints + MOSS-style partial-overlap pairs
+    (operators/dedup.py::winnow_overlap_pairs; Schleimer et al. SIGMOD
+    2003): rightmost-min selection over char-8-gram Horner hashes in
+    windows of 4 — guaranteed detection of any shared substring >=
+    11 chars, bounded fingerprint density. Every third doc gets a
+    planted shared quote (both engines append it identically), so the
+    quote-bearing pairs must all surface. Oracle: full winnow replay in
+    DuckDB list lambdas (slice/min/rightmost-position), the q130
+    convention."""
+    from raven_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" to be or not to be that is the question"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return winnow_overlap_pairs(docs, k=8, window=4, min_shared=1, max_df=50)
+
+
+def q140_incremental_dedup(spark, sf_dir):
+    """Incremental dump-over-dump near-dup admission (operators/
+    dedup.py::incremental_minhash_dedup): new snapshot docs probe the
+    existing corpus's LSH band index (dup_of_corpus), survivors cluster
+    among themselves (dup_of_new / kept). Corpus = docs < 120; new =
+    docs 60-179 re-captured under ids +10000 (evens verbatim -> exact
+    corpus dups; odds get a one-word refresh -> near corpus dups; 120+
+    are fresh), plus ' v2' re-edits of every third fresh doc under ids
+    +20000 -> intra-new dup pairs. Oracle: exact-Jaccard replay of the
+    admission semantics (the q21 recall-1.0 premise at these planted
+    J >= 0.9 levels with bands=8/rows=2) + the q21 recursive-CTE
+    components for the survivor clustering."""
+    from raven_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    recap = (
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 180))
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.when(
+                (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 1),
+                F.concat(F.col("text"), F.lit(" refreshed")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    reedit = (
+        docs.filter(
+            (F.col("doc_id") >= 120)
+            & (F.col("doc_id") < 180)
+            & (F.col("doc_id") % 3 == 0)
+        )
+        .select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        )
+    )
+    return incremental_minhash_dedup(corpus, recap.unionByName(reedit))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3276,6 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_tokenizer_fertility": q136_tokenizer_fertility,
         "q137_corpus_diff": q137_corpus_diff,
         "q138_neyman_allocation": q138_neyman_allocation,
+        "q139_winnow_overlap": q139_winnow_overlap,
+        "q140_incremental_dedup": q140_incremental_dedup,
     }
 
 
@@ -7583,6 +7658,157 @@ def oracle_sql() -> dict[str, str]:
                              - (l.bbudget::HUGEINT * (l.cum - w.wt)) // l.bwt
                         END AS BIGINT) AS alloc
             FROM w JOIN lvl2 l ON w.g = l.g
+        """,
+        "q139_winnow_overlap": r"""
+            -- full winnowing replay: char-8-gram Horner hashes ->
+            -- rightmost-min per window of 4 (slice / list_min /
+            -- reversed list_position) -> distinct fp values ->
+            -- df-capped pair join (q130/q127 conventions)
+            WITH docs0 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 80
+            ),
+            docs AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text ||
+                               ' to be or not to be that is the question'
+                          ELSE text END AS text
+              FROM docs0
+            ),
+            norm AS (
+              SELECT id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM docs
+            ),
+            gr AS (
+              SELECT id,
+                     list_transform(generate_series(1, len(t) - 7),
+                       i -> (list_reduce(
+                               list_transform(
+                                 string_split(substr(t, CAST(i AS INT), 8), ''),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                               (a, x) -> (a * 131 + x) % 2147483647)
+                             * 2654435761) % 2147483647) AS g
+              FROM norm WHERE len(t) >= 8
+            ),
+            sel AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(g) - 3, 1)),
+                       t -> (t + len(g[t:least(t + 3, len(g))])
+                               - list_position(
+                                   list_reverse(g[t:least(t + 3, len(g))]),
+                                   list_min(g[t:least(t + 3, len(g))])))
+                            * 2147483647::BIGINT
+                            + list_min(g[t:least(t + 3, len(g))])))) AS e
+              FROM gr
+            ),
+            fps AS (SELECT DISTINCT id, e % 2147483647 AS fp FROM sel),
+            sizes AS (SELECT id, count(*) AS n FROM fps GROUP BY id),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 50
+            ),
+            pr AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+              FROM fps a
+              JOIN keep k ON a.fp = k.fp
+              JOIN fps b ON b.fp = a.fp AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(p.n_shared AS BIGINT) AS n_shared,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(CAST(p.n_shared AS DOUBLE)
+                         / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS overlap
+            FROM pr p
+            JOIN sizes sa ON sa.id = p.id_a
+            JOIN sizes sb ON sb.id = p.id_b
+        """,
+        "q140_incremental_dedup": r"""
+            -- exact-Jaccard replay of incremental admission: corpus
+            -- probe (min matching corpus id), then q21-style recursive
+            -- components over the surviving new docs
+            WITH RECURSIVE
+            corpus AS (
+              SELECT doc_id AS id, text FROM documents WHERE doc_id < 120
+            ),
+            newdocs AS (
+              SELECT doc_id + 10000 AS id,
+                     CASE WHEN doc_id < 120 AND doc_id % 2 = 1
+                          THEN text || ' refreshed' ELSE text END AS text
+              FROM documents WHERE doc_id >= 60 AND doc_id < 180
+              UNION ALL
+              SELECT doc_id + 20000 AS id, text || ' v2' AS text
+              FROM documents
+              WHERE doc_id >= 120 AND doc_id < 180 AND doc_id % 3 = 0
+            ),
+            gc AS (
+              SELECT id,
+                     CASE WHEN len(string_split(n, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(string_split(n,' '))-2),
+                                 i -> string_split(n,' ')[i] || ' ' ||
+                                      string_split(n,' ')[i+1] || ' ' ||
+                                      string_split(n,' ')[i+2]))
+                          ELSE [n] END AS grams
+              FROM (SELECT id, regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g') AS n
+                    FROM corpus)
+            ),
+            gn AS (
+              SELECT id,
+                     CASE WHEN len(string_split(n, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(string_split(n,' '))-2),
+                                 i -> string_split(n,' ')[i] || ' ' ||
+                                      string_split(n,' ')[i+1] || ' ' ||
+                                      string_split(n,' ')[i+2]))
+                          ELSE [n] END AS grams
+              FROM (SELECT id, regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g') AS n
+                    FROM newdocs)
+            ),
+            dupc AS (
+              SELECT n.id, min(c.id) AS dup_of
+              FROM gn n JOIN gc c
+                ON CAST(len(list_intersect(n.grams, c.grams)) AS DOUBLE)
+                   / greatest(len(n.grams) + len(c.grams)
+                              - len(list_intersect(n.grams, c.grams)), 1)
+                   >= 0.5
+              GROUP BY n.id
+            ),
+            surv AS (
+              SELECT g.* FROM gn g
+              WHERE g.id NOT IN (SELECT id FROM dupc)
+            ),
+            e0 AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM surv a JOIN surv b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams)), 1)
+                    >= 0.5
+            ),
+            edges AS (
+              SELECT ia, ib FROM e0
+              UNION ALL SELECT ib AS ia, ia AS ib FROM e0
+            ),
+            walk(id, rep) AS (
+              SELECT id, id FROM surv
+              UNION
+              SELECT e.ia, w.rep FROM edges e JOIN walk w ON w.id = e.ib
+            ),
+            clus AS (SELECT id, min(rep) AS rep FROM walk GROUP BY id)
+            SELECT id AS doc_id, 'dup_of_corpus' AS status, dup_of
+            FROM dupc
+            UNION ALL
+            SELECT id AS doc_id,
+                   CASE WHEN rep = id THEN 'kept'
+                        ELSE 'dup_of_new' END AS status,
+                   CASE WHEN rep = id THEN NULL ELSE rep END AS dup_of
+            FROM clus
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -277,27 +277,7 @@ def minhash_lsh_candidates(
     ~0.04 at j=0.3 — the classic S-curve. Pair generation is a self-join
     on (band_id, band_key); band_key is an 8-byte hash so the shuffle is
     narrow."""
-    rows = k // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_col(word_shingles_col(F.col(text_col), n), k).alias("sig"),
-    )
-    band_entries = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_key")
+    band_entries = _band_entry_rows(df, text_col, id_col, k, bands, n)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -1054,3 +1034,348 @@ def minhash_contract(
         F.round(F.abs(est - exact), 6).alias("abs_err"),
         (F.abs(est - exact) <= bound).alias("within_bound"),
     )
+
+
+# --- Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003) ---------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): select, from every window of ``window``
+    consecutive char ``k``-gram hashes, the RIGHTMOST MINIMUM — a
+    position-robust fingerprint set with two guarantees the rest of the
+    dedup family lacks:
+
+    - any shared substring of length >= window + k - 1 between two
+      documents yields at least one SHARED fingerprint (detection
+      guarantee — MinHash only promises this probabilistically), and
+    - density is bounded at 2/(window+1) of positions (storage
+      guarantee — ExactSubstr/q65 keys EVERY position).
+
+    That makes winnowing the right primitive for PARTIAL-overlap
+    detection (quote reuse, syndicated paragraphs, license blocks)
+    where resemblance (MinHash, whole-doc) and exact spans (suffix
+    keys, storage-heavy) both miss the operating point.
+
+    Gram hashes are the engine-wide replayable family: Horner char
+    fold base 131 mod 2^31-1 with a Knuth mix (_shingle_key_col
+    constants) over the dedup-normalized text, so the whole selection
+    replays in plain SQL (q139). The rightmost-min tie-break makes the
+    output a pure function of the text — no RNG, no partitioning
+    dependence.
+
+    Scale shape: everything up to the fingerprint rows is per-row
+    array algebra inside one projection — split once, one O(n*k)
+    gram-hash pass, one O(g*window^2) selection pass, zero Python,
+    zero shuffles; only (id, pos, 8-byte fp) rows leave the scan. The
+    O(n*k) gram pass trades a constant factor for SQL replayability;
+    a rolling Rabin-Karp upgrade (prefix hashes + B^k pop) drops it
+    to O(n) if profiling ever cares.
+
+    IMPLEMENTATION NOTE (the CollapseProject/HOF recompute trap): the
+    selection pass references the gram-hash array several times per
+    window. Projected columns are NOT materialization points — Catalyst
+    collapses adjacent projections and inlines the full gram-hash
+    expression into EVERY reference, turning each window's array_min
+    into a recompute of the whole O(n*k) gram pass (observed: quadratic
+    wall, minutes for 500-char docs). Binding the array as an outer
+    HOF lambda variable (transform over a 1-element array) forces one
+    evaluation per row; inner lambdas capture the bound value.
+
+    Docs shorter than ``k`` normalized chars emit no rows (they carry
+    no k-gram). When grams number fewer than ``window``, one window
+    spans them all (every short doc still fingerprints).
+
+    Output: (id, pos int 1-based char offset, fp bigint), distinct per
+    (id, pos, fp).
+    """
+    if k < 2 or window < 1:
+        raise ValueError("winnow_fingerprints: need k >= 2 and window >= 1")
+    p = F.lit(_KMV_P)
+    norm = norm_text_col(F.col(text_col))
+    codes = F.transform(
+        F.split(norm, ""), lambda c: F.ascii(c).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(norm).alias("__n"),
+        codes.alias("__codes"),
+    )
+    g = F.col("__n") - F.lit(int(k) - 1)  # k-gram count
+    # bound clamped to >=1: F.sequence(1, g) DESCENDS for g < 1 (it
+    # never yields an empty array), driving slice starts to 0 — and
+    # optimizer rules may evaluate this projection on rows the g >= 1
+    # filter below discards, so the expression must be total. Clamped
+    # rows produce garbage that the filter then drops.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(g, F.lit(1))),
+        lambda i: (
+            F.aggregate(
+                F.slice(F.col("__codes"), i, int(k)),
+                F.lit(0).cast("long"),
+                lambda a, x: (a * F.lit(_KMV_B) + x) % p,
+            )
+            * F.lit(_KMV_MIX)
+        )
+        % p,
+    )
+    def select_fps(garr):
+        # garr is a BOUND lambda variable — evaluated once per row,
+        # shared by every window (see implementation note above)
+        ng = F.size(garr)
+        nw = F.greatest(ng - F.lit(int(window) - 1), F.lit(1))
+
+        def pick(t):
+            # window t covers grams [t, te]; rightmost argmin encoded
+            # as pos * P + fp (both engines decode with one div/mod —
+            # no struct lambdas, which the SQL twin lacks)
+            te = F.least(t + F.lit(int(window) - 1), ng)
+            sl = F.slice(garr, t, te - t + F.lit(1))
+            m = F.array_min(sl)
+            pos = F.aggregate(
+                F.sequence(t, te),
+                F.lit(0).cast("long"),
+                lambda acc, j: F.when(
+                    F.element_at(garr, j.cast("int")) == m, j.cast("long")
+                ).otherwise(acc),
+            )
+            return pos * p.cast("long") + m
+
+        return F.array_distinct(F.transform(F.sequence(F.lit(1), nw), pick))
+
+    sel = base.filter(g >= 1).select(
+        "id",
+        F.element_at(
+            F.transform(F.array(grams), select_fps), 1
+        ).alias("__sel"),
+    )
+    enc = F.explode("__sel")
+    return sel.select("id", enc.alias("__e")).select(
+        "id",
+        (F.col("__e") / p.cast("long")).cast("int").alias("pos"),
+        F.pmod(F.col("__e"), p.cast("long")).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """MOSS-style pairwise overlap from winnowing fingerprints: two
+    documents score by the fingerprint VALUES they share (positions
+    drop out — a moved paragraph still matches), normalized by the
+    smaller fingerprint set so a short doc fully quoted inside a long
+    one scores ~1 (the containment convention, q80).
+
+    Never all-pairs: pairs exist only through shared fp keys, and fps
+    on more than ``max_df`` documents are dropped before pairing —
+    corpus-wide boilerplate fingerprints are the quadratic hot keys
+    (mirror_hosts discipline), and at max_df they stop discriminating
+    anyway. One distinct (id, fp) projection, one per-fp doc-count
+    filter, one self-join on the 8-byte fp, two broadcast size joins.
+
+    Output: (id_a, id_b, n_shared, n_a, n_b, overlap 6dp) with
+    id_a < id_b, n_shared >= ``min_shared``.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, window)
+        .select("id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= int(max_df)))
+        .select("fp")
+    )
+    keyed = fps.join(keep, "fp")
+    a = keyed.select("fp", F.col("id").alias("id_a"))
+    b = keyed.select("fp", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+def _band_entry_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int, bands: int, n: int
+) -> DataFrame:
+    """(id, band_id, band_key) rows for LSH banding — the persisted
+    shape of a production near-dup index (8-byte keys, one row per
+    band). Shared by minhash-family candidate generation."""
+    rows = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(
+            word_shingles_col(F.col(text_col), n), k
+        ).alias("sig"),
+    )
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental near-dup ADMISSION of a new snapshot against an
+    existing corpus — the dump-over-dump production shape (Common
+    Crawl monthly refresh, recrawl rounds): the existing corpus is
+    settled and indexed; only the NEW documents are classified, and
+    nothing recomputes over corpus text. Re-running whole-corpus
+    minhash_dedup on corpus+new every refresh is O(corpus) per dump —
+    this is O(new + matched-candidates).
+
+    Three verdicts per new doc:
+      - ``dup_of_corpus``: shares an LSH band with a corpus doc and
+        exact shingle Jaccard >= ``threshold``; dup_of = MIN matching
+        corpus id (deterministic).
+      - ``dup_of_new``: survives the corpus probe but clusters with an
+        earlier-id surviving new doc (the same LSH + verify + min-rep
+        fixpoint as minhash_dedup); dup_of = cluster rep.
+      - ``kept``: a genuinely new document; dup_of NULL.
+
+    Scale shape: the corpus side contributes ONLY its band-entry rows
+    (id + two 8-byte keys per band — in production a persisted index
+    table appended per dump, NOT recomputed; pass the raw corpus here
+    and the same rows materialize once). The candidate probe is an
+    equi-join new-bands -> corpus-bands on (band_id, band_key); gram
+    arrays for the exact verify are built ONLY for candidate ids on
+    both sides (left-semi prune — corpus text stays in its parquet
+    unless a band matched). Intra-new clustering runs on the surviving
+    subset only. Defaults use bands=8/rows=2: candidate recall at the
+    J=0.5 decision boundary is 1-(1-0.25)^8 ~ 0.90 and >= 0.9999 by
+    J=0.9 — admission tuned for high-J refresh dups; the exact verify
+    keeps precision exact.
+
+    Output: (id, status string, dup_of nullable) — one row per NEW doc.
+    """
+    cand = (
+        _band_entry_rows(new, text_col, id_col, k, bands, n)
+        .withColumnRenamed("id", "new_id")
+        .join(
+            _band_entry_rows(corpus, text_col, id_col, k, bands, n)
+            .withColumnRenamed("id", "corpus_id"),
+            ["band_id", "band_key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ng = new.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("new_id"),
+        word_shingles_col(F.col(text_col), n).alias("__gn"),
+    )
+    cg = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        word_shingles_col(F.col(text_col), n).alias("__gc"),
+    )
+    inter = F.size(F.array_intersect("__gn", "__gc")).cast("double")
+    union = F.greatest(
+        F.size(F.array_union("__gn", "__gc")), F.lit(1)
+    ).cast("double")
+    dupc = (
+        cand.join(ng, "new_id")
+        .join(cg, "corpus_id")
+        .filter(inter / union >= F.lit(float(threshold)))
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("dup_of"))
+    )
+    survivors = new.join(
+        dupc.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+    clusters = minhash_dedup(
+        survivors,
+        text_col,
+        id_col,
+        k,
+        bands,
+        n,
+        verify_threshold=threshold,
+        max_iters=max_iters,
+    )
+    id_type = dict(new.dtypes)[id_col]
+    out_c = dupc.select(
+        F.col("new_id").alias(id_col),
+        F.lit("dup_of_corpus").alias("status"),
+        F.col("dup_of").cast(id_type).alias("dup_of"),
+    )
+    out_n = clusters.select(
+        F.col(id_col),
+        F.when(F.col("cluster_id") == F.col(id_col), F.lit("kept"))
+        .otherwise(F.lit("dup_of_new"))
+        .alias("status"),
+        F.when(F.col("cluster_id") != F.col(id_col), F.col("cluster_id"))
+        .cast(id_type)
+        .alias("dup_of"),
+    )
+    return out_c.unionByName(out_n)

@@ -395,3 +395,143 @@ def test_minhash_contract_partition_invariant(spark):
     b = sorted(map(tuple,
                    minhash_contract(docs.repartition(9), pairs, k=16).collect()))
     assert a == b
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Shared substring >= window+k-1 chars => >=1 shared fingerprint;
+    density bounded; short docs fingerprint via the single spanning
+    window; sub-k docs emit nothing."""
+    from raven_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB"),
+            (2, "zzz unrelated prefix " + shared),
+            (3, "completely different content with no reuse at all"),
+            (4, "tiny"),          # < k chars -> no rows
+            (5, "exactly9ch"),    # just above k: single window
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, window=4)
+    rows = fps.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert 4 not in by_id and 6 not in by_id
+    assert len(by_id[5]) >= 1
+    # detection guarantee on the shared 44-char substring
+    assert by_id[1] & by_id[2]
+    assert not (by_id[1] & by_id[3])
+    # density: selections <= number of windows <= gram count
+    n1 = len("aaa " + shared + " bbb")
+    assert len(by_id[1]) <= n1 - 8 + 1
+
+
+def test_winnow_rightmost_min_replay(spark):
+    """Pin the exact selection against a pure-python replay of the same
+    Horner/winnow arithmetic (the q139 oracle's contract)."""
+    from raven_spark.operators.dedup import (
+        _KMV_B,
+        _KMV_MIX,
+        _KMV_P,
+        winnow_fingerprints,
+    )
+
+    text = "abab abab xyz abab"
+    k, w = 5, 3
+    norm = " ".join(text.lower().split())
+    hs = []
+    for i in range(len(norm) - k + 1):
+        h = 0
+        for c in norm[i : i + k]:
+            h = (h * _KMV_B + ord(c)) % _KMV_P
+        hs.append((h * _KMV_MIX) % _KMV_P)
+    sel = set()
+    nw = max(len(hs) - w + 1, 1)
+    for t in range(nw):
+        win = hs[t : t + w]
+        m = min(win)
+        pos = t + max(j for j, v in enumerate(win) if v == m)
+        sel.add((pos + 1, m))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+    assert got == sel
+
+
+def test_winnow_overlap_pairs_partition_invariant(spark):
+    from raven_spark.operators.dedup import winnow_overlap_pairs
+
+    quote = "to be or not to be that is the question"
+    rows = [(i, f"doc {i} filler text number {i*7} " + (quote if i % 3 == 0 else "")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = winnow_overlap_pairs(df, min_shared=1).collect()
+    out2 = winnow_overlap_pairs(df.repartition(13), min_shared=1).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(tuple, out1), key=lambda t: t[:2]) == sorted(
+        map(tuple, out2), key=lambda t: t[:2]
+    )
+    # every quote-bearing pair shares fingerprints
+    quoted = {i for i in range(30) if i % 3 == 0}
+    got_pairs = {(r["id_a"], r["id_b"]) for r in out1}
+    import itertools
+    for a, b in itertools.combinations(sorted(quoted), 2):
+        assert (a, b) in got_pairs
+
+
+def test_incremental_dedup_statuses(spark):
+    from raven_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus page about spark engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),                             # exact corpus dup
+            (102, base + " tiny"),                   # near corpus dup
+            (103, "a brand new page with fresh content about winnowing"),
+            (104, "a brand new page with fresh content about winnowing"),  # intra-new dup
+            (105, "totally unrelated solitary new document body text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_minhash_dedup(corpus, new).collect()
+    }
+    assert out[101] == ("dup_of_corpus", 1)
+    assert out[102] == ("dup_of_corpus", 1)
+    assert out[103] == ("kept", None)
+    assert out[104] == ("dup_of_new", 103)
+    assert out[105] == ("kept", None)
+    assert len(out) == 5
+
+
+def test_incremental_dedup_partition_invariant_and_no_corpus_rescan(spark):
+    from raven_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} body words alpha beta gamma {i*3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i,
+          f"corpus doc {i} body words alpha beta gamma {i*3}" if i % 2 == 0
+          else f"new doc {i} completely fresh body {i*7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, incremental_minhash_dedup(corpus, new).collect()))
+    b = sorted(map(tuple, incremental_minhash_dedup(
+        corpus.repartition(7), new.repartition(11)).collect()))
+    assert a == b
+    for i in range(40):
+        row = next(t for t in a if t[0] == 100 + i)
+        assert row[1] == ("dup_of_corpus" if i % 2 == 0 else "kept")
