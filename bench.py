@@ -158,6 +158,8 @@ HEADLINE = [
     "q136_tokenizer_fertility",
     "q137_corpus_diff",
     "q138_neyman_allocation",
+    "q139_winnow_overlap",
+    "q140_incremental_dedup",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
