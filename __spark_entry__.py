@@ -3209,6 +3209,49 @@ def q140_incremental_dedup(spark, sf_dir):
     return incremental_minhash_dedup(corpus, recap.unionByName(reedit))
 
 
+_Q141_NAV = (
+    '<a href="/h">Home</a> <a href="/n">News</a> '
+    '<a href="/s">Shop</a> <a href="/c">Contact</a>'
+)
+
+
+def q141_segment_blocks(spark, sf_dir):
+    """In-page content/boilerplate segmentation (functions/text.py::
+    segment_html_blocks; Kohlschütter WSDM 2010 features): block split
+    at block-level tags, keep long link-sparse blocks, re-assemble main
+    text — the within-page complement of cross-page host_boilerplate
+    (q34). Pages synthesized deterministically from the documents
+    table: nav + prose paragraph + variable div + footer (+ script for
+    doc_id%3==0), so content and boilerplate both vary per row. Oracle:
+    full replay in DuckDB list/struct lambdas with the same RE2-safe
+    regexes (no backreferences)."""
+    from raven_spark.functions.text import segment_html_blocks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>x</title>"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("<script>var x=1;</script>")
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><nav>"),
+            F.lit(_Q141_NAV),
+            F.lit("</nav><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><div>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            ).otherwise(F.lit("short")),
+            F.lit("</div><footer>"),
+            F.lit(_Q141_NAV),
+            F.lit("</footer></body></html>"),
+        ).alias("html"),
+    )
+    return segment_html_blocks(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3351,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_neyman_allocation": q138_neyman_allocation,
         "q139_winnow_overlap": q139_winnow_overlap,
         "q140_incremental_dedup": q140_incremental_dedup,
+        "q141_segment_blocks": q141_segment_blocks,
     }
 
 
@@ -7809,6 +7853,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dup_of_new' END AS status,
                    CASE WHEN rep = id THEN NULL ELSE rep END AS dup_of
             FROM clus
+        """,
+        "q141_segment_blocks": r"""
+            -- full segmentation replay: same page synthesis, same
+            -- RE2-safe regexes, struct lambdas for per-block
+            -- (visible text, anchor chars), integer link-density test
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><title>x</title>' ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '<script>var x=1;</script>' ELSE '' END ||
+                     '</head><body><nav>' ||
+                     '<a href="/h">Home</a> <a href="/n">News</a> ' ||
+                     '<a href="/s">Shop</a> <a href="/c">Contact</a>' ||
+                     '</nav><p>' || coalesce(text, '') || '</p><div>' ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN substr(coalesce(text, ''), 1, 40)
+                          ELSE 'short' END ||
+                     '</div><footer>' ||
+                     '<a href="/h">Home</a> <a href="/n">News</a> ' ||
+                     '<a href="/s">Shop</a> <a href="/c">Contact</a>' ||
+                     '</footer></body></html>' AS html
+              FROM documents
+            ),
+            cells AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split_regex(
+                         regexp_replace(
+                           regexp_replace(html,
+                             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                         '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|th|section|article|header|footer|nav|blockquote)\b[^>]*>'),
+                       b -> struct_pack(
+                         vis := trim(regexp_replace(
+                                  regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                  '\s+', ' ', 'g')),
+                         na := coalesce(list_sum(list_transform(
+                                 regexp_extract_all(b,
+                                   '(?i)<a\b[^>]*>([^<]*)', 1),
+                                 a -> length(a))), 0))) AS cs
+              FROM pages
+            ),
+            f AS (
+              SELECT doc_id,
+                     list_filter(cs, c -> length(c.vis) > 0) AS ne
+              FROM cells
+            ),
+            g AS (
+              SELECT doc_id, ne,
+                     list_filter(ne, c -> length(c.vis) >= 30
+                                 AND c.na * 100 <= 33 * length(c.vis)) AS ct
+              FROM f
+            )
+            SELECT doc_id AS id,
+                   CAST(len(ne) AS INT) AS n_blocks,
+                   CAST(len(ct) AS INT) AS n_content_blocks,
+                   CAST(coalesce(list_sum(list_transform(ct,
+                          c -> length(c.vis))), 0) AS BIGINT) AS main_chars,
+                   CAST(coalesce(list_sum(list_transform(ne,
+                          c -> length(c.vis))), 0)
+                        - coalesce(list_sum(list_transform(ct,
+                            c -> length(c.vis))), 0) AS BIGINT)
+                     AS boiler_chars,
+                   array_to_string(list_transform(ct, c -> c.vis), ' ')
+                     AS main_text
+            FROM g
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -160,6 +160,7 @@ HEADLINE = [
     "q138_neyman_allocation",
     "q139_winnow_overlap",
     "q140_incremental_dedup",
+    "q141_segment_blocks",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

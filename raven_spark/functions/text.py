@@ -758,3 +758,108 @@ def with_html_stats(df, html_col: str = "html"):
     for name, c in cols.items():
         out = out.withColumn(name, c)
     return out
+
+
+# block-level boundary tags for in-page segmentation (no backrefs —
+# the SQL twin's RE2 engine lacks them)
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|th|section|article"
+    r"|header|footer|nav|blockquote)\b[^>]*>"
+)
+
+
+def segment_html_blocks(
+    df,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_text_chars: int = 30,
+    max_link_density_pct: int = 33,
+):
+    """In-page content/boilerplate segmentation (Kohlschütter et al.
+    WSDM 2010 boilerplate detection, reduced to its two strongest
+    shallow features): split the page into BLOCKS at block-level tag
+    boundaries, score each block by visible-text length and link
+    density (anchor-text chars / visible chars), keep blocks that read
+    like prose (long enough, link-sparse), and re-assemble the kept
+    blocks as the page's main text. Nav bars, footers, related-links
+    rails and tag clouds are short and anchor-dense — exactly what the
+    two features reject — and host_boilerplate (q34) CANNOT see them
+    when they vary per page (it needs cross-page repetition; this is
+    the within-page complement).
+
+    Mechanics are pure column algebra and fully SQL-replayable:
+    script/style elements removed first (two non-greedy DOTALL
+    replaces — no backreferences, the oracle's RE2 lacks them), one
+    regexp split at block tags, one transform building per-block
+    (visible text, visible chars, anchor chars) structs, then filters
+    and exact integer aggregates over the struct array. The link-
+    density test is integer math (n_anchor*100 <= pct*n_vis) so both
+    engines decide ties identically. The struct array is bound ONCE
+    as a HOF lambda variable (the winnow_fingerprints CollapseProject
+    lesson — a projected array column re-inlines at every reference).
+
+    Scale shape: one projection fused into the scan, ZERO exchanges,
+    zero Python; html never leaves its partition and only the per-doc
+    summary row (+ main_text) comes out. Block counts ignore
+    whitespace-only blocks so the verdicts are split-convention-proof
+    (Spark and the twin disagree on trailing empty splits).
+
+    Output: (id, n_blocks, n_content_blocks, main_chars bigint,
+    boiler_chars bigint, main_text).
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    nos = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    nos = F.regexp_replace(nos, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    blocks = F.split(nos, _BLOCK_SPLIT_RE)
+    cells = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " "
+                )
+            ).alias("vis"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(r"(?i)<a\b[^>]*>([^<]*)"), F.lit(1)),
+                F.lit(0).cast("long"),
+                lambda acc, a: acc + F.length(a),
+            ).alias("na"),
+        ),
+    )
+    mn = F.lit(int(min_text_chars))
+    pct = F.lit(int(max_link_density_pct))
+
+    def summarize(arr):
+        nonempty = F.filter(arr, lambda c: F.length(c["vis"]) > 0)
+        content = F.filter(
+            nonempty,
+            lambda c: (F.length(c["vis"]) >= mn)
+            & (c["na"] * F.lit(100) <= pct * F.length(c["vis"])),
+        )
+        tot = F.aggregate(
+            nonempty, F.lit(0).cast("long"), lambda a, c: a + F.length(c["vis"])
+        )
+        main = F.aggregate(
+            content, F.lit(0).cast("long"), lambda a, c: a + F.length(c["vis"])
+        )
+        return F.struct(
+            F.size(nonempty).cast("int").alias("n_blocks"),
+            F.size(content).cast("int").alias("n_content_blocks"),
+            main.alias("main_chars"),
+            (tot - main).alias("boiler_chars"),
+            F.array_join(
+                F.transform(content, lambda c: c["vis"]), " "
+            ).alias("main_text"),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(F.transform(F.array(cells), summarize), 1).alias("__s"),
+    ).select(
+        "id",
+        F.col("__s.n_blocks").alias("n_blocks"),
+        F.col("__s.n_content_blocks").alias("n_content_blocks"),
+        F.col("__s.main_chars").alias("main_chars"),
+        F.col("__s.boiler_chars").alias("boiler_chars"),
+        F.col("__s.main_text").alias("main_text"),
+    )

@@ -413,3 +413,49 @@ def test_neyman_allocation_partition_invariant(spark):
             neyman_allocation(df.repartition(13), total_samples=500, n_buckets=8).collect()}
     assert one == many
     assert sum(r[-1] for r in one) == 500
+
+
+def test_token_budget_matches_bisection_bruteforce(spark):
+    """The closed-form water level must agree with a reference bisection
+    solver on random instances (saturated and unsaturated mixes)."""
+    import random
+
+    from raven_spark.operators.sampling import token_budget_allocation
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = [
+            (f"s{i}", float(rng.randint(100, 5000)), rng.random() + 0.01)
+            for i in range(8)
+        ]
+        budget = [12000.0, 3000.0, 10**9][trial]  # mid / tight / over-supplied
+        me = 3.0
+        df = spark.createDataFrame(rows, "source string, avail_tokens double, weight double")
+        out = {
+            r["source"]: r
+            for r in token_budget_allocation(
+                df, budget=budget, max_epochs=me
+            ).collect()
+        }
+        wtot = sum(w for _, _, w in rows)
+        wn = {s: round(w / wtot, 9) for s, _, w in rows}
+        caps = {s: a * me for s, a, _ in rows}
+        total_cap = sum(caps.values())
+        if total_cap <= budget:
+            ref = dict(caps)
+        else:
+            lo, hi = 0.0, budget / min(wn.values()) + 1.0
+            for _ in range(200):
+                mid = (lo + hi) / 2
+                tot = sum(min(caps[s], wn[s] * mid) for s in caps)
+                if tot < budget:
+                    lo = mid
+                else:
+                    hi = mid
+            ref = {s: min(caps[s], wn[s] * lo) for s in caps}
+        for s in caps:
+            assert abs(out[s]["alloc"] - ref[s]) < 1.0, (
+                trial, s, out[s]["alloc"], ref[s]
+            )
+        assert abs(sum(r["alloc"] for r in out.values())
+                   - min(budget, total_cap)) < 1.0

@@ -336,3 +336,47 @@ def test_html_stats_shuffle_free(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
     plan = with_html_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_segment_html_blocks_content_vs_boilerplate(spark):
+    from raven_spark.functions.text import segment_html_blocks
+
+    prose = ("This is a long paragraph of real article prose that easily "
+             "clears the minimum visible length threshold for content.")
+    nav = '<a href="/a">Home</a> <a href="/b">News</a> <a href="/c">Shop</a>'
+    html = (
+        "<html><head><title>t</title><style>p{color:red}</style></head>"
+        "<body><nav>" + nav + "</nav>"
+        "<p>" + prose + "</p>"
+        "<script>var hidden = 'should never appear';</script>"
+        "<p>" + prose + " Second block with more words.</p>"
+        "<footer>" + nav + "</footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "<p></p>")],
+                               "doc_id long, html string")
+    out = {r["id"]: r for r in segment_html_blocks(df).collect()}
+    r = out[1]
+    assert r["n_content_blocks"] == 2
+    assert r["main_text"].startswith(prose)
+    assert "hidden" not in r["main_text"]
+    assert "Home" not in r["main_text"]
+    assert r["boiler_chars"] > 0
+    assert r["main_chars"] == len(r["main_text"]) - 1  # joiner space
+    # NULL html and empty blocks degrade to zero-row summaries
+    assert out[2]["n_blocks"] == 0 and out[2]["main_text"] == ""
+    assert out[3]["n_blocks"] == 0
+
+
+def test_segment_html_blocks_shuffle_free(spark):
+    from raven_spark.functions.text import segment_html_blocks
+
+    df = spark.createDataFrame(
+        [(i, f"<p>block {i} with enough text to count as real content here</p>")
+         for i in range(20)],
+        "doc_id long, html string",
+    )
+    q = segment_html_blocks(df)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert q.count() == 20
