@@ -3252,6 +3252,35 @@ def q141_segment_blocks(spark, sf_dir):
     return segment_html_blocks(pages)
 
 
+def q142_materialize_mixture(spark, sf_dir):
+    """Mixture materialization (operators/sampling.py::
+    materialize_mixture): per-source epoch factors become the physical
+    training corpus — floor(e) whole copies per doc + one extra by the
+    deterministic Knuth coin, so expectation hits the recipe exactly
+    and re-runs reproduce the same corpus. Epochs derived per source by
+    a fixed formula (0.4 + (idx%7)*0.45) so saturated (>1), fractional
+    (<1) and mixed regimes all appear. Oracle: coin + copy-count replay
+    with generate_series."""
+    from raven_spark.operators.sampling import materialize_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(0.4)
+                + F.pmod(
+                    F.substring("source", 4, 10).cast("int"), F.lit(7)
+                ).cast("double")
+                * F.lit(0.45)
+            ).alias("epochs"),
+        )
+    )
+    return materialize_mixture(d, epochs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3395,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_winnow_overlap": q139_winnow_overlap,
         "q140_incremental_dedup": q140_incremental_dedup,
         "q141_segment_blocks": q141_segment_blocks,
+        "q142_materialize_mixture": q142_materialize_mixture,
     }
 
 
@@ -7919,6 +7949,29 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(ct, c -> c.vis), ' ')
                      AS main_text
             FROM g
+        """,
+        "q142_materialize_mixture": r"""
+            -- coin + copy-count replay: same epoch formula, floor(e)
+            -- copies + Knuth-coin extra at 1e-6 resolution
+            WITH ep AS (
+              SELECT source,
+                     0.4 + CAST(CAST(substr(source, 4) AS INT) % 7
+                                AS DOUBLE) * 0.45 AS e
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            j AS (
+              SELECT d.doc_id, d.source,
+                     CAST(floor(e) AS INT)
+                     + CASE WHEN ((d.doc_id % 1000000007) * 2654435761)
+                                 % 1000000
+                              < CAST(round((e - floor(e)) * 1000000)
+                                     AS BIGINT)
+                            THEN 1 ELSE 0 END AS nc
+              FROM documents d JOIN ep USING (source)
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(1, nc)) AS INT) AS copy
+            FROM j WHERE nc >= 1
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

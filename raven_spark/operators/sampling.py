@@ -665,3 +665,63 @@ def neyman_allocation(
         "neyman_weight",
         "alloc",
     )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    epochs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training mixture from per-source EPOCH factors —
+    the final step between recipe math (token_budget_allocation q128 /
+    temperature_weights q121 / doremi_weights q109 all end in an
+    epochs-per-source number) and the physical training corpus: emit
+    each document floor(e) whole times plus one extra copy with
+    probability frac(e), decided by the engine's deterministic
+    Knuth coin on the doc id. In expectation every source contributes
+    exactly avail * e tokens, per-doc inclusion is a pure function of
+    (id, epochs) — reshuffling partitions or re-running the job yields
+    the SAME corpus (the deterministic_sample q41 property, extended
+    to epoch repetition), and no source is ever repeated beyond
+    ceil(e) passes.
+
+    ``epochs``: (source, epochs double >= 0) — pass
+    token_budget_allocation's output directly.
+
+    Scale shape: one broadcast join against the O(sources) epoch
+    table, one codegen'd coin + copy-count projection, one explode
+    bounded by ceil(e) rows per doc — no shuffle of doc rows at all
+    (plan: scan -> BroadcastHashJoin -> generate). The fractional coin
+    uses frac(e) at 1e-6 resolution (the knuth_coin denominator), so
+    the SQL twin replays membership exactly.
+
+    Output: (id, source, copy int 1-based) — copy enumerates a doc's
+    repetitions; downstream shard assignment (q81) takes (id, copy) as
+    the shuffle key so repeated copies land in different shards.
+    """
+    ep = epochs.select(
+        F.col(source_col).alias("__src"),
+        F.col("epochs").cast("double").alias("__e"),
+    )
+    full = F.floor(F.col("__e")).cast("int")
+    frac6 = F.round((F.col("__e") - full) * F.lit(_DENOM), 0).cast("bigint")
+    n_copies = full + (
+        knuth_coin(F.col(id_col)) < frac6
+    ).cast("int")
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(
+            F.broadcast(ep),
+            F.col(source_col) == F.col("__src"),
+        )
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.when(
+                    n_copies >= 1, F.sequence(F.lit(1), n_copies)
+                )
+            ).alias("copy"),
+        )
+    )

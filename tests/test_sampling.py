@@ -459,3 +459,54 @@ def test_token_budget_matches_bisection_bruteforce(spark):
             )
         assert abs(sum(r["alloc"] for r in out.values())
                    - min(budget, total_cap)) < 1.0
+
+
+def test_materialize_mixture_copies_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.operators.sampling import materialize_mixture, knuth_coin, _DENOM
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    epochs = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.0)], "source string, epochs double"
+    )
+    out = materialize_mixture(docs, epochs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # source b at 0 epochs contributes nothing
+    assert all(d < 50 for d in by_doc)
+    # every a-doc appears 2 or 3 times, copies are 1..n
+    for d, copies in by_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        assert len(copies) in (2, 3)
+    # fraction of 3-copy docs ~ 0.5 (deterministic, just sanity-bounded)
+    n3 = sum(1 for c in by_doc.values() if len(c) == 3)
+    assert 10 <= n3 <= 40
+    # partition invariance
+    out2 = materialize_mixture(docs.repartition(7), epochs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # the coin decides the extra copy exactly
+    coin_rows = docs.select("doc_id", (knuth_coin(F.col("doc_id")) < int(0.5 * _DENOM)).alias("c")).collect()
+    coin = {r["doc_id"]: r["c"] for r in coin_rows}
+    for d, copies in by_doc.items():
+        assert (len(copies) == 3) == coin[d]
+
+
+def test_materialize_mixture_no_doc_shuffle(spark):
+    from raven_spark.operators.sampling import materialize_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    epochs = spark.createDataFrame(
+        [(f"s{j}", 1.0 + j) for j in range(3)], "source string, epochs double"
+    )
+    q = materialize_mixture(docs, epochs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 1  # only the broadcast side
+    assert q.count() == 10 * (1 + 2 + 3) + sum(0 for _ in ())  # 10 docs/source at integer epochs

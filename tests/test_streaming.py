@@ -413,3 +413,84 @@ def test_streaming_exact_dedup_matches_batch_identity(spark, tmp_path):
         .collect()
     )
     assert kept_hashes == {r["h"] for r in batch}
+
+
+def test_streaming_band_candidates_cross_batch(spark, tmp_path):
+    """Candidate pairs surface across micro-batches (stateful band
+    buckets), match the batch LSH probe on the union input, and
+    re-deliveries of a member emit no self-pairs."""
+    import datetime
+
+    from raven_spark.streaming.ingest import PAGE_DDL
+    from raven_spark.streaming.neardup import streaming_band_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field toward the river all afternoon")
+    ts = datetime.datetime(2026, 8, 20, 12, 0, 0)
+    t2 = datetime.datetime(2026, 8, 20, 12, 5, 0)
+    b1 = [
+        ("http://h/a1", ts, b"", base, "en"),
+        ("http://h/a2", ts, b"", "a completely different first page body", "en"),
+    ]
+    b2 = [
+        ("http://h/b1", t2, b"", base + " extra", "en"),     # near-dup of a1
+        ("http://h/b2", t2, b"", base, "en"),                # exact dup of a1
+    ]
+    root = str(tmp_path / "pages")
+    # two parquet files -> availableNow processes them as separate units,
+    # but one trigger suffices for the cross-file state to matter: write
+    # and run batch 1, then append batch 2 and run again on the SAME
+    # checkpoint so bucket state persists across runs
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    spark.createDataFrame(b1, PAGE_DDL).coalesce(1).write.parquet(root)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(PAGE_DDL).parquet(root)
+            .withColumn("doc_id", F.xxhash64("url"))
+        )
+        q = (
+            streaming_band_candidates(stream, max_bucket=10)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(sink).collect()
+
+    out1 = run_once()
+    spark.createDataFrame(b2, PAGE_DDL).coalesce(1).write.parquet(
+        root, mode="append"
+    )
+    out2 = run_once()
+    ids = {u: spark.createDataFrame([(u,)], "url string")
+           .select(F.xxhash64("url")).first()[0]
+           for u in ["http://h/a1", "http://h/a2", "http://h/b1", "http://h/b2"]}
+    pairs2 = {(r["id_a"], r["id_b"]) for r in out2}
+    key = lambda x, y: (min(ids[x], ids[y]), max(ids[x], ids[y]))
+    # batch-2 arrivals pair against the batch-1 member held in state
+    assert key("http://h/a1", "http://h/b1") in pairs2
+    assert key("http://h/a1", "http://h/b2") in pairs2
+    # and with each other
+    assert key("http://h/b1", "http://h/b2") in pairs2
+    # the unrelated page pairs with nothing
+    assert not any(ids["http://h/a2"] in p for p in pairs2)
+    assert out1 == []  # batch 1 had no near-dup pair
+    # parity: the streamed pair set equals the batch LSH probe over the
+    # union of all batches (same k/bands/n)
+    from raven_spark.operators.dedup import minhash_lsh_candidates
+
+    union = spark.createDataFrame(b1 + b2, PAGE_DDL).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            union, text_col="text", id_col="doc_id", k=16, bands=8
+        ).collect()
+    }
+    assert pairs2 == batch_pairs
