@@ -161,6 +161,7 @@ HEADLINE = [
     "q139_winnow_overlap",
     "q140_incremental_dedup",
     "q141_segment_blocks",
+    "q142_materialize_mixture",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

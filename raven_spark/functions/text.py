@@ -852,9 +852,17 @@ def segment_html_blocks(
             ).alias("main_text"),
         )
 
+    # explode a 1-element array: the Generate node MATERIALIZES the
+    # summary struct once per row. A plain projected struct is not a
+    # barrier — CollapseProject would inline the whole segmentation
+    # expression into each of the five field extracts below (5x the
+    # regex work per page; the same trap the lambda binding above
+    # guards against INSIDE the summary).
     return df.select(
         F.col(id_col).alias("id"),
-        F.element_at(F.transform(F.array(cells), summarize), 1).alias("__s"),
+        F.explode(
+            F.array(F.element_at(F.transform(F.array(cells), summarize), 1))
+        ).alias("__s"),
     ).select(
         "id",
         F.col("__s.n_blocks").alias("n_blocks"),

@@ -270,14 +270,18 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    band_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: equal band slice of the MinHash signature.
 
     bands=4, rows=k/bands=4 -> P(candidate) = 1-(1-j^4)^4: ~0.97 at j=0.8,
     ~0.04 at j=0.3 — the classic S-curve. Pair generation is a self-join
     on (band_id, band_key); band_key is an 8-byte hash so the shuffle is
-    narrow."""
-    band_entries = _band_entry_rows(df, text_col, id_col, k, bands, n)
+    narrow. Pass ``band_entries`` (an (id, band_id, band_key) frame for
+    exactly ``df``'s docs, e.g. one already materialized for an index
+    probe) to skip recomputing signatures."""
+    if band_entries is None:
+        band_entries = _band_entry_rows(df, text_col, id_col, k, bands, n)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -297,14 +301,19 @@ def minhash_dedup(
     n: int = 3,
     verify_threshold: float | None = 0.7,
     max_iters: int = 20,
+    band_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: LSH candidates [-> exact Jaccard verify] -> connected
     docs collapse to min-id representative (single-link connected
     components, iterated to FIXPOINT: each round takes the min over
     neighbors' reps then pointer-jumps rep -> rep(rep), so convergence is
     O(log chain-length); the loop exits when no rep changed, with
-    ``max_iters`` as a runaway valve, not a correctness bound)."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
+    ``max_iters`` as a runaway valve, not a correctness bound).
+    ``band_entries`` forwards to minhash_lsh_candidates (reuse a
+    materialized band index instead of re-hashing)."""
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, k, bands, n, band_entries=band_entries
+    )
     if verify_threshold is not None:
         grams = df.select(
             F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("grams")
@@ -1156,10 +1165,18 @@ def winnow_fingerprints(
         ).alias("__sel"),
     )
     enc = F.explode("__sel")
+    fp = F.pmod(F.col("__e"), p.cast("long"))
+    # decode pos with EXACT arithmetic (remainder-subtract then decimal
+    # divide, the reputation.fdiv discipline): float division of the
+    # packed value goes off-by-one once pos*P nears 2^53 (multi-MB docs)
+    pos = (
+        (F.col("__e") - fp).cast("decimal(38,0)")
+        / F.lit(_KMV_P).cast("decimal(38,0)")
+    ).cast("int")
     return sel.select("id", enc.alias("__e")).select(
         "id",
-        (F.col("__e") / p.cast("long")).cast("int").alias("pos"),
-        F.pmod(F.col("__e"), p.cast("long")).alias("fp"),
+        pos.alias("pos"),
+        fp.alias("fp"),
     )
 
 
@@ -1231,13 +1248,38 @@ def winnow_overlap_pairs(
     )
 
 
+def band_structs_col(sig_col, k: int, bands: int):
+    """Array of (band_id, band_key) structs from a MinHash signature
+    column — THE band-key definition. Batch candidate generation
+    (_band_entry_rows) and the streaming stateful probe
+    (streaming/neardup.py) both call this, so stream/batch band parity
+    is structural, not two hand-maintained copies of an expression."""
+    rows = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows + r + 1)
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _band_entry_rows(
     df: DataFrame, text_col: str, id_col: str, k: int, bands: int, n: int
 ) -> DataFrame:
     """(id, band_id, band_key) rows for LSH banding — the persisted
     shape of a production near-dup index (8-byte keys, one row per
     band). Shared by minhash-family candidate generation."""
-    rows = k // bands
     sigs = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_col(
@@ -1246,25 +1288,7 @@ def _band_entry_rows(
     )
     return sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows + r + 1)
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(band_structs_col(F.col("sig"), k, bands)).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
 
 
@@ -1311,9 +1335,14 @@ def incremental_minhash_dedup(
 
     Output: (id, status string, dup_of nullable) — one row per NEW doc.
     """
+    # the new side's band entries serve BOTH the corpus probe and the
+    # intra-new clustering below — materialize once (k xxhash64 passes
+    # over every new doc's gram array are the dominant per-dump cost)
+    nb = _band_entry_rows(new, text_col, id_col, k, bands, n).localCheckpoint(
+        eager=False
+    )
     cand = (
-        _band_entry_rows(new, text_col, id_col, k, bands, n)
-        .withColumnRenamed("id", "new_id")
+        nb.withColumnRenamed("id", "new_id")
         .join(
             _band_entry_rows(corpus, text_col, id_col, k, bands, n)
             .withColumnRenamed("id", "corpus_id"),
@@ -1353,6 +1382,9 @@ def incremental_minhash_dedup(
     survivors = new.join(
         dupc.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
+    surv_bands = nb.join(
+        dupc.select(F.col("new_id").alias("id")), "id", "left_anti"
+    )
     clusters = minhash_dedup(
         survivors,
         text_col,
@@ -1362,6 +1394,7 @@ def incremental_minhash_dedup(
         n,
         verify_threshold=threshold,
         max_iters=max_iters,
+        band_entries=surv_bands,
     )
     id_type = dict(new.dtypes)[id_col]
     out_c = dupc.select(

@@ -18,12 +18,15 @@ Semantics and bounds:
   pair the batch probe would emit on the union of all batches seen.
 - Per-bucket membership is capped at ``max_bucket`` ids: a hot bucket
   is cross-site boilerplate (the mirror_hosts/winnow max_df
-  discipline) and the quadratic key. Batch drops such keys entirely
-  (it sees the final count up front); the stream cannot retro-drop, so
-  it stops GROWING the bucket at the cap — arrivals after the cap
-  still pair against the capped membership (<= max_bucket pairs each)
-  but are not remembered. This is the documented batch/stream
-  divergence, bounded both ways.
+  discipline) and the quadratic key. The batch probe
+  (minhash_lsh_candidates) has NO such cap — it emits every pair of a
+  hot bucket — so past the cap the stream UNDER-emits relative to
+  batch: arrivals after the cap still pair against the capped
+  membership (<= max_bucket pairs each) but are not remembered. The
+  exact-parity guarantee with the batch probe therefore holds only
+  while every bucket stays under ``max_bucket``; beyond it the stream
+  trades recall on boilerplate keys for bounded state, a trade the
+  batch side makes elsewhere (winnow/mirror max_df) before pairing.
 - Within a batch, rows are processed in (event ts, id) order after
   concatenating all Arrow chunks, so emitted pairs are independent of
   chunk boundaries and partitioning (the round-3 advice fix applied
@@ -106,7 +109,14 @@ def _bucket_fn(max_bucket: int, state_ttl_seconds: int):
                     ids.append(did)
                     known.add(did)
             state.update((ids, max_ts))
-            state.setTimeoutTimestamp(max_ts + ttl_ms)
+            # clamp: a bucket fed only LATE rows has max_ts + ttl behind
+            # the current watermark, and setTimeoutTimestamp throws on
+            # timestamps <= watermark — killing the query and poisoning
+            # the checkpoint (every restart replays the same batch).
+            # Such a bucket is due for eviction at the next watermark
+            # advance anyway.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
             if out_a:
                 yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
@@ -129,11 +139,11 @@ def streaming_band_candidates(
     with NULL text carry no content identity and are dropped here (the
     fetch taxonomy owns them, as in streaming_exact_dedup)."""
     from raven_spark.operators.dedup import (
+        band_structs_col,
         minhash_signature_col,
         word_shingles_col,
     )
 
-    rows = k // bands
     sigs = (
         pages.filter(F.col(text_col).isNotNull())
         .withWatermark(ts_col, watermark_delay)
@@ -146,29 +156,13 @@ def streaming_band_candidates(
             ).alias("__sig"),
         )
     )
+    # band_structs_col IS the batch band-key definition — parity with
+    # the batch probe is structural, not a maintained copy
     entries = sigs.select(
         "__id",
         "__ts_ms",
         "__ts",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig", b * rows + r + 1)
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(band_structs_col(F.col("__sig"), k, bands)).alias("band"),
     ).select("__id", "__ts_ms", "__ts", "band.band_id", "band.band_key")
     return entries.groupBy("band_id", "band_key").applyInPandasWithState(
         _bucket_fn(max_bucket, state_ttl_seconds),
