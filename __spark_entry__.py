@@ -3281,6 +3281,23 @@ def q142_materialize_mixture(spark, sf_dir):
     return materialize_mixture(d, epochs)
 
 
+def q143_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-balanced sampling over content clusters (operators/
+    sampling.py::cluster_balanced_sample): sign-LSH code over the
+    embedding (q96's Knuth projection) buckets docs into 16 content
+    clusters; the sample budget allocates across clusters by
+    sqrt(size) through the q83 exact allocator; each cluster's quota
+    fills by deterministic coin rank behind a replayable prefilter.
+    Oracle: projection + code + allocator + prefilter + rank, all
+    replayed (sqrt is IEEE-exact in both engines — the reason the
+    default alpha earns a bit-exact oracle)."""
+    from raven_spark.operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), total=100, n_planes=4, alpha_pct=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3425,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_incremental_dedup": q140_incremental_dedup,
         "q141_segment_blocks": q141_segment_blocks,
         "q142_materialize_mixture": q142_materialize_mixture,
+        "q143_cluster_balanced_sample": q143_cluster_balanced_sample,
     }
 
 
@@ -7972,6 +7990,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(unnest(generate_series(1, nc)) AS INT) AS copy
             FROM j WHERE nc >= 1
+        """,
+        "q143_cluster_balanced_sample": r"""
+            -- projection (q96 replay, 4 planes) -> sign code ->
+            -- sqrt-weight -> q83 allocator replay (16 buckets, total
+            -- 100, string-keyed level-2 order) -> prefilter + rank
+            WITH proj AS (
+              SELECT vec_id,
+                     list_transform(range(0, 4), j -> round(
+                       list_aggregate(list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE)
+                              * (CASE WHEN (((CAST(i - 1 AS BIGINT) * 1000003
+                                              + CAST(j AS BIGINT) * 7919)
+                                             * 2654435761) >> 16) & 1 = 0
+                                      THEN 1.0 ELSE -1.0 END)), 'sum')
+                       * (1.0 / sqrt(CAST(64 AS DOUBLE))), 6)) AS proj
+              FROM embeddings
+            ),
+            asg AS (
+              SELECT vec_id,
+                     CAST((CASE WHEN proj[1] > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN proj[2] > 0 THEN 2 ELSE 0 END)
+                        + (CASE WHEN proj[3] > 0 THEN 4 ELSE 0 END)
+                        + (CASE WHEN proj[4] > 0 THEN 8 ELSE 0 END)
+                          AS INT) AS cluster,
+                     ((vec_id % 1000000007) * 2654435761) % 1000000 AS coin
+              FROM proj
+            ),
+            sz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+            w AS (
+              SELECT cluster, n,
+                     CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS wt
+              FROM sz
+            ),
+            bk AS (
+              SELECT cluster, wt,
+                     CAST((list_reduce(
+                             list_prepend(CAST(0 AS BIGINT),
+                               list_transform(
+                                 range(1, length(CAST(cluster AS VARCHAR)) + 1),
+                                 i -> CAST(unicode(substring(
+                                        CAST(cluster AS VARCHAR),
+                                        CAST(i AS INT), 1)) AS BIGINT))),
+                             (acc, cp) -> (acc * 31 + cp) % 1000000007)
+                           * 2654435761) % 16 AS INT) AS bkt
+              FROM w
+            ),
+            bw AS (SELECT bkt, sum(wt) AS bwt FROM bk GROUP BY bkt),
+            lvl1 AS (
+              SELECT bkt, bwt,
+                     sum(bwt) OVER (ORDER BY bkt ASC ROWS UNBOUNDED PRECEDING)
+                       AS cumw,
+                     sum(bwt) OVER () AS W
+              FROM bw
+            ),
+            bb AS (
+              SELECT bkt, bwt,
+                     CASE WHEN W <= 0 THEN 0
+                          ELSE (100::HUGEINT * cumw) // W
+                               - (100::HUGEINT * (cumw - bwt)) // W
+                     END AS bbudget
+              FROM lvl1
+            ),
+            lvl2 AS (
+              SELECT bk.cluster, bk.wt, bb.bwt, bb.bbudget,
+                     sum(bk.wt) OVER (PARTITION BY bk.bkt
+                                      ORDER BY CAST(bk.cluster AS VARCHAR) ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM bk JOIN bb USING (bkt)
+            ),
+            q AS (
+              SELECT w.cluster, w.n,
+                     least(CAST(CASE WHEN l.bwt <= 0 OR w.wt <= 0 THEN 0
+                          ELSE (l.bbudget::HUGEINT * l.cum) // l.bwt
+                               - (l.bbudget::HUGEINT * (l.cum - w.wt))
+                                 // l.bwt
+                          END AS BIGINT), w.n) AS quota
+              FROM w JOIN lvl2 l ON w.cluster = l.cluster
+            ),
+            pre AS (
+              SELECT a.vec_id, a.cluster, a.coin, q.quota,
+                     least(1000000,
+                           CAST(ceil(3000000.0 * CAST(q.quota AS DOUBLE)
+                                     / CAST(q.n AS DOUBLE)) AS BIGINT))
+                       AS thresh
+              FROM asg a JOIN q USING (cluster)
+            ),
+            sel AS (
+              SELECT vec_id, cluster, coin, quota,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY coin ASC, vec_id ASC) AS rk
+              FROM pre WHERE coin < thresh
+            )
+            SELECT vec_id, cluster, coin FROM sel WHERE rk <= quota
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -162,6 +162,7 @@ HEADLINE = [
     "q140_incremental_dedup",
     "q141_segment_blocks",
     "q142_materialize_mixture",
+    "q143_cluster_balanced_sample",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -725,3 +725,118 @@ def materialize_mixture(
             ).alias("copy"),
         )
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    total: int = 1000,
+    n_planes: int = 4,
+    alpha_pct: int = 50,
+    prefilter_margin: int = 3,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling over CONTENT clusters — the
+    embedding-space answer to "don't let the biggest topic eat the
+    sample" (the cluster-balanced selection step of SemDedup-style and
+    DoReMi-style curation): bucket documents by a deterministic
+    sign-LSH code over their embeddings (2^n_planes content clusters —
+    the q96 Knuth-coin projection, so clustering is a pure function of
+    the vector), allocate the sample across clusters proportional to
+    size^(alpha_pct/100), and draw each cluster's quota by the
+    engine's deterministic coin.
+
+    alpha < 1 is the diversity knob: alpha=1 reproduces proportional
+    sampling, alpha=0 samples clusters uniformly; the default sqrt
+    upweights small topics. The size^alpha weight is integerized at
+    1e6 and fed through allocate_domain_budget's two-level cumulative
+    rounding (q83), so quotas are integers summing to exactly
+    ``total``; a quota exceeding its cluster's size is capped there
+    and the surplus FORFEITED (the allocator's politeness-cap
+    convention), so the realized sample is total minus such forfeits.
+
+    Scale shape: the cluster code is zero-shuffle column algebra fused
+    into the scan; the allocation is O(clusters); selection is the
+    politeness-window discipline applied to sampling — a coin
+    PREFILTER (coin < margin * quota/size, a per-cluster literal-free
+    threshold on a uniform coin) shrinks each cluster's window input
+    to ~margin*quota rows BEFORE the exact rank, so the per-cluster
+    sort never sees the full corpus slice. The prefilter is part of
+    the operator's definition (both engines replay it), so the sample
+    stays a pure function of the data even in the astronomically
+    unlikely event the margin undershoots.
+
+    Output: (id, cluster int, coin bigint) — the selected rows only,
+    coin exposed for downstream tie-audits.
+    """
+    from raven_spark.operators.reputation import allocate_domain_budget
+    from raven_spark.operators.similarity import random_projection
+
+    proj = random_projection(emb, vec_col, id_col, out_dim=n_planes)
+    code = sum(
+        (F.element_at("proj", j + 1) > 0).cast("int") * F.lit(1 << j)
+        for j in range(int(n_planes))
+    )
+    assigned = proj.select(
+        F.col(id_col).alias("__id"),
+        code.alias("cluster"),
+        knuth_coin(F.col(id_col)).alias("__coin"),
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+    # size^alpha at 1e6 fixed point: the one float step before the
+    # integer allocator. alpha=50 (the default) uses sqrt — IEEE
+    # correctly-rounded, so Spark and the SQL twin produce the SAME
+    # bits; other alphas go through exp/ln, where libm implementations
+    # may differ by an ulp (harmless for sampling, but only sqrt earns
+    # the bit-exact oracle)
+    nf = F.col("__n").cast("double")
+    powed = (
+        F.sqrt(nf)
+        if int(alpha_pct) == 50
+        else F.exp(F.log(nf) * F.lit(int(alpha_pct) / 100.0))
+    )
+    w = sizes.select(
+        "cluster",
+        "__n",
+        F.round(powed * F.lit(1e6), 0).cast("bigint").alias("__w"),
+    )
+    alloc = allocate_domain_budget(
+        w.select(F.col("cluster").cast("string").alias("domain"), F.col("__w").alias("weight")),
+        total_budget=int(total),
+        n_buckets=16,
+    ).select(
+        F.col("domain").cast("int").alias("cluster"),
+        F.col("budget").alias("__q"),
+    )
+    # quota capped at cluster size: alpha < 1 can allocate a tiny
+    # cluster more rows than it has; the surplus is FORFEITED, not
+    # redistributed (allocate_domain_budget's politeness-cap
+    # convention) — output size is total minus such forfeits
+    quota = w.join(alloc, "cluster").select(
+        "cluster",
+        "__n",
+        F.least(F.col("__q"), F.col("__n")).alias("__q"),
+        F.least(
+            F.lit(_DENOM).cast("bigint"),
+            F.ceil(
+                F.lit(int(prefilter_margin) * _DENOM)
+                * F.col("__q").cast("double")
+                / F.col("__n").cast("double")
+            ).cast("bigint"),
+        ).alias("__thresh"),
+    )
+    pruned = assigned.join(F.broadcast(quota), "cluster").filter(
+        F.col("__coin") < F.col("__thresh")
+    )
+    win = Window.partitionBy("cluster").orderBy(
+        F.col("__coin").asc(), F.col("__id").asc()
+    )
+    return (
+        pruned.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= F.col("__q"))
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("__coin").alias("coin"),
+        )
+    )
