@@ -3298,6 +3298,35 @@ def q143_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def q144_winnow_spans(spark, sf_dir):
+    """Shared-span localization (operators/dedup.py::
+    winnow_shared_spans): matched winnow fingerprints grouped by
+    diagonal (pos_a - pos_b) and gap-merged into the char ranges two
+    docs actually share — the MOSS report stage as relational algebra.
+    Same planted-quote corpus as q139, so every quote-bearing pair
+    must localize the quote region. Oracle: the q139 winnow replay
+    extended with positions + a lag/flag/sum islands pass."""
+    from raven_spark.operators.dedup import winnow_shared_spans
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" to be or not to be that is the question"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return winnow_shared_spans(docs, k=8, window=4, min_fps=2, max_df=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3443,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_segment_blocks": q141_segment_blocks,
         "q142_materialize_mixture": q142_materialize_mixture,
         "q143_cluster_balanced_sample": q143_cluster_balanced_sample,
+        "q144_winnow_spans": q144_winnow_spans,
     }
 
 
@@ -8084,6 +8114,90 @@ def oracle_sql() -> dict[str, str]:
               FROM pre WHERE coin < thresh
             )
             SELECT vec_id, cluster, coin FROM sel WHERE rk <= quota
+        """,
+        "q144_winnow_spans": r"""
+            -- q139 winnow replay + positions + diagonal islands
+            WITH docs0 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 80
+            ),
+            docs AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text ||
+                               ' to be or not to be that is the question'
+                          ELSE text END AS text
+              FROM docs0
+            ),
+            norm AS (
+              SELECT id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM docs
+            ),
+            gr AS (
+              SELECT id,
+                     list_transform(generate_series(1, len(t) - 7),
+                       i -> (list_reduce(
+                               list_transform(
+                                 string_split(substr(t, CAST(i AS INT), 8), ''),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                               (a, x) -> (a * 131 + x) % 2147483647)
+                             * 2654435761) % 2147483647) AS g
+              FROM norm WHERE len(t) >= 8
+            ),
+            sel AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(g) - 3, 1)),
+                       t -> (t + len(g[t:least(t + 3, len(g))])
+                               - list_position(
+                                   list_reverse(g[t:least(t + 3, len(g))]),
+                                   list_min(g[t:least(t + 3, len(g))])))
+                            * 2147483647::BIGINT
+                            + list_min(g[t:least(t + 3, len(g))])))) AS e
+              FROM gr
+            ),
+            fpp AS (
+              SELECT DISTINCT id,
+                     CAST(e // 2147483647 AS INT) AS pos,
+                     e % 2147483647 AS fp
+              FROM sel
+            ),
+            keep AS (
+              SELECT fp FROM (SELECT DISTINCT id, fp FROM fpp)
+              GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+            ),
+            m AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.pos AS pos_a, b.pos AS pos_b,
+                     a.pos - b.pos AS d
+              FROM fpp a
+              JOIN keep k ON a.fp = k.fp
+              JOIN fpp b ON b.fp = a.fp AND a.id < b.id
+            ),
+            isl AS (
+              SELECT *,
+                     CASE WHEN pos_a - lag(pos_a) OVER
+                            (PARTITION BY id_a, id_b, d
+                             ORDER BY pos_a ASC) > 11
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+            ),
+            grp AS (
+              SELECT *,
+                     sum(brk) OVER (PARTITION BY id_a, id_b, d
+                                    ORDER BY pos_a ASC
+                                    ROWS UNBOUNDED PRECEDING) AS isl_id
+              FROM isl
+            )
+            SELECT id_a, id_b,
+                   min(pos_a) AS start_a,
+                   CAST(max(pos_a) + 7 AS INT) AS end_a,
+                   min(pos_b) AS start_b,
+                   CAST(max(pos_b) + 7 AS INT) AS end_b,
+                   count(*) AS n_fps
+            FROM grp
+            GROUP BY id_a, id_b, d, isl_id
+            HAVING count(*) >= 2
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

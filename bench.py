@@ -163,6 +163,7 @@ HEADLINE = [
     "q141_segment_blocks",
     "q142_materialize_mixture",
     "q143_cluster_balanced_sample",
+    "q144_winnow_spans",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -1412,3 +1412,96 @@ def incremental_minhash_dedup(
         .alias("dup_of"),
     )
     return out_c.unionByName(out_n)
+
+
+def winnow_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_fps: int = 2,
+    max_df: int = 50,
+    gap: int | None = None,
+) -> DataFrame:
+    """Localize WHERE two documents overlap — the span-level refinement
+    of winnow_overlap_pairs (which only scores pairs): matched
+    fingerprints carry positions on both sides, and fingerprints of one
+    contiguous shared substring line up on a DIAGONAL (pos_a - pos_b
+    constant). Grouping matches by diagonal and merging runs whose
+    consecutive positions sit within ``gap`` chars (default
+    window + k - 1, the winnowing guarantee spacing) recovers the
+    shared char ranges — quote extents, syndicated paragraphs, license
+    blocks — without ever comparing text.
+
+    This is the MOSS report stage as pure relational algebra: one fp
+    equi-join (hot fps df-capped first, the q139 discipline), one
+    lag/flag/sum islands pass per (pair, diagonal), one aggregate.
+    Position arithmetic is exact integers end to end, so the SQL twin
+    replays byte-for-byte.
+
+    Scale shape: only (id, pos, 8-byte fp) rows reach the join; the
+    islands window partitions by (id_a, id_b, diagonal) — keys that
+    subdivide hot pairs, so a pair sharing many separate spans never
+    sorts as one slice. Text never shuffles; spans are emitted as
+    offsets for the caller to slice.
+
+    Output: (id_a, id_b, start_a, end_a, start_b, end_b, n_fps) with
+    id_a < id_b, 1-based inclusive char ranges (end = last gram start
+    + k - 1), n_fps >= ``min_fps`` matched fingerprints per span.
+    """
+    g = int(gap) if gap is not None else int(window) + int(k) - 1
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    hot = (
+        fps.select("id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= int(max_df)))
+        .select("fp")
+    )
+    keyed = fps.join(hot, "fp")
+    a = keyed.select(
+        "fp", F.col("id").alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = keyed.select(
+        "fp", F.col("id").alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("__d"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("id_a", "id_b", "__d").orderBy(F.col("pos_a").asc())
+    islands = m.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(wd) > F.lit(g), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "__d", "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.max("pos_a") + F.lit(int(k) - 1)).alias("end_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_b") + F.lit(int(k) - 1)).alias("end_b"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= int(min_fps))
+        .select(
+            "id_a", "id_b", "start_a", "end_a", "start_b", "end_b", "n_fps"
+        )
+    )

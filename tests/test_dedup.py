@@ -535,3 +535,31 @@ def test_incremental_dedup_partition_invariant_and_no_corpus_rescan(spark):
     for i in range(40):
         row = next(t for t in a if t[0] == 100 + i)
         assert row[1] == ("dup_of_corpus" if i % 2 == 0 else "kept")
+
+
+def test_winnow_shared_spans_localize_quote(spark):
+    from raven_spark.operators.dedup import winnow_shared_spans
+
+    quote = "we hold these truths to be self evident that all men are created equal"
+    d1 = "opening words before the quote " + quote + " and some trailing words here"
+    d2 = quote + " appears at the very start of this second document body"
+    d3 = "no reuse in this document at all just original filler text content"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    spans = winnow_shared_spans(df, min_fps=2).collect()
+    pair = [r for r in spans if r["id_a"] == 1 and r["id_b"] == 2]
+    assert pair, spans
+    best = max(pair, key=lambda r: r["n_fps"])
+    # the dominant span must cover the quote region on both sides
+    q1 = d1.lower().find(quote)
+    assert best["start_a"] >= q1 - 2 and best["end_a"] <= q1 + len(quote) + 8
+    assert best["start_b"] <= 8 and best["end_b"] <= len(quote) + 8
+    # the recovered substrings agree
+    sub1 = d1.lower()[best["start_a"] - 1 : best["end_a"]]
+    sub2 = d2.lower()[best["start_b"] - 1 : best["end_b"]]
+    assert sub1 == sub2
+    assert not any(3 in (r["id_a"], r["id_b"]) for r in spans)
+    # partition invariance
+    again = winnow_shared_spans(df.repartition(5), min_fps=2).collect()
+    assert sorted(map(tuple, spans)) == sorted(map(tuple, again))
