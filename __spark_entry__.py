@@ -3327,6 +3327,42 @@ def q144_winnow_spans(spark, sf_dir):
     return winnow_shared_spans(docs, k=8, window=4, min_fps=2, max_df=50)
 
 
+def q145_mime_sniff(spark, sf_dir):
+    """Payload magic-byte sniffing vs declared Content-Type
+    (functions/mime.py::payload_mime_report) — the payload-truth
+    extension of the reference's header-trusting MIME resolution
+    (mime.rs C1): servers lie, and routing by declared type mis-shards
+    a multimodal corpus. Payloads synthesized deterministically from
+    documents (magic prefix by doc_id%6 + utf-8 text bytes), declared
+    types by doc_id%3 with planted lies. Oracle: hex-prefix replay of
+    the same public magic table."""
+    from raven_spark.functions.mime import payload_mime_report
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("89504E470D0A1A0A"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("FFD8FFE0"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("25504446"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("1F8B08"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("3C21444F43545950"))
+        .otherwise(F.lit(""))
+    )
+    declared = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("text/html; charset=utf-8"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(prefix),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"),
+        ).alias("payload"),
+        declared.alias("ct"),
+    )
+    return payload_mime_report(pages, declared_col="ct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3473,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_materialize_mixture": q142_materialize_mixture,
         "q143_cluster_balanced_sample": q143_cluster_balanced_sample,
         "q144_winnow_spans": q144_winnow_spans,
+        "q145_mime_sniff": q145_mime_sniff,
     }
 
 
@@ -8198,6 +8235,67 @@ def oracle_sql() -> dict[str, str]:
             FROM grp
             GROUP BY id_a, id_b, d, isl_id
             HAVING count(*) >= 2
+        """,
+        "q145_mime_sniff": r"""
+            -- same payload synthesis, sniff replayed on the hex prefix
+            WITH pages AS (
+              SELECT doc_id,
+                     unhex(CASE doc_id % 6
+                           WHEN 0 THEN '89504E470D0A1A0A'
+                           WHEN 1 THEN 'FFD8FFE0'
+                           WHEN 2 THEN '25504446'
+                           WHEN 3 THEN '1F8B08'
+                           WHEN 4 THEN '3C21444F43545950'
+                           ELSE '' END)
+                       || encode(coalesce(text, '')) AS payload,
+                     CASE doc_id % 3
+                          WHEN 0 THEN 'image/png'
+                          WHEN 1 THEN 'text/html; charset=utf-8'
+                          ELSE NULL END AS ct
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, payload, ct,
+                     upper(substr(hex(payload), 1, 32)) AS p
+              FROM pages
+            ),
+            s AS (
+              SELECT doc_id, ct,
+                     octet_length(payload) AS n_bytes,
+                     CASE
+                       WHEN substr(p, 1, 8) = '52494646' THEN
+                         CASE WHEN substr(p, 17, 8) = '57454250'
+                                THEN 'image/webp'
+                              WHEN substr(p, 17, 8) = '57415645'
+                                THEN 'audio/wav'
+                              ELSE 'application/octet-stream' END
+                       WHEN substr(p, 1, 8) = '89504E47' THEN 'image/png'
+                       WHEN substr(p, 1, 8) = '47494638' THEN 'image/gif'
+                       WHEN substr(p, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                       WHEN substr(p, 1, 8) = '25504446'
+                         THEN 'application/pdf'
+                       WHEN substr(p, 1, 8) IN
+                            ('504B0304', '504B0506', '504B0708')
+                         THEN 'application/zip'
+                       WHEN substr(p, 1, 4) = '1F8B'
+                         THEN 'application/gzip'
+                       WHEN substr(p, 1, 6) = '494433' THEN 'audio/mpeg'
+                       WHEN substr(p, 1, 8) = '4F676753'
+                         THEN 'application/ogg'
+                       WHEN substr(p, 1, 4) = '424D' THEN 'image/bmp'
+                       WHEN substr(p, 9, 8) = '66747970' THEN 'video/mp4'
+                       WHEN substr(p, 1, 8) IN
+                            ('3C21444F', '3C68746D', '3C48544D', '3C3F786D')
+                         THEN 'text/html'
+                       ELSE 'application/octet-stream'
+                     END AS sniffed_mime
+              FROM h
+            )
+            SELECT doc_id AS id, sniffed_mime, n_bytes,
+                   ct AS declared_mime,
+                   lower(trim(string_split(ct, ';')[1])) <> sniffed_mime
+                     AS mismatch
+            FROM s
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

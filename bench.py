@@ -164,6 +164,7 @@ HEADLINE = [
     "q142_materialize_mixture",
     "q143_cluster_balanced_sample",
     "q144_winnow_spans",
+    "q145_mime_sniff",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

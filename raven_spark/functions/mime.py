@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 TEXT_SUBTYPES = {
     # mime.rs:24-35 — the 10 text subtypes the reference recognizes
     "plain", "css", "csv", "html", "javascript", "xml",
@@ -85,3 +87,83 @@ def is_text_mime(mime: str) -> bool:
     """Does the charset pipeline apply? (result.rs:120-131 gates on Text)."""
     major, _, minor = mime.partition("/")
     return (major == "text") or (major == "application" and minor in _APP_TEXT)
+
+
+# --- payload magic-byte sniffing (column algebra) ---------------------------
+
+# (hex-prefix, offset-in-hex-chars, mime) — longest/most-specific first.
+# Public magic numbers (IANA / file(1) magic database common set).
+_MAGIC = [
+    ("89504E47", 0, "image/png"),
+    ("47494638", 0, "image/gif"),
+    ("FFD8FF", 0, "image/jpeg"),
+    ("25504446", 0, "application/pdf"),
+    ("504B0304", 0, "application/zip"),
+    ("504B0506", 0, "application/zip"),
+    ("504B0708", 0, "application/zip"),
+    ("1F8B", 0, "application/gzip"),
+    ("494433", 0, "audio/mpeg"),
+    ("4F676753", 0, "application/ogg"),
+    ("424D", 0, "image/bmp"),
+    ("66747970", 8, "video/mp4"),  # 'ftyp' at byte offset 4
+]
+
+_RIFF = "52494646"
+_WEBP = "57454250"  # bytes 9-12
+_WAVE = "57415645"
+
+
+def sniff_mime_col(bin_col):
+    """Content sniffing over a binary payload column — what the bytes
+    actually are, independent of what the server CLAIMED (the header
+    MIME resolution in resolve_mime, reference mime.rs C1, trusts the
+    server; real crawls meet lying/absent Content-Type constantly, and
+    a training pipeline routing payloads by declared type mis-shards
+    them). Pure codegen'd column algebra: one 16-byte binary substring,
+    one hex, a chain of prefix tests against the public magic-number
+    set — zero Python, fused into the scan, SQL-replayable (the twin
+    hexes the same 16 bytes).
+
+    Returns 'application/octet-stream' when nothing matches; HTML is
+    sniffed only by its unambiguous openings ('<!DO', '<htm', '<HTM',
+    '<?xm') — full WHATWG sniffing is deliberately out of scope (it
+    requires scanning, not prefixing).
+    """
+    p = F.upper(F.hex(F.substring(bin_col, 1, 16)))
+    expr = F.lit("application/octet-stream")
+    # build the chain in reverse so the FIRST listed magic wins ties
+    html_openings = ["3C21444F", "3C68746D", "3C48544D", "3C3F786D"]
+    for h in reversed(html_openings):
+        expr = F.when(p.startswith(h), F.lit("text/html")).otherwise(expr)
+    for hexpre, off, mime in reversed(_MAGIC):
+        cond = F.substring(p, off + 1, len(hexpre)) == F.lit(hexpre)
+        expr = F.when(cond, F.lit(mime)).otherwise(expr)
+    # RIFF container: subtype at bytes 9-12
+    expr = F.when(
+        p.startswith(_RIFF),
+        F.when(F.substring(p, 17, 8) == _WEBP, F.lit("image/webp"))
+        .when(F.substring(p, 17, 8) == _WAVE, F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream")),
+    ).otherwise(expr)
+    return expr
+
+
+def payload_mime_report(
+    df,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    declared_col: str | None = None,
+):
+    """Per-row sniff + declared-vs-actual mismatch flag (NULL declared
+    -> mismatch NULL). One projection, zero exchanges."""
+    sniffed = sniff_mime_col(F.col(bin_col))
+    cols = [
+        F.col(id_col).alias("id"),
+        sniffed.alias("sniffed_mime"),
+        F.octet_length(F.col(bin_col)).cast("bigint").alias("n_bytes"),
+    ]
+    if declared_col is not None:
+        d = F.lower(F.trim(F.split(F.col(declared_col), ";").getItem(0)))
+        cols.append(F.col(declared_col).alias("declared_mime"))
+        cols.append((d != sniffed).alias("mismatch"))
+    return df.select(*cols)

@@ -127,3 +127,41 @@ def test_all_sinks_failed_raises_code_1000(spark, tmp_path, monkeypatch):
     with pytest.raises(Exception, match="1000|all sinks"):
         eng.run_round(0)
     corpus.unpersist()
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.mime import payload_mime_report
+
+    cases = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest", "image/png", "image/png"),
+        (2, bytes.fromhex("FFD8FFE000104A46") + b"x", "image/jpeg", "text/html"),
+        (3, b"GIF89a;;;;", "image/gif", "image/gif"),
+        (4, b"%PDF-1.7 blah", "application/pdf", None),
+        (5, bytes.fromhex("1F8B08000000") + b"z", "application/gzip", "application/gzip"),
+        (6, b"PK\x03\x04zipdata", "application/zip", "application/zip; charset=binary"),
+        (7, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp", "image/webp"),
+        (8, b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav", "audio/wav"),
+        (9, b"\x00\x00\x00\x18ftypmp42more", "video/mp4", "video/mp4"),
+        (10, b"ID3\x04tag", "audio/mpeg", "audio/mpeg"),
+        (11, b"<!DOCTYPE html><html>", "text/html", "text/html"),
+        (12, b"<?xml version='1.0'?>", "text/html", "application/xml"),
+        (13, b"random plain bytes", "application/octet-stream", "text/plain"),
+        (14, b"RIFF\x00\x00\x00\x00AVI LIST", "application/octet-stream", "video/avi"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, d) for i, b, _, d in cases],
+        "doc_id long, payload binary, ct string",
+    )
+    out = {r["id"]: r for r in payload_mime_report(df, declared_col="ct").collect()}
+    for i, _, want, declared in cases:
+        assert out[i]["sniffed_mime"] == want, (i, out[i])
+        if declared is None:
+            assert out[i]["mismatch"] is None
+    # mismatch flag: declared main type compared after ;-param strip
+    assert out[6]["mismatch"] is False
+    assert out[2]["mismatch"] is True
+    # zero exchanges
+    plan = payload_mime_report(df, declared_col="ct")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
