@@ -3363,6 +3363,38 @@ def q145_mime_sniff(spark, sf_dir):
     return payload_mime_report(pages, declared_col="ct")
 
 
+def q146_mixture_diversity(spark, sf_dir):
+    """Corpus diversity/concentration profile (operators/pipeline.py::
+    mixture_diversity): effective number of sources (exp-entropy), HHI,
+    head shares — the monitoring twin of the mixture shapers
+    (q109/q121/q128), token-mass-weighted over documents.n_chars.
+    Fixed-point term sums keep the one-row profile
+    partition-order-exact; oracle replays shares + entropy with
+    HUGEINT fixed-point sums."""
+    from raven_spark.operators.pipeline import mixture_diversity
+
+    return mixture_diversity(
+        _t(spark, sf_dir, "documents"), group_col="source", size_col="n_chars"
+    )
+
+
+def q147_link_reciprocity(spark, sf_dir):
+    """Per-node link reciprocity (operators/graph.py::
+    link_reciprocity) — the nepotism/link-farm demotion signal: the
+    q36 synthetic edge set plus planted reverse edges for src%4==0, so
+    rings and chains both appear. Oracle: swapped-key self-join
+    replay."""
+    from raven_spark.operators.graph import link_reciprocity
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e = _synthetic_link_edges(d, n)
+    extra = e.filter(F.col("src") % 4 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return link_reciprocity(e.unionByName(extra))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3510,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_cluster_balanced_sample": q143_cluster_balanced_sample,
         "q144_winnow_spans": q144_winnow_spans,
         "q145_mime_sniff": q145_mime_sniff,
+        "q146_mixture_diversity": q146_mixture_diversity,
+        "q147_link_reciprocity": q147_link_reciprocity,
     }
 
 
@@ -8296,6 +8330,74 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(string_split(ct, ';')[1])) <> sniffed_mime
                      AS mismatch
             FROM s
+        """,
+        "q146_mixture_diversity": r"""
+            -- shares + entropy with HUGEINT fixed-point term sums
+            WITH per AS (
+              SELECT source AS g,
+                     sum(greatest(coalesce(n_chars, 0), 0)) AS mg
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY source
+              HAVING sum(greatest(coalesce(n_chars, 0), 0)) > 0
+            ),
+            rk AS (
+              SELECT g, mg,
+                     row_number() OVER (ORDER BY mg DESC, g ASC) AS rk,
+                     sum(mg) OVER () AS M
+              FROM per
+            ),
+            t AS (
+              SELECT rk, CAST(mg AS DOUBLE) / CAST(M AS DOUBLE) AS p,
+                     CAST(M AS BIGINT) AS M
+              FROM rk
+            )
+            SELECT count(*) AS n_groups,
+                   max(M) AS total_mass,
+                   round(exp(-(CAST(sum(CAST(round(p * ln(p) * 1e12)
+                                  AS HUGEINT)) AS DOUBLE) / 1e12)), 6)
+                     AS eff_groups,
+                   round(CAST(sum(CAST(round(p * p * 1e12) AS HUGEINT))
+                              AS DOUBLE) / 1e12, 6) AS hhi,
+                   round(max(CASE WHEN rk = 1 THEN p END), 6)
+                     AS top1_share,
+                   round(CAST(coalesce(sum(CASE WHEN rk <= 5
+                              THEN CAST(round(p * 1e12) AS HUGEINT) END),
+                              0::HUGEINT) AS DOUBLE) / 1e12, 6)
+                     AS top5_share
+            FROM t
+        """,
+        "q147_link_reciprocity": r"""
+            -- q36 edges + planted reversals; swapped-key self-join
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT d.doc_id AS src,
+                     (d.doc_id * 37 + j.j * 1009) % nn.n AS dst
+              FROM documents d
+              CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+              CROSS JOIN nn
+            ),
+            base AS (SELECT src, dst FROM e0 WHERE dst <> src),
+            plus AS (
+              SELECT src, dst FROM base
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM base WHERE src % 4 = 0
+            ),
+            e AS (
+              SELECT DISTINCT src AS s, dst AS d FROM plus
+              WHERE src <> dst
+            ),
+            deg AS (SELECT s, count(*) AS n_out FROM e GROUP BY s),
+            rec AS (
+              SELECT a.s, count(*) AS n_recip
+              FROM e a JOIN e b ON a.s = b.d AND a.d = b.s
+              GROUP BY a.s
+            )
+            SELECT deg.s AS node,
+                   CAST(deg.n_out AS BIGINT) AS n_out,
+                   CAST(coalesce(rec.n_recip, 0) AS BIGINT) AS n_recip,
+                   round(CAST(coalesce(rec.n_recip, 0) AS DOUBLE)
+                         / CAST(deg.n_out AS DOUBLE), 6) AS reciprocity
+            FROM deg LEFT JOIN rec ON deg.s = rec.s
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -165,6 +165,8 @@ HEADLINE = [
     "q143_cluster_balanced_sample",
     "q144_winnow_spans",
     "q145_mime_sniff",
+    "q146_mixture_diversity",
+    "q147_link_reciprocity",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

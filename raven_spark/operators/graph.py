@@ -939,3 +939,50 @@ def resolve_redirects(
             F.col("__o").isNull().alias("resolved"),
         )
     )
+
+
+def link_reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node link reciprocity — the classic nepotism/link-farm
+    signal (mutual-link rings trade edges to inflate each other;
+    organic web linking is overwhelmingly one-directional): for every
+    node with outlinks, the fraction of its distinct out-edges whose
+    REVERSE edge also exists. Feeds the frontier demotion stack next
+    to TrustRank spam mass (q104) and trap scores (q50) — a host whose
+    outlinks are mostly reciprocated inside a clique earns demotion
+    before its PageRank looks organically high.
+
+    Scale shape: one distinct pass over (src, dst), one self-join on
+    the swapped 2-key (8-byte ids both sides — a left-semi, so only
+    existence crosses, never payloads), one per-src aggregate. No
+    windows, no driver state; hot nodes cost their degree, never the
+    graph.
+
+    Output: (node, n_out, n_recip, reciprocity 6dp), one row per node
+    with >= 1 distinct outlink (self-loops dropped).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = e.join(rev, ["s", "d"], "left_semi")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("n_out"))
+    rec = mutual.groupBy("s").agg(F.count(F.lit(1)).alias("n_recip"))
+    return (
+        deg.join(rec, "s", "left")
+        .select(
+            F.col("s").alias("node"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0)).cast("double")
+                / F.col("n_out").cast("double"),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

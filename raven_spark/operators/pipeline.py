@@ -2846,3 +2846,82 @@ def tokenizer_fertility(
             F.try_divide(F.col("n_subwords").cast("double"), F.col("n_words").cast("double")), 6
         ).alias("tokens_per_word"),
     )
+
+
+def mixture_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """One-row diversity/concentration profile of a corpus mixture —
+    the monitoring twin of the mixture SHAPERS (temperature_weights
+    q121, doremi q109, token_budget q128): after any resampling step,
+    report what the mix actually became.
+
+    - effective_groups = exp(Shannon entropy of group shares): "this
+      corpus behaves like N equally-sized sources" — the standard
+      effective-number-of-species transform, directly comparable
+      across corpora of different group counts.
+    - hhi = sum p_g^2 (Herfindahl-Hirschman): concentration; 1/hhi is
+      the Simpson effective number.
+    - top1_share / top5_share: how much the head owns.
+
+    Shares weight by document count, or by ``size_col`` mass (tokens,
+    bytes) when given — token-denominated monitoring is the q128/q136
+    convention. NULL groups are excluded; NULL/negative sizes count 0.
+
+    Scale shape: ONE map-side-combinable aggregate to O(groups) rows,
+    then an O(groups) single-partition window for the ranked shares
+    (the temperature_weights shape — groups are sources/languages/
+    dumps, never corpus rows) and a 1-row reduce. The ln/exp step is
+    the one float op; at 6 dp output the cross-engine libm ulp is
+    invisible.
+
+    Output: (n_groups, total_mass, eff_groups 6dp, hhi 6dp,
+    top1_share 6dp, top5_share 6dp).
+    """
+    m = (
+        F.coalesce(F.col(size_col).cast("bigint"), F.lit(0))
+        if size_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.greatest(m, F.lit(0)).alias("__m"))
+        .groupBy("__g")
+        .agg(F.sum("__m").alias("__mg"))
+        .filter(F.col("__mg") > 0)
+    )
+    wall = Window.orderBy(F.col("__mg").desc(), F.col("__g").asc())
+    ranked = per.select(
+        "__mg",
+        F.row_number().over(wall).alias("__rk"),
+        F.sum("__mg").over(
+            wall.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__M"),
+    )
+    p = F.col("__mg").cast("double") / F.col("__M").cast("double")
+
+    def fp12(c):
+        # per-term 12-dp fixed point summed as decimal(38,0): the sum is
+        # exact and partition-order-independent (the engine-wide
+        # discipline — double addition is not associative)
+        return F.round(c * F.lit(1e12), 0).cast("decimal(38,0)")
+
+    ent = F.sum(fp12(p * F.log(p))).cast("double") / F.lit(1e12)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.first("__M").alias("total_mass"),
+        F.round(F.exp(-ent), 6).alias("eff_groups"),
+        F.round(F.sum(fp12(p * p)).cast("double") / F.lit(1e12), 6).alias("hhi"),
+        F.round(F.max(F.when(F.col("__rk") == 1, p)), 6).alias("top1_share"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__rk") <= 5, fp12(p))), F.lit(0).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("top5_share"),
+    )

@@ -339,3 +339,23 @@ def test_resolve_redirects_partition_invariant(spark):
     # every chain terminates at its floor multiple of 16
     for src, fin, hops, ok in a:
         assert ok and fin == (src // 16) * 16 and hops == src - fin
+
+
+def test_link_reciprocity_rings_vs_chains(spark):
+    from raven_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        # ring 1<->2, 2<->3 (nepotism clique); chain 4->5->6; self-loop 7
+        [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 6), (7, 7), (1, 2)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r for r in link_reciprocity(edges).collect()}
+    assert out[1]["n_out"] == 1 and out[1]["reciprocity"] == 1.0
+    assert out[2]["n_out"] == 2 and out[2]["n_recip"] == 2
+    assert out[4]["reciprocity"] == 0.0 and out[5]["reciprocity"] == 0.0
+    assert 7 not in out  # self-loop only -> no distinct outlinks
+    assert 6 not in out  # sink: no outlinks
+    # duplicate edge (1,2) did not double-count
+    assert out[1]["n_recip"] == 1
+    again = {r["node"]: r for r in link_reciprocity(edges.repartition(5)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}

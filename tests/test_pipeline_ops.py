@@ -1398,3 +1398,37 @@ def test_tokenizer_fertility_partition_invariant(spark):
     one = {tuple(r) for r in tokenizer_fertility(df.coalesce(1)).collect()}
     many = {tuple(r) for r in tokenizer_fertility(df.repartition(9)).collect()}
     assert one == many
+
+
+def test_mixture_diversity_uniform_and_skewed(spark):
+    import math
+
+    from raven_spark.operators.pipeline import mixture_diversity
+
+    uniform = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    r = mixture_diversity(uniform).collect()[0]
+    assert r["n_groups"] == 4 and r["total_mass"] == 400
+    assert abs(r["eff_groups"] - 4.0) < 1e-6
+    assert abs(r["hhi"] - 0.25) < 1e-6
+    assert abs(r["top1_share"] - 0.25) < 1e-6
+    # heavy skew: one group owns 90%
+    skewed = spark.createDataFrame(
+        [(i, "big" if i < 900 else f"s{i % 10}") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    r2 = mixture_diversity(skewed).collect()[0]
+    assert r2["top1_share"] == 0.9
+    assert r2["eff_groups"] < 2.0  # behaves like fewer than 2 sources
+    # token-mass weighting: same docs, mass concentrated elsewhere
+    massy = spark.createDataFrame(
+        [(1, "a", 900), (2, "b", 50), (3, "c", 50), (4, None, 10**6)],
+        "doc_id long, source string, n_tokens long",
+    )
+    r3 = mixture_diversity(massy, size_col="n_tokens").collect()[0]
+    assert r3["total_mass"] == 1000 and r3["top1_share"] == 0.9
+    # pure-python entropy replay
+    ps = [0.9, 0.05, 0.05]
+    eff = math.exp(-sum(p * math.log(p) for p in ps))
+    assert abs(r3["eff_groups"] - round(eff, 6)) < 1e-6
