@@ -329,3 +329,21 @@ def test_retrieval_metrics_keeps_judged_queries_with_no_relevant_docs(spark):
     assert out[7]["n_rel"] == 0
     assert out[7]["ndcg"] is None and out[7]["mrr"] is None and out[7]["recall"] is None
     assert out[1]["n_rel"] == 2 and out[1]["mrr"] == 1.0
+
+
+def test_bitext_pairs_cover_every_source(spark):
+    """Regression: the salted-cogroup cosine kernel must produce a pair
+    row for EVERY source id (a bigint/int cogroup key mismatch silently
+    dropped 7/8 of the groups at one store size)."""
+    import random
+
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = emb.filter("vec_id % 2 = 0")
+    tgt = emb.filter("vec_id % 2 = 1")
+    out = bitext_margin_pairs(src, tgt, k=4, dim=64)
+    assert out.count() == 100
+    assert out.select("src_id").distinct().count() == 100
