@@ -3395,6 +3395,16 @@ def q147_link_reciprocity(spark, sf_dir):
     return link_reciprocity(e.unionByName(extra))
 
 
+def q148_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix vs the labeled lang column
+    (functions/text.py::langid_confusion) — the early-alarm contract
+    for the classifier every per-language mixture decision keys on.
+    Oracle: the q11 score replay + two grouped rollups."""
+    from raven_spark.functions.text import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3544,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_mime_sniff": q145_mime_sniff,
         "q146_mixture_diversity": q146_mixture_diversity,
         "q147_link_reciprocity": q147_link_reciprocity,
+        "q148_langid_confusion": q148_langid_confusion,
     }
 
 
@@ -8398,6 +8409,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(rec.n_recip, 0) AS DOUBLE)
                          / CAST(deg.n_out AS DOUBLE), 6) AS reciprocity
             FROM deg LEFT JOIN rec ON deg.s = rec.s
+        """,
+        "q148_langid_confusion": f"""
+            -- q11 score replay + grouped confusion rollup
+            WITH pred AS (
+              SELECT lang AS label,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0
+                            THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es
+                               AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS pred
+              FROM (
+                SELECT lang, {_lang_scores_sql()}
+                FROM (SELECT lang, ' ' || lower(text) || ' ' AS p
+                      FROM documents WHERE lang IS NOT NULL)
+              )
+            ),
+            per AS (
+              SELECT label, pred, count(*) AS n
+              FROM pred GROUP BY 1, 2
+            ),
+            tot AS (SELECT label, count(*) AS t FROM pred GROUP BY 1)
+            SELECT per.label, per.pred, per.n,
+                   round(CAST(per.n AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                     AS frac
+            FROM per JOIN tot USING (label)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

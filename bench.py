@@ -167,6 +167,7 @@ HEADLINE = [
     "q145_mime_sniff",
     "q146_mixture_diversity",
     "q147_link_reciprocity",
+    "q148_langid_confusion",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -871,3 +871,34 @@ def segment_html_blocks(
         F.col("__s.boiler_chars").alias("boiler_chars"),
         F.col("__s.main_text").alias("main_text"),
     )
+
+
+def langid_confusion(df, label_col: str = "lang", text_col: str = "text"):
+    """Language-ID confusion matrix against a labeled column — the
+    quality-monitoring contract for the n-gram classifier
+    (lang_id_col): per (label, prediction) counts and the per-label
+    fraction (the diagonal rows are recall). Mixture weighting and
+    per-language routing (q60/q121/q136) all key on predicted lang; a
+    silent classifier regression shifts the whole mixture, and this
+    rollup is the cheap early alarm.
+
+    One codegen'd prediction projection + two map-side-combinable
+    aggregates sharing the label key; O(labels x langs) rows out, text
+    never shuffles.
+
+    Output: (label, pred, n, frac 6dp) — frac = n / label total.
+    """
+    pred = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"),
+        lang_id_col(F.col(text_col)).alias("pred"),
+    )
+    per = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = pred.groupBy("label").agg(F.count(F.lit(1)).alias("__t"))
+    return per.join(tot, "label").select(
+        "label",
+        "pred",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("frac"),
+    )

@@ -563,3 +563,26 @@ def test_winnow_shared_spans_localize_quote(spark):
     # partition invariance
     again = winnow_shared_spans(df.repartition(5), min_fps=2).collect()
     assert sorted(map(tuple, spans)) == sorted(map(tuple, again))
+
+
+def test_winnow_arrow_matches_column_impl(spark):
+    """The vectorized kernel must be BIT-identical to the column-algebra
+    spec on varied inputs (short docs, ties, long docs, unicode)."""
+    import random
+
+    from raven_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(5)
+    rows = [(0, None), (1, "tiny"), (2, "exactly9ch"),
+            (3, "abab abab xyz abab"),
+            (4, "x" * 200)]  # degenerate: all grams identical (max ties)
+    for i in range(5, 25):
+        n = rng.randint(10, 400)
+        rows.append((i, " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "the", "fox"])
+            for _ in range(n // 5))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kk, ww in [(8, 4), (5, 3), (2, 1)]:
+        a = sorted(map(tuple, winnow_fingerprints(df, k=kk, window=ww, impl="arrow").collect()))
+        c = sorted(map(tuple, winnow_fingerprints(df, k=kk, window=ww, impl="column").collect()))
+        assert a == c, (kk, ww, a[:5], c[:5])

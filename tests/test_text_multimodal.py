@@ -380,3 +380,25 @@ def test_segment_html_blocks_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert q.count() == 20
+
+
+def test_langid_confusion_rollup(spark):
+    from raven_spark.functions.text import langid_confusion
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox and the lazy dog with some words"),
+            (2, "en", "this is another english sentence with the usual words"),
+            (3, "de", "der schnelle braune fuchs und die katze sind hier"),
+            (4, "fr", "le renard brun rapide et le chien paresseux sont la"),
+            (5, None, "unlabeled row must be excluded entirely"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["label"], r["pred"]): r for r in langid_confusion(df).collect()}
+    assert sum(r["n"] for r in out.values()) == 4
+    assert ("en", "en") in out and out[("en", "en")]["frac"] == 1.0
+    # fractions per label sum to 1
+    for lbl in {"en", "de", "fr"}:
+        s = sum(r["frac"] for (l, _), r in out.items() if l == lbl)
+        assert abs(s - 1.0) < 1e-6
