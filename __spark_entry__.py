@@ -3405,6 +3405,53 @@ def q148_langid_confusion(spark, sf_dir):
     return langid_confusion(_t(spark, sf_dir, "documents"))
 
 
+def q149_page_directives(spark, sf_dir):
+    """In-page indexing directives (functions/urls.py::
+    page_directives): meta-robots noindex/nofollow, rel=canonical and
+    hreflang alternates — the page-level counterpart of the robots.txt
+    gate, feeding corpus admission (noindex), discovery (nofollow),
+    URL identity (canonical) and bitext candidates (hreflang). Pages
+    synthesized from documents with directives planted by doc_id%4.
+    Oracle: same RE2-safe regexes replayed."""
+    from raven_spark.functions.urls import page_directives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.concat(F.lit("</head><body>"), F.coalesce("text", F.lit("")), F.lit("</body></html>"))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit('<META NAME=robots CONTENT="noindex, nofollow">'),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit('<link rel="canonical" href="https://ex'),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com/canon/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit('">'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="fr" href="/fr">'),
+                    F.when(
+                        F.col("doc_id") % 8 == 2,
+                        F.lit('<link hreflang="de-AT" rel="alternate" href="/de">'),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+            .otherwise(F.lit("")),
+            body,
+        ).alias("html"),
+    )
+    return page_directives(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3555,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_mixture_diversity": q146_mixture_diversity,
         "q147_link_reciprocity": q147_link_reciprocity,
         "q148_langid_confusion": q148_langid_confusion,
+        "q149_page_directives": q149_page_directives,
     }
 
 
@@ -8436,6 +8484,58 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(per.n AS DOUBLE) / CAST(t AS DOUBLE), 6)
                      AS frac
             FROM per JOIN tot USING (label)
+        """,
+        "q149_page_directives": r"""
+            -- same page synthesis, same RE2-safe directive regexes
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><title>t</title>' ||
+                     CASE
+                       WHEN doc_id % 4 = 0 THEN
+                         '<META NAME=robots CONTENT="noindex, nofollow">'
+                       WHEN doc_id % 4 = 1 THEN
+                         '<link rel="canonical" href="https://ex'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.com/canon/'
+                         || CAST(doc_id AS VARCHAR) || '">'
+                       WHEN doc_id % 4 = 2 THEN
+                         '<link rel="alternate" hreflang="fr" href="/fr">'
+                         || CASE WHEN doc_id % 8 = 2 THEN
+                              '<link hreflang="de-AT" rel="alternate" href="/de">'
+                            ELSE '' END
+                       ELSE '' END ||
+                     '</head><body>' || coalesce(text, '')
+                     || '</body></html>' AS html
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       regexp_extract(html,
+                         '(?i)<meta\b[^>]*name\s*=\s*["'']?robots["'']?[^>]*>',
+                         0),
+                       '(?i)content\s*=\s*["'']([^"'']*)', 1))
+                       AS robots_content,
+                     regexp_extract(
+                       regexp_extract(html,
+                         '(?i)<link\b[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*>',
+                         0),
+                       '(?i)href\s*=\s*["'']([^"'']+)', 1) AS canon,
+                     regexp_extract_all(html,
+                       '(?i)<link\b[^>]*hreflang\s*=\s*["'']?[^"''>\s]+[^>]*>',
+                       0) AS hl
+              FROM pages
+            )
+            SELECT doc_id AS id,
+                   robots_content,
+                   contains(robots_content, 'noindex') AS noindex,
+                   contains(robots_content, 'nofollow') AS nofollow,
+                   CASE WHEN canon <> '' THEN canon END AS canonical,
+                   CAST(len(hl) AS INT) AS n_hreflang,
+                   coalesce(array_to_string(list_sort(list_transform(hl,
+                     t -> lower(regexp_extract(t,
+                            '(?i)hreflang\s*=\s*["'']?([^"''>\s]+)', 1)))),
+                     ','), '') AS hreflang_langs
+            FROM ex
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

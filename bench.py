@@ -168,6 +168,7 @@ HEADLINE = [
     "q146_mixture_diversity",
     "q147_link_reciprocity",
     "q148_langid_confusion",
+    "q149_page_directives",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -701,3 +701,59 @@ def mine_url_templates(
             & (n_slots >= int(min_slots))
         ).alias("trap_suspect"),
     )
+
+
+def page_directives(df, html_col: str = "html", id_col: str = "doc_id"):
+    """In-page indexing directives — the page-level counterpart of the
+    robots.txt gate (RFC 9309 covers the server; these cover the
+    DOCUMENT): <meta name="robots"> noindex/nofollow, the
+    rel="canonical" URL, and hreflang alternate-language links.
+
+    A real crawl pipeline needs all three BEFORE corpus admission:
+    noindex pages must not enter the training corpus (the publisher
+    said no), nofollow gates outlink discovery, rel=canonical
+    re-keys near-identical capture URLs onto one identity (the
+    crawler-side twin of content dedup — feed it to url_seen/admission
+    as the identity override), and hreflang ties together the
+    translation cluster bitext mining (q73) wants as candidates.
+
+    Pure codegen'd column algebra: one tag-scoped regexp_extract per
+    directive (RE2-safe — no backrefs/lookahead, so the SQL twin runs
+    the same patterns), attribute order inside a tag doesn't matter
+    (the attr is re-extracted from the MATCHED tag, not the page).
+    Zero exchanges, fused into the scan.
+
+    Output: (id, robots_content lower, noindex, nofollow, canonical,
+    n_hreflang int, hreflang_langs sorted csv).
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    meta_tag = F.regexp_extract(
+        html, r"(?i)<meta\b[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>", 0
+    )
+    robots = F.lower(
+        F.regexp_extract(meta_tag, r"(?i)content\s*=\s*[\"']([^\"']*)", 1)
+    )
+    canon_tag = F.regexp_extract(
+        html, r"(?i)<link\b[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*>", 0
+    )
+    canonical = F.regexp_extract(
+        canon_tag, r"(?i)href\s*=\s*[\"']([^\"']+)", 1
+    )
+    hl_tags = F.regexp_extract_all(
+        html, F.lit(r"(?i)<link\b[^>]*hreflang\s*=\s*[\"']?[^\"'>\s]+[^>]*>"), F.lit(0)
+    )
+    langs = F.transform(
+        hl_tags,
+        lambda t: F.lower(
+            F.regexp_extract(t, r"(?i)hreflang\s*=\s*[\"']?([^\"'>\s]+)", 1)
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        robots.alias("robots_content"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.when(canonical != "", canonical).alias("canonical"),
+        F.size(hl_tags).cast("int").alias("n_hreflang"),
+        F.array_join(F.array_sort(langs), ",").alias("hreflang_langs"),
+    )

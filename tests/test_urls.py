@@ -395,3 +395,33 @@ def test_mine_url_templates_trap_flag(spark):
     assert got["/about"]["trap_suspect"] is False
     # duplicate URLs counted but distinct tracked
     assert got["/about"]["n_urls"] == 3 and got["/about"]["n_distinct_urls"] == 1
+
+
+def test_page_directives_extraction(spark):
+    from raven_spark.functions.urls import page_directives
+
+    h1 = ('<html><head><meta charset="utf-8">'
+          '<META NAME=robots CONTENT="noindex, NOFOLLOW">'
+          '<link rel="canonical" href="https://ex.com/page?x=1">'
+          '<link rel="alternate" hreflang="fr" href="https://ex.com/fr">'
+          '<link hreflang="de-AT" rel="alternate" href="https://ex.com/de">'
+          '</head><body>x</body></html>')
+    h2 = '<html><head><meta name="viewport" content="w=1"></head></html>'
+    h3 = ('<html><head><meta content="index,follow" name=\'robots\'>'
+          '</head></html>')  # content BEFORE name
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2), (3, h3), (4, None)], "doc_id long, html string"
+    )
+    out = {r["id"]: r for r in page_directives(df).collect()}
+    assert out[1]["noindex"] is True and out[1]["nofollow"] is True
+    assert out[1]["robots_content"] == "noindex, nofollow"
+    assert out[1]["canonical"] == "https://ex.com/page?x=1"
+    assert out[1]["n_hreflang"] == 2
+    assert out[1]["hreflang_langs"] == "de-at,fr"
+    assert out[2]["noindex"] is False and out[2]["canonical"] is None
+    assert out[3]["robots_content"] == "index,follow"
+    assert out[3]["noindex"] is False
+    assert out[4]["n_hreflang"] == 0
+    # zero exchanges
+    plan = page_directives(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
