@@ -3452,6 +3452,38 @@ def q149_page_directives(spark, sf_dir):
     return page_directives(pages)
 
 
+def q150_canonical_override(spark, sf_dir):
+    """Canonical-identity override (functions/urls.py::
+    apply_canonical_override): capture URLs re-key onto their same-host
+    rel=canonical target through the engine's RFC-3986 canonicalizer —
+    tracking-param captures collapse pre-hash, cross-host canonicals
+    are rejected (vouching rule). Synthesized captures carry unsorted
+    params + mixed-case hosts so the canonicalizer visibly participates;
+    doc_id%3 plants same-host overrides, cross-host rejects, and
+    no-canonical rows. Oracle: the canonicalization outcome (lowercase
+    host, sorted query) written out directly, q15 style."""
+    from raven_spark.functions.urls import apply_canonical_override
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://Host"), h, F.lit(".example/p/"), i, F.lit("?b=2&a=1")
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://host"), h, F.lit(".example/p/"), i),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://other.example/p/"), i),
+        )
+        .alias("canonical"),
+    )
+    return apply_canonical_override(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3603,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_link_reciprocity": q147_link_reciprocity,
         "q148_langid_confusion": q148_langid_confusion,
         "q149_page_directives": q149_page_directives,
+        "q150_canonical_override": q150_canonical_override,
     }
 
 
@@ -8536,6 +8569,23 @@ def oracle_sql() -> dict[str, str]:
                             '(?i)hreflang\s*=\s*["'']?([^"''>\s]+)', 1)))),
                      ','), '') AS hreflang_langs
             FROM ex
+        """,
+        "q150_canonical_override": r"""
+            -- canonicalization outcome written directly (q15 style):
+            -- lowercase host, sorted query; same-host targets override
+            SELECT 'https://Host' || h || '.example/p/' || i
+                     || '?b=2&a=1' AS url,
+                   'https://host' || h || '.example/p/' || i
+                     || '?a=1&b=2' AS url_canon,
+                   CASE WHEN m = 0
+                        THEN 'https://host' || h || '.example/p/' || i
+                        ELSE 'https://host' || h || '.example/p/' || i
+                             || '?a=1&b=2' END AS effective_url,
+                   (m = 0) AS overridden
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS i,
+                         CAST(doc_id % 7 AS VARCHAR) AS h,
+                         doc_id % 3 AS m
+                  FROM documents)
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

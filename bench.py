@@ -169,6 +169,7 @@ HEADLINE = [
     "q147_link_reciprocity",
     "q148_langid_confusion",
     "q149_page_directives",
+    "q150_canonical_override",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -757,3 +757,54 @@ def page_directives(df, html_col: str = "html", id_col: str = "doc_id"):
         F.size(hl_tags).cast("int").alias("n_hreflang"),
         F.array_join(F.array_sort(langs), ",").alias("hreflang_langs"),
     )
+
+
+def apply_canonical_override(
+    df, url_col: str = "url", canonical_col: str = "canonical"
+):
+    """Re-key capture URLs onto their rel=canonical identity — the
+    directive-driven URL dedup step between page_directives and the
+    URL-seen/frontier identity (url_seen keys, snapshot grouping,
+    admission): tracking-param and mirror-path captures of one logical
+    page collapse onto the publisher-declared URL BEFORE content ever
+    hashes.
+
+    Override only when SAFE: the canonical must be an absolute http(s)
+    URL on the SAME HOST as the capture (a page cannot vouch for
+    another site — cross-host canonicals are a classic spam/takeover
+    vector, and real crawlers treat them as hints at most; same-host
+    covers the ?session/?utm/slash-variant cases dedup actually
+    meets). Both sides pass through the engine's RFC-3986
+    canonicalizer first, so the comparison and the emitted identity
+    use the exact url_canon convention the rest of the engine keys on
+    (xxhash64(effective_url) IS the url_seen key).
+
+    Scale shape: one Arrow canonicalization pass (the with_url_identity
+    kernel) + pure column algebra; zero exchanges, no joins — the
+    override is row-local by design.
+
+    Output: (url, url_canon, effective_url, overridden boolean).
+    """
+    own = canonicalize_udf(F.col(url_col))
+    tgt = canonicalize_udf(F.col(canonical_col))
+    base = df.select(
+        F.col(url_col).alias("url"),
+        own.alias("url_canon"),
+        tgt.alias("__tgt"),
+    )
+    host = lambda c: F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    ok = (
+        F.col("__tgt").isNotNull()
+        & F.col("__tgt").rlike(r"^https?://")
+        & (host(F.col("__tgt")) == host(F.col("url_canon")))
+    )
+    return base.filter(F.col("url_canon").isNotNull()).select(
+        "url",
+        "url_canon",
+        F.when(ok, F.col("__tgt")).otherwise(F.col("url_canon")).alias(
+            "effective_url"
+        ),
+        F.coalesce(
+            ok & (F.col("__tgt") != F.col("url_canon")), F.lit(False)
+        ).alias("overridden"),
+    )

@@ -425,3 +425,32 @@ def test_page_directives_extraction(spark):
     # zero exchanges
     plan = page_directives(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_apply_canonical_override_same_host_only(spark):
+    from raven_spark.functions.urls import apply_canonical_override
+
+    df = spark.createDataFrame(
+        [
+            # tracking-param capture -> same-host canonical: override
+            ("https://Ex.com/p?utm=1&id=2", "https://ex.com/p?id=2"),
+            # cross-host canonical: REJECTED
+            ("https://ex.com/q", "https://evil.com/q"),
+            # relative canonical: rejected (not absolute http)
+            ("https://ex.com/r", "/r"),
+            # no canonical
+            ("https://ex.com/s", None),
+            # canonical equal to own canon: not an override
+            ("https://ex.com/T", "https://ex.com/T"),
+        ],
+        "url string, canonical string",
+    )
+    out = {r["url"]: r for r in apply_canonical_override(df).collect()}
+    r1 = out["https://Ex.com/p?utm=1&id=2"]
+    assert r1["overridden"] is True
+    assert r1["effective_url"] == "https://ex.com/p?id=2"
+    assert out["https://ex.com/q"]["overridden"] is False
+    assert out["https://ex.com/q"]["effective_url"].startswith("https://ex.com/")
+    assert out["https://ex.com/r"]["overridden"] is False
+    assert out["https://ex.com/s"]["overridden"] is False
+    assert out["https://ex.com/T"]["overridden"] is False
