@@ -3892,7 +3892,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_lang_id": f"""
             SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                   CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) <= 0 THEN 'und'
                         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                         WHEN s_es >= s_fr THEN 'es'
@@ -4060,7 +4060,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), lang AS (
               SELECT doc_id,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                     CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) <= 0 THEN 'und'
                           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                           WHEN s_es >= s_fr THEN 'es'
@@ -8495,7 +8495,7 @@ def oracle_sql() -> dict[str, str]:
             -- q11 score replay + grouped confusion rollup
             WITH pred AS (
               SELECT lang AS label,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0
+                     CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) <= 0
                             THEN 'und'
                           WHEN s_de >= s_en AND s_de >= s_es
                                AND s_de >= s_fr THEN 'de'
@@ -8540,23 +8540,38 @@ def oracle_sql() -> dict[str, str]:
                      || '</body></html>' AS html
               FROM documents
             ),
-            ex AS (
+            tags AS (
               SELECT doc_id,
-                     lower(regexp_extract(
-                       regexp_extract(html,
-                         '(?i)<meta\b[^>]*name\s*=\s*["'']?robots["'']?[^>]*>',
-                         0),
-                       '(?i)content\s*=\s*["'']([^"'']*)', 1))
-                       AS robots_content,
-                     regexp_extract(
-                       regexp_extract(html,
-                         '(?i)<link\b[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*>',
-                         0),
-                       '(?i)href\s*=\s*["'']([^"'']+)', 1) AS canon,
+                     regexp_extract(html,
+                       '(?i)<meta\b[^>]*name\s*=\s*["'']?robots["'']?[^>]*>',
+                       0) AS mtag,
+                     regexp_extract(html,
+                       '(?i)<link\b[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*>',
+                       0) AS ctag,
                      regexp_extract_all(html,
                        '(?i)<link\b[^>]*hreflang\s*=\s*["'']?[^"''>\s]+[^>]*>',
                        0) AS hl
               FROM pages
+            ),
+            ex AS (
+              SELECT doc_id,
+                     -- quoted value first, unquoted fallback (matches
+                     -- the Spark attr() helper)
+                     lower(CASE WHEN regexp_extract(mtag,
+                              '(?i)content\s*=\s*["'']([^"'']*)', 1) <> ''
+                           THEN regexp_extract(mtag,
+                              '(?i)content\s*=\s*["'']([^"'']*)', 1)
+                           ELSE regexp_extract(mtag,
+                              '(?i)content\s*=\s*([^\s"''>]+)', 1) END)
+                       AS robots_content,
+                     CASE WHEN regexp_extract(ctag,
+                            '(?i)href\s*=\s*["'']([^"'']*)', 1) <> ''
+                          THEN regexp_extract(ctag,
+                            '(?i)href\s*=\s*["'']([^"'']*)', 1)
+                          ELSE regexp_extract(ctag,
+                            '(?i)href\s*=\s*([^\s"''>]+)', 1) END AS canon,
+                     hl
+              FROM tags
             )
             SELECT doc_id AS id,
                    robots_content,

@@ -258,9 +258,14 @@ def lang_id_col(text: Column) -> Column:
     scores = [(code, _marker_score(padded, mks)) for code, mks in sorted(LANG_MARKERS.items())]
     best_code = F.lit("und")
     best_score = F.lit(0)
-    # fold right-to-left so earlier codes win ties
+    # fold right-to-left with >= so earlier codes win ties: the LAST
+    # processed (alphabetically first) code takes an equal score. A
+    # strict > here inverted the documented tie-break (later code won)
+    # — latent until a tie existed, caught by the q148 oracle review.
+    # The `score > 0` guard keeps zero-hit rows at 'und' (and NULL
+    # scores fold to false, so NULL text stays 'und' too).
     for code, score in reversed(scores):
-        take = score > best_score
+        take = (score >= best_score) & (score > 0)
         best_code = F.when(take, F.lit(code)).otherwise(best_code)
         best_score = F.when(take, score).otherwise(best_score)
     return best_code

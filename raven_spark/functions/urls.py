@@ -727,18 +727,27 @@ def page_directives(df, html_col: str = "html", id_col: str = "doc_id"):
     n_hreflang int, hreflang_langs sorted csv).
     """
     html = F.coalesce(F.col(html_col), F.lit(""))
+
+    def attr(tag, name):
+        # quoted value first; fall back to the unquoted form (valid and
+        # common HTML: content=noindex,nofollow / href=https://... —
+        # requiring a quote silently dropped those directives)
+        quoted = F.regexp_extract(
+            tag, r"(?i)" + name + r"\s*=\s*[\"']([^\"']*)", 1
+        )
+        unquoted = F.regexp_extract(
+            tag, r"(?i)" + name + r"\s*=\s*([^\s\"'>]+)", 1
+        )
+        return F.when(quoted != "", quoted).otherwise(unquoted)
+
     meta_tag = F.regexp_extract(
         html, r"(?i)<meta\b[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>", 0
     )
-    robots = F.lower(
-        F.regexp_extract(meta_tag, r"(?i)content\s*=\s*[\"']([^\"']*)", 1)
-    )
+    robots = F.lower(attr(meta_tag, "content"))
     canon_tag = F.regexp_extract(
         html, r"(?i)<link\b[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*>", 0
     )
-    canonical = F.regexp_extract(
-        canon_tag, r"(?i)href\s*=\s*[\"']([^\"']+)", 1
-    )
+    canonical = attr(canon_tag, "href")
     hl_tags = F.regexp_extract_all(
         html, F.lit(r"(?i)<link\b[^>]*hreflang\s*=\s*[\"']?[^\"'>\s]+[^>]*>"), F.lit(0)
     )
@@ -798,7 +807,11 @@ def apply_canonical_override(
         & F.col("__tgt").rlike(r"^https?://")
         & (host(F.col("__tgt")) == host(F.col("url_canon")))
     )
-    return base.filter(F.col("url_canon").isNotNull()).select(
+    # rows whose capture URL fails canonicalization stay VISIBLE with
+    # NULL identity columns (the with_url_identity convention) — a
+    # dropped row reads downstream as "never captured" instead of as a
+    # reject the caller can route
+    return base.select(
         "url",
         "url_canon",
         F.when(ok, F.col("__tgt")).otherwise(F.col("url_canon")).alias(

@@ -1464,7 +1464,13 @@ def winnow_shared_spans(
     + k - 1), n_fps >= ``min_fps`` matched fingerprints per span.
     """
     g = int(gap) if gap is not None else int(window) + int(k) - 1
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # localCheckpoint: the fingerprint kernel feeds THREE subtrees
+    # (hot-fp count + both self-join sides) — without a barrier the
+    # mapInPandas kernel and its scan re-execute per reference (the
+    # winnow_overlap_pairs / bitext discipline)
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
+        eager=False
+    )
     hot = (
         fps.select("id", "fp")
         .distinct()

@@ -281,6 +281,14 @@ def bitext_margin_pairs(
             dot += a[:, None] * b[None, :]
             ns += a * a
             nt += b * b
+        if not (ns.all() and nt.all()):
+            # the replaced JVM fold RAISED here under ANSI mode
+            # (divide-by-zero); a silent NaN->NULL "best pair" for a
+            # zero-norm embedding would invert that contract
+            raise ValueError(
+                "bitext_margin_pairs: zero-norm embedding (cosine "
+                "undefined) — filter empty/degenerate vectors first"
+            )
         cos = dot / (np.sqrt(ns)[:, None] * np.sqrt(nt)[None, :])
         return pd.DataFrame(
             {

@@ -575,7 +575,10 @@ def test_winnow_arrow_matches_column_impl(spark):
     rng = random.Random(5)
     rows = [(0, None), (1, "tiny"), (2, "exactly9ch"),
             (3, "abab abab xyz abab"),
-            (4, "x" * 200)]  # degenerate: all grams identical (max ties)
+            (4, "x" * 200),  # degenerate: all grams identical (max ties)
+            (25, "caf\u00e9 au lait et cr\u00e8me br\u00fbl\u00e9e pour tout le monde ici"),
+            (26, "\u6f22\u5b57\u30c6\u30ad\u30b9\u30c8\u306e\u91cd\u8907\u691c\u51fa\u30c6\u30b9\u30c8\u884c \u3053\u308c\u306f\u9577\u3044\u6587\u66f8"),
+            (27, "emoji \U0001f600 mixed \U0001f680 ascii text here and more")]
     for i in range(5, 25):
         n = rng.randint(10, 400)
         rows.append((i, " ".join(

@@ -347,3 +347,18 @@ def test_bitext_pairs_cover_every_source(spark):
     out = bitext_margin_pairs(src, tgt, k=4, dim=64)
     assert out.count() == 100
     assert out.select("src_id").distinct().count() == 100
+
+
+def test_bitext_rejects_zero_norm_vectors(spark):
+    import pytest
+
+    from raven_spark.operators.similarity import bitext_margin_pairs
+
+    src = spark.createDataFrame(
+        [(0, [0.0] * 64), (2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        bitext_margin_pairs(src, tgt, k=1, dim=64).collect()

@@ -402,3 +402,26 @@ def test_langid_confusion_rollup(spark):
     for lbl in {"en", "de", "fr"}:
         s = sum(r["frac"] for (l, _), r in out.items() if l == lbl)
         assert abs(s - 1.0) < 1e-6
+
+
+def test_lang_id_tie_break_and_null(spark):
+    """Documented contract: ties break to the alphabetically earlier
+    language code; NULL/zero-hit text -> 'und'. (The fold previously
+    inverted the tie-break; latent until a tie existed.)"""
+    from pyspark.sql import functions as F
+
+    from raven_spark.functions.text import lang_id_col
+
+    df = spark.createDataFrame(
+        [
+            # one 'de' marker (der) and one 'en' marker (the): tie -> de
+            (1, "der x the y"),
+            (2, None),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["l"] for r in
+           df.select("doc_id", lang_id_col(F.col("text")).alias("l")).collect()}
+    assert out[2] == "und" and out[3] == "und"
+    assert out[1] == "de", out[1]

@@ -454,3 +454,34 @@ def test_apply_canonical_override_same_host_only(spark):
     assert out["https://ex.com/r"]["overridden"] is False
     assert out["https://ex.com/s"]["overridden"] is False
     assert out["https://ex.com/T"]["overridden"] is False
+
+
+def test_page_directives_unquoted_attrs(spark):
+    from raven_spark.functions.urls import page_directives
+
+    df = spark.createDataFrame(
+        [
+            (1, "<meta name=robots content=noindex,nofollow><p>x</p>"),
+            (2, "<link rel=canonical href=https://ex.com/p?a=1>"),
+            (3, '<meta content=INDEX name="robots">'),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["id"]: r for r in page_directives(df).collect()}
+    assert out[1]["noindex"] is True and out[1]["nofollow"] is True
+    assert out[2]["canonical"] == "https://ex.com/p?a=1"
+    assert out[3]["robots_content"] == "index" and out[3]["noindex"] is False
+
+
+def test_apply_canonical_override_keeps_uncanonicalizable_rows(spark):
+    from raven_spark.functions.urls import apply_canonical_override
+
+    df = spark.createDataFrame(
+        [("notaurl", None), ("https://ok.com/a", None)],
+        "url string, canonical string",
+    )
+    out = {r["url"]: r for r in apply_canonical_override(df).collect()}
+    assert len(out) == 2  # the bad row is visible, not dropped
+    assert out["notaurl"]["url_canon"] is None
+    assert out["notaurl"]["effective_url"] is None
+    assert out["notaurl"]["overridden"] is False
