@@ -3484,6 +3484,25 @@ def q150_canonical_override(spark, sf_dir):
     return apply_canonical_override(pages)
 
 
+def q151_curation_funnel(spark, sf_dir):
+    """END-TO-END curation funnel (operators/pipeline.py::
+    curation_funnel): C4 clean -> langid -> quality -> exact dedup ->
+    benchmark decontamination as ONE composed job over the q62 built
+    pages, with exact per-stage attrition rows. Stages 5-6 need joins
+    (a dedup verdict depends on which other docs survived), so this is
+    the integration q88's per-row flag funnel cannot express. Corpus =
+    built docs %13 != 0, bench = %13 == 0 (the q35 split). Oracle:
+    the q62 + q11 + q12 + q09 + q35 replays CHAINED, counts unioned."""
+    from raven_spark.operators.pipeline import curation_funnel
+
+    pages = _c4_line_text(_t(spark, sf_dir, "documents"))
+    corpus = pages.filter(F.col("doc_id") % 13 != 0)
+    bench = pages.filter(F.col("doc_id") % 13 == 0)
+    return curation_funnel(
+        corpus, bench, lang_keep=("en",), min_quality=0.3, badwords=("badword",)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3636,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_langid_confusion": q148_langid_confusion,
         "q149_page_directives": q149_page_directives,
         "q150_canonical_override": q150_canonical_override,
+        "q151_curation_funnel": q151_curation_funnel,
     }
 
 
@@ -8601,6 +8621,155 @@ def oracle_sql() -> dict[str, str]:
                          CAST(doc_id % 7 AS VARCHAR) AS h,
                          doc_id % 3 AS m
                   FROM documents)
+        """,
+        "q151_curation_funnel": f"""
+            -- chained stage replays (q62 build+clean, q11 langid on
+            -- the CLEANED text, q12 quality on cleaned, q09 dedup
+            -- rank among survivors, q35 gram probe), counts unioned
+            WITH built AS (
+              SELECT doc_id,
+                     replace(replace(replace(text,
+                       ' slow ', '.' || chr(10)),
+                       ' fast ', chr(10)),
+                       ' big ', '!' || chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'if (x) {{ enable(); }}' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'Please enable javascript to continue today.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN chr(10) || 'This page badword appears right here.'
+                          ELSE '' END AS t2
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id, t2,
+                     coalesce(array_to_string(list_filter(
+                       list_filter(
+                         list_transform(string_split(t2, chr(10)), l -> trim(l)),
+                         l -> length(l) > 0),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                         AND len(string_split_regex(l, '\s+')) >= 3
+                         AND NOT list_contains(
+                               string_split_regex(lower(l), '[^a-z0-9]+'),
+                               'javascript')
+                         AND NOT contains(lower(l), 'terms of use')
+                         AND NOT contains(lower(l), 'privacy policy')
+                         AND NOT contains(lower(l), 'cookie policy')
+                         AND NOT contains(lower(l), 'uses cookies')
+                         AND NOT contains(lower(l), 'use of cookies')
+                         AND NOT contains(lower(l), 'use cookies')
+                     ), chr(10)), '') AS clean_text
+              FROM built WHERE doc_id % 13 <> 0
+            ),
+            flagged AS (
+              SELECT doc_id, t2, clean_text,
+                     (CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+                           AS INT) >= 5
+                      AND NOT contains(lower(t2), 'lorem ipsum')
+                      AND NOT contains(t2, '{{')
+                      AND NOT list_has_any(
+                            string_split_regex(lower(t2), '[^a-z0-9]+'),
+                            ['badword'])) AS k1
+              FROM cleaned
+            ),
+            lp AS (
+              SELECT *, ' ' || lower(clean_text) || ' ' AS p FROM flagged
+            ),
+            langed AS (
+              SELECT doc_id, t2, clean_text, k1,
+                     (k1 AND (
+                       CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) <= 0
+                              THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_es
+                                 AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                            WHEN s_es >= s_fr THEN 'es'
+                            ELSE 'fr' END) = 'en') AS k2
+              FROM (SELECT *, {_lang_scores_sql()} FROM lp)
+            ),
+            qual AS (
+              SELECT doc_id, t2, clean_text, k1, k2,
+                     (k2 AND (
+                       0.35 * (n_alpha / greatest(n_chars, 1))
+                       + 0.35 * least(4.0 * stop_hits / greatest(n_words, 1), 1.0)
+                       + 0.2  * least(n_words / 100.0, 1.0)
+                       - 0.1  * (n_punct / greatest(n_chars, 1))) >= 0.3) AS k3
+              FROM (
+                SELECT doc_id, t2, clean_text, k1, k2,
+                       CAST(length(clean_text) AS DOUBLE) AS n_chars,
+                       CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(clean_text), '\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(clean_text,
+                            '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                       CAST(length(regexp_replace(clean_text,
+                            '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                       CAST({_stopword_hits_sql()} AS DOUBLE) AS stop_hits
+                FROM (SELECT *, ' ' || lower(clean_text) || ' ' AS p
+                      FROM langed)
+              )
+            ),
+            ranked AS (
+              SELECT q.*,
+                     CASE WHEN k3 THEN row_number() OVER (
+                       PARTITION BY k3,
+                         regexp_replace(lower(trim(clean_text)),
+                                        '\s+', ' ', 'g')
+                       ORDER BY doc_id ASC) END AS rk
+              FROM qual q
+            ),
+            bg AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, len(ws) - 4),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+              FROM (
+                SELECT string_split(regexp_replace(lower(trim(t2)),
+                         '\s+', ' ', 'g'), ' ') AS ws
+                FROM built WHERE doc_id % 13 = 0
+              ) WHERE len(ws) >= 5
+            ),
+            dirty AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, len(ws) - 4),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+                FROM (
+                  SELECT doc_id,
+                         string_split(regexp_replace(lower(trim(t2)),
+                           '\s+', ' ', 'g'), ' ') AS ws
+                  FROM built WHERE doc_id % 13 <> 0
+                ) WHERE len(ws) >= 5
+              ) x JOIN bg USING (g)
+            ),
+            final AS (
+              SELECT r.doc_id, k1, k2, k3,
+                     (k3 AND rk = 1) AS k4,
+                     (k3 AND rk = 1
+                      AND r.doc_id NOT IN (SELECT doc_id FROM dirty)) AS k5
+              FROM ranked r
+            ),
+            agg AS (
+              SELECT count(*) AS n0,
+                     sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS n2,
+                     sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS n3,
+                     sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS n4,
+                     sum(CASE WHEN k5 THEN 1 ELSE 0 END) AS n5
+              FROM final
+            )
+            SELECT 1 AS stage, 'input' AS name,
+                   CAST(n0 AS BIGINT) AS rows_in, CAST(n0 AS BIGINT) AS rows_out FROM agg
+            UNION ALL SELECT 2, 'c4_clean', CAST(n0 AS BIGINT), CAST(n1 AS BIGINT) FROM agg
+            UNION ALL SELECT 3, 'lang', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM agg
+            UNION ALL SELECT 4, 'quality', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM agg
+            UNION ALL SELECT 5, 'exact_dedup', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM agg
+            UNION ALL SELECT 6, 'decontaminate', CAST(n4 AS BIGINT), CAST(n5 AS BIGINT) FROM agg
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

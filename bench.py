@@ -170,6 +170,7 @@ HEADLINE = [
     "q148_langid_confusion",
     "q149_page_directives",
     "q150_canonical_override",
+    "q151_curation_funnel",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

@@ -1432,3 +1432,44 @@ def test_mixture_diversity_uniform_and_skewed(spark):
     ps = [0.9, 0.05, 0.05]
     eff = math.exp(-sum(p * math.log(p) for p in ps))
     assert abs(r3["eff_groups"] - round(eff, 6)) < 1e-6
+
+
+def test_curation_funnel_stages_and_docs(spark):
+    from raven_spark.operators.pipeline import curation_funnel
+
+    good = ("This is a good english sentence with many words today. "
+            "Here is another full sentence that also ends properly. "
+            "The corpus needs quality text to survive the filters. "
+            "A fourth sentence keeps the page over the minimum. "
+            "And the fifth sentence completes the requirement.")
+    lines = good.replace(". ", ".\n")
+    corpus = spark.createDataFrame(
+        [
+            (1, lines),                       # survives everything
+            (2, lines),                       # exact dup of 1 -> dropped at dedup
+            (3, "short junk"),                # fails c4 (no sentences)
+            (4, lines + "\nder die das und der die das hier ist."),  # still en overall
+            (5, lines.replace("english", "contaminated marker phrase zone")),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark has contaminated marker phrase zone sentence inside")],
+        "doc_id long, text string",
+    )
+    funnel = {r["name"]: r for r in curation_funnel(corpus, bench).collect()}
+    assert funnel["input"]["rows_out"] == 5
+    assert funnel["c4_clean"]["rows_out"] == 4       # doc 3 dropped
+    assert funnel["exact_dedup"]["rows_in"] == funnel["quality"]["rows_out"]
+    # doc 2 is an exact dup of doc 1
+    assert funnel["exact_dedup"]["rows_out"] == funnel["exact_dedup"]["rows_in"] - 1
+    # doc 5 shares the planted 5-gram with bench
+    assert funnel["decontaminate"]["rows_out"] == funnel["exact_dedup"]["rows_out"] - 1
+    docs = curation_funnel(corpus, bench, emit="docs").collect()
+    ids = sorted(r["doc_id"] for r in docs)
+    assert 1 in ids and 2 not in ids and 3 not in ids and 5 not in ids
+    assert len(ids) == funnel["decontaminate"]["rows_out"]
+    # partition invariance
+    f2 = {r["name"]: r["rows_out"] for r in
+          curation_funnel(corpus.repartition(7), bench).collect()}
+    assert f2 == {k: v["rows_out"] for k, v in funnel.items()}
