@@ -3503,6 +3503,26 @@ def q151_curation_funnel(spark, sf_dir):
     )
 
 
+def q152_curated_corpus(spark, sf_dir):
+    """The curation funnel's SURVIVING corpus (curation_funnel
+    emit="docs"): the exact (doc_id, clean_text) rows q151's final
+    stage counts — the artifact a training run actually consumes.
+    Oracle: the q151 chain emitting k5 survivors instead of counts."""
+    from raven_spark.operators.pipeline import curation_funnel
+
+    pages = _c4_line_text(_t(spark, sf_dir, "documents"))
+    corpus = pages.filter(F.col("doc_id") % 13 != 0)
+    bench = pages.filter(F.col("doc_id") % 13 == 0)
+    return curation_funnel(
+        corpus,
+        bench,
+        lang_keep=("en",),
+        min_quality=0.3,
+        badwords=("badword",),
+        emit="docs",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3656,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_page_directives": q149_page_directives,
         "q150_canonical_override": q150_canonical_override,
         "q151_curation_funnel": q151_curation_funnel,
+        "q152_curated_corpus": q152_curated_corpus,
     }
 
 
@@ -8770,6 +8791,140 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 4, 'quality', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM agg
             UNION ALL SELECT 5, 'exact_dedup', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM agg
             UNION ALL SELECT 6, 'decontaminate', CAST(n4 AS BIGINT), CAST(n5 AS BIGINT) FROM agg
+        """,
+        "q152_curated_corpus": f"""
+            -- q151 chain emitting the k5 survivors
+            WITH built AS (
+              SELECT doc_id,
+                     replace(replace(replace(text,
+                       ' slow ', '.' || chr(10)),
+                       ' fast ', chr(10)),
+                       ' big ', '!' || chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'if (x) {{ enable(); }}' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'Please enable javascript to continue today.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN chr(10) || 'This page badword appears right here.'
+                          ELSE '' END AS t2
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id, t2,
+                     coalesce(array_to_string(list_filter(
+                       list_filter(
+                         list_transform(string_split(t2, chr(10)), l -> trim(l)),
+                         l -> length(l) > 0),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                         AND len(string_split_regex(l, '\s+')) >= 3
+                         AND NOT list_contains(
+                               string_split_regex(lower(l), '[^a-z0-9]+'),
+                               'javascript')
+                         AND NOT contains(lower(l), 'terms of use')
+                         AND NOT contains(lower(l), 'privacy policy')
+                         AND NOT contains(lower(l), 'cookie policy')
+                         AND NOT contains(lower(l), 'uses cookies')
+                         AND NOT contains(lower(l), 'use of cookies')
+                         AND NOT contains(lower(l), 'use cookies')
+                     ), chr(10)), '') AS clean_text
+              FROM built WHERE doc_id % 13 <> 0
+            ),
+            flagged AS (
+              SELECT doc_id, t2, clean_text,
+                     (CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+                           AS INT) >= 5
+                      AND NOT contains(lower(t2), 'lorem ipsum')
+                      AND NOT contains(t2, '{{')
+                      AND NOT list_has_any(
+                            string_split_regex(lower(t2), '[^a-z0-9]+'),
+                            ['badword'])) AS k1
+              FROM cleaned
+            ),
+            lp AS (
+              SELECT *, ' ' || lower(clean_text) || ' ' AS p FROM flagged
+            ),
+            langed AS (
+              SELECT doc_id, t2, clean_text, k1,
+                     (k1 AND (
+                       CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) <= 0
+                              THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_es
+                                 AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                            WHEN s_es >= s_fr THEN 'es'
+                            ELSE 'fr' END) = 'en') AS k2
+              FROM (SELECT *, {_lang_scores_sql()} FROM lp)
+            ),
+            qual AS (
+              SELECT doc_id, t2, clean_text, k1, k2,
+                     (k2 AND (
+                       0.35 * (n_alpha / greatest(n_chars, 1))
+                       + 0.35 * least(4.0 * stop_hits / greatest(n_words, 1), 1.0)
+                       + 0.2  * least(n_words / 100.0, 1.0)
+                       - 0.1  * (n_punct / greatest(n_chars, 1))) >= 0.3) AS k3
+              FROM (
+                SELECT doc_id, t2, clean_text, k1, k2,
+                       CAST(length(clean_text) AS DOUBLE) AS n_chars,
+                       CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(clean_text), '\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(clean_text,
+                            '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                       CAST(length(regexp_replace(clean_text,
+                            '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                       CAST({_stopword_hits_sql()} AS DOUBLE) AS stop_hits
+                FROM (SELECT *, ' ' || lower(clean_text) || ' ' AS p
+                      FROM langed)
+              )
+            ),
+            ranked AS (
+              SELECT q.*,
+                     CASE WHEN k3 THEN row_number() OVER (
+                       PARTITION BY k3,
+                         regexp_replace(lower(trim(clean_text)),
+                                        '\s+', ' ', 'g')
+                       ORDER BY doc_id ASC) END AS rk
+              FROM qual q
+            ),
+            bg AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, len(ws) - 4),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+              FROM (
+                SELECT string_split(regexp_replace(lower(trim(t2)),
+                         '\s+', ' ', 'g'), ' ') AS ws
+                FROM built WHERE doc_id % 13 = 0
+              ) WHERE len(ws) >= 5
+            ),
+            dirty AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, len(ws) - 4),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+                FROM (
+                  SELECT doc_id,
+                         string_split(regexp_replace(lower(trim(t2)),
+                           '\s+', ' ', 'g'), ' ') AS ws
+                  FROM built WHERE doc_id % 13 <> 0
+                ) WHERE len(ws) >= 5
+              ) x JOIN bg USING (g)
+            ),
+            final AS (
+              SELECT r.doc_id, k1, k2, k3,
+                     (k3 AND rk = 1) AS k4,
+                     (k3 AND rk = 1
+                      AND r.doc_id NOT IN (SELECT doc_id FROM dirty)) AS k5
+              FROM ranked r
+            )
+            SELECT f.doc_id, q.clean_text
+            FROM final f JOIN qual q ON q.doc_id = f.doc_id
+            WHERE f.k5
         """,
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),

@@ -171,6 +171,7 @@ HEADLINE = [
     "q149_page_directives",
     "q150_canonical_override",
     "q151_curation_funnel",
+    "q152_curated_corpus",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
