@@ -129,6 +129,8 @@ def sniff_mime_col(bin_col):
     '<?xm') — full WHATWG sniffing is deliberately out of scope (it
     requires scanning, not prefixing).
     """
+    if isinstance(bin_col, str):
+        bin_col = F.col(bin_col)
     p = F.upper(F.hex(F.substring(bin_col, 1, 16)))
     expr = F.lit("application/octet-stream")
     # build the chain in reverse so the FIRST listed magic wins ties
@@ -145,7 +147,10 @@ def sniff_mime_col(bin_col):
         .when(F.substring(p, 17, 8) == _WAVE, F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream")),
     ).otherwise(expr)
-    return expr
+    # NULL payload sniffs to NULL, not 'application/octet-stream': a row
+    # that was never fetched has no bytes to sniff, and conflating it
+    # with "unrecognized bytes" mis-reports the no-payload population
+    return F.when(bin_col.isNotNull(), expr)
 
 
 def payload_mime_report(

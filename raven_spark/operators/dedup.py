@@ -811,6 +811,7 @@ def kmv_mirror_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     k: int = 64,
+    audit: bool = True,
 ) -> DataFrame:
     """Host-mirror detection via KMV (k-minimum-values) bottom-k shingle
     sketches (Beyer et al., SIGMOD 2007) — the sketch family the engine
@@ -829,12 +830,15 @@ def kmv_mirror_pairs(
     - estimate: merge each candidate pair's sketches, keep the k
       smallest of the union (the KMV merge closure), resemblance est =
       |in both| / |merged sketch| (exact when the union fits in k).
-    - audit (oracle duty, q111): exact Jaccard over the full distinct
-      key sets rides along; at production scale drop it and keep only
-      sketch rows.
+    - audit (oracle duty, q111): with ``audit=True`` exact Jaccard over
+      the full distinct key sets rides along. ``audit=False`` is the
+      PRODUCTION mode: the full per-host key sets are never joined —
+      the only self-join is over the k-row sketches — and the output
+      drops the exact_jaccard column entirely (plan-asserted in
+      tests/test_dedup.py).
 
-    Output: (group_a, group_b, n_shared, est_jaccard 6dp,
-    exact_jaccard 6dp) for every candidate pair, group_a < group_b.
+    Output: (group_a, group_b, n_shared, est_jaccard 6dp[,
+    exact_jaccard 6dp when audit]) per candidate pair, group_a < group_b.
     """
     words = F.filter(F.split(norm_text_col(F.col(text_col)), " "), lambda w: w != "")
     docs = df.filter(F.col(text_col).isNotNull()).select(
@@ -895,6 +899,15 @@ def kmv_mirror_pairs(
             ).alias("est_jaccard"),
         )
     )
+    if not audit:
+        # sketch-only production mode: the full `keys` relation ends at
+        # the bottom-k window above; no full-key-set join exists
+        return est.select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_shared",
+            "est_jaccard",
+        )
     # exact audit over the full key sets (test-scale duty)
     ka = keys.select(F.col("g").alias("ga"), "key")
     kb = keys.select(F.col("g").alias("gb"), "key")
@@ -1545,9 +1558,15 @@ def _winnow_fingerprints_arrow(
 
     p, b, mix = _KMV_P, _KMV_B, _KMV_MIX
     pows = [pow(b, k - 1 - j, p) for j in range(k)]
+    # preserve the caller's id type (string doc ids are common in WARC
+    # corpora); the fast np.full(int64) path only applies to integral ids
+    id_dtype = df.select(F.col(id_col)).schema[0].dataType
+    id_integral = isinstance(
+        id_dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", id_dtype),
             T.StructField("pos", T.IntegerType()),
             T.StructField("fp", T.LongType()),
         ]
@@ -1581,7 +1600,11 @@ def _winnow_fingerprints_arrow(
                 sel_pos = starts + idx + 1  # 1-based gram offset
                 sel_fp = h[starts + idx]
                 enc = np.unique(sel_pos.astype(np.int64) * p + sel_fp)
-                ids_out.append(np.full(len(enc), did, dtype=np.int64))
+                ids_out.append(
+                    np.full(
+                        len(enc), did, dtype=np.int64 if id_integral else object
+                    )
+                )
                 pos_out.append((enc // p).astype(np.int32))
                 fp_out.append(enc % p)
             if ids_out:

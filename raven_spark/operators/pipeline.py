@@ -1546,6 +1546,8 @@ def stuffing_signals(
 
 
 _BPE_SEP = "\x1f"  # unit separator; tokens carrying it are dropped (below)
+_BPE_BATCH = 16  # max merges learned per Spark job (round); see bpe_merges
+_BPE_CKPT = 25  # localCheckpoint the folded vocab every this many rounds
 
 
 def bpe_merges(
@@ -1561,10 +1563,30 @@ def bpe_merges(
 
     Distributed shape: the corpus collapses to the (word, freq) vocab
     table ONCE (map-side-combinable aggregate; cached — it is O(vocab),
-    not O(corpus), and every step replays from it); each step is one
-    pair-count hash aggregate + a 1-row TakeOrdered. The argmax pair is
-    the algorithm's inherent per-step sync point — O(1) driver bytes per
-    step, nothing row-scaled.
+    not O(corpus), and every round replays from it); each ROUND is one
+    pair-count hash aggregate + a (m+1)-row TakeOrdered that yields a
+    BATCH of merges (below), so learning a real 10k-merge vocab is
+    10^2-10^3 Spark jobs, not 10^4. The argmax sync point is inherent
+    to BPE — O(m) driver bytes per round, nothing row-scaled.
+
+    Batched rounds replay the sequential algorithm EXACTLY: the batch
+    is the maximal all-disjoint PREFIX of the (count desc, pair lex
+    asc)-sorted pair list — stop at the first pair sharing a symbol
+    with an earlier batch member — further truncated to pairs whose
+    count is STRICTLY greater than the stop pair's count. Applying a
+    merge only ever (a) leaves disjoint pairs' counts unchanged, (b)
+    decreases counts of pairs sharing a symbol, and (c) creates new
+    pairs bounded by those touched counts; since every batch member
+    strictly out-counts the best touched/creatable pair, the i-th batch
+    member is precisely what sequential BPE would pick at step i (ties
+    among equal-count batch members resolve by the same lex order the
+    sort already applied). If the strict-count rule empties the batch
+    (top pairs tie AND conflict), the round falls back to the plain
+    1-merge step. The folded vocab is localCheckpoint'ed every
+    _BPE_CKPT rounds so lineage depth stays bounded at any vocab size
+    (the OPIC fix — without it a 10k-merge run stacks 10k nested
+    replace() projections and dies in the analyzer long before the
+    executors see work).
 
     Fusing is a literal string replace over an encoding that makes the
     boundary unmistakable: symbols are joined by a DOUBLE \\x1f with a
@@ -1613,8 +1635,10 @@ def bpe_merges(
     spark = df.sparkSession
     merges: list[tuple] = []
     cur = vocab
+    batch_m = int(_BPE_BATCH)
+    rounds = 0
     try:
-        for step in range(1, int(steps) + 1):
+        while len(merges) < int(steps):
             # strip the single flanking separators, split on the double
             inner = F.substr(F.col("sym"), F.lit(2), F.length("sym") - 2)
             arr = F.split(inner, _BPE_SEP + _BPE_SEP)
@@ -1622,27 +1646,52 @@ def bpe_merges(
                 F.explode(adjacent_pairs_col(arr, "l", "r")).alias("p"),
                 "f",
             )
-            best = (
+            want = min(batch_m, int(steps) - len(merges))
+            # orderBy+limit -> TakeOrdered: (want+1) rows to the driver;
+            # the extra row is the truncation sentinel
+            top = (
                 pairs.groupBy("p.l", "p.r")
                 .agg(F.sum("f").alias("c"))
                 .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
+                .limit(want + 1)
                 .collect()
             )
-            if not best:
+            if not top:
                 break
-            b = best[0]
-            merges.append((step, b["l"], b["r"], int(b["c"])))
-            cur = cur.select(
-                F.replace(
-                    F.col("sym"),
+            # maximal disjoint prefix, then strict-count truncation
+            used: set[str] = set()
+            batch: list = []
+            stop_count = None
+            for i, r in enumerate(top):
+                if i >= want or r["l"] in used or r["r"] in used:
+                    stop_count = int(r["c"])
+                    break
+                used.add(r["l"])
+                used.add(r["r"])
+                batch.append(r)
+            if stop_count is not None:
+                batch = [r for r in batch if int(r["c"]) > stop_count]
+            if not batch:
+                # top pairs tie AND conflict: sequential single merge
+                batch = [top[0]]
+            sym = F.col("sym")
+            for b in batch:
+                merges.append(
+                    (len(merges) + 1, b["l"], b["r"], int(b["c"]))
+                )
+                sym = F.replace(
+                    sym,
                     F.lit(
                         _BPE_SEP + b["l"] + _BPE_SEP + _BPE_SEP + b["r"] + _BPE_SEP
                     ),
                     F.lit(_BPE_SEP + b["l"] + b["r"] + _BPE_SEP),
-                ).alias("sym"),
-                "f",
-            )
+                )
+            cur = cur.select(sym.alias("sym"), "f")
+            rounds += 1
+            if rounds % _BPE_CKPT == 0:
+                # bound lineage: 10k merges must not stack 10k nested
+                # projections (analyzer blowup); checkpoint is O(vocab)
+                cur = cur.localCheckpoint()
     finally:
         vocab.unpersist()
     return spark.createDataFrame(
@@ -2950,9 +2999,12 @@ def curation_funnel(
         4 quality        -> quality_score over cleaned text >= threshold
         5 exact_dedup    -> min-id canonical per normalized clean text,
                             ranked AMONG stage-4 survivors only
-        6 decontaminate  -> drop docs sharing any distinct word
-                            ``ngram_n``-gram with the benchmark set
-                            (q35 logic; bench grams broadcast)
+        6 decontaminate  -> drop docs whose CLEANED text shares any
+                            distinct word ``ngram_n``-gram with the
+                            benchmark set (q35 logic; bench grams
+                            broadcast; corpus-side grams come from
+                            clean_text so the verdict describes the
+                            bytes stage 6 actually emits)
 
     Unlike q88's per-row filter funnel (flags with first-fail
     attribution), stages 5-6 need JOINS — a dedup verdict depends on
@@ -2999,19 +3051,24 @@ def curation_funnel(
         .filter(F.col("__rk") == 1)
         .select("__id", F.lit(True).alias("__canon"))
     )
-    grams = F.array_distinct(
-        F.filter(
-            ngrams_zip_col(
-                F.split(norm_text_col(F.col(text_col)), " "), int(ngram_n)
-            ),
-            lambda x: x.isNotNull(),
+    def _grams(col):
+        return F.array_distinct(
+            F.filter(
+                ngrams_zip_col(F.split(norm_text_col(col), " "), int(ngram_n)),
+                lambda x: x.isNotNull(),
+            )
         )
-    )
-    bgrams = (
-        bench.select(F.explode(grams).alias("g")).distinct()
-    )
+
+    # corpus-side grams come from the STAGED clean_text, not the raw
+    # text: the artifact stage 6 emits IS clean_text, so the verdict
+    # must describe those bytes — raw-side grams can drop a doc for a
+    # benchmark n-gram c4_clean already stripped (over-drop) and miss a
+    # contaminated gram spanning removed-line boundaries (under-drop).
+    # Bench-side grams stay over the raw benchmark text (the benchmark
+    # is the contamination source in its published form).
+    bgrams = bench.select(F.explode(_grams(F.col(text_col))).alias("g")).distinct()
     dirty = (
-        corpus.select(F.col(id_col).alias("__id"), F.explode(grams).alias("g"))
+        staged.select("__id", F.explode(_grams(F.col("clean_text"))).alias("g"))
         .join(F.broadcast(bgrams), "g", "left_semi")
         .select("__id")
         .distinct()

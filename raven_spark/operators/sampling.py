@@ -735,6 +735,7 @@ def cluster_balanced_sample(
     n_planes: int = 4,
     alpha_pct: int = 50,
     prefilter_margin: int = 3,
+    dim: int = 64,
 ) -> DataFrame:
     """Diversity-balanced corpus sampling over CONTENT clusters — the
     embedding-space answer to "don't let the biggest topic eat the
@@ -772,14 +773,29 @@ def cluster_balanced_sample(
     from raven_spark.operators.reputation import allocate_domain_budget
     from raven_spark.operators.similarity import random_projection
 
-    proj = random_projection(emb, vec_col, id_col, out_dim=n_planes)
+    # ``dim`` must match the embedding width: random_projection's
+    # zip_with pads a shorter sign row with NULLs, the projection (and
+    # therefore the cluster code) goes NULL, the NULL key never matches
+    # the quota join, and the operator would SILENTLY return an empty
+    # sample. raise_error turns that silent wrong answer into a loud
+    # one (evaluated lazily, only on rows whose code is NULL).
+    proj = random_projection(emb, vec_col, id_col, out_dim=n_planes, dim=dim)
     code = sum(
         (F.element_at("proj", j + 1) > 0).cast("int") * F.lit(1 << j)
         for j in range(int(n_planes))
     )
     assigned = proj.select(
         F.col(id_col).alias("__id"),
-        code.alias("cluster"),
+        F.coalesce(
+            code,
+            F.raise_error(
+                F.lit(
+                    "cluster_balanced_sample: NULL cluster code — embedding"
+                    f" width does not match dim={int(dim)} (pass dim= equal"
+                    " to the vector length)"
+                )
+            ).cast("int"),
+        ).alias("cluster"),
         knuth_coin(F.col(id_col)).alias("__coin"),
     )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))

@@ -233,12 +233,22 @@ def bitext_margin_pairs(
     # is replaced by LSH/IVF candidate pairs and this same kernel runs
     # per bucket. Measured at sf0.1: 21.8s -> ~4s.
     n_tasks = 32
+    # the salt comes from xxhash64, not pmod(id): xxhash64 accepts ANY
+    # id type (string doc ids included — pmod on a string yields NULL
+    # salts that never match the exploded int salts and the cogroup
+    # silently produces ZERO pairs), and the salt only controls batch
+    # grouping, never which pairs are scored, so numeric-id results are
+    # unchanged. The output schema preserves the caller's id type.
+    sid_t = src.select(F.col(id_col)).schema[0].dataType
+    tid_t = tgt.select(F.col(id_col)).schema[0].dataType
     s = src.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).cast("array<double>").alias("__sv"),
         # cast to int: the cogroup key must match the explode side's
         # type EXACTLY — a bigint/int key pair silently mis-pairs groups
-        F.pmod(F.col(id_col), F.lit(n_tasks)).cast("int").alias("__salt"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tasks))
+        .cast("int")
+        .alias("__salt"),
     )
     # the tgt side replicates to every salt through the shuffle — NOT
     # per pair (a cross join would Arrow-ship both vectors once per
@@ -254,17 +264,17 @@ def bitext_margin_pairs(
 
     out_schema = T.StructType(
         [
-            T.StructField("src_id", T.LongType()),
-            T.StructField("tgt_id", T.LongType()),
+            T.StructField("src_id", sid_t),
+            T.StructField("tgt_id", tid_t),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
 
     def _cos_block(left, right):
         if not len(left) or not len(right):
-            return pd.DataFrame(
-                {"src_id": [], "tgt_id": [], "cosine": []}
-            ).astype({"src_id": "int64", "tgt_id": "int64", "cosine": "float64"})
+            # empty frame: Arrow casts empty object columns to the
+            # declared schema types (works for long AND string ids)
+            return pd.DataFrame({"src_id": [], "tgt_id": [], "cosine": []})
         sv = np.stack(left["__sv"].to_numpy())
         tv = np.stack(right["__tv"].to_numpy())
         nb, nt_ = sv.shape[0], tv.shape[0]

@@ -378,6 +378,33 @@ def test_kmv_est_exact_when_union_fits_in_k(spark):
     assert r["exact_jaccard"] == pytest.approx(round(2 / 6, 6))
 
 
+def test_kmv_sketch_only_mode(spark):
+    """audit=False is the production mode (VERDICT r4 item 5): the
+    exact_jaccard column is gone, sketch rows are unchanged, and the
+    PLAN never joins the full per-host key sets — the only joins left
+    are the three over the k-row sketch relation (candidate block +
+    two merge sides), so join count drops by exactly the audit's four
+    (intersection + two size joins + the final left join)."""
+    import re
+
+    from raven_spark.operators.dedup import kmv_mirror_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    g = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"))
+    full = kmv_mirror_pairs(docs, g, k=32, audit=True)
+    lean = kmv_mirror_pairs(docs, g, k=32, audit=False)
+    assert lean.columns == ["group_a", "group_b", "n_shared", "est_jaccard"]
+    a = sorted((r[0], r[1], r[2], r[3]) for r in full.collect())
+    b = sorted(map(tuple, lean.collect()))
+    assert a == b and len(a) > 0
+
+    def njoins(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(re.findall(r"\bJoin\b", plan))
+
+    assert njoins(full) - njoins(lean) == 4
+
+
 def test_kmv_partition_invariance(spark):
     from raven_spark.operators.dedup import kmv_mirror_pairs
 
