@@ -211,13 +211,30 @@ class CrawlEngine:
     def _bloom_relpath(self, round_no: int) -> str:
         return f"url_seen/round={round_no}/_bloom.bin"
 
+    # the per-round sidecars live INSIDE the round=N delta dirs, which
+    # compaction deletes; their union is folded into this standing blob
+    # first (see the compaction block in _run_round), otherwise the
+    # merged Bloom silently loses the compacted rounds and its
+    # no-false-negative contract breaks -> duplicate fetches (caught by
+    # test_long_horizon_compaction_100_rounds: p/220 refetched at r9)
+    _SEG_BLOOM_RELPATH = "url_seen/_segment_bloom.bin"
+
     def _merged_bloom(self, upto_round: int, from_round: int = 0) -> BloomFilter | None:
         """OR of committed per-round Bloom deltas in [from_round, upto] —
         O(rounds) bitmap ORs on the driver, no table scan (the north_star
         merge choreography: per-partition build happens at write time via
         treeAggregate). ``from_round`` implements the recrawl TTL: expired
-        rounds' sidecars are simply skipped."""
+        rounds' sidecars are simply skipped.
+
+        The segment blob (compacted history's union) is always included
+        when present: for TTL windows it over-approximates — a SUPERSET
+        prune only adds exact-anti-join work, never drops a live row —
+        and subtract_seen's exact join against the row-windowed seen
+        table keeps TTL refetch semantics exact."""
         merged: BloomFilter | None = None
+        raw = self.catalog.read_blob(self._SEG_BLOOM_RELPATH)
+        if raw is not None:
+            merged = BloomFilter.from_bytes(raw)
         for r in range(from_round, upto_round + 1):
             raw = self.catalog.read_blob(self._bloom_relpath(r))
             if raw is None:
@@ -588,6 +605,18 @@ class CrawlEngine:
             # into a segment. The orphan/retry behavior of compact()
             # itself is crash-consistent (see catalog.compact).
             tcomp = time.time()
+            # fold the doomed round dirs' Bloom sidecars into the standing
+            # segment blob BEFORE compaction deletes them. _merged_bloom
+            # already unions the existing segment blob, so this is the
+            # full [0, round_no-1] union; OR is idempotent, so a crash
+            # between this write and compact() just re-merges harmlessly,
+            # and the blob is only ever a superset prune (never lossy).
+            if not self.opt.bloom_shards:
+                seg_bloom = self._merged_bloom(round_no - 1)
+                if seg_bloom is not None:
+                    self.catalog.write_blob(
+                        self._SEG_BLOOM_RELPATH, seg_bloom.to_bytes()
+                    )
             tables = ["url_seen", "frontier", "robots"]
             if self.opt.bloom_shards:
                 tables.append("cuckoo" if self.opt.seen_filter == "cuckoo" else "bloom")
