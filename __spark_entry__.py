@@ -3523,6 +3523,29 @@ def q152_curated_corpus(spark, sf_dir):
     )
 
 
+def q153_unigram_lm(spark, sf_dir):
+    """Distributed unigram-LM tokenizer training (operators/tokenizer.py
+    ::unigram_lm_train; Kudo 2018 — SentencePiece's default trainer,
+    the pair of q98's BPE half): seed vocab = top substrings (+ all
+    single chars, the required-character rule), then 2 hard-EM rounds —
+    Viterbi segmentation of every distinct word under integer
+    fixed-point ln-scores (ties: max score, then longest piece), usage
+    counts, prune to top vocab, rescore. Every step is joins/aggregates
+    with bigint scores, so the DuckDB twin replays the DP bit-exactly
+    via unrolled per-position CTEs."""
+    from raven_spark.operators.tokenizer import unigram_lm_train
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return unigram_lm_train(
+        d,
+        vocab_size=120,
+        seed_size=150,
+        max_piece_len=3,
+        max_word_len=10,
+        rounds=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3677,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_canonical_override": q150_canonical_override,
         "q151_curation_funnel": q151_curation_funnel,
         "q152_curated_corpus": q152_curated_corpus,
+        "q153_unigram_lm": q153_unigram_lm,
     }
 
 
@@ -3695,6 +3719,132 @@ def _lang_scores_sql() -> str:
         )
         pieces.append(f"({terms}) AS s_{code}")
     return ", ".join(pieces)
+
+
+def _unigram_lm_sql(
+    vocab_size: int = 120,
+    seed_size: int = 150,
+    max_piece_len: int = 3,
+    max_word_len: int = 10,
+    rounds: int = 2,
+) -> str:
+    """Generate the DuckDB replay of unigram_lm_train (q153): the
+    Viterbi DP is unrolled as one CTE per word position (dp{r}_{j} +
+    cumulative dpa{r}_{j}), the backtrack as one CTE per step, and the
+    M-step prune/rescore mirrors the engine's TakeOrdered + ln
+    fixed-point convention exactly (all-integer DP; ties max score then
+    min start index via the window ORDER BY)."""
+    L = int(max_word_len)
+    parts = [
+        f"""
+        WITH wn AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS f, length(word) AS n
+          FROM (
+            SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+          )
+          WHERE length(word) BETWEEN 1 AND {L}
+          GROUP BY word
+        ),
+        subs AS MATERIALIZED (
+          SELECT word, f, n, i, i + l AS j, substr(word, i + 1, l) AS piece
+          FROM (
+            SELECT word, f, n, i,
+                   unnest(generate_series(1, least({int(max_piece_len)}, n - i))) AS l
+            FROM (
+              SELECT word, f, n, unnest(generate_series(0, n - 1)) AS i
+              FROM wn
+            )
+          )
+        ),
+        sc AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM subs GROUP BY piece),
+        chars AS (SELECT piece FROM sc WHERE length(piece) = 1),
+        seedkept AS (
+          SELECT DISTINCT piece FROM (
+            (SELECT piece FROM sc ORDER BY c DESC, piece ASC
+             LIMIT {int(seed_size)})
+            UNION ALL (SELECT piece FROM chars)
+          )
+        ),
+        seedc AS MATERIALIZED (SELECT s.piece, s.c FROM sc s JOIN seedkept USING (piece)),
+        vocab0 AS MATERIALIZED (
+          SELECT piece, c,
+                 CAST(round(ln(c * 1.0 / (SELECT sum(c) FROM seedc)) * 1e6)
+                      AS BIGINT) AS s
+          FROM seedc
+        )"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(f""",
+        edges{r} AS MATERIALIZED (
+          SELECT sub.word, sub.i, sub.j, v.s, sub.piece
+          FROM subs sub JOIN vocab{r - 1} v USING (piece)
+        ),
+        dpa{r}_0 AS MATERIALIZED (
+          SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS b, 0 AS bi, '' AS bp
+          FROM wn
+        )""")
+        for j in range(1, L + 1):
+            parts.append(f""",
+        dp{r}_{j} AS (
+          SELECT word, {j} AS pos, b, bi, bp FROM (
+            SELECT e.word, d.b + e.s AS b, e.i AS bi, e.piece AS bp,
+                   row_number() OVER (PARTITION BY e.word
+                                      ORDER BY (d.b + e.s) DESC, e.i ASC) AS rk
+            FROM edges{r} e JOIN dpa{r}_{j - 1} d
+              ON d.word = e.word AND d.pos = e.i
+            WHERE e.j = {j}
+          ) WHERE rk = 1
+        ),
+        dpa{r}_{j} AS MATERIALIZED (
+          SELECT * FROM dpa{r}_{j - 1} UNION ALL SELECT * FROM dp{r}_{j}
+        )""")
+        parts.append(f""",
+        bt{r}_0 AS MATERIALIZED (SELECT word, f, n AS pos FROM wn)""")
+        for t in range(1, L + 1):
+            parts.append(f""",
+        bt{r}_{t} AS MATERIALIZED (
+          SELECT b.word, b.f, d.bi AS pos, d.bp AS piece
+          FROM bt{r}_{t - 1} b JOIN dpa{r}_{L} d
+            ON d.word = b.word AND d.pos = b.pos
+          WHERE b.pos > 0
+        )""")
+        unions = "\n            UNION ALL ".join(
+            f"SELECT piece, f FROM bt{r}_{t}" for t in range(1, L + 1)
+        )
+        parts.append(f""",
+        used{r} AS MATERIALIZED (
+          SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+            {unions}
+          ) GROUP BY piece
+        ),
+        keep{r} AS (
+          SELECT DISTINCT piece FROM (
+            (SELECT piece FROM used{r}
+             ORDER BY c DESC, piece ASC LIMIT {int(vocab_size)})
+            UNION ALL (SELECT piece FROM chars)
+          )
+        ),
+        cnt{r} AS MATERIALIZED (
+          SELECT k.piece, CAST(coalesce(u.c, 0) AS BIGINT) AS c
+          FROM keep{r} k LEFT JOIN used{r} u USING (piece)
+        ),
+        vocab{r} AS MATERIALIZED (
+          SELECT piece, c,
+                 CASE WHEN c > 0
+                      THEN CAST(round(ln(c * 1.0 /
+                             (SELECT sum(c) FROM cnt{r})) * 1e6) AS BIGINT)
+                      ELSE CAST(-40000000 AS BIGINT) END AS s
+          FROM cnt{r}
+        )""")
+    parts.append(f"""
+        SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT)
+                 AS rank,
+               piece, c AS n_count, s AS score_fp
+        FROM vocab{int(rounds)}
+    """)
+    return "".join(parts)
 
 
 def _stopword_hits_sql() -> str:
@@ -8754,6 +8904,8 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE len(ws) >= 5
             ),
             dirty AS (
+              -- corpus-side grams over the STAGED clean_text (the bytes
+              -- stage 6 emits), bench-side grams stay over raw t2
               SELECT DISTINCT doc_id FROM (
                 SELECT doc_id,
                        unnest(list_distinct(list_transform(
@@ -8762,9 +8914,9 @@ def oracle_sql() -> dict[str, str]:
                               || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
                 FROM (
                   SELECT doc_id,
-                         string_split(regexp_replace(lower(trim(t2)),
+                         string_split(regexp_replace(lower(trim(clean_text)),
                            '\s+', ' ', 'g'), ' ') AS ws
-                  FROM built WHERE doc_id % 13 <> 0
+                  FROM cleaned
                 ) WHERE len(ws) >= 5
               ) x JOIN bg USING (g)
             ),
@@ -8901,6 +9053,8 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE len(ws) >= 5
             ),
             dirty AS (
+              -- corpus-side grams over the STAGED clean_text (the bytes
+              -- stage 6 emits), bench-side grams stay over raw t2
               SELECT DISTINCT doc_id FROM (
                 SELECT doc_id,
                        unnest(list_distinct(list_transform(
@@ -8909,9 +9063,9 @@ def oracle_sql() -> dict[str, str]:
                               || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
                 FROM (
                   SELECT doc_id,
-                         string_split(regexp_replace(lower(trim(t2)),
+                         string_split(regexp_replace(lower(trim(clean_text)),
                            '\s+', ' ', 'g'), ' ') AS ws
-                  FROM built WHERE doc_id % 13 <> 0
+                  FROM cleaned
                 ) WHERE len(ws) >= 5
               ) x JOIN bg USING (g)
             ),
@@ -8926,6 +9080,7 @@ def oracle_sql() -> dict[str, str]:
             FROM final f JOIN qual q ON q.doc_id = f.doc_id
             WHERE f.k5
         """,
+        "q153_unigram_lm": _unigram_lm_sql(),
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
                  shards   AS (SELECT unnest(generate_series(1, 3)) AS shard),

@@ -172,6 +172,7 @@ HEADLINE = [
     "q150_canonical_override",
     "q151_curation_funnel",
     "q152_curated_corpus",
+    "q153_unigram_lm",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
