@@ -3,6 +3,14 @@ from __future__ import annotations
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "http_server_bench: loopback HTTP server fetch benchmark "
+        "(real sockets; numbers recorded in BASELINE.md)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from raven_spark.session import get_spark
