@@ -653,8 +653,8 @@ def q31_dup_ngram_frac(spark, sf_dir):
 def q32_clean_corpus(spark, sf_dir):
     """Composed corpus-clean verdict: language allowlist x quality
     threshold x repetition cap x exact-dup canonical id, every reason as
-    a column (operators/pipeline.clean_corpus)."""
-    from raven_spark.operators.pipeline import clean_corpus
+    a column (operators/pipeline_filters.clean_corpus)."""
+    from raven_spark.operators.pipeline_filters import clean_corpus
 
     return clean_corpus(
         _t(spark, sf_dir, "documents"),
@@ -665,9 +665,9 @@ def q32_clean_corpus(spark, sf_dir):
 def q34_host_boilerplate(spark, sf_dir):
     """CCNet-style per-host boilerplate: 7-word windows repeated in >=3
     distinct docs of the same source are chrome; per-doc boilerplate
-    fraction (operators/pipeline.host_boilerplate). Counting shuffles on
+    fraction (operators/pipeline_filters.host_boilerplate). Counting shuffles on
     (source, xxhash64(unit)); the oracle replays with unit strings."""
-    from raven_spark.operators.pipeline import host_boilerplate
+    from raven_spark.operators.pipeline_filters import host_boilerplate
 
     return host_boilerplate(
         _t(spark, sf_dir, "documents"), window_words=7, min_docs=3
@@ -678,9 +678,9 @@ def q35_contamination(spark, sf_dir):
     """Benchmark n-gram decontamination: the held-out set is doc_id % 13
     == 0 (deterministic in-repo stand-in for an eval suite); flag corpus
     docs sharing any distinct word 5-gram with it
-    (operators/pipeline.benchmark_contamination; benchmark grams
+    (operators/pipeline_filters.benchmark_contamination; benchmark grams
     broadcast)."""
-    from raven_spark.operators.pipeline import benchmark_contamination
+    from raven_spark.operators.pipeline_filters import benchmark_contamination
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 13 == 0)
@@ -982,12 +982,12 @@ def q46_pack_chunks(spark, sf_dir):
 
 
 def q47_dedup_within_doc(spark, sf_dir):
-    """Intra-document repetition removal (pipeline.dedup_within_doc):
+    """Intra-document repetition removal (pipeline_filters.dedup_within_doc):
     plant a copy of each doc's first 8 words at the end (doc_id%2==0), so
     the pass must drop exactly the repeated window and keep the rest in
     order. Zero-shuffle per-row array algebra (no explode+window); oracle
     replays first-occurrence keep with a DuckDB row_number."""
-    from raven_spark.operators.pipeline import dedup_within_doc
+    from raven_spark.operators.pipeline_filters import dedup_within_doc
 
     d = _t(spark, sf_dir, "documents")
     words8 = F.array_join(
@@ -1007,22 +1007,22 @@ def q47_dedup_within_doc(spark, sf_dir):
 
 
 def q48_unigram_logprob(spark, sf_dir):
-    """Corpus-relative fluency (pipeline.unigram_logprob): mean unigram
+    """Corpus-relative fluency (pipeline_filters.unigram_logprob): mean unigram
     log-probability per doc under the corpus's own word distribution —
     the SQL-able analogue of CCNet's perplexity filter. Word keys are
     8-byte hashes engine-side; the oracle joins on the word strings
     (same collision class as exact_dedup's accepted hash variant)."""
-    from raven_spark.operators.pipeline import unigram_logprob
+    from raven_spark.operators.pipeline_filters import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 def q49_corpus_stats(spark, sf_dir):
-    """Per-source corpus profile (pipeline.corpus_stats): doc counts,
+    """Per-source corpus profile (pipeline_lexical.corpus_stats): doc counts,
     mean length, exact interpolated p50/p90/p99 whitespace-token counts.
     Spark percentile() and DuckDB quantile_cont share linear-interpolation
     semantics (verified element-wise)."""
-    from raven_spark.operators.pipeline import corpus_stats
+    from raven_spark.operators.pipeline_lexical import corpus_stats
 
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
@@ -1368,14 +1368,14 @@ def q58_wat_links(spark, sf_dir):
 
 def q59_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4;
-    operators/pipeline.py::ccnet_buckets over unigram_logprob's score):
+    operators/pipeline_filters.py::ccnet_buckets over unigram_logprob's score):
     per-language 1/3 and 2/3 score cutoffs by exact interpolated
     percentile AGGREGATE (never an ntile sort of a whole language —
     the dominant language IS the corpus), broadcast back, bucket
     assignment as a codegen'd comparison. Null-scored docs (empty
     text) bucket to null. The oracle replays the unigram distribution
     (q48's replay) + quantile_cont cutoffs + the same comparisons."""
-    from raven_spark.operators.pipeline import ccnet_buckets, unigram_logprob
+    from raven_spark.operators.pipeline_filters import ccnet_buckets, unigram_logprob
 
     d = _t(spark, sf_dir, "documents")
     scored = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
@@ -1488,7 +1488,7 @@ def q62_c4_filters(spark, sf_dir):
     algebra — zero shuffles, zero UDFs. Pages are synthesized from the
     word soup by _c4_line_text (replayed verbatim in the oracle); the
     oracle replays every predicate with DuckDB list lambdas."""
-    from raven_spark.operators.pipeline import c4_filters
+    from raven_spark.operators.pipeline_filters import c4_filters
 
     pages = _c4_line_text(_t(spark, sf_dir, "documents"))
     out = c4_filters(pages, badwords=("badword",))
@@ -1507,13 +1507,13 @@ def q62_c4_filters(spark, sf_dir):
 
 def q63_line_dedup(spark, sf_dir):
     """Corpus-global duplicated-unit removal (CCNet §2.1 paragraph dedup
-    over the whole dump; operators/pipeline.py::line_dedup_corpus):
+    over the whole dump; operators/pipeline_filters.py::line_dedup_corpus):
     3-word windows stand in for lines over the flat soup (40-word
     vocabulary -> real cross-doc collisions); any unit present in >= 2
     distinct docs is dropped from every doc, docs reassembled in order.
     Unit text never shuffles — only (id, pos, xxhash64) triples; the
     oracle counts by unit-text equality (hash-collision-free at sf)."""
-    from raven_spark.operators.pipeline import line_dedup_corpus
+    from raven_spark.operators.pipeline_filters import line_dedup_corpus
 
     d = _t(spark, sf_dir, "documents")
     out = line_dedup_corpus(d, min_docs=2, window_words=3)
@@ -1636,7 +1636,7 @@ def q67_tfidf_topk(spark, sf_dir):
     same way in the oracle so the float ops match bit-for-bit), per-doc
     top-3 via a literal-bound row_number (WindowGroupLimit prunes
     map-side). Ties break on term asc."""
-    from raven_spark.operators.pipeline import tfidf_topk
+    from raven_spark.operators.pipeline_lexical import tfidf_topk
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_topk(d, k=3)
@@ -1651,7 +1651,7 @@ def q68_bigram_logprob(spark, sf_dir):
     shape (left-assoc (lam*c2)/c1 + ((1-lam)*c1)/T, lam written as
     1.0-0.9 so the float literal matches) with avg+round(6) absorbing
     summation-order noise, the q48 precedent."""
-    from raven_spark.operators.pipeline import bigram_logprob
+    from raven_spark.operators.pipeline_lexical import bigram_logprob
 
     d = _t(spark, sf_dir, "documents")
     return bigram_logprob(d, lam=0.9).select(
@@ -1856,14 +1856,14 @@ def q73_bitext_margin(spark, sf_dir):
 
 
 def q74_bm25_topk(spark, sf_dir):
-    """BM25 top-k retrieval (operators/pipeline.py::bm25_topk —
+    """BM25 top-k retrieval (operators/pipeline_lexical.py::bm25_topk —
     Robertson & Zaragoza 2009 with Lucene's non-negative idf): three
     fixed in-vocabulary queries against the documents table, 10 best
     docs each. The tf aggregate's exchange is reused by the df rollup,
     doc length rides the scan, avgdl is a 1-row broadcast, query terms
     broadcast-join; ranking ties break on the 6-dp rounded score then
     doc id so Spark and the oracle pick identical rows."""
-    from raven_spark.operators.pipeline import bm25_topk
+    from raven_spark.operators.pipeline_lexical import bm25_topk
 
     d = _t(spark, sf_dir, "documents")
     q = spark.createDataFrame(
@@ -1925,13 +1925,13 @@ def q78_cdc_chunks(spark, sf_dir):
 
 
 def q79_phrase_search(spark, sf_dir):
-    """Exact-phrase search (operators/pipeline.py::phrase_search):
+    """Exact-phrase search (operators/pipeline_lexical.py::phrase_search):
     positional postings pruned to the phrases' term set by broadcast
     semi-join before any shuffle, per-candidate-doc term->positions map
     in two id-keyed aggregates, consecutive-position check as pure
     array algebra, literal-bound top-k. Four in-vocabulary phrases of
     lengths 1-3 against the documents table."""
-    from raven_spark.operators.pipeline import phrase_search
+    from raven_spark.operators.pipeline_lexical import phrase_search
 
     d = _t(spark, sf_dir, "documents")
     ph = spark.createDataFrame(
@@ -2076,13 +2076,13 @@ def q85_weighted_sample(spark, sf_dir):
 
 def q86_heavy_hitters(spark, sf_dir):
     """Top-50 corpus terms via per-partition Misra-Gries summaries
-    (operators/pipeline.py::heavy_hitters): map side holds at most
+    (operators/pipeline_sketches.py::heavy_hitters): map side holds at most
     `capacity` counters per partition (shuffle O(partitions x capacity)
     rows regardless of vocabulary size), reduce side sums + takes the
     top-k with TakeOrderedAndProject. Run in the exactness regime
     (capacity 50k >> per-partition vocabulary at sf<=0.1), where MG
     counts are exact — the oracle is the exact token count."""
-    from raven_spark.operators.pipeline import heavy_hitters
+    from raven_spark.operators.pipeline_sketches import heavy_hitters
 
     return heavy_hitters(
         _t(spark, sf_dir, "documents"), k=50, capacity=50_000
@@ -2090,13 +2090,13 @@ def q86_heavy_hitters(spark, sf_dir):
 
 
 def q88_filter_funnel(spark, sf_dir):
-    """Filter-ablation funnel (operators/pipeline.py::filter_funnel):
+    """Filter-ablation funnel (operators/pipeline_funnel.py::filter_funnel):
     six ordered cleaning rules over documents with per-stage reached/
     dropped/survived accounting, computed in ONE corpus pass (chained
     first-fail CASE + one count aggregate) instead of one filtered
     count per rule. The oracle replays the same first-fail CASE and
     cumulative window."""
-    from raven_spark.operators.pipeline import filter_funnel
+    from raven_spark.operators.pipeline_funnel import filter_funnel
 
     d = _t(spark, sf_dir, "documents")
     text = F.col("text")
@@ -2121,12 +2121,12 @@ def q88_filter_funnel(spark, sf_dir):
 
 def q89_term_dictionary(spark, sf_dir):
     """Dense frequency-ranked term ids WITHOUT a global sort
-    (operators/pipeline.py::term_dictionary): two-level cumulative
+    (operators/pipeline_lexical.py::term_dictionary): two-level cumulative
     ranking — row_number within (count, term-prefix) groups + an
     exclusive group-size offset window over the tiny group table (the
     q83 telescoping trick applied to order statistics). The oracle is
     the straightforward global row_number."""
-    from raven_spark.operators.pipeline import term_dictionary
+    from raven_spark.operators.pipeline_lexical import term_dictionary
 
     return term_dictionary(_t(spark, sf_dir, "documents"))
 
@@ -2144,24 +2144,24 @@ def q90_quantize_embeddings(spark, sf_dir):
 
 def q91_pmi_collocations(spark, sf_dir):
     """Top-50 bigram collocations by pointwise mutual information
-    (operators/pipeline.py::pmi_collocations): two map-side-combinable
+    (operators/pipeline_lexical.py::pmi_collocations): two map-side-combinable
     count aggregates + two token-keyed joins + TakeOrderedAndProject —
     no global sort. min_count=5 floors PMI's rare-pair noise. The
     oracle replays the identical count algebra and the one fixed double
     expression tree."""
-    from raven_spark.operators.pipeline import pmi_collocations
+    from raven_spark.operators.pipeline_lexical import pmi_collocations
 
     return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
 
 
 def q92_stuffing_signals(spark, sf_dir):
     """Keyword-stuffing / low-diversity spam signals per document
-    (operators/pipeline.py::stuffing_signals): top-token share (argmax
+    (operators/pipeline_filters.py::stuffing_signals): top-token share (argmax
     token, ties to the smallest), character-unigram Shannon entropy,
     and an exact-integer stuffing verdict — all per-row folds over the
     doc's own sorted arrays, ZERO shuffles. The oracle counts the same
     multisets by group; sorted-run fold == per-key count."""
-    from raven_spark.operators.pipeline import stuffing_signals
+    from raven_spark.operators.pipeline_filters import stuffing_signals
 
     return stuffing_signals(_t(spark, sf_dir, "documents"))
 
@@ -2378,13 +2378,13 @@ def q102_template_admission(spark, sf_dir):
 
 def q103_approx_distinct(spark, sf_dir):
     """Per-host approximate distinct-URL cardinality with an error
-    contract (operators/pipeline.py::approx_distinct_contract): Spark's
+    contract (operators/pipeline_sketches.py::approx_distinct_contract): Spark's
     built-in HLL++ sketch (JVM map-side merge — the scale path past
     exact count-distinct's expand), checked against the exact count
     within a sigma*rsd band (q23's contract-oracle pattern). The exact
     count is oracle-replayed; the contract flips red if the estimator
     drifts."""
-    from raven_spark.operators.pipeline import approx_distinct_contract
+    from raven_spark.operators.pipeline_sketches import approx_distinct_contract
 
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("host"),
@@ -2435,12 +2435,12 @@ def q105_adaptive_budget(spark, sf_dir):
 
 def q106_quantile_contract(spark, sf_dir):
     """Per-group approximate percentiles with a rank-error contract
-    (operators/pipeline.py::approx_quantile_contract): the built-in
+    (operators/pipeline_sketches.py::approx_quantile_contract): the built-in
     Greenwald-Khanna sketch (percentile_approx) audited against the
     exact ranks — q103's contract-oracle pattern for quantiles. The
     exact interpolated percentile is oracle-replayed (quantile_cont);
     a drifting sketch flips within_bound and the hash goes red."""
-    from raven_spark.operators.pipeline import approx_quantile_contract
+    from raven_spark.operators.pipeline_sketches import approx_quantile_contract
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("k"), F.col("value").alias("v")
@@ -2452,12 +2452,12 @@ def q106_quantile_contract(spark, sf_dir):
 
 def q107_cms_frequency(spark, sf_dir):
     """Count-Min sketch point-frequency estimation
-    (operators/pipeline.py::cms_frequency): depth-4 x width-256 counter
+    (operators/pipeline_sketches.py::cms_frequency): depth-4 x width-256 counter
     matrix over user_id % 211, map-side combinable, O(d*w) state
     regardless of key cardinality; estimates = min over rows, never
     below the exact count. The deterministic Knuth/xxhash-constant hash
     family is replayed exactly by the oracle in BIGINT arithmetic."""
-    from raven_spark.operators.pipeline import cms_frequency
+    from raven_spark.operators.pipeline_sketches import cms_frequency
 
     ev = _t(spark, sf_dir, "events").select(
         F.pmod(F.col("user_id"), F.lit(211)).alias("key")
@@ -2495,12 +2495,12 @@ def q109_doremi(spark, sf_dir):
 
 def q110_term_drift(spark, sf_dir):
     """Term-distribution drift between corpus slices
-    (operators/pipeline.py::term_drift): 2x2 chi-square per term between
+    (operators/pipeline_lexical.py::term_drift): 2x2 chi-square per term between
     the doc_id-parity halves, min_count=20 floor, top-50 via
     TakeOrderedAndProject — the drift monitor a continuously refreshed
     crawl corpus runs between dumps. ONE map-side-combinable aggregate
     over the token stream; the oracle replays the fixed chi2 tree."""
-    from raven_spark.operators.pipeline import term_drift
+    from raven_spark.operators.pipeline_lexical import term_drift
 
     d = _t(spark, sf_dir, "documents")
     return term_drift(d, F.col("doc_id") % 2 == 0, min_count=20, k=50)
@@ -2538,14 +2538,14 @@ def q112_opic(spark, sf_dir):
 
 
 def q113_zipf_fit(spark, sf_dir):
-    """Zipf rank-frequency fit (operators/pipeline.py::zipf_fit): OLS of
+    """Zipf rank-frequency fit (operators/pipeline_lexical.py::zipf_fit): OLS of
     log(freq) on log(rank) over the top-10k vocabulary — the corpus
     health check (natural text has slope ~ -1; template floods bend it).
     One map-side-combinable term count, one literal-bounded rank window,
     one 1-row closed-form OLS aggregate. Bigrams here: the synthetic
     vocab is 31 unigram types, so the bigram curve (916 types) is the
     non-degenerate fit."""
-    from raven_spark.operators.pipeline import zipf_fit
+    from raven_spark.operators.pipeline_lexical import zipf_fit
 
     d = _t(spark, sf_dir, "documents")
     return zipf_fit(d, min_count=2, max_rank=10_000, ngram_n=2)
@@ -2553,13 +2553,13 @@ def q113_zipf_fit(spark, sf_dir):
 
 def q114_good_turing(spark, sf_dir):
     """Good-Turing frequency-of-frequencies
-    (operators/pipeline.py::good_turing): n_c for c<=10 plus the GT
+    (operators/pipeline_lexical.py::good_turing): n_c for c<=10 plus the GT
     re-estimate c* = (c+1)n_{c+1}/n_c — the unseen-mass diagnostic under
     the q48/q68 LM quality filters (P0 = N1/N). Term counts collapse to
     an O(max_c)-row table before any window. Bigram types (every
     synthetic unigram has count >= 26, so the unigram GT table is
     empty; bigrams have the low-c mass GT describes)."""
-    from raven_spark.operators.pipeline import good_turing
+    from raven_spark.operators.pipeline_lexical import good_turing
 
     d = _t(spark, sf_dir, "documents")
     return good_turing(d, max_c=10, ngram_n=2)
@@ -2618,13 +2618,13 @@ def q115_priority_schedule(spark, sf_dir):
 
 def q116_domain_diversity(spark, sf_dir):
     """Per-domain lexical diversity rollup
-    (operators/pipeline.py::domain_diversity): type-token ratio,
+    (operators/pipeline_lexical.py::domain_diversity): type-token ratio,
     Shannon entropy of the domain's term distribution, and normalized
     entropy — the domain-level template/spam signal per-document
     quality scores can't see. One (domain, term) hash aggregate (the
     only text pass), domain-window totals, entropy fold reusing the
     window's partitioning."""
-    from raven_spark.operators.pipeline import domain_diversity
+    from raven_spark.operators.pipeline_lexical import domain_diversity
 
     d = _t(spark, sf_dir, "documents")
     dom = F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"))
@@ -2653,13 +2653,13 @@ def q117_revisit_schedule(spark, sf_dir):
 
 def q118_term_burstiness(spark, sf_dir):
     """Term burstiness and adaptation
-    (operators/pipeline.py::term_burstiness; Church & Gale 1995, Katz
+    (operators/pipeline_lexical.py::term_burstiness; Church & Gale 1995, Katz
     1996): E[x|x>0] = total/df and P(x>=2|x>=1) per term — the
     within-document clumping signal separating topical vocabulary from
     function words and once-per-page template tokens. One (doc, term)
     aggregate (the only text pass), one per-term fold, top-100 by
     (burstiness desc, term asc). Exact integer ratios at 6dp."""
-    from raven_spark.operators.pipeline import term_burstiness
+    from raven_spark.operators.pipeline_lexical import term_burstiness
 
     d = _t(spark, sf_dir, "documents")
     return term_burstiness(d, min_df=2, k=100)
@@ -2694,13 +2694,13 @@ def q119_crawl_saturation(spark, sf_dir):
 
 def q120_shard_skew(spark, sf_dir):
     """Shuffle-skew pre-flight diagnostic
-    (operators/pipeline.py::shard_skew): how evenly would a
+    (operators/pipeline_sketches.py::shard_skew): how evenly would a
     user_id-keyed shuffle of events land on 32 reducers — max shard
     share (straggler bound), coefficient of variation, exact Gini over
     all shards (empties included; idle reducers are skew too). One
     count-per-shard aggregate, one O(32) window, one 1-row fold; the
     Knuth-mix shard function replays in the oracle."""
-    from raven_spark.operators.pipeline import shard_skew
+    from raven_spark.operators.pipeline_sketches import shard_skew
 
     ev = _t(spark, sf_dir, "events")
     return shard_skew(ev, "user_id", n_shards=32)
@@ -2727,13 +2727,13 @@ def q121_temperature_mix(spark, sf_dir):
 
 def q122_ks_length_drift(spark, sf_dir):
     """Per-domain exact two-sample KS drift of the doc-length
-    distribution vs the corpus (operators/pipeline.py::ks_group_drift)
+    distribution vs the corpus (operators/pipeline_sketches.py::ks_group_drift)
     — the part-vs-whole distribution monitor that flags templated or
     truncated domains even when every per-doc score passes. Exact via
     the merged-jump-point formulation (group jump points are corpus
     jump points): two count aggregates + bounded-cardinality CDF
     windows + one equi-join; no cross product, no global row sort."""
-    from raven_spark.operators.pipeline import ks_group_drift
+    from raven_spark.operators.pipeline_sketches import ks_group_drift
 
     d = _t(spark, sf_dir, "documents")
     base = d.select(
@@ -2746,14 +2746,14 @@ def q122_ks_length_drift(spark, sf_dir):
 
 
 def q123_bloom_contract(spark, sf_dir):
-    """Bloom FPR contract (operators/pipeline.py::bloom_contract) —
+    """Bloom FPR contract (operators/pipeline_sketches.py::bloom_contract) —
     completes the probabilistic-contract family (HLL q103, GK q106,
     CMS q107, KMV q111) with the oracle-checkable twin of the engine's
     pytest-gated sharded seen-filter: even doc_ids build the filter,
     odd doc_ids probe it; measured FPR audited against the fill-based
     (n_set/m)^k expectation. Bit set = a DataFrame of set positions
     (never a driver bitmap); probe = one broadcast semi-join."""
-    from raven_spark.operators.pipeline import bloom_contract
+    from raven_spark.operators.pipeline_sketches import bloom_contract
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     members = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
@@ -3371,7 +3371,7 @@ def q146_mixture_diversity(spark, sf_dir):
     Fixed-point term sums keep the one-row profile
     partition-order-exact; oracle replays shares + entropy with
     HUGEINT fixed-point sums."""
-    from raven_spark.operators.pipeline import mixture_diversity
+    from raven_spark.operators.pipeline_lexical import mixture_diversity
 
     return mixture_diversity(
         _t(spark, sf_dir, "documents"), group_col="source", size_col="n_chars"
@@ -3493,7 +3493,7 @@ def q151_curation_funnel(spark, sf_dir):
     the integration q88's per-row flag funnel cannot express. Corpus =
     built docs %13 != 0, bench = %13 == 0 (the q35 split). Oracle:
     the q62 + q11 + q12 + q09 + q35 replays CHAINED, counts unioned."""
-    from raven_spark.operators.pipeline import curation_funnel
+    from raven_spark.operators.pipeline_funnel import curation_funnel
 
     pages = _c4_line_text(_t(spark, sf_dir, "documents"))
     corpus = pages.filter(F.col("doc_id") % 13 != 0)
@@ -3508,7 +3508,7 @@ def q152_curated_corpus(spark, sf_dir):
     emit="docs"): the exact (doc_id, clean_text) rows q151's final
     stage counts — the artifact a training run actually consumes.
     Oracle: the q151 chain emitting k5 survivors instead of counts."""
-    from raven_spark.operators.pipeline import curation_funnel
+    from raven_spark.operators.pipeline_funnel import curation_funnel
 
     pages = _c4_line_text(_t(spark, sf_dir, "documents"))
     corpus = pages.filter(F.col("doc_id") % 13 != 0)

@@ -945,7 +945,7 @@ def kmv_mirror_pairs(
 
 # MinHash-contract permutation family: affine maps over the same Mersenne
 # prime as the Horner shingle keys — replayable in plain SQL (q130), the
-# Bloom-contract (pipeline.bloom_contract) convention applied to MinHash.
+# Bloom-contract (pipeline_sketches.bloom_contract) convention applied to MinHash.
 _MHC_A0, _MHC_DA = 2654435761, 40503
 _MHC_B0, _MHC_DB = 998244353, 69069
 

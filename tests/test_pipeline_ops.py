@@ -5,11 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from raven_spark.operators.pipeline import (
-    clean_corpus,
-    dup_ngram_frac,
-    hash_split,
-)
+from raven_spark.operators.pipeline import dup_ngram_frac, hash_split
+from raven_spark.operators.pipeline_filters import clean_corpus
 
 
 def test_hash_split_deterministic_and_partition_invariant(spark):
@@ -78,7 +75,7 @@ def _docs(spark, rows):
 
 
 def test_host_boilerplate_flags_repeated_windows_within_host(spark):
-    from raven_spark.operators.pipeline import host_boilerplate
+    from raven_spark.operators.pipeline_filters import host_boilerplate
 
     chrome = "home about contact privacy terms sitemap login"  # exactly 7 words
     rows = [
@@ -99,7 +96,7 @@ def test_host_boilerplate_flags_repeated_windows_within_host(spark):
 
 
 def test_host_boilerplate_counts_distinct_docs_not_occurrences(spark):
-    from raven_spark.operators.pipeline import host_boilerplate
+    from raven_spark.operators.pipeline_filters import host_boilerplate
 
     u = "aa bb cc dd ee ff gg"  # 7 words
     # one doc repeating the unit 3x is NOT host-boilerplate (1 distinct doc)
@@ -109,7 +106,7 @@ def test_host_boilerplate_counts_distinct_docs_not_occurrences(spark):
 
 
 def test_host_boilerplate_partial_last_window_and_empty(spark):
-    from raven_spark.operators.pipeline import host_boilerplate
+    from raven_spark.operators.pipeline_filters import host_boilerplate
 
     rows = [(1, "only three words", "h"), (2, "   ", "h")]
     out = {r["id"]: r for r in host_boilerplate(
@@ -122,7 +119,7 @@ def test_host_boilerplate_partial_last_window_and_empty(spark):
 
 
 def test_contamination_flags_shared_ngrams(spark):
-    from raven_spark.operators.pipeline import benchmark_contamination
+    from raven_spark.operators.pipeline_filters import benchmark_contamination
 
     bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog", "b")])
     corpus = _docs(spark, [
@@ -138,7 +135,7 @@ def test_contamination_flags_shared_ngrams(spark):
 
 
 def test_contamination_set_semantics(spark):
-    from raven_spark.operators.pipeline import benchmark_contamination
+    from raven_spark.operators.pipeline_filters import benchmark_contamination
 
     g = "one two three four five"
     bench = _docs(spark, [(100, g, "b")])
@@ -180,7 +177,7 @@ def test_dedup_within_doc(spark):
     """Repeated 8-word windows inside one doc are removed (first
     occurrence wins, order preserved); distinct docs never interact;
     empty and single-word docs survive."""
-    from raven_spark.operators.pipeline import dedup_within_doc
+    from raven_spark.operators.pipeline_filters import dedup_within_doc
 
     unit_a = "a b c d e f g h"
     unit_b = "i j k l m n o p"
@@ -207,7 +204,7 @@ def test_dedup_within_doc_long_doc_linear(spark):
     in order."""
     import time
 
-    from raven_spark.operators.pipeline import dedup_within_doc
+    from raven_spark.operators.pipeline_filters import dedup_within_doc
 
     n = 1200
     units = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h" for i in range(n)]
@@ -224,7 +221,7 @@ def test_dedup_within_doc_long_doc_linear(spark):
 def test_unigram_logprob(spark):
     """Common-word docs outscore rare-word docs; empty docs score null;
     values are partition-invariant."""
-    from raven_spark.operators.pipeline import unigram_logprob
+    from raven_spark.operators.pipeline_filters import unigram_logprob
 
     rows = [(1, "the the the cat"), (2, "the cat"), (3, "zyx qwv"), (4, "  ")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -241,7 +238,7 @@ def test_unigram_logprob(spark):
 
 
 def test_corpus_stats(spark):
-    from raven_spark.operators.pipeline import corpus_stats
+    from raven_spark.operators.pipeline_lexical import corpus_stats
 
     rows = [("a", "one two three"), ("a", "one"), ("a", "one two"), ("b", "")]
     df = spark.createDataFrame(rows, "source string, text string")
@@ -256,7 +253,7 @@ def test_ccnet_buckets_thirds_and_nulls(spark):
     """Head/middle/tail per group: thirds by score with interpolated
     cutoffs; null scores bucket to null; a sampled-cutoff run still
     assigns every row."""
-    from raven_spark.operators.pipeline import ccnet_buckets
+    from raven_spark.operators.pipeline_filters import ccnet_buckets
 
     rows = [(i, "en", float(i)) for i in range(90)] + [
         (100, "en", None),
@@ -284,7 +281,7 @@ def test_ccnet_buckets_thirds_and_nulls(spark):
 def test_ccnet_buckets_sampled_out_group_falls_back(spark):
     """A group small enough to vanish from the sampled cutoffs still
     buckets every doc (exact fallback cutoffs), never a null language."""
-    from raven_spark.operators.pipeline import ccnet_buckets
+    from raven_spark.operators.pipeline_filters import ccnet_buckets
 
     rows = [(i, "en", float(i)) for i in range(300)] + [
         (1000 + j, "is", float(j)) for j in range(3)
@@ -299,7 +296,7 @@ def test_ccnet_buckets_sampled_out_group_falls_back(spark):
 
 
 def test_c4_filters_line_and_page_rules(spark):
-    from raven_spark.operators.pipeline import c4_filters
+    from raven_spark.operators.pipeline_filters import c4_filters
 
     rows = [
         # 10 lines; drops: 2-word line, no-terminal-punct line, the
@@ -352,7 +349,7 @@ def test_c4_filters_line_and_page_rules(spark):
 
 
 def test_c4_filters_badword_is_token_match(spark):
-    from raven_spark.operators.pipeline import c4_filters
+    from raven_spark.operators.pipeline_filters import c4_filters
 
     rows = [(1, "The scunthorpe problem is a classic sentence.\n" * 5)]
     out = c4_filters(
@@ -363,7 +360,7 @@ def test_c4_filters_badword_is_token_match(spark):
 
 
 def test_line_dedup_corpus_drops_cross_doc_units_in_order(spark):
-    from raven_spark.operators.pipeline import line_dedup_corpus
+    from raven_spark.operators.pipeline_filters import line_dedup_corpus
 
     rows = [
         (1, "unique alpha content line\nCopyright Example Corp\nmore unique body text"),
@@ -389,7 +386,7 @@ def test_line_dedup_corpus_drops_cross_doc_units_in_order(spark):
 
 
 def test_line_dedup_corpus_window_mode(spark):
-    from raven_spark.operators.pipeline import line_dedup_corpus
+    from raven_spark.operators.pipeline_filters import line_dedup_corpus
 
     rows = [(1, "a b c d a b"), (2, "a b x y"), (3, "z z z z")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -404,7 +401,7 @@ def test_benchmark_contamination_bloom_sidecar_is_exact(spark):
     """The Bloom path prunes probe volume but must be RESULT-identical:
     no false negatives by the Bloom property, false positives killed by
     the exact verify join."""
-    from raven_spark.operators.pipeline import benchmark_contamination
+    from raven_spark.operators.pipeline_filters import benchmark_contamination
 
     bench = spark.createDataFrame(
         [(0, "the quick brown fox jumps over the lazy dog")],
@@ -434,7 +431,7 @@ def test_benchmark_contamination_bloom_sidecar_is_exact(spark):
 def test_tfidf_topk_values_and_ranking(spark):
     import math
 
-    from raven_spark.operators.pipeline import tfidf_topk
+    from raven_spark.operators.pipeline_lexical import tfidf_topk
 
     rows = [
         (1, "apple apple banana cherry"),
@@ -460,7 +457,7 @@ def test_tfidf_topk_values_and_ranking(spark):
 
 
 def test_bigram_logprob_orders_and_nulls(spark):
-    from raven_spark.operators.pipeline import bigram_logprob
+    from raven_spark.operators.pipeline_lexical import bigram_logprob
 
     base = "the cat sat on the mat"
     rows = [
@@ -487,7 +484,7 @@ def test_bm25_topk_against_pure_python(spark):
     import math
     from collections import Counter
 
-    from raven_spark.operators.pipeline import bm25_topk
+    from raven_spark.operators.pipeline_lexical import bm25_topk
 
     docs = {
         1: "apple banana apple",
@@ -533,7 +530,7 @@ def test_bm25_topk_against_pure_python(spark):
 
 
 def test_bm25_topk_partition_invariance(spark):
-    from raven_spark.operators.pipeline import bm25_topk
+    from raven_spark.operators.pipeline_lexical import bm25_topk
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = spark.createDataFrame([(0, "spark table join")], "query_id int, query string")
@@ -550,7 +547,7 @@ def test_bm25_topk_repeated_query_term_weights(spark):
     import math
     from collections import Counter
 
-    from raven_spark.operators.pipeline import bm25_topk
+    from raven_spark.operators.pipeline_lexical import bm25_topk
 
     docs = {1: "apple banana", 2: "banana banana cherry", 3: "apple apple"}
     df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
@@ -588,7 +585,7 @@ def test_bm25_topk_repeated_query_term_weights(spark):
 
 
 def test_phrase_search_semantics(spark):
-    from raven_spark.operators.pipeline import phrase_search
+    from raven_spark.operators.pipeline_lexical import phrase_search
 
     docs = spark.createDataFrame(
         [
@@ -629,7 +626,7 @@ def test_phrase_search_semantics(spark):
 
 
 def test_phrase_search_k_bound_and_partition_invariance(spark):
-    from raven_spark.operators.pipeline import phrase_search
+    from raven_spark.operators.pipeline_lexical import phrase_search
 
     docs = spark.createDataFrame(
         [(i, "x y " * (i % 5 + 1)) for i in range(40)], "doc_id int, text string"
@@ -648,7 +645,7 @@ def test_phrase_search_k_bound_and_partition_invariance(spark):
 
 
 def test_phrase_search_single_exchange_plan(spark):
-    from raven_spark.operators.pipeline import phrase_search
+    from raven_spark.operators.pipeline_lexical import phrase_search
 
     docs = spark.createDataFrame(
         [(0, "a b c"), (1, "b c d")], "doc_id int, text string"
@@ -670,7 +667,7 @@ def test_phrase_search_single_exchange_plan(spark):
 
 
 def test_heavy_hitters_exact_regime_matches_groupby(spark):
-    from raven_spark.operators.pipeline import heavy_hitters
+    from raven_spark.operators.pipeline_sketches import heavy_hitters
 
     rows = [(i, f"apple banana {'apple ' * (i % 3)}cherry") for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -695,7 +692,7 @@ def test_heavy_hitters_exact_regime_matches_groupby(spark):
 
 
 def test_heavy_hitters_eviction_regime_mg_guarantee(spark):
-    from raven_spark.operators.pipeline import heavy_hitters
+    from raven_spark.operators.pipeline_sketches import heavy_hitters
 
     # one majority term among 30 distinct noise terms, capacity 8:
     # evictions happen, but the majority term must survive with
@@ -710,7 +707,7 @@ def test_heavy_hitters_eviction_regime_mg_guarantee(spark):
 
 
 def test_heavy_hitters_skips_null_and_empty(spark):
-    from raven_spark.operators.pipeline import heavy_hitters
+    from raven_spark.operators.pipeline_sketches import heavy_hitters
 
     df = spark.createDataFrame(
         [(0, None), (1, "   "), (2, "x y  x")], "doc_id bigint, text string"
@@ -721,7 +718,7 @@ def test_heavy_hitters_skips_null_and_empty(spark):
 
 def test_filter_funnel_single_pass_accounting(spark):
     from pyspark.sql import functions as F
-    from raven_spark.operators.pipeline import filter_funnel
+    from raven_spark.operators.pipeline_funnel import filter_funnel
 
     df = spark.createDataFrame(
         [(1, 10), (2, 20), (3, 30), (4, None), (5, 50)], "id bigint, v bigint"
@@ -752,7 +749,7 @@ def test_filter_funnel_single_pass_accounting(spark):
 
 
 def test_term_dictionary_dense_frequency_ranked_ids(spark):
-    from raven_spark.operators.pipeline import term_dictionary
+    from raven_spark.operators.pipeline_lexical import term_dictionary
 
     df = spark.createDataFrame(
         [(0, "b b b a a c"), (1, "a c d"), (2, None), (3, "  ")],
@@ -772,7 +769,7 @@ def test_term_dictionary_dense_frequency_ranked_ids(spark):
 
 
 def test_pmi_collocations_ranking_and_floor(spark):
-    from raven_spark.operators.pipeline import pmi_collocations
+    from raven_spark.operators.pipeline_lexical import pmi_collocations
 
     df = spark.createDataFrame(
         [
@@ -808,7 +805,7 @@ def test_pmi_collocations_ranking_and_floor(spark):
 def test_stuffing_signals_exact_counts_and_entropy(spark):
     import math
 
-    from raven_spark.operators.pipeline import stuffing_signals
+    from raven_spark.operators.pipeline_filters import stuffing_signals
 
     df = spark.createDataFrame(
         [
@@ -886,7 +883,7 @@ def test_bpe_merge_never_crosses_symbol_boundaries(spark):
 
 
 def test_approx_distinct_contract_bounds_and_exact(spark):
-    from raven_spark.operators.pipeline import approx_distinct_contract
+    from raven_spark.operators.pipeline_sketches import approx_distinct_contract
 
     rows = [(f"h{i % 3}", f"/p/{i % 50}") for i in range(300)]
     df = spark.createDataFrame(rows, "host string, url string")
@@ -905,7 +902,7 @@ def test_approx_distinct_contract_bounds_and_exact(spark):
 def test_zipf_fit_exact_power_law(spark):
     # Corpus engineered so term t_r appears round(64 / r) times for
     # rank r in 1..8 -> log-log regression recovers slope ~ -1.
-    from raven_spark.operators.pipeline import zipf_fit
+    from raven_spark.operators.pipeline_lexical import zipf_fit
 
     import math
 
@@ -932,7 +929,7 @@ def test_zipf_fit_exact_power_law(spark):
 
 
 def test_zipf_fit_bigrams_and_min_count(spark):
-    from raven_spark.operators.pipeline import zipf_fit
+    from raven_spark.operators.pipeline_lexical import zipf_fit
 
     df = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b x y"), (3, None), (4, "  ")],
@@ -949,7 +946,7 @@ def test_zipf_fit_bigrams_and_min_count(spark):
 def test_good_turing_known_spectrum(spark):
     # 3 hapaxes, 2 doubletons, 1 tripleton:
     #   n_1=3, n_2=2, n_3=1 -> c*_1 = 2*2/3, c*_2 = 3*1/2, c*_3 = NULL
-    from raven_spark.operators.pipeline import good_turing
+    from raven_spark.operators.pipeline_lexical import good_turing
 
     text = " ".join(["h1", "h2", "h3"] + ["d1", "d2"] * 2 + ["t1"] * 3)
     df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
@@ -964,7 +961,7 @@ def test_good_turing_known_spectrum(spark):
 def test_good_turing_gap_yields_null_estimate(spark):
     # counts 1 and 3 present, 2 absent: c*_1 must be NULL (not computed
     # against n_3), and c=3's next row is absent entirely.
-    from raven_spark.operators.pipeline import good_turing
+    from raven_spark.operators.pipeline_lexical import good_turing
 
     text = " ".join(["a", "b"] + ["z"] * 3)
     df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
@@ -978,7 +975,7 @@ def test_domain_diversity_known_distribution(spark):
     # domain B: single type -> entropy 0.0 (not -0.0), norm NULL.
     import math
 
-    from raven_spark.operators.pipeline import domain_diversity
+    from raven_spark.operators.pipeline_lexical import domain_diversity
 
     df = spark.createDataFrame(
         [(1, "A", "x x y z"), (2, "B", "w w w")],
@@ -1002,7 +999,7 @@ def test_domain_diversity_known_distribution(spark):
 
 
 def test_domain_diversity_partition_invariant(spark):
-    from raven_spark.operators.pipeline import domain_diversity
+    from raven_spark.operators.pipeline_lexical import domain_diversity
 
     df = spark.createDataFrame(
         [(i, f"d{i % 3}", f"tok{i % 7} tok{i % 5} tok{i % 11} common")
@@ -1018,7 +1015,7 @@ def test_term_burstiness_exact_ratios(spark):
     # 'topic' appears 3+2 times in its 2 docs -> burstiness 2.5,
     # adaptation 1.0; 'the' once in each of 3 docs -> 1.0 / 0.0;
     # 'rare' df=1 -> dropped by min_df=2.
-    from raven_spark.operators.pipeline import term_burstiness
+    from raven_spark.operators.pipeline_lexical import term_burstiness
 
     df = spark.createDataFrame(
         [
@@ -1042,7 +1039,7 @@ def test_term_burstiness_exact_ratios(spark):
 
 
 def test_shard_skew_uniform_vs_hot_key(spark):
-    from raven_spark.operators.pipeline import shard_skew
+    from raven_spark.operators.pipeline_sketches import shard_skew
 
     uniform = spark.createDataFrame([(i,) for i in range(4000)], "k bigint")
     hot = spark.createDataFrame([(0,)] * 3900 + [(i,) for i in range(100)], "k bigint")
@@ -1057,7 +1054,8 @@ def test_shard_skew_uniform_vs_hot_key(spark):
 def test_shard_skew_gini_hand_computed(spark):
     # 4 shards, loads [0, 0, 1, 3] (keys chosen by probing the mix):
     # exact G = 2*(3*1 + 4*3)/(4*4) - 5/4 = 30/16 - 20/16 = 0.625
-    from raven_spark.operators.pipeline import shard_skew, _CMS_A, _CMS_P
+    from raven_spark.operators.pipeline import _CMS_A, _CMS_P
+    from raven_spark.operators.pipeline_sketches import shard_skew
 
     # find keys hitting desired shards under the real mix
     def shard_of(k, n=4):
@@ -1077,7 +1075,7 @@ def test_shard_skew_gini_hand_computed(spark):
 
 def test_ks_group_drift_hand_computed(spark):
     # group A = {1,2} inside corpus {1,2,10,11,12,13}: D = |1 - 2/6| = 2/3
-    from raven_spark.operators.pipeline import ks_group_drift
+    from raven_spark.operators.pipeline_sketches import ks_group_drift
 
     rows = [("A", 1), ("A", 2)] + [("B", x) for x in (10, 11, 12, 13)]
     df = spark.createDataFrame(rows, "g string, v int")
@@ -1094,7 +1092,7 @@ def test_ks_group_drift_hand_computed(spark):
 
 def test_ks_group_drift_identical_distribution_near_zero(spark):
     # every group IS the corpus shape -> part-vs-whole KS ~ 0
-    from raven_spark.operators.pipeline import ks_group_drift
+    from raven_spark.operators.pipeline_sketches import ks_group_drift
 
     rows = [(f"g{g}", v) for g in range(4) for v in range(50)]
     df = spark.createDataFrame(rows, "g string, v int")
@@ -1103,7 +1101,7 @@ def test_ks_group_drift_identical_distribution_near_zero(spark):
 
 
 def test_ks_group_drift_partition_invariant_and_min_n(spark):
-    from raven_spark.operators.pipeline import ks_group_drift
+    from raven_spark.operators.pipeline_sketches import ks_group_drift
 
     rows = [(f"g{i % 3}", (i * 7) % 23) for i in range(90)] + [("tiny", 1)]
     df = spark.createDataFrame(rows, "g string, v int")
@@ -1114,7 +1112,7 @@ def test_ks_group_drift_partition_invariant_and_min_n(spark):
 
 
 def test_bloom_contract_no_false_negatives_and_bound(spark):
-    from raven_spark.operators.pipeline import bloom_contract
+    from raven_spark.operators.pipeline_sketches import bloom_contract
 
     members = spark.createDataFrame([(i * 2,) for i in range(500)], "k bigint")
     probes = spark.createDataFrame([(i * 2 + 1,) for i in range(500)], "k bigint")
@@ -1131,7 +1129,7 @@ def test_bloom_contract_no_false_negatives_and_bound(spark):
 def test_bloom_contract_tiny_filter_saturates(spark):
     # m=8 bits with 500 members saturates the filter -> every probe
     # passes, expected_fpr ~ 1.0, so the bound still holds (honestly).
-    from raven_spark.operators.pipeline import bloom_contract
+    from raven_spark.operators.pipeline_sketches import bloom_contract
 
     members = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
     probes = spark.createDataFrame([(i + 1000,) for i in range(100)], "k bigint")
@@ -1160,7 +1158,7 @@ def test_dup_ngram_frac_null_text_scores_zero(spark):
 def test_shard_skew_null_keys_and_string_rejection(spark):
     import pytest
 
-    from raven_spark.operators.pipeline import shard_skew
+    from raven_spark.operators.pipeline_sketches import shard_skew
 
     df = spark.createDataFrame(
         [(None,)] * 10 + [(int(i),) for i in range(100)], "k long"
@@ -1175,7 +1173,7 @@ def test_shard_skew_null_keys_and_string_rejection(spark):
 
 
 def test_bloom_contract_single_job_counts(spark):
-    from raven_spark.operators.pipeline import bloom_contract
+    from raven_spark.operators.pipeline_sketches import bloom_contract
 
     members = spark.range(0, 400, 2).withColumnRenamed("id", "k")
     probes = spark.range(1, 400, 2).withColumnRenamed("id", "k")
@@ -1403,7 +1401,7 @@ def test_tokenizer_fertility_partition_invariant(spark):
 def test_mixture_diversity_uniform_and_skewed(spark):
     import math
 
-    from raven_spark.operators.pipeline import mixture_diversity
+    from raven_spark.operators.pipeline_lexical import mixture_diversity
 
     uniform = spark.createDataFrame(
         [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
@@ -1435,7 +1433,7 @@ def test_mixture_diversity_uniform_and_skewed(spark):
 
 
 def test_curation_funnel_stages_and_docs(spark):
-    from raven_spark.operators.pipeline import curation_funnel
+    from raven_spark.operators.pipeline_funnel import curation_funnel
 
     good = ("This is a good english sentence with many words today. "
             "Here is another full sentence that also ends properly. "

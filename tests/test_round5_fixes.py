@@ -193,7 +193,7 @@ def test_curation_funnel_decontaminates_clean_text(spark):
     funnel EMITS (clean_text). A benchmark 5-gram that c4_clean strips
     (here: a line with no terminal punctuation) must NOT drop the doc;
     a gram surviving into clean_text must."""
-    from raven_spark.operators.pipeline import curation_funnel
+    from raven_spark.operators.pipeline_funnel import curation_funnel
 
     good = (
         "this sentence is perfectly ordinary prose for testing purposes. "

@@ -143,7 +143,7 @@ def test_adaptive_budget_partition_invariant_and_mean_first(spark):
 
 
 def test_approx_quantile_contract_holds_and_exact_matches(spark):
-    from raven_spark.operators.pipeline import approx_quantile_contract
+    from raven_spark.operators.pipeline_sketches import approx_quantile_contract
 
     df = spark.range(10_000, numPartitions=8).selectExpr(
         "concat('g', pmod(id, 3)) as k", "cast(pmod(xxhash64(id), 1000) as double) as v"
@@ -164,7 +164,7 @@ def test_approx_quantile_contract_flags_a_broken_sketch(spark):
     """Force a tiny accuracy so the rank band is wide, then check the
     bound arithmetic by shrinking rank_slack on a pathological column
     where approx == exact (constant column always passes)."""
-    from raven_spark.operators.pipeline import approx_quantile_contract
+    from raven_spark.operators.pipeline_sketches import approx_quantile_contract
 
     df = spark.range(100).selectExpr("'g' as k", "cast(1.0 as double) as v")
     rows = approx_quantile_contract(df, "k", "v", percentiles=(0.5,), accuracy=10).collect()
@@ -175,7 +175,7 @@ def test_approx_quantile_contract_flags_a_broken_sketch(spark):
 
 
 def test_cms_never_underestimates_and_is_exact_when_wide(spark):
-    from raven_spark.operators.pipeline import cms_frequency
+    from raven_spark.operators.pipeline_sketches import cms_frequency
 
     df = spark.range(50_000, numPartitions=8).selectExpr("pmod(xxhash64(id), 97) as k")
     out = cms_frequency(df, "k", depth=4, width=4096).collect()
@@ -186,7 +186,7 @@ def test_cms_never_underestimates_and_is_exact_when_wide(spark):
 
 
 def test_cms_overestimates_under_collision_pressure(spark):
-    from raven_spark.operators.pipeline import cms_frequency
+    from raven_spark.operators.pipeline_sketches import cms_frequency
 
     # 2000 distinct keys into width=16 forces collisions: estimates must
     # stay upper bounds, and at least one must strictly overestimate
@@ -203,7 +203,7 @@ def test_cms_overestimates_under_collision_pressure(spark):
 
 
 def test_cms_depth_validation(spark):
-    from raven_spark.operators.pipeline import cms_frequency
+    from raven_spark.operators.pipeline_sketches import cms_frequency
 
     df = spark.range(10).selectExpr("id as k")
     with pytest.raises(ValueError):
@@ -309,7 +309,7 @@ def test_doremi_partition_invariance(spark):
 
 
 def test_term_drift_surfaces_the_planted_term(spark):
-    from raven_spark.operators.pipeline import term_drift
+    from raven_spark.operators.pipeline_lexical import term_drift
 
     # slice A gets 'zzzdrift' injected into every doc; shared vocab elsewhere
     rows = [(i, ("common words here " + ("zzzdrift " if i % 2 == 0 else "stable ")) * 10)
@@ -327,7 +327,7 @@ def test_term_drift_surfaces_the_planted_term(spark):
 
 
 def test_term_drift_chi2_matches_hand_formula(spark):
-    from raven_spark.operators.pipeline import term_drift
+    from raven_spark.operators.pipeline_lexical import term_drift
 
     rows = [(0, "x x y"), (1, "x y y")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -432,7 +432,7 @@ def test_adaptive_budget_zero_latency_awards_max(spark):
 def test_term_drift_empty_slice_yields_empty(spark):
     # drift against an entirely-empty slice is undefined (every expected
     # count is 0): the contract is an EMPTY result, not a crash.
-    from raven_spark.operators.pipeline import term_drift
+    from raven_spark.operators.pipeline_lexical import term_drift
 
     df = spark.createDataFrame(
         [(1, "alpha beta gamma alpha"), (2, "alpha beta")],
