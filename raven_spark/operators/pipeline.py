@@ -1,35 +1,27 @@
-"""Corpus-pipeline composition ops — the operations a training-data
-pipeline runs AFTER the crawl, composed from the engine's kernels:
+"""Corpus-pipeline CORE ops — the operations a training-data pipeline
+runs AFTER the crawl, composed from the engine's kernels.
 
-- ``hash_split``: deterministic train/val/test assignment by a
-  multiplicative id hash — reproducible across runs/engines (the split
-  must never depend on row order or partitioning), SQL-replayable
-  (Knuth multiplicative hashing; plain BIGINT arithmetic, overflow-free
-  for the full bigint id domain — see split_col).
-- ``dup_ngram_frac``: Gopher-style duplicate n-gram fraction per doc
-  (fraction of word n-grams that are repeats within the document) — a
-  repetition-quality signal; pure column algebra.
-- ``clean_corpus``: the composed keep/drop verdict: language allowlist x
-  quality threshold x repetition cap x exact-dup canonical-id — each
-  reason kept as its own column so downstream audits see WHY a doc
-  dropped (at 100 TB you never re-run a filter to find out).
-- ``host_boilerplate``: CCNet-style per-host boilerplate detection —
-  text units repeated across many documents of the same host/source
-  (nav bars, footers, cookie banners) are chrome, not content. CCNet
-  segments by line; crawl-extracted text has real newlines but the
-  documents table is flat word soup, so the segmenter is generic:
-  non-overlapping fixed word windows stand in for lines (the unit
-  choice is a parameter, the counting algebra is identical).
-- ``benchmark_contamination``: flag corpus documents sharing word
-  n-grams with a held-out benchmark/eval set (the standard n-gram
-  decontamination pass before training). The benchmark side of the
-  join is eval-set sized — tiny against a 100 TB corpus — so it is an
-  explicit broadcast; at extreme bench sizes the same set would ship
-  as a Bloom sidecar instead (same posture as operators/seen.py).
+Round-5 split (pure move): the filter canon lives in
+``pipeline_filters`` (C4/CCNet/Gopher verdicts, boilerplate,
+contamination, cleaning, within/line dedup, unigram fluency), the
+sketch/statistical contracts in ``pipeline_sketches``, lexical
+statistics and retrieval scoring in ``pipeline_lexical``, and the
+composed curation funnels in ``pipeline_funnel``. This module keeps
+the core plus the shared underscore helpers those modules import
+(acyclic — this module imports nothing back):
 
-All three are whole-stage-codegen column algebra (no Python, no UDFs),
-so they run at scan speed and their DuckDB oracles replay the identical
-arithmetic (driver queries q30-q32).
+- ``hash_split`` / ``split_col``: deterministic train/val/test by a
+  Knuth multiplicative id hash — never row-order or partition
+  dependent, SQL-replayable, overflow-free over the bigint id domain.
+- ``dup_ngram_frac``: Gopher-style duplicate n-gram fraction per doc.
+- ``pack_chunks`` / ``chunk_documents``: sequence packing placement
+  and document chunking for fixed context windows.
+- ``bpe_merges``: batched distributed BPE merge learning (q98).
+- ``tokenizer_fertility``, ``calibration_bins``, ``mirror_hosts``,
+  ``domain_score_normalize``: tokenizer/model/crawl-side auditing.
+
+Everything here is whole-stage-codegen column algebra (no Python UDFs
+in hot paths); DuckDB oracles replay the identical arithmetic.
 
 The reference has no corpus ops at all (it stops at persistence); these
 are task-brief-mandated LLM-pipeline additions, same tier as

@@ -1,4 +1,4 @@
-"""Web-text FILTTER family (split from pipeline.py, round 5 — pure move).
+"""Web-text FILTER family (split from pipeline.py, round 5 — pure move).
 
 C4/CCNet/Gopher-style page-quality verdicts, boilerplate and
 contamination filters, corpus cleaning, and within/line dedup — the
