@@ -3546,6 +3546,50 @@ def q153_unigram_lm(spark, sf_dir):
     )
 
 
+def q154_unigram_segment(spark, sf_dir):
+    """APPLY the q153-trained unigram vocabulary to the corpus
+    (operators/tokenizer.py::unigram_segment) — the inference half,
+    i.e. the op that actually touches every byte at 100 TB: distinct
+    words Viterbi-segment ONCE under the fixed-point scores, results
+    broadcast back onto the doc word streams; per-doc (n_words, n_oov,
+    n_pieces, sum_score_fp). Words over the 10-char training cap (and
+    any unreachable word) count as OOV, never drop. Oracle: the q153
+    chain plus one more unrolled DP pass over the final vocab and the
+    same per-doc aggregation."""
+    from raven_spark.operators.tokenizer import unigram_lm_train, unigram_segment
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(
+        d.select("text"),
+        vocab_size=120,
+        seed_size=150,
+        max_piece_len=3,
+        max_word_len=10,
+        rounds=2,
+    )
+    return unigram_segment(
+        d.select("doc_id", "text"), vocab, max_piece_len=3, max_word_len=10
+    )
+
+
+def q155_bpe_encode(spark, sf_dir):
+    """APPLY learned BPE merges to the corpus (operators/tokenizer.py::
+    bpe_encode) — q98's inference half: the 3 learned merge rules fold
+    over each distinct word's separator-encoded symbols (train and
+    apply share one fusing semantics), per-doc (n_words, n_tokens,
+    n_chars). Oracle: the q98 unrolled merge replay with the word
+    column retained, applied and aggregated per doc."""
+    from raven_spark.operators.pipeline import bpe_merges
+    from raven_spark.operators.tokenizer import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(d.select("text"), steps=3).orderBy("step").collect()
+    ]
+    return bpe_encode(d.select("doc_id", "text"), rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3701,6 +3745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_curation_funnel": q151_curation_funnel,
         "q152_curated_corpus": q152_curated_corpus,
         "q153_unigram_lm": q153_unigram_lm,
+        "q154_unigram_segment": q154_unigram_segment,
+        "q155_bpe_encode": q155_bpe_encode,
     }
 
 
@@ -3727,6 +3773,7 @@ def _unigram_lm_sql(
     max_piece_len: int = 3,
     max_word_len: int = 10,
     rounds: int = 2,
+    emit: str = "vocab",
 ) -> str:
     """Generate the DuckDB replay of unigram_lm_train (q153): the
     Viterbi DP is unrolled as one CTE per word position (dp{r}_{j} +
@@ -3838,11 +3885,164 @@ def _unigram_lm_sql(
                       ELSE CAST(-40000000 AS BIGINT) END AS s
           FROM cnt{r}
         )""")
-    parts.append(f"""
+    if emit == "vocab":
+        parts.append(f"""
         SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT)
                  AS rank,
                piece, c AS n_count, s AS score_fp
         FROM vocab{int(rounds)}
+    """)
+        return "".join(parts)
+    if emit != "segment":
+        raise ValueError(f"_unigram_lm_sql: unknown emit {emit!r}")
+    # inference tail (q154): one more DP pass over the FINAL vocab, then
+    # per-doc aggregation; words over the length cap or with no path
+    # LEFT-join to NULL and count as OOV — exactly unigram_segment's
+    # contract
+    R = int(rounds)
+    parts.append(f""",
+        edgesS AS MATERIALIZED (
+          SELECT sub.word, sub.i, sub.j, v.s, sub.piece
+          FROM subs sub JOIN vocab{R} v USING (piece)
+        ),
+        dpaS_0 AS MATERIALIZED (
+          SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS b, 0 AS bi, '' AS bp
+          FROM wn
+        )""")
+    for j in range(1, L + 1):
+        parts.append(f""",
+        dpS_{j} AS MATERIALIZED (
+          SELECT word, {j} AS pos, b, bi, bp FROM (
+            SELECT e.word, d.b + e.s AS b, e.i AS bi, e.piece AS bp,
+                   row_number() OVER (PARTITION BY e.word
+                                      ORDER BY (d.b + e.s) DESC, e.i ASC) AS rk
+            FROM edgesS e JOIN dpaS_{j - 1} d
+              ON d.word = e.word AND d.pos = e.i
+            WHERE e.j = {j}
+          ) WHERE rk = 1
+        ),
+        dpaS_{j} AS MATERIALIZED (
+          SELECT * FROM dpaS_{j - 1} UNION ALL SELECT * FROM dpS_{j}
+        )""")
+    parts.append(""",
+        btS_0 AS MATERIALIZED (SELECT word, n AS pos FROM wn)""")
+    for t in range(1, L + 1):
+        parts.append(f""",
+        btS_{t} AS MATERIALIZED (
+          SELECT b.word, d.bi AS pos
+          FROM btS_{t - 1} b JOIN dpaS_{L} d
+            ON d.word = b.word AND d.pos = b.pos
+          WHERE b.pos > 0
+        )""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT word FROM btS_{t}" for t in range(1, L + 1)
+    )
+    parts.append(f""",
+        wseg AS MATERIALIZED (
+          SELECT w.word, cnt.np, fin.b AS tot
+          FROM wn w
+          JOIN (SELECT word, CAST(count(*) AS BIGINT) AS np FROM (
+            {unions}
+          ) GROUP BY word) cnt USING (word)
+          JOIN dpaS_{L} fin ON fin.word = w.word AND fin.pos = w.n
+        ),
+        docw AS MATERIALIZED (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE length(word) >= 1
+        ),
+        perdoc AS MATERIALIZED (
+          SELECT d.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN s.np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+                 CAST(coalesce(sum(s.np), 0) AS BIGINT) AS n_pieces,
+                 CAST(coalesce(sum(s.tot), 0) AS BIGINT) AS sum_score_fp
+          FROM docw d LEFT JOIN wseg s USING (word)
+          GROUP BY d.doc_id
+        )
+        SELECT doc.doc_id AS id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(p.sum_score_fp, 0) AS BIGINT) AS sum_score_fp
+        FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+    """)
+    return "".join(parts)
+
+
+def _bpe_encode_sql(steps: int = 3) -> str:
+    """q155: learn ``steps`` BPE merges (the q98 unrolled replay, word
+    column retained) and APPLY them — per-word post-merge token counts
+    joined back onto the per-doc word streams."""
+    parts = [r"""
+        WITH w AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest(list_filter(string_split(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     ' '), x -> x <> '' AND NOT contains(x, chr(31)))) AS word
+            FROM documents WHERE text IS NOT NULL) GROUP BY word
+        ),
+        v0 AS MATERIALIZED (
+          SELECT word,
+                 chr(31) || array_to_string(list_transform(
+                   range(1, length(word) + 1), i -> word[i]),
+                   chr(31) || chr(31)) || chr(31) AS sym, f
+          FROM w
+        )"""]
+    for k in range(1, int(steps) + 1):
+        parts.append(f""",
+        c{k} AS MATERIALIZED (
+          SELECT pr, sum(f) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                     i -> a[i] || chr(30) || a[i + 1])) AS pr, f
+            FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                      chr(31) || chr(31)) AS a, f
+                  FROM v{k - 1})
+            WHERE len(a) >= 2) GROUP BY pr
+        ),
+        b{k} AS MATERIALIZED (
+          SELECT string_split(pr, chr(30))[1] AS l,
+                 string_split(pr, chr(30))[2] AS r, c
+          FROM c{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{k} AS MATERIALIZED (
+          SELECT word,
+                 replace(sym,
+                         (SELECT chr(31) || l || chr(31) || chr(31)
+                                 || r || chr(31) FROM b{k}),
+                         (SELECT chr(31) || l || r || chr(31) FROM b{k}))
+                   AS sym, f FROM v{k - 1}
+        )""")
+    parts.append(rf""",
+        wtok AS MATERIALIZED (
+          SELECT word,
+                 CAST(len(string_split(substr(sym, 2, length(sym) - 2),
+                                       chr(31) || chr(31))) AS BIGINT) AS nt,
+                 CAST(length(word) AS BIGINT) AS nc
+          FROM v{int(steps)}
+        ),
+        docw AS MATERIALIZED (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+                     '\s+', ' ', 'g'), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE word <> '' AND NOT contains(word, chr(31))
+        ),
+        perdoc AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(nc) AS BIGINT) AS n_chars
+          FROM docw JOIN wtok USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
     """)
     return "".join(parts)
 
@@ -9081,6 +9281,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE f.k5
         """,
         "q153_unigram_lm": _unigram_lm_sql(),
+        "q154_unigram_segment": _unigram_lm_sql(emit="segment"),
+        "q155_bpe_encode": _bpe_encode_sql(steps=3),
         "q26_task_expansion": """
             WITH entities AS (SELECT unnest(['users','orders']) AS entity),
                  shards   AS (SELECT unnest(generate_series(1, 3)) AS shard),

@@ -173,6 +173,8 @@ HEADLINE = [
     "q151_curation_funnel",
     "q152_curated_corpus",
     "q153_unigram_lm",
+    "q154_unigram_segment",
+    "q155_bpe_encode",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage

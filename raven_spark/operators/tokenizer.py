@@ -130,22 +130,37 @@ def _score_vocab(counts: DataFrame) -> DataFrame:
     )
 
 
-def _viterbi_counts(
+def _viterbi_segments(
     words: DataFrame, subs: DataFrame, vocab: DataFrame
 ) -> DataFrame:
-    """E-step: Viterbi-segment every word under the current scores and
-    return freq-weighted piece usage counts (piece, c)."""
+    """Viterbi-segment every DISTINCT word under the given scores.
+
+    Returns (word, f, n, ps array<string>, tot_fp bigint, reachable
+    boolean). Training corpora are always reachable (every single char
+    is in the vocab by construction); at INFERENCE time a word carrying
+    a character the training corpus never saw has no path — it comes
+    back reachable=false with an empty ps, for the caller to count as
+    OOV (never silently dropped)."""
     edges = subs.join(F.broadcast(vocab.select("piece", "s")), "piece").select(
         "word", "i", "j", "s", "piece"
     )
-    per_word = (
-        edges.groupBy("word")
-        .agg(
+    # LEFT join from words: an inference-time word whose every char is
+    # unseen has ZERO edges and must still come back (as unreachable),
+    # not vanish from the output
+    per_word = words.join(
+        edges.groupBy("word").agg(
             F.sort_array(
                 F.collect_list(F.struct("i", "j", "s", "piece"))
             ).alias("edges")
-        )
-        .join(words, "word")
+        ),
+        "word",
+        "left",
+    ).withColumn(
+        "edges",
+        F.coalesce(
+            F.col("edges"),
+            F.array().cast("array<struct<i:int,j:int,s:bigint,piece:string>>"),
+        ),
     )
     minf = F.lit(_UNI_MINF).cast("bigint")
 
@@ -203,15 +218,41 @@ def _viterbi_counts(
             step,
         )["ps"]
 
-    pieces = per_word.select(
+    # one evaluation of the DP array per row; unreachable final state
+    # (inference-time OOV) -> empty ps + floor total, flagged
+    def finish(d):
+        fin = F.element_at(d, F.col("n") + 1)
+        reach = fin["b"] > minf
+        return F.struct(
+            F.when(reach, backtrack(d))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ps"),
+            F.when(reach, fin["b"]).otherwise(minf).alias("tot_fp"),
+            reach.alias("reachable"),
+        )
+
+    return per_word.select(
         "word",
         "f",
-        F.element_at(
-            F.transform(F.array(dp), lambda d: backtrack(d)), 1
-        ).alias("ps"),
+        "n",
+        F.element_at(F.transform(F.array(dp), lambda d: finish(d)), 1).alias("__r"),
+    ).select(
+        "word",
+        "f",
+        "n",
+        F.col("__r")["ps"].alias("ps"),
+        F.col("__r")["tot_fp"].alias("tot_fp"),
+        F.col("__r")["reachable"].alias("reachable"),
     )
+
+
+def _viterbi_counts(
+    words: DataFrame, subs: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """E-step: freq-weighted piece usage counts (piece, c)."""
+    segs = _viterbi_segments(words, subs, vocab)
     return (
-        pieces.select("f", F.explode("ps").alias("piece"))
+        segs.select("f", F.explode("ps").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("f").alias("c"))
     )
@@ -278,3 +319,173 @@ def unigram_lm_train(
         subs.unpersist()
         if vocab is not None:
             vocab.unpersist()
+
+
+def unigram_segment(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 3,
+    max_word_len: int = 10,
+) -> DataFrame:
+    """APPLY a trained unigram-LM vocabulary to a corpus — the
+    inference half of q153's training (SentencePiece encode): Viterbi-
+    segment every document's words under the vocabulary's fixed-point
+    scores and report per-document tokenization stats.
+
+    ``vocab`` is unigram_lm_train's output (or any (piece, score_fp)
+    frame — score_fp aliased s is also accepted).
+
+    This is the op that actually runs at 100 TB (training runs once on
+    a sample; encoding touches every byte), so its shape is the
+    classic distinct-word trick: segment each DISTINCT corpus word
+    ONCE — O(vocabulary), not O(corpus tokens) — then broadcast-join
+    the per-word results back onto the per-doc word streams and
+    aggregate. Words longer than ``max_word_len`` chars and words with
+    no segmentation path (a character the training corpus never saw)
+    are counted as OOV per doc, never silently dropped.
+
+    Output: (id, n_words, n_oov, n_pieces, sum_score_fp) — one row per
+    input doc; empty/whitespace docs count zero everywhere. The score
+    sum is exact bigint (SQL-replayable); ln-probabilities stay fixed-
+    point end to end.
+    """
+    score_col = "score_fp" if "score_fp" in vocab.columns else "s"
+    v = vocab.select("piece", F.col(score_col).cast("bigint").alias("s"))
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.split(norm_text_col(F.col(text_col)), " "),
+                    lambda w: F.length(w) >= 1,
+                )
+            ).alias("word"),
+        )
+    )
+    words = (
+        doc_words.filter(F.length("word") <= int(max_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select("word", "f", F.length("word").alias("n"))
+    )
+    subs = _substring_table(words, max_piece_len)
+    segs = _viterbi_segments(words, subs, v).select(
+        "word",
+        F.size("ps").alias("__np"),
+        "tot_fp",
+        "reachable",
+    )
+    joined = doc_words.join(segs, "word", "left").select(
+        "id",
+        # NULL seg row = word over the length cap -> OOV
+        F.coalesce(F.col("reachable"), F.lit(False)).alias("__ok"),
+        F.coalesce(F.col("__np"), F.lit(0)).alias("__np"),
+        F.coalesce(F.col("tot_fp"), F.lit(0).cast("bigint")).alias("__fp"),
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum((~F.col("__ok")).cast("bigint")).alias("n_oov"),
+        F.sum(F.when(F.col("__ok"), F.col("__np")).otherwise(0)).alias("n_pieces"),
+        F.sum(
+            F.when(F.col("__ok"), F.col("__fp")).otherwise(F.lit(0).cast("bigint"))
+        ).alias("sum_score_fp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_oov", F.lit(0).cast("bigint")).alias("n_oov"),
+            F.coalesce("n_pieces", F.lit(0).cast("bigint")).alias("n_pieces"),
+            F.coalesce("sum_score_fp", F.lit(0).cast("bigint")).alias(
+                "sum_score_fp"
+            ),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge list to a corpus — the inference half
+    of q98's bpe_merges (tokenize-by-merges): fold every merge rule, in
+    learned order, over each word's separator-encoded symbol string
+    (the exact \\x1f encoding bpe_merges trains with, so train and
+    apply share one fusing semantics), and report per-document token
+    stats.
+
+    ``merges`` is a list of (left_sym, right_sym) pairs — pass
+    bpe_merges' collected output rows (O(vocab) driver bytes; the rule
+    list is part of the MODEL, like the unigram vocab, and compiles
+    into the column expression — nothing per-row ships to the driver).
+
+    Same 100 TB shape as unigram_segment: distinct words encode once,
+    results broadcast-join back onto the doc word streams.
+
+    Output: (id, n_words, n_tokens, n_chars) per input doc — n_tokens
+    is the post-merge symbol count, n_chars the normalized char count
+    of counted words (tokens-per-word / chars-per-token fertility
+    ratios are one division away, kept out so the row stays integer-
+    exact).
+    """
+    from raven_spark.operators.pipeline import _BPE_SEP
+
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(norm_text_col(F.col(text_col)), " "),
+                lambda w: (w != "") & ~w.contains(_BPE_SEP),
+            )
+        ).alias("word"),
+    )
+    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    sym = F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substr(F.col("word"), i, F.lit(1)),
+            ),
+            _BPE_SEP + _BPE_SEP,
+        ),
+        F.lit(_BPE_SEP),
+    )
+    for left, right in merges:
+        sym = F.replace(
+            sym,
+            F.lit(_BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+    encoded = words.select(
+        "word",
+        F.size(
+            F.split(F.substr(sym, F.lit(2), F.length(sym) - 2), _BPE_SEP + _BPE_SEP)
+        ).alias("__nt"),
+        F.length("word").alias("__nc"),
+    )
+    per_doc = (
+        doc_words.join(encoded, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__nc").alias("n_chars"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("n_chars", F.lit(0).cast("bigint")).alias("n_chars"),
+        )
+    )

@@ -182,3 +182,117 @@ def test_unigram_rejects_bad_params(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError):
         unigram_lm_train(df, rounds=0)
+
+
+def _py_segment_docs(texts, vocab, max_piece_len=3, max_word_len=10):
+    """Per-doc (n_words, n_oov, n_pieces, sum_score_fp) twin of
+    unigram_segment under a piece->score_fp dict."""
+    out = []
+    for t in texts:
+        nw = no = np_ = sfp = 0
+        if t is not None:
+            norm = re.sub(r"\s+", " ", t.strip().lower())
+            for w in (x for x in norm.split(" ") if len(x) >= 1):
+                nw += 1
+                if len(w) > max_word_len:
+                    no += 1
+                    continue
+                n = len(w)
+                best = [(0, 0, "")] + [(_MINF, 2**31 - 1, "")] * n
+                for j in range(1, n + 1):
+                    b = (_MINF, 2**31 - 1, "")
+                    for i in range(max(0, j - max_piece_len), j):
+                        s = vocab.get(w[i:j])
+                        if s is not None and best[i][0] > _MINF:
+                            tot = best[i][0] + s
+                            if tot > b[0] or (tot == b[0] and i < b[1]):
+                                b = (tot, i, w[i:j])
+                    best[j] = b
+                if best[n][0] <= _MINF:
+                    no += 1
+                    continue
+                pos, k = n, 0
+                while pos > 0:
+                    k += 1
+                    pos = best[pos][1]
+                np_ += k
+                sfp += best[n][0]
+        out.append((nw, no, np_, sfp))
+    return out
+
+
+def test_unigram_segment_differential(spark):
+    from raven_spark.operators.tokenizer import unigram_lm_train, unigram_segment
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id bigint, text string"
+    )
+    vocab_df = unigram_lm_train(
+        df.select("text"), vocab_size=40, seed_size=60, max_piece_len=3,
+        max_word_len=10, rounds=2,
+    )
+    got = {
+        r["id"]: (r["n_words"], r["n_oov"], r["n_pieces"], r["sum_score_fp"])
+        for r in unigram_segment(df, vocab_df).collect()
+    }
+    pv = {p: s for _, p, _, s in (tuple(r) for r in vocab_df.collect())}
+    want = _py_segment_docs(_TEXTS, pv)
+    assert len(got) == len(_TEXTS)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
+    # the corpus really exercises both OOV reasons: the long word in
+    # _TEXTS[-1] is over the cap
+    assert got[8][1] >= 1
+
+
+def test_unigram_segment_unseen_char_is_oov(spark):
+    from raven_spark.operators.tokenizer import unigram_lm_train, unigram_segment
+
+    train = spark.createDataFrame([("abc abd abe",)], "text string")
+    vocab = unigram_lm_train(train, vocab_size=20, seed_size=20, rounds=1)
+    infer = spark.createDataFrame(
+        [(1, "abc xyz"), (2, None), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: tuple(r)[1:] for r in unigram_segment(infer, vocab).collect()}
+    # 'xyz' has chars the training corpus never saw -> OOV, not dropped
+    assert got[1][0] == 2 and got[1][1] == 1
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (0, 0, 0, 0)
+
+
+def test_bpe_encode_hand_case(spark):
+    from raven_spark.operators.tokenizer import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "abab abc"), (2, "zz")], "doc_id bigint, text string"
+    )
+    # merges: (a,b) then (ab,ab): 'abab' -> [abab]; 'abc' -> [ab, c]
+    got = {
+        r["id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert got[1] == (2, 3, 7)  # [abab] + [ab, c]
+    assert got[2] == (1, 2, 2)  # no rule touches 'zz'
+
+
+def test_bpe_encode_roundtrip_with_learned_merges(spark):
+    from raven_spark.operators.pipeline import bpe_merges
+    from raven_spark.operators.tokenizer import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS) if t], "doc_id bigint, text string"
+    )
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(df, steps=5).orderBy("step").collect()
+    ]
+    assert len(rules) == 5
+    out = bpe_encode(df, rules).collect()
+    for r in out:
+        # merges only ever fuse: words <= tokens <= chars
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+    # zero merges = one token per char
+    base = {r["id"]: r["n_chars"] for r in bpe_encode(df, []).collect()}
+    for r in bpe_encode(df, []).collect():
+        assert r["n_tokens"] == base[r["id"]]
