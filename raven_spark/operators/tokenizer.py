@@ -328,6 +328,7 @@ def unigram_segment(
     id_col: str = "doc_id",
     max_piece_len: int = 3,
     max_word_len: int = 10,
+    join_key: str = "word",
 ) -> DataFrame:
     """APPLY a trained unigram-LM vocabulary to a corpus — the
     inference half of q153's training (SentencePiece encode): Viterbi-
@@ -340,17 +341,25 @@ def unigram_segment(
     This is the op that actually runs at 100 TB (training runs once on
     a sample; encoding touches every byte), so its shape is the
     classic distinct-word trick: segment each DISTINCT corpus word
-    ONCE — O(vocabulary), not O(corpus tokens) — then broadcast-join
-    the per-word results back onto the per-doc word streams and
-    aggregate. Words longer than ``max_word_len`` chars and words with
-    no segmentation path (a character the training corpus never saw)
-    are counted as OOV per doc, never silently dropped.
+    ONCE — O(vocabulary), not O(corpus tokens) — then join the
+    per-word results back onto the per-doc word streams and aggregate.
+    Words longer than ``max_word_len`` chars and words with no
+    segmentation path (a character the training corpus never saw) are
+    counted as OOV per doc, never silently dropped.
+
+    ``join_key``: "word" (default — string-keyed, what the q154 oracle
+    replays exactly) or "hash" (PRODUCTION — both sides of the
+    corpus-scale join carry xxhash64(word) instead of the word text,
+    so text never shuffles; the q09 exact-dedup hash/strict convention
+    with the same negligible-collision acceptance).
 
     Output: (id, n_words, n_oov, n_pieces, sum_score_fp) — one row per
     input doc; empty/whitespace docs count zero everywhere. The score
     sum is exact bigint (SQL-replayable); ln-probabilities stay fixed-
     point end to end.
     """
+    if join_key not in ("word", "hash"):
+        raise ValueError(f"unigram_segment: unknown join_key {join_key!r}")
     score_col = "score_fp" if "score_fp" in vocab.columns else "s"
     v = vocab.select("piece", F.col(score_col).cast("bigint").alias("s"))
     doc_words = (
@@ -377,6 +386,11 @@ def unigram_segment(
         "tot_fp",
         "reachable",
     )
+    if join_key == "hash":
+        doc_words = doc_words.select("id", F.xxhash64("word").alias("word"))
+        segs = segs.select(
+            F.xxhash64("word").alias("word"), "__np", "tot_fp", "reachable"
+        )
     joined = doc_words.join(segs, "word", "left").select(
         "id",
         # NULL seg row = word over the length cap -> OOV
@@ -412,6 +426,7 @@ def bpe_encode(
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    join_key: str = "word",
 ) -> DataFrame:
     """APPLY a learned BPE merge list to a corpus — the inference half
     of q98's bpe_merges (tokenize-by-merges): fold every merge rule, in
@@ -426,7 +441,9 @@ def bpe_encode(
     into the column expression — nothing per-row ships to the driver).
 
     Same 100 TB shape as unigram_segment: distinct words encode once,
-    results broadcast-join back onto the doc word streams.
+    results join back onto the doc word streams; ``join_key="hash"``
+    (vs the oracle-exact "word" default) carries xxhash64(word) on both
+    sides of the corpus-scale join so text never shuffles.
 
     Output: (id, n_words, n_tokens, n_chars) per input doc — n_tokens
     is the post-merge symbol count, n_chars the normalized char count
@@ -463,6 +480,8 @@ def bpe_encode(
             F.lit(_BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP),
             F.lit(_BPE_SEP + left + right + _BPE_SEP),
         )
+    if join_key not in ("word", "hash"):
+        raise ValueError(f"bpe_encode: unknown join_key {join_key!r}")
     encoded = words.select(
         "word",
         F.size(
@@ -470,6 +489,11 @@ def bpe_encode(
         ).alias("__nt"),
         F.length("word").alias("__nc"),
     )
+    if join_key == "hash":
+        doc_words = doc_words.select("id", F.xxhash64("word").alias("word"))
+        encoded = encoded.select(
+            F.xxhash64("word").alias("word"), "__nt", "__nc"
+        )
     per_doc = (
         doc_words.join(encoded, "word")
         .groupBy("id")

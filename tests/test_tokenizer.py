@@ -296,3 +296,27 @@ def test_bpe_encode_roundtrip_with_learned_merges(spark):
     base = {r["id"]: r["n_chars"] for r in bpe_encode(df, []).collect()}
     for r in bpe_encode(df, []).collect():
         assert r["n_tokens"] == base[r["id"]]
+
+
+def test_inference_hash_join_mode_matches_word_mode(spark):
+    """join_key='hash' (production: text never shuffles) must be
+    result-identical to the oracle-exact string join."""
+    from raven_spark.operators.tokenizer import (
+        bpe_encode,
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id bigint, text string"
+    )
+    vocab = unigram_lm_train(df.select("text"), vocab_size=40, seed_size=60, rounds=1)
+    a = sorted(map(tuple, unigram_segment(df, vocab).collect()))
+    b = sorted(map(tuple, unigram_segment(df, vocab, join_key="hash").collect()))
+    assert a == b
+    rules = [("t", "h"), ("th", "e")]
+    c = sorted(map(tuple, bpe_encode(df, rules).collect()))
+    d = sorted(map(tuple, bpe_encode(df, rules, join_key="hash").collect()))
+    assert c == d
+    with pytest.raises(ValueError):
+        unigram_segment(df, vocab, join_key="nope")
