@@ -3590,6 +3590,21 @@ def q155_bpe_encode(spark, sf_dir):
     return bpe_encode(d.select("doc_id", "text"), rules)
 
 
+def q156_kmv_sketch_only(spark, sf_dir):
+    """The PRODUCTION form of q111's KMV mirror detector
+    (operators/dedup.py::kmv_mirror_pairs, audit=False): sketch-only —
+    the exact-Jaccard audit columns (full per-host key-set joins) are
+    gone from output AND plan (the only self-join left is over the
+    k-row bottom-k sketches; join-count plan-asserted in
+    test_sketch_ops.py). Oracle: the q111 replay truncated at the
+    merged-bottom-k estimate."""
+    from raven_spark.operators.dedup import kmv_mirror_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string"))
+    return kmv_mirror_pairs(d, host, shingle_n=3, k=32, audit=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3747,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_unigram_lm": q153_unigram_lm,
         "q154_unigram_segment": q154_unigram_segment,
         "q155_bpe_encode": q155_bpe_encode,
+        "q156_kmv_sketch_only": q156_kmv_sketch_only,
     }
 
 
@@ -4192,6 +4208,57 @@ SELECT host,
   CAST(SUM(CASE WHEN NOT (deny IS NULL OR dlen <= alen OR dlen = -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
 FROM scored GROUP BY host ORDER BY host
 """
+
+
+_KMV_REPLAY_PREFIX = r"""
+            -- full KMV replay: q91 tokenization -> word 3-gram shingles
+            -- -> Horner char fold mod 2^31-1 (BIGINT, list order) with
+            -- the Knuth mix -> distinct keys -> bottom-32 per host ->
+            -- candidate pairs on shared members -> merged bottom-32
+            -- estimate + exact Jaccard audit
+            WITH docs AS (
+              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) AS g,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+              SELECT g, unnest(list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+              FROM docs WHERE len(ws) >= 3
+            ), keys AS (
+              SELECT DISTINCT g,
+                     CAST((list_reduce(list_transform(string_split(sh, ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+                            (a, x) -> (a * 131 + x) % 2147483647)
+                           * 2654435761) % 2147483647 AS BIGINT) AS key
+              FROM sh
+            ), sketch AS (
+              SELECT g, key FROM (
+                SELECT g, key, row_number() OVER (PARTITION BY g ORDER BY key ASC) AS rn
+                FROM keys) WHERE rn <= 32
+            ), cand AS (
+              SELECT DISTINCT a.g AS ga, b.g AS gb
+              FROM sketch a JOIN sketch b ON a.key = b.key AND a.g < b.g
+            ), merged AS (
+              SELECT ga, gb, key, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                SELECT c.ga, c.gb, s.key, 1 AS in_a, 0 AS in_b
+                FROM cand c JOIN sketch s ON s.g = c.ga
+                UNION ALL
+                SELECT c.ga, c.gb, s.key, 0, 1
+                FROM cand c JOIN sketch s ON s.g = c.gb
+              ) GROUP BY ga, gb, key
+            ), est AS (
+              SELECT ga, gb,
+                     sum(in_a * in_b) AS n_shared,
+                     round(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                       AS est_jaccard
+              FROM (
+                SELECT ga, gb, in_a, in_b, row_number() OVER
+                         (PARTITION BY ga, gb ORDER BY key ASC) AS rn
+                FROM merged) WHERE rn <= 32
+              GROUP BY ga, gb
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7020,55 +7087,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, n_a, n_b, chi2 FROM scored
             ORDER BY chi2 DESC, term ASC LIMIT 50
         """,
-        "q111_kmv_mirrors": r"""
-            -- full KMV replay: q91 tokenization -> word 3-gram shingles
-            -- -> Horner char fold mod 2^31-1 (BIGINT, list order) with
-            -- the Knuth mix -> distinct keys -> bottom-32 per host ->
-            -- candidate pairs on shared members -> merged bottom-32
-            -- estimate + exact Jaccard audit
-            WITH docs AS (
-              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) AS g,
-                     list_filter(string_split(
-                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                       ' '), w -> w <> '') AS ws
-              FROM documents WHERE text IS NOT NULL
-            ), sh AS (
-              SELECT g, unnest(list_transform(generate_series(1, len(ws) - 2),
-                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-              FROM docs WHERE len(ws) >= 3
-            ), keys AS (
-              SELECT DISTINCT g,
-                     CAST((list_reduce(list_transform(string_split(sh, ''),
-                              c -> CAST(unicode(c) AS BIGINT)),
-                            (a, x) -> (a * 131 + x) % 2147483647)
-                           * 2654435761) % 2147483647 AS BIGINT) AS key
-              FROM sh
-            ), sketch AS (
-              SELECT g, key FROM (
-                SELECT g, key, row_number() OVER (PARTITION BY g ORDER BY key ASC) AS rn
-                FROM keys) WHERE rn <= 32
-            ), cand AS (
-              SELECT DISTINCT a.g AS ga, b.g AS gb
-              FROM sketch a JOIN sketch b ON a.key = b.key AND a.g < b.g
-            ), merged AS (
-              SELECT ga, gb, key, max(in_a) AS in_a, max(in_b) AS in_b FROM (
-                SELECT c.ga, c.gb, s.key, 1 AS in_a, 0 AS in_b
-                FROM cand c JOIN sketch s ON s.g = c.ga
-                UNION ALL
-                SELECT c.ga, c.gb, s.key, 0, 1
-                FROM cand c JOIN sketch s ON s.g = c.gb
-              ) GROUP BY ga, gb, key
-            ), est AS (
-              SELECT ga, gb,
-                     sum(in_a * in_b) AS n_shared,
-                     round(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-                       AS est_jaccard
-              FROM (
-                SELECT ga, gb, in_a, in_b, row_number() OVER
-                         (PARTITION BY ga, gb ORDER BY key ASC) AS rn
-                FROM merged) WHERE rn <= 32
-              GROUP BY ga, gb
-            ), inter AS (
+        "q111_kmv_mirrors": _KMV_REPLAY_PREFIX + r""", inter AS (
               SELECT a.g AS ga, b.g AS gb, count(*) AS i
               FROM keys a JOIN keys b ON a.key = b.key AND a.g < b.g
               GROUP BY 1, 2
@@ -7081,6 +7100,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
             JOIN sizes sa ON sa.g = e.ga
             JOIN sizes sb ON sb.g = e.gb
+        """,
+        "q156_kmv_sketch_only": _KMV_REPLAY_PREFIX + r"""
+            SELECT ga AS group_a, gb AS group_b,
+                   CAST(n_shared AS BIGINT) AS n_shared, est_jaccard
+            FROM est
         """,
         "q112_opic": r"""
             -- unrolls opic()'s three cash rounds: history banks the OLD

@@ -175,6 +175,7 @@ HEADLINE = [
     "q153_unigram_lm",
     "q154_unigram_segment",
     "q155_bpe_encode",
+    "q156_kmv_sketch_only",
 ]
 
 # 2x the round-1 size: per-round fixed costs (job scheduling, AQE stage
